@@ -1,0 +1,153 @@
+"""Local DuckDB-oracle harness mirroring the driver's correctness gate.
+
+The driver runs each ``queries()[name]`` on Spark and ``oracle_sql()[name]``
+on DuckDB (tables pre-registered as views), then compares row-count +
+schema + order-insensitive value-hash. This module reproduces that
+comparison locally (strictly: exact values after canonicalization) so
+every query is validated at sf0.001/sf0.01 before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from poormans_kube_etl_spark import TABLES
+
+
+def duckdb_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb_connection(sf_dir)
+    try:
+        return con.execute(sql).fetch_df()
+    finally:
+        con.close()
+
+
+def _canon_value(v) -> str:
+    """Canonicalize one cell to a comparable string."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return repr(f)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_value(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, int):
+        return str(v)
+    # numpy scalars
+    item = getattr(v, "item", None)
+    if item is not None:
+        return _canon_value(v.item())
+    return str(v)
+
+
+def canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Columns sorted by name, every cell canonicalized, rows sorted."""
+    cols = sorted(df.columns)
+    out = [tuple(_canon_value(row[c]) for c in cols) for _, row in df[cols].iterrows()]
+    out.sort()
+    return out
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    row_count: tuple[int, int]
+    columns_spark: list[str] = field(default_factory=list)
+    columns_oracle: list[str] = field(default_factory=list)
+    mismatches: list[str] = field(default_factory=list)
+
+    def message(self) -> str:
+        if self.ok:
+            return f"{self.name}: OK rows={self.row_count[0]}"
+        lines = [
+            f"{self.name}: MISMATCH spark_rows={self.row_count[0]} oracle_rows={self.row_count[1]}",
+            f"  spark cols:  {self.columns_spark}",
+            f"  oracle cols: {self.columns_oracle}",
+        ]
+        lines.extend(f"  {m}" for m in self.mismatches[:12])
+        return "\n".join(lines)
+
+
+def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    res = CompareResult(
+        name=name,
+        ok=True,
+        row_count=(len(spark_pdf), len(oracle_pdf)),
+        columns_spark=sorted(spark_pdf.columns),
+        columns_oracle=sorted(oracle_pdf.columns),
+    )
+    if res.columns_spark != res.columns_oracle:
+        res.ok = False
+        res.mismatches.append("column names differ")
+        return res
+    if len(spark_pdf) != len(oracle_pdf):
+        res.ok = False
+        res.mismatches.append("row counts differ")
+    s_rows = canon_rows(spark_pdf)
+    o_rows = canon_rows(oracle_pdf)
+    if s_rows != o_rows:
+        res.ok = False
+        shown = 0
+        for i, (a, b) in enumerate(zip(s_rows, o_rows)):
+            if a != b:
+                res.mismatches.append(f"row {i}: spark={a} oracle={b}")
+                shown += 1
+                if shown >= 8:
+                    break
+        if len(s_rows) != len(o_rows):
+            res.mismatches.append(f"extra rows: spark={len(s_rows)} oracle={len(o_rows)}")
+    return res
+
+
+def check_query(spark, name: str, sf_dir: str) -> CompareResult:
+    """Run one registered query against its oracle and compare."""
+    from poormans_kube_etl_spark.queries import all_oracles, all_queries
+
+    q = all_queries()[name]
+    sql = all_oracles().get(name)
+    sdf = q(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    if sql is None:
+        # rows-only check, like the driver's weak path
+        return CompareResult(name=name, ok=True, row_count=(len(spark_pdf), -1))
+    oracle_pdf = run_oracle(sql, sf_dir)
+    return compare_frames(name, spark_pdf, oracle_pdf)

@@ -1,0 +1,71 @@
+"""SparkSession construction tuned for this engine.
+
+Defaults target local[N] testing but every knob is chosen for a real
+multi-executor cluster at large scale: AQE on (runtime shuffle-partition
+coalescing, skew-join splitting, broadcast demotion), parquet filter
+pushdown, Arrow for any pandas exchange, UTC session timezone for
+deterministic timestamp semantics vs the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (SET-able) confs applied to *any* session we are handed,
+# including the driver's own session in __spark_entry__.entry().
+RUNTIME_CONFS = {
+    # Deterministic timestamp handling vs the (naive-timestamp) oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: re-plan shuffles at runtime, split skewed
+    # partitions, demote broadcast joins that turn out too big.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / toPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply SET-able confs to an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static on exotic builds; never fail a query
+            # over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "poormans-kube-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — right for
+    local[N] test scale. On a real cluster, leave AQE's coalescing to
+    shrink an intentionally-high initial partition count instead.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())
