@@ -25,6 +25,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF / toPandas exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
+    # reader rejects; read as long and convert in sources.tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from poormans_kube_etl_spark import TABLES
 
@@ -26,7 +28,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    from poormans_kube_etl_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): unsupported by Spark's
+        # reader, surfaced as nanosecond longs via nanosAsLong. Integer-
+        # divide to micros (exact — double math would lose precision at
+        # 1e18 ns) and restore a real timestamp, matching DuckDB's own
+        # nanos→micros truncation.
+        field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
+        if isinstance(field, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
