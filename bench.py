@@ -28,6 +28,12 @@ HEADLINE = [
     "window_top3_orders_per_customer",
     "top10_orders_by_price",
     "set_intersect_active_custkeys",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "sim_topk_bruteforce",
+    "text_term_frequencies",
+    "sess_session_window_30m",
+    "sess_asof_last_signup",
 ]
 
 

@@ -1,0 +1,71 @@
+"""As-of (time-travel) join — Spark-native, shuffle-once.
+
+Spark has no built-in as-of join. The scalable pattern (used by every
+production timeseries stack on Spark) is union + windowed
+last-non-null: tag both inputs, union them, sort within each key
+partition by (ts, side) and carry the right side's payload forward with
+``last(..., ignorenulls)``. One shuffle on the join keys, no range
+explosion, no broadcast requirement — survives 100 TB where a naive
+non-equi join (O(n·m) nested loop) does not.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    right.ts <= left.ts on the same keys (backward as-of, inclusive).
+
+    Returns the left rows + ``payload`` columns (null when no prior right
+    row exists). Left and right must not share payload column names with
+    left's columns.
+    """
+    keys = list(keys)
+    payload = list(payload)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in payload],
+    )
+    # Right rows sort before left rows at equal ts → inclusive semantics.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *keys,
+        _TS,
+        _SIDE,
+        *lcols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return filled.where(F.col(_SIDE) == 1).select(
+        *keys, F.col(_TS).alias(left_ts), *lcols, *payload
+    )

@@ -1,0 +1,77 @@
+"""Multimodal (binary) column plumbing — SURVEY.md §2b.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side machinery here is real and tested: schema contracts,
+Arrow-batched mapInPandas, partition-friendly shapes. The actual codec
+work is stubbed (this container ships no image/audio libraries): decode
+falls back to a DETERMINISTIC fake "decoder" so pipelines are testable;
+``real_decode_image`` raises NotImplementedError until Pillow exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not installed in this environment
+    from PIL import Image  # type: ignore
+
+    HAS_PIL = True
+except Exception:  # pragma: no cover
+    Image = None
+    HAS_PIL = False
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, channels int, mean_byte double"
+)
+
+
+def real_decode_image(data: bytes):  # pragma: no cover - requires Pillow
+    """Decode real image bytes. STUB: needs an image library."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not available in this "
+            "environment; use fake_decode_image (deterministic stand-in)"
+        )
+    import io
+
+    img = Image.open(io.BytesIO(data))
+    return img.width, img.height, len(img.getbands())
+
+
+def fake_decode_image(data: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in decoder: derives (width, height, channels,
+    mean_byte) purely from the byte content so tests and oracles are
+    stable. Replace with real_decode_image when codecs are available."""
+    n = len(data)
+    width = n % 64 + 1
+    height = (n // 64) % 64 + 1
+    mean_byte = (sum(data) / n) if n else 0.0
+    return width, height, 3, mean_byte
+
+
+def decode_image_features(df: DataFrame, binary_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode: DataFrame[id, binary] → typed metadata rows.
+
+    mapInPandas keeps the batch shape (no per-row Python calls through
+    py4j); at scale this is the pattern for any CPU-bound media
+    transform — repartition upstream to balance byte volume, not rows."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            datas = pdf[binary_col]
+            rows = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_bytes": datas.map(len).astype("int32"),
+            }
+            decoded = [fake_decode_image(bytes(d)) for d in datas]
+            rows["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
+            rows["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
+            rows["channels"] = pd.Series([d[2] for d in decoded], dtype="int32")
+            rows["mean_byte"] = pd.Series([d[3] for d in decoded], dtype="float64")
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(decode, DECODE_SCHEMA)

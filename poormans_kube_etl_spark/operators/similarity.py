@@ -1,0 +1,129 @@
+"""Vector similarity over array<float> embedding columns.
+
+Column builders compute in DOUBLE with strict left-to-right array
+folds (F.aggregate / zip_with) so results are bit-identical to the
+DuckDB oracle's list_dot_product on DOUBLE[] — float math must be
+order-deterministic to survive the driver's value-hash comparison.
+
+Scale notes: brute-force top-k is a broadcast of the (small) query set
+against the full table — embarrassingly parallel, no shuffle except the
+final per-query top-k (TakeOrdered / window on k·Q rows). The LSH
+variant (random-hyperplane bucketing) bounds candidate generation the
+same way MinHash banding does for text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def to_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query row.
+
+    ``queries``: DataFrame[query_id, embedding]. Broadcast against the
+    corpus; ties broken by neighbor id for determinism."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("nn_id"), to_double_vec(vec_col).alias("nn_vec")
+    )
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_vec(vec_col).alias("q_vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).where(F.col("nn_id") != F.col("query_id"))
+    sim = cosine(F.col("q_vec"), F.col("nn_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        scored.select("query_id", "nn_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def random_hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-random-projection LSH bucket per vector (SimHash for vectors).
+
+    Hyperplanes are pseudo-random but fully deterministic: component j of
+    plane p = (xxhash64(p, j) % 1001 - 500) / 500. Vectors in the same
+    bucket are cosine-close candidates; join buckets instead of all
+    pairs."""
+    planes = [
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j, p=p: ((F.xxhash64(F.lit(p), j) % 1001) - 500).cast("double") / 500.0,
+        )
+        for p in range(n_planes)
+    ]
+    v = to_double_vec(vec_col)
+    bits = [F.when(dot(v, plane) > 0, F.lit(1)).otherwise(F.lit(0)) for plane in planes]
+    bucket = bits[0].cast("long")
+    for bit in bits[1:]:
+        bucket = F.shiftleft(bucket, 1).bitwiseOR(bit.cast("long"))
+    return embeddings.select(id_col, vec_col).withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: only score corpus vectors sharing the query's
+    LSH bucket. Recall < 1 by design; the exact path is brute_force_topk."""
+    corpus_b = random_hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim).select(
+        F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec_raw"), "bucket"
+    )
+    query_b = random_hyperplane_buckets(
+        queries.select(F.col(query_id_col).alias(id_col), F.col(vec_col)),
+        n_planes,
+        id_col,
+        vec_col,
+        dim,
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec_raw"), "bucket")
+    joined = corpus_b.join(F.broadcast(query_b), "bucket").where(
+        F.col("nn_id") != F.col("query_id")
+    )
+    sim = cosine(to_double_vec(F.col("q_vec_raw")), to_double_vec(F.col("nn_vec_raw")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        joined.select("query_id", "nn_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

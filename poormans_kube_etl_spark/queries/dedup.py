@@ -1,1 +1,205 @@
-"""Placeholder — queries added in later milestones."""
+"""Deduplication queries over ``documents``/``embeddings`` (SURVEY.md §2b).
+
+Exact dedup and n-gram Jaccard are oracle-checked. MinHash-LSH and
+SimHash use Spark-only 64-bit hashing (xxhash64) with no DuckDB
+equivalent → rows-only checks, but both are fully deterministic.
+
+Scale design lives in operators/{minhash,simhash}.py: banding/blocking
+keeps candidate generation linear in corpus size; the exact verify
+touches candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.minhash import (
+    exact_jaccard,
+    minhash_near_duplicates,
+    shingle_docs,
+)
+from poormans_kube_etl_spark.operators.simhash import simhash_near_duplicates
+from poormans_kube_etl_spark.operators.similarity import cosine, to_double_vec
+from poormans_kube_etl_spark.operators.text import (
+    fingerprint_md5,
+    normalize_text,
+    prefix_fingerprint,
+    tokens,
+)
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+# Caps keep the O(pairs) oracle affordable at sf0.1; Spark side uses the
+# same caps so both engines see identical inputs. The uncapped scale
+# path is the LSH/banded variant below.
+_JACCARD_DOC_CAP = 200
+_EMB_PAIR_CAP = 300
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dedup_exact_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT text) AS distinct_texts,
+           COUNT(DISTINCT md5({_NORM_SQL})) AS distinct_fps,
+           COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS dup_docs
+    FROM documents
+    """,
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup accounting: raw distinct vs normalized-fingerprint
+    distinct (hash-groupBy dedup, the 100 TB-safe exact method)."""
+    docs = _docs(spark, sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("text").alias("distinct_texts"),
+        F.countDistinct(fingerprint_md5("text")).alias("distinct_fps"),
+        (F.count(F.lit(1)) - F.countDistinct(fingerprint_md5("text"))).alias("dup_docs"),
+    )
+
+
+@register(
+    "dedup_keep_first_by_prefix",
+    oracle=f"""
+    SELECT fp_prefix5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS group_size
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(string_split({_NORM_SQL}, ' '), 1, 5), ' '))
+               AS fp_prefix5
+      FROM documents
+    )
+    GROUP BY fp_prefix5
+    HAVING COUNT(*) > 1
+    ORDER BY keeper_doc_id
+    """,
+)
+def dedup_keep_first_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key dedup with keep-first policy: group on the prefix
+    fingerprint, keep the smallest doc_id (min_by semantics, same O1
+    shape as the reference's oldest-folder selection)."""
+    docs = _docs(spark, sf_dir)
+    fp = prefix_fingerprint(tokens(normalize_text("text")), 5)
+    return (
+        docs.select("doc_id", fp.alias("fp_prefix5"))
+        .groupBy("fp_prefix5")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id < {_JACCARD_DOC_CAP}
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN list_transform(range(0, len(t) - 4),
+                                        i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+                    ELSE [array_to_string(t, ' ')] END)) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+    ORDER BY a, b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard near-dup pairs (capped slice so the
+    all-shared-shingle oracle join stays small; the uncapped scale path
+    is dedup_minhash_lsh_pairs)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < _JACCARD_DOC_CAP)
+    shingled = shingle_docs(docs, "doc_id", "text", 5)
+    # pairs sharing >= 1 shingle, via explode + equi-join on the shingle
+    ex = shingled.select(F.col("doc_id"), F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    jac = exact_jaccard(pairs, shingled, "doc_id")
+    return jac.where(F.col("jaccard") >= 0.2).orderBy("a", "b")
+
+
+@register("dedup_minhash_lsh_pairs")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the FULL corpus — the linear-cost
+    scale path (shingle → 32 minhashes → 8 bands → bucket join → exact
+    Jaccard verify >= 0.5). Deterministic: fixed xxhash64 seeds."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_len=3, num_hashes=32, bands=8, threshold=0.5
+    ).orderBy("a", "b")
+
+
+@register("dedup_simhash_pairs")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the FULL corpus: 64-bit fingerprints,
+    16-bit-block pigeonhole candidates, Hamming <= 8."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy("a", "b")
+
+
+@register(
+    "dedup_embedding_near_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < {_EMB_PAIR_CAP}
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    ORDER BY a, b
+    """,
+)
+def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (capped slice, exact; the banded
+    scale path is similarity.lsh_topk / random-hyperplane buckets)."""
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _EMB_PAIR_CAP)
+    e = emb.select("vec_id", to_double_vec("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+        .orderBy("a", "b")
+    )

@@ -1,1 +1,75 @@
-"""Placeholder — queries added in later milestones."""
+"""Multimodal / binary-column queries (SURVEY.md §2b).
+
+``documents.text`` stands in for opaque media bytes (no binary test
+table exists): encode to binary, hash it, decode typed metadata with
+the Arrow-batched stub decoder. props JSON parsing covers the typed-
+metadata side of the data model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.multimodal import decode_image_features
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+
+@register(
+    "mm_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column basics: byte length + content hashes — the manifest
+    SHA256 integrity check (reference README.md:18-33) as a columnar op."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("int").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mm_props_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def mm_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction: parse the props JSON into a struct with
+    an explicit schema (from_json — no schema inference at scale)."""
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        parsed.getField("k").isNotNull().alias("has_k"),
+    ).orderBy("event_id")
+
+
+@register("mm_decode_features")  # rows-only: mapInPandas stub decoder
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode over binary columns (stubbed codec —
+    deterministic fake; see operators/multimodal.py). Exercises the real
+    Spark plumbing: binary encode → mapInPandas → typed metadata."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return decode_image_features(binary, "content", "doc_id").orderBy("doc_id")

@@ -1,1 +1,133 @@
-"""Placeholder — queries added in later milestones."""
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2b).
+
+Brute-force cosine top-k is the exact baseline (oracle-checked); the
+random-hyperplane LSH variant is the approximate scale path (rows-only,
+deterministic). Float math is strict left-to-right double folds on both
+engines — see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.similarity import (
+    brute_force_topk,
+    l2_norm,
+    lsh_topk,
+    to_double_vec,
+)
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+_N_QUERIES = 3  # query vectors: vec_id < 3
+_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS nn_id,
+             list_dot_product(q.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, nn_id, sim, rank FROM (
+      SELECT query_id, nn_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS INT)
+               AS rank
+      FROM scored
+    )
+    WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine ANN baseline: broadcast the query set against
+    the corpus; per-query window top-k. One pass, no corpus shuffle."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = brute_force_topk(emb, queries, _K)
+    return out.select("query_id", "nn_id", "sim", F.col("rank").cast("int").alias("rank")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "sim_embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return emb.select("vec_id", "label", l2_norm(to_double_vec("embedding")).alias("l2")).orderBy(
+        "vec_id"
+    )
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+    SELECT label, pos, SUM(comp_scaled) AS sum_scaled, COUNT(*) AS vec_cnt
+    FROM (
+      SELECT label,
+             UNNEST(generate_series(1, len(embedding))) AS pos,
+             CAST(ROUND(UNNEST(embedding::DOUBLE[]) * 1000000000.0) AS BIGINT) AS comp_scaled
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulation. Components are scaled to integer
+    nano-units BEFORE the cross-row sum so the aggregation is order-
+    independent (double sums are not) — divide sum_scaled/vec_cnt/1e9
+    downstream for the centroid."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            "label",
+            F.posexplode(to_double_vec("embedding")).alias("pos0", "comp"),
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.round(F.col("comp") * 1000000000.0).cast("bigint").alias("comp_scaled"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("comp_scaled").alias("sum_scaled"), F.count(F.lit(1)).alias("vec_cnt"))
+        .orderBy("label", "pos")
+    )
+
+
+@register("sim_lsh_topk")  # rows-only: approximate by design (recall < 1)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k: bucket corpus + queries on sign
+    projections (deterministic xxhash64 planes), score only same-bucket
+    candidates. The 100 TB path where brute force is too wide."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = lsh_topk(emb, queries, _K, n_planes=8)
+    return out.select("query_id", "nn_id", "sim", F.col("rank").cast("int").alias("rank")).orderBy(
+        "query_id", "rank"
+    )

@@ -1,1 +1,205 @@
-"""Placeholder — queries added in later milestones."""
+"""Text-analysis queries over ``documents`` (SURVEY.md §2b).
+
+Token counting, term frequencies, per-language stats, quality scoring,
+naive function-word language-ID, and md5 fingerprints — all with DuckDB
+oracles. Tokenization is single-space split on both engines so counts
+agree exactly; ratios are a single int/int→double division, which is
+IEEE-deterministic and therefore hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.text import (
+    STOPWORDS_EN,
+    fingerprint_md5,
+    prefix_fingerprint,
+    stopword_count,
+    tokens,
+)
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (the LLM-pipeline token budget primitive)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_term_frequencies",
+    oracle="""
+    SELECT token,
+           COUNT(*) AS tf,
+           COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+)
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode → term/document frequencies; the partial-agg (map-side
+    combine) shape that scales to any corpus size."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS doc_cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(F.size(tokens("text")).cast("bigint")).cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           stop_cnt,
+           CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           (n_tokens >= 10 AND stop_cnt > 0) AS quality_ok
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains({_STOP_SQL}, t))) AS INT) AS stop_cnt
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals (length + function-word ratio) — the
+    cheap pre-filter stage of an LLM data pipeline."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("int")
+    stop_cnt = stopword_count(toks).cast("int")
+    base = docs.select("doc_id", n_tokens.alias("n_tokens"), stop_cnt.alias("stop_cnt"))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "stop_cnt",
+        (F.col("stop_cnt").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "stop_ratio"
+        ),
+        ((F.col("n_tokens") >= 10) & (F.col("stop_cnt") > 0)).alias("quality_ok"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang,
+           en_cnt,
+           CASE WHEN en_cnt >= 2 THEN 'en' ELSE 'unk' END AS predicted_lang,
+           (CASE WHEN en_cnt >= 2 THEN 'en' ELSE 'unk' END = lang) AS label_match
+    FROM (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> list_contains({_STOP_SQL}, t))) AS INT) AS en_cnt
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word (n-gram profile degenerate case) language-ID: score
+    English function words, threshold, compare to the labeled lang."""
+    docs = _docs(spark, sf_dir)
+    en_cnt = stopword_count(tokens("text")).cast("int")
+    pred = F.when(F.col("en_cnt") >= 2, F.lit("en")).otherwise(F.lit("unk"))
+    return (
+        docs.select("doc_id", "lang", en_cnt.alias("en_cnt"))
+        .select(
+            "doc_id",
+            "lang",
+            "en_cnt",
+            pred.alias("predicted_lang"),
+            (pred == F.col("lang")).alias("label_match"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+           md5(array_to_string(list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), 1, 5), ' ')) AS fp_prefix5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 (exact-dup key) + first-5-
+    token md5 (near-dup blocking key)."""
+    docs = _docs(spark, sf_dir)
+    from poormans_kube_etl_spark.operators.text import normalize_text
+
+    return docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        prefix_fingerprint(tokens(normalize_text("text")), 5).alias("fp_prefix5"),
+    ).orderBy("doc_id")

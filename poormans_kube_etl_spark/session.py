@@ -44,7 +44,44 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Some confs may be static on exotic builds; never fail a query
             # over a tuning knob.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Closures passed to mapInPandas/pandas UDFs are cloudpickled *by
+    reference* to this module, so workers must be able to import it.
+    A driver-owned session won't have the repo on the workers' path, and
+    on a real cluster the code must travel anyway — ``addPyFile`` of a
+    package zip is the programmatic ``--py-files`` and works for both.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_pke_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    fd, zip_path = tempfile.mkstemp(prefix="pke_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for name in files:
+                if name.endswith(".py"):
+                    full = os.path.join(root, name)
+                    zf.write(full, os.path.relpath(full, repo_root))
+    try:
+        sc.addPyFile(zip_path)
+        sc._pke_pkg_shipped = True
+    except Exception:
+        # Non-fatal on sessions that forbid it; worker-side imports will
+        # then rely on a shared filesystem path.
+        pass
 
 
 def get_spark(

@@ -1,0 +1,138 @@
+"""Unit tests for the operator library on small known fixtures —
+the reference's test strategy (SURVEY.md §5) applied to our operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_backward_basic(spark):
+    from poormans_kube_etl_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 12:00:00"), (3, 20, "2024-01-01 09:00:00")],
+        "id long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 09:30:00", "a"), (10, "2024-01-01 11:00:00", "b"), (20, "2024-01-01 09:30:00", "c")],
+        "k long, rts string, tag string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    out = asof_join_backward(left, right, ["k"], "ts", "rts", ["tag"])
+    got = {r.id: r.tag for r in out.collect()}
+    # id=1: latest right <= 10:00 is 'a'; id=2: 'b'; id=3: none before 09:00
+    assert got == {1: "a", 2: "b", 3: None}
+
+
+def test_asof_inclusive_at_equal_ts(spark):
+    from poormans_kube_etl_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 1, "2024-01-01 10:00:00")], "id long, k long, ts string")
+    left = left.withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame([(1, "2024-01-01 10:00:00", "x")], "k long, rts string, tag string")
+    right = right.withColumn("rts", F.col("rts").cast("timestamp"))
+    out = asof_join_backward(left, right, ["k"], "ts", "rts", ["tag"]).collect()
+    assert out[0].tag == "x"  # backward as-of is inclusive
+
+
+def test_minhash_finds_known_near_dups(spark, sf_dir):
+    """The exact-Jaccard query found pairs >= 0.5 at this SF; MinHash-LSH
+    with these parameters must recover high-similarity pairs too."""
+    from poormans_kube_etl_spark.operators.minhash import minhash_near_duplicates
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5).collect()
+    assert all(p.jaccard >= 0.5 for p in pairs)
+    assert all(p.a < p.b for p in pairs)
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    from poormans_kube_etl_spark.operators.minhash import minhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different words about spark query engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_duplicates(docs, threshold=0.9).collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    from poormans_kube_etl_spark.operators.simhash import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2] and fps[1] != fps[3]
+    assert len(fps[1]) == 16  # 64-bit hex
+    pairs = simhash_near_duplicates(docs, max_hamming=0).collect()
+    assert [(p.a, p.b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark, sf_dir):
+    from poormans_kube_etl_spark.operators.similarity import brute_force_topk
+    from poormans_kube_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, 5).collect()
+    assert len(out) == 5
+    assert all(r.nn_id != 0 for r in out)
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
+    """LSH results are approximate but every returned sim must equal the
+    exact cosine (it only prunes candidates, never rescores)."""
+    from poormans_kube_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+    from poormans_kube_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r.nn_id: r.sim for r in brute_force_topk(emb, queries, 100).collect()}
+    approx = lsh_topk(emb, queries, 5, n_planes=4).collect()
+    for r in approx:
+        assert abs(exact[r.nn_id] - r.sim) < 1e-12
+
+
+def test_multimodal_decode_stub(spark, sf_dir):
+    from poormans_kube_etl_spark.operators.multimodal import decode_image_features
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    out = decode_image_features(binary).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.n_bytes > 0 and 1 <= r.width <= 64 and r.channels == 3
+        assert 0.0 <= r.mean_byte <= 255.0
+
+
+def test_real_decode_raises_without_pillow():
+    from poormans_kube_etl_spark.operators import multimodal
+
+    if not multimodal.HAS_PIL:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            multimodal.real_decode_image(b"\x00\x01")
