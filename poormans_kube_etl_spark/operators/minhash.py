@@ -30,24 +30,48 @@ from poormans_kube_etl_spark.operators.text import normalize_text, tokens, word_
 
 
 def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_len: int) -> DataFrame:
-    toks = tokens(normalize_text(text_col))
-    return docs.select(id_col, word_shingles(toks, shingle_len).alias("shingles"))
+    # Tokens are materialized in their own projection: inlined into
+    # word_shingles, the normalize+split subtree sits inside the
+    # per-shingle slice lambda and gets re-evaluated once per shingle
+    # (measured 6x slower). Catalyst keeps the boundary because the
+    # expression is non-cheap and multiply referenced.
+    toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
+    return toked.select(
+        id_col, word_shingles(F.col("toks"), shingle_len).alias("shingles")
+    )
 
 
-def minhash_signatures(shingled: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
-    """k MinHash values per doc: for seed i, min over shingles of
-    xxhash64(i, shingle).
+def exploded_shingles(
+    docs: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    """(id, shingle) rows, one per distinct shingle per doc.
 
-    Shape: explode to (doc, shingle) rows, then a single hash-aggregate
-    with k ``min`` columns. Each shingle is hashed exactly once per seed
-    inside whole-stage codegen, and the groupBy gets map-side partial
+    The explode takes the word_shingles EXPRESSION directly, not a
+    projected column: exploding an aliased attribute makes Catalyst
+    infer ``size(c) > 0 AND isnotnull(c)`` and push it below the
+    projection, re-inlining the whole shingle subtree twice per input
+    row (measured ~8x the runtime of this form). word_shingles can
+    never yield an empty/null array, so that filter is pure waste.
+    """
+    toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
+    return toked.select(
+        id_col, F.explode(word_shingles(F.col("toks"), shingle_len)).alias("shingle")
+    )
+
+
+def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """k MinHash values per doc from (id, shingle) rows: for seed i,
+    min over shingles of xxhash64(i, shingle).
+
+    Shape: a single hash-aggregate with k ``min`` columns over the
+    exploded rows. Each shingle is hashed exactly once per seed inside
+    whole-stage codegen, and the groupBy gets map-side partial
     aggregation, so the shuffle carries k longs per doc — NOT the
     shingle sets. (A nested array-transform formulation re-evaluates the
     shingle expression per seed after projection collapse — k× the work
     — and breaks down on giant documents; rows scale out, arrays don't.)
-    Docs with zero shingles drop out here: they can never near-dup match.
+    Docs with zero shingles don't exist (see word_shingles).
     """
-    ex = shingled.select(id_col, F.explode("shingles").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}")
         for i in range(num_hashes)
@@ -56,7 +80,7 @@ def minhash_signatures(shingled: DataFrame, id_col: str, num_hashes: int) -> Dat
     # need both the signature AND the shingle set (the exact-Jaccard
     # verify) share one scan+shuffle via exchange reuse.
     return (
-        ex.groupBy(id_col)
+        exploded.groupBy(id_col)
         .agg(*mins, F.collect_set("shingle").alias("shingles"))
         .select(
             id_col,
@@ -140,8 +164,8 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """End-to-end near-dup pairs: (a, b, jaccard) with jaccard >= threshold."""
     assert num_hashes % bands == 0
-    shingled = shingle_docs(docs, id_col, text_col, shingle_len)
-    signed = minhash_signatures(shingled, id_col, num_hashes)
+    ex = exploded_shingles(docs, id_col, text_col, shingle_len)
+    signed = minhash_signatures(ex, id_col, num_hashes)
     cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands)
     # signed carries the collect_set shingles — verify reuses its exchange
     return exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)

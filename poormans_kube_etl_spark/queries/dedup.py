@@ -16,8 +16,8 @@ from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.minhash import (
     exact_jaccard,
+    exploded_shingles,
     minhash_near_duplicates,
-    shingle_docs,
 )
 from poormans_kube_etl_spark.operators.simhash import simhash_near_duplicates
 from poormans_kube_etl_spark.operators.similarity import cosine, to_double_vec
@@ -135,9 +135,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-shared-shingle oracle join stays small; the uncapped scale path
     is dedup_minhash_lsh_pairs)."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < _JACCARD_DOC_CAP)
-    shingled = shingle_docs(docs, "doc_id", "text", 5)
-    # pairs sharing >= 1 shingle, via explode + equi-join on the shingle
-    ex = shingled.select(F.col("doc_id"), F.explode("shingles").alias("s"))
+    # pairs sharing >= 1 shingle, via explode + equi-join on the shingle;
+    # exploded form sidesteps Catalyst's inferred size()>0 filter on
+    # explode-of-attribute (see operators.minhash.exploded_shingles)
+    ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
+    shingled = ex.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
