@@ -1,0 +1,445 @@
+"""File-arrival-driven ingest orchestrator — the reference's control
+plane (EP1/EP2/EP3) rebuilt as a thin driver loop around Spark batch
+pipelines.
+
+Reference semantics preserved (file:line cites into /root/reference):
+- poll a landing prefix ``pending/`` for Unix-timestamped folders
+  (src/ingestor.js:75, src/helpers.js:14-20)
+- select the OLDEST timestamped folder that carries a marker file
+  ``bulk.txt`` / ``incremental.txt`` (src/helpers.js:22-39 — min-by O1,
+  marker filter F3); folders without a marker are invisible
+  (src/helpers.spec.js:141-145)
+- a folder is not a batch until its ``manifest.json`` exists
+  (src/ingestor.js:109-118 — EP2)
+- bulk → the two store pipelines run in PARALLEL; delta → in SERIES,
+  graph store first (src/ingestor.js:272-287)
+- stale same-kind work is preempted before relaunch
+  (src/ingestor.js:136-146) — here: cancel the Spark job group and
+  overwrite sinks idempotently
+- after both pipelines finish: delete the ingested folder, then append
+  one metrics row with ``"Xh:YYmins"`` durations (src/ingestor.js:304-346
+  — EP3; duration math src/helpers.js:65-73 incl. the %24 hour wrap)
+- any failure → error state, loop halts (src/ingestor.js:71-74,289-292)
+
+Upgrades over the reference (SURVEY.md §2a "not present", §7 M2):
+- ``verify_manifest`` actually checks the payload: sha2-256 of file
+  bytes (binaryFile source) equi-joined with the manifest on FileName —
+  the reference only probes manifest PRESENCE (src/ingestor.js:113-117)
+- the neo4j/elastic Jobs were opaque external pods (README.md:36-55);
+  here they are real Spark pipelines: a graph-shaped sink (nodes +
+  foreign-key edges) and an index-shaped sink (flattened documents)
+
+Paths go through the Hadoop FileSystem API, so the same code runs on
+``file://`` in tests and ``s3a://``/``hdfs://`` on a cluster; listing a
+prefix is the control-plane metadata operation the reference's
+listObjectsV2 was (S1) — payload bytes only ever move through executor
+scans, never the driver.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.functions import duration_hmm
+from poormans_kube_etl_spark.session import apply_runtime_confs
+
+MARKER_FILES = ("bulk.txt", "incremental.txt")
+PENDING_PREFIX = "pending"
+
+METRICS_COLUMNS = (
+    "ingest",
+    "type",
+    "load_date",
+    "readable_date",
+    "neo_job_duration",
+    "elastic_job_duration",
+    "total_job_duration",
+)
+
+
+@dataclass
+class IngestParams:
+    """The reference's ``{ingestName, ingestType}`` (src/helpers.js:36-37)."""
+
+    ingest_name: str
+    ingest_type: str  # 'bulk' | 'incremental'
+
+    @property
+    def job_type(self) -> str:
+        # bulk -> 'bulk', incremental -> 'delta' (src/ingestor.js:122)
+        return "bulk" if self.ingest_type == "bulk" else "delta"
+
+
+@dataclass
+class Times:
+    """Per-ingest timing accumulator (reference Times class,
+    src/helpers.js:89-120): start/end per store + the ingest file list."""
+
+    neo_start: float | None = None
+    neo_end: float | None = None
+    elastic_start: float | None = None
+    elastic_end: float | None = None
+    ingest_files: list[str] = field(default_factory=list)
+
+    def is_complete(self) -> bool:  # A5 completion conjunction
+        return self.neo_end is not None and self.elastic_end is not None
+
+    def reset(self) -> None:
+        self.neo_start = self.neo_end = None
+        self.elastic_start = self.elastic_end = None
+        self.ingest_files = []
+
+
+class Orchestrator:
+    """Folder-lifecycle ETL driver: discover → gate → verify → run → finalize.
+
+    ``landing_dir`` holds the ``pending/`` tree (any Hadoop-visible URI);
+    ``output_dir`` receives ``graph/``, ``index/`` and ``ingest_metrics``
+    parquet sinks.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_dir: str,
+        output_dir: str,
+        poll_interval_s: float = 60.0,
+        strict_manifest: bool = True,
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.landing_dir = landing_dir.rstrip("/")
+        self.output_dir = output_dir.rstrip("/")
+        self.poll_interval_s = poll_interval_s
+        self.strict_manifest = strict_manifest
+        self.timer = Times()
+        self.errored: str | None = None  # X7 error state
+
+    # ---- filesystem (Hadoop FS: file:// in tests, s3a:// in prod) ----
+
+    def _fs_and_path(self, path: str):
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(hconf), jpath
+
+    def list_keys(self) -> list[str]:
+        """S1 prefix scan: all keys under ``pending/``, relative to the
+        landing dir (the reference's listObjectsV2 Contents[].Key)."""
+        base = f"{self.landing_dir}/{PENDING_PREFIX}"
+        fs, jpath = self._fs_and_path(base)
+        if not fs.exists(jpath):
+            return []
+        keys = []
+        it = fs.listFiles(jpath, True)  # recursive
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath().toUri().getPath()
+            idx = p.find(f"/{PENDING_PREFIX}/")
+            if idx >= 0:
+                keys.append(p[idx + 1 :])
+        return sorted(keys)
+
+    # ---- selection (P1/P2/F1/F3/O1 as DataFrame ops) ----
+
+    def discover(self) -> IngestParams | None:
+        """Oldest timestamped folder carrying a marker file, or None."""
+        keys = self.list_keys()
+        if not keys:
+            return None
+        inv = self.spark.createDataFrame([(k,) for k in keys], "key string")
+        seg = F.split("key", "/")
+        # F.get / try_cast: noise keys ('pending/.DS_Store', non-numeric
+        # folders) must yield NULL, not ANSI errors (F9 null guard)
+        marked = (
+            inv.select(
+                F.get(seg, 1).alias("folder"),
+                F.get(seg, 2).alias("file"),
+                F.expr("try_cast(get(split(key, '/'), 1) AS BIGINT)").alias("ts"),
+            )
+            .where(F.col("file").isin(*MARKER_FILES))  # F3
+            .where(F.col("ts").isNotNull())  # F1
+        )
+        oldest = marked.orderBy(F.col("ts").asc()).limit(1).collect()  # O1
+        if not oldest:
+            return None
+        row = oldest[0]
+        return IngestParams(
+            ingest_name=row.folder,
+            ingest_type=row.file.replace(".txt", ""),  # P4
+        )
+
+    def manifest_ready(self, params: IngestParams) -> bool:
+        """EP2 gate: the folder's manifest.json exists."""
+        fs, jpath = self._fs_and_path(
+            f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}/manifest.json"
+        )
+        return bool(fs.exists(jpath))
+
+    def ingest_files(self, params: IngestParams) -> list[str]:
+        """F7: keys belonging to this ingest (payload csv.gz only)."""
+        name = params.ingest_name
+        return [
+            k
+            for k in self.list_keys()
+            if k.split("/")[1:2] == [name] and k.endswith(".csv.gz")
+        ]
+
+    # ---- manifest verification (the implied join, upgraded to real) ----
+
+    def verify_manifest(self, params: IngestParams) -> DataFrame:
+        """Join sha2(file bytes) with the manifest on FileName.
+
+        Returns rows (FileName, expected_sha256, actual_sha256, status)
+        with status in {'ok','mismatch','missing_file','unlisted_file'}.
+        Runs on executors via the binaryFile source — the driver never
+        touches payload bytes.
+        """
+        folder = f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
+        manifest = self.spark.read.option("multiLine", True).json(
+            f"{folder}/manifest.json"
+        )
+        manifest = manifest.select(
+            F.col("FileName").alias("file_name"),
+            F.lower("SHA256").alias("expected_sha256"),
+        )
+        actual = (
+            self.spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.csv.gz")
+            .option("recursiveFileLookup", True)
+            .load(folder)
+            .select(
+                F.regexp_extract(
+                    "path", f"{PENDING_PREFIX}/{params.ingest_name}/(.+)$", 1
+                ).alias("file_name"),
+                F.lower(F.sha2("content", 256)).alias("actual_sha256"),
+            )
+        )
+        joined = manifest.join(actual, "file_name", "full_outer")
+        return joined.select(
+            "file_name",
+            "expected_sha256",
+            "actual_sha256",
+            F.when(F.col("expected_sha256").isNull(), F.lit("unlisted_file"))
+            .when(F.col("actual_sha256").isNull(), F.lit("missing_file"))
+            .when(
+                F.col("expected_sha256") == F.col("actual_sha256"), F.lit("ok")
+            )
+            .otherwise(F.lit("mismatch"))
+            .alias("status"),
+        )
+
+    # ---- the two store pipelines (stand-ins for the external Jobs) ----
+
+    def _read_entities(self, params: IngestParams) -> dict[str, DataFrame]:
+        """Read each entity's gzipped CSVs with the schema shipped in its
+        ``*_headers.csv.gz`` sidecar (data model D6)."""
+        folder = f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
+        entities: dict[str, list[str]] = {}
+        for key in self.ingest_files(params):
+            parts = key.split("/")
+            if len(parts) < 4:  # pending/<ts>/<entity>/<file>
+                continue
+            entities.setdefault(parts[2], []).append(key)
+        out = {}
+        for entity, keys in entities.items():
+            headers = [k for k in keys if k.endswith("_headers.csv.gz")]
+            data = [k for k in keys if not k.endswith("_headers.csv.gz")]
+            if not data:
+                continue
+            reader = self.spark.read.option("header", False)
+            if headers:
+                header_cols = (
+                    self.spark.read.csv(f"{self.landing_dir}/{headers[0]}")
+                    .first()
+                )
+                names = [c for c in header_cols if c is not None]
+                df = reader.csv([f"{self.landing_dir}/{k}" for k in data])
+                df = df.toDF(*names[: len(df.columns)])
+            else:
+                df = self.spark.read.option("header", True).csv(
+                    [f"{self.landing_dir}/{k}" for k in data]
+                )
+            out[entity] = df
+        return out
+
+    def _graph_pipeline(self, params: IngestParams) -> None:
+        """neo4j stand-in: nodes + foreign-key edges, parquet sinks.
+
+        Overwrite by ingest folder = idempotent re-run (X5 preemption
+        becomes safe relaunch)."""
+        sc = self.spark.sparkContext
+        sc.setJobGroup(f"neo4j-{params.job_type}-{params.ingest_name}", "graph load")
+        try:
+            for entity, df in self._read_entities(params).items():
+                id_cols = [c for c in df.columns if c == f"{entity}_id" or c == "id"]
+                nodes = df.withColumn("_entity", F.lit(entity)).withColumn(
+                    "_ingest", F.lit(params.ingest_name)
+                )
+                nodes.write.mode("overwrite").parquet(
+                    f"{self.output_dir}/graph/nodes/{params.ingest_name}/{entity}"
+                )
+                fk_cols = [
+                    c for c in df.columns if c.endswith("_id") and c not in id_cols
+                ]
+                if id_cols and fk_cols:
+                    edges = df.select(
+                        F.col(id_cols[0]).alias("src"),
+                        F.lit(entity).alias("src_entity"),
+                        *[F.col(c) for c in fk_cols],
+                    )
+                    edges.write.mode("overwrite").parquet(
+                        f"{self.output_dir}/graph/edges/{params.ingest_name}/{entity}"
+                    )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    def _index_pipeline(self, params: IngestParams) -> None:
+        """elasticsearch stand-in: flattened all-string documents with a
+        concatenated search body, parquet sink."""
+        sc = self.spark.sparkContext
+        sc.setJobGroup(f"elastic-{params.job_type}-{params.ingest_name}", "index load")
+        try:
+            for entity, df in self._read_entities(params).items():
+                docs = df.select(
+                    *[F.col(c).cast("string").alias(c) for c in df.columns],
+                    F.lower(
+                        F.concat_ws(" ", *[F.col(c).cast("string") for c in df.columns])
+                    ).alias("_search_body"),
+                    F.lit(entity).alias("_entity"),
+                    F.lit(params.ingest_name).alias("_ingest"),
+                )
+                docs.write.mode("overwrite").parquet(
+                    f"{self.output_dir}/index/{params.ingest_name}/{entity}"
+                )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    def preempt_stale(self, params: IngestParams) -> None:
+        """X5: cancel any running same-kind job groups before relaunch."""
+        for store in ("neo4j", "elastic"):
+            self.spark.sparkContext.cancelJobGroup(
+                f"{store}-{params.job_type}-{params.ingest_name}"
+            )
+
+    # ---- lifecycle ----
+
+    def run_ingest(self, params: IngestParams) -> None:
+        """X3/X4: bulk → parallel, delta → serial (graph first)."""
+        self.preempt_stale(params)
+
+        def neo():
+            self.timer.neo_start = time.time()
+            self._graph_pipeline(params)
+            self.timer.neo_end = time.time()
+
+        def elastic():
+            self.timer.elastic_start = time.time()
+            self._index_pipeline(params)
+            self.timer.elastic_end = time.time()
+
+        if params.ingest_type == "bulk":
+            errs: list[BaseException] = []
+
+            def guard(fn):
+                def run():
+                    try:
+                        fn()
+                    except BaseException as e:  # noqa: BLE001 - reraised below
+                        errs.append(e)
+
+                return run
+
+            threads = [
+                threading.Thread(target=guard(neo)),
+                threading.Thread(target=guard(elastic)),
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            if errs:
+                raise errs[0]
+        else:
+            neo()
+            elastic()
+
+    def finalize(self, params: IngestParams) -> None:
+        """EP3: delete the ingested folder FIRST, then append metrics —
+        the reference writes metrics only after source cleanup succeeds
+        (src/ingestor.js:312-342)."""
+        fs, jpath = self._fs_and_path(
+            f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
+        )
+        if not fs.delete(jpath, True):  # K2 delete-after-commit
+            raise RuntimeError(f"failed to delete ingest folder {params.ingest_name}")
+        t = self.timer
+        end = max(t.neo_end or 0.0, t.elastic_end or 0.0)
+        metrics = self.spark.range(1).select(
+            F.lit(params.ingest_name).alias("ingest"),
+            F.lit(params.ingest_type).alias("type"),
+            F.timestamp_seconds(F.lit(end)).alias("load_date"),
+            F.date_format(F.timestamp_seconds(F.lit(end)), "EEE MMM yyyy HH:mm").alias(
+                "readable_date"
+            ),
+            duration_hmm(F.lit((t.neo_end or 0) - (t.neo_start or 0))).alias(
+                "neo_job_duration"
+            ),
+            duration_hmm(F.lit((t.elastic_end or 0) - (t.elastic_start or 0))).alias(
+                "elastic_job_duration"
+            ),
+            # total = graph-store start → ingest end (src/ingestor.js:334)
+            duration_hmm(F.lit(end - (t.neo_start or end))).alias(
+                "total_job_duration"
+            ),
+        )
+        metrics.write.mode("append").parquet(f"{self.output_dir}/ingest_metrics")
+        self.timer.reset()
+
+    def run_once(self) -> IngestParams | None:
+        """One poll cycle. Returns the processed ingest, or None if the
+        cycle found nothing ready (empty/no-marker/manifest-not-ready)."""
+        if self.errored:
+            return None
+        try:
+            params = self.discover()
+            if params is None:
+                return None
+            if not self.manifest_ready(params):
+                return None  # EP2: re-poll next cycle
+            self.timer.ingest_files = self.ingest_files(params)
+            if self.strict_manifest:
+                bad = (
+                    self.verify_manifest(params)
+                    .where(F.col("status").isin("mismatch", "missing_file"))
+                    .count()
+                )
+                if bad:
+                    raise RuntimeError(
+                        f"manifest verification failed for {params.ingest_name}: "
+                        f"{bad} bad file(s)"
+                    )
+            self.run_ingest(params)
+            self.finalize(params)
+            return params
+        except Exception as e:  # X7: halt, require intervention
+            self.errored = str(e)
+            raise
+
+    def run_forever(self) -> None:
+        """X1 polling loop (the reference's 60 s setTimeout tail-recursion)."""
+        while not self.errored:
+            processed = self.run_once()
+            if processed is None:
+                time.sleep(self.poll_interval_s)
+
+    # ---- metrics surface ----
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.output_dir}/ingest_metrics").select(
+            *METRICS_COLUMNS
+        )

@@ -1,0 +1,191 @@
+"""Orchestrator lifecycle tests — the reference's flow tests
+(src/ingestor.spec.js, src/s3-client.spec.js) re-expressed over local
+tmp-dir landing trees (FIXTURES.md §A invariants)."""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import hashlib
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.streaming.orchestrator import IngestParams, Orchestrator
+
+PERSON_ROWS = [
+    (1, "ada", "gb", "1815-12-10"),
+    (2, "alan", "gb", "1912-06-23"),
+    (3, "grace", "us", "1906-12-09"),
+]
+PERSON_HEADER = ["person_id", "name", "nationality", "dob"]
+
+
+def _gz_csv(rows) -> bytes:
+    buf = io.StringIO()
+    csv.writer(buf).writerows(rows)
+    return gzip.compress(buf.getvalue().encode())
+
+
+def make_ingest_folder(
+    landing: str,
+    ts: str,
+    marker: str | None,
+    with_manifest: bool = True,
+    corrupt_sha: bool = False,
+    manifest_extra_file: bool = False,
+):
+    folder = os.path.join(landing, "pending", ts)
+    os.makedirs(os.path.join(folder, "person"), exist_ok=True)
+    headers = _gz_csv([PERSON_HEADER])
+    data = _gz_csv(PERSON_ROWS)
+    files = {
+        "person/person_headers.csv.gz": headers,
+        "person/person_sample.csv.gz": data,
+    }
+    manifest = []
+    for name, content in files.items():
+        with open(os.path.join(folder, name), "wb") as f:
+            f.write(content)
+        sha = hashlib.sha256(content).hexdigest()
+        if corrupt_sha and name.endswith("person_sample.csv.gz"):
+            sha = "0" * 64
+        manifest.append({"FileName": name, "SHA256": sha})
+    if manifest_extra_file:
+        manifest.append({"FileName": "person/never_uploaded.csv.gz", "SHA256": "1" * 64})
+    if marker:
+        open(os.path.join(folder, marker), "w").write("")
+    if with_manifest:
+        with open(os.path.join(folder, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+    return folder
+
+
+@pytest.fixture
+def orch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    output = str(tmp_path / "out")
+    os.makedirs(os.path.join(landing, "pending"), exist_ok=True)
+    return Orchestrator(spark, landing, output, poll_interval_s=0.01)
+
+
+def test_empty_landing_noop(orch):
+    assert orch.run_once() is None
+    assert orch.errored is None
+
+
+def test_noise_keys_ignored(orch):
+    # reference bad_folders fixture: non-timestamp noise is invisible
+    pend = os.path.join(orch.landing_dir, "pending")
+    os.makedirs(os.path.join(pend, "not-a-ts"), exist_ok=True)
+    open(os.path.join(pend, ".DS_Store"), "w").write("")
+    open(os.path.join(pend, "manifest.json"), "w").write("[]")
+    open(os.path.join(pend, "not-a-ts", "file.csv.gz"), "w").write("")
+    assert orch.discover() is None
+
+
+def test_oldest_marked_folder_wins(orch):
+    # out_of_order_folders: oldest NOT listed first; malformed (no marker)
+    # folder is older still but invisible (helpers.spec.js:134-145)
+    make_ingest_folder(orch.landing_dir, "1538055555", "bulk.txt")
+    make_ingest_folder(orch.landing_dir, "1538055240", "incremental.txt")
+    make_ingest_folder(orch.landing_dir, "1538054000", None)  # malformed
+    params = orch.discover()
+    assert params == IngestParams("1538055240", "incremental")
+    assert params.job_type == "delta"
+
+
+def test_manifest_gates_processing(orch):
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt", with_manifest=False)
+    assert orch.discover() is not None  # folder is selected...
+    assert orch.run_once() is None  # ...but not processed until manifest
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt", with_manifest=True)
+    assert orch.run_once() == IngestParams("1538055240", "bulk")
+
+
+def test_verify_manifest_ok_and_statuses(orch):
+    make_ingest_folder(
+        orch.landing_dir, "1538055240", "bulk.txt", manifest_extra_file=True
+    )
+    statuses = {
+        r.file_name: r.status
+        for r in orch.verify_manifest(IngestParams("1538055240", "bulk")).collect()
+    }
+    assert statuses["person/person_headers.csv.gz"] == "ok"
+    assert statuses["person/person_sample.csv.gz"] == "ok"
+    assert statuses["person/never_uploaded.csv.gz"] == "missing_file"
+
+
+def test_corrupt_sha_halts_ingest(orch):
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt", corrupt_sha=True)
+    with pytest.raises(RuntimeError, match="manifest verification failed"):
+        orch.run_once()
+    assert orch.errored is not None
+    assert orch.run_once() is None  # error state: loop halts (X7)
+
+
+def test_bulk_ingest_end_to_end(orch):
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+    assert orch.run_once() == IngestParams("1538055240", "bulk")
+    spark = orch.spark
+    nodes = spark.read.parquet(
+        f"{orch.output_dir}/graph/nodes/1538055240/person"
+    )
+    assert nodes.count() == len(PERSON_ROWS)
+    assert set(PERSON_HEADER).issubset(set(nodes.columns))
+    docs = spark.read.parquet(f"{orch.output_dir}/index/1538055240/person")
+    body = docs.where(F.col("person_id") == "1").first()._search_body
+    assert "ada" in body and "gb" in body
+    # source folder deleted after commit (K2)
+    assert not os.path.exists(
+        os.path.join(orch.landing_dir, "pending", "1538055240")
+    )
+    # metrics row shape (D5 golden, ingestor.spec.js:351-359)
+    m = orch.metrics().collect()
+    assert len(m) == 1
+    row = m[0]
+    assert row.ingest == "1538055240" and row.type == "bulk"
+    for col in ("neo_job_duration", "elastic_job_duration", "total_job_duration"):
+        assert getattr(row, col).endswith("mins") and "h:" in getattr(row, col)
+
+
+def test_delta_ingest_serial_order(orch):
+    make_ingest_folder(orch.landing_dir, "1538055240", "incremental.txt")
+    done: list[str] = []
+    orig_graph, orig_index = orch._graph_pipeline, orch._index_pipeline
+    orch._graph_pipeline = lambda p: (done.append("neo4j"), orig_graph(p))[1]
+    orch._index_pipeline = lambda p: (done.append("elastic"), orig_index(p))[1]
+    assert orch.run_once() == IngestParams("1538055240", "incremental")
+    assert done == ["neo4j", "elastic"]  # X4: series, graph store first
+
+
+def test_successive_ingests_oldest_first(orch):
+    make_ingest_folder(orch.landing_dir, "1538055555", "bulk.txt")
+    make_ingest_folder(orch.landing_dir, "1538055240", "incremental.txt")
+    first = orch.run_once()
+    second = orch.run_once()
+    assert (first.ingest_name, second.ingest_name) == ("1538055240", "1538055555")
+    assert orch.run_once() is None  # drained
+    assert orch.metrics().count() == 2
+
+
+def test_headerless_entity_falls_back_to_header_row(orch, tmp_path):
+    folder = os.path.join(orch.landing_dir, "pending", "1538055240", "thing")
+    os.makedirs(folder, exist_ok=True)
+    content = _gz_csv([["thing_id", "label"], ["7", "x"]])
+    with open(os.path.join(folder, "thing_sample.csv.gz"), "wb") as f:
+        f.write(content)
+    base = os.path.join(orch.landing_dir, "pending", "1538055240")
+    open(os.path.join(base, "bulk.txt"), "w").write("")
+    with open(os.path.join(base, "manifest.json"), "w") as f:
+        json.dump(
+            [{"FileName": "thing/thing_sample.csv.gz",
+              "SHA256": hashlib.sha256(content).hexdigest()}], f)
+    assert orch.run_once() is not None
+    nodes = orch.spark.read.parquet(
+        f"{orch.output_dir}/graph/nodes/1538055240/thing"
+    )
+    assert nodes.select("thing_id", "label").collect()[0][:2] == ("7", "x")
