@@ -1,0 +1,104 @@
+"""Physical-plan inspection helpers — the scale-readiness test surface.
+
+Correctness says a query returns the right rows at sf0.01; these
+helpers let tests assert the PLAN is the one that survives 100 TB:
+filters pushed into the parquet scan, dimension joins broadcast, column
+pruning reaching the reader, expressions inside whole-stage codegen.
+Plan regressions (a broadcast silently demoting to sort-merge, a filter
+stuck above the scan) then fail CI instead of surfacing as a 10× slowdown
+on the cluster.
+
+All helpers parse ``df.explain("formatted")`` output text — stable
+across Spark 3.x/4.x for the node names used here.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def simple_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def scan_nodes(plan: str) -> list[dict[str, str]]:
+    """Per parquet scan: the table path fragment, PushedFilters and
+    ReadSchema as raw strings."""
+    scans = []
+    for m in re.finditer(r"\(\d+\) Scan parquet\s*\n(.*?)(?=\n\(\d+\)|\Z)", plan, re.S):
+        body = m.group(1)
+        def grab(field: str) -> str:
+            fm = re.search(rf"{field}: \[?(.*?)\]?\n", body)
+            return fm.group(1).strip() if fm else ""
+        scans.append(
+            {
+                "location": grab("Location"),
+                "pushed_filters": grab("PushedFilters"),
+                "read_schema": grab("ReadSchema"),
+            }
+        )
+    return scans
+
+
+def has_pushed_filter(df: DataFrame, table: str, fragment: str) -> bool:
+    """True if the scan of ``table`` carries ``fragment`` in PushedFilters."""
+    for scan in scan_nodes(formatted_plan(df)):
+        if table in scan["location"] and fragment in scan["pushed_filters"]:
+            return True
+    return False
+
+
+def read_columns(df: DataFrame, table: str) -> set[str]:
+    """Columns the parquet reader actually materializes for ``table`` —
+    the column-pruning check."""
+    for scan in scan_nodes(formatted_plan(df)):
+        if table in scan["location"]:
+            return set(re.findall(r"(\w+):", scan["read_schema"]))
+    return set()
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin", formatted_plan(df)))
+
+
+def sort_merge_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"SortMergeJoin", formatted_plan(df)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchange (shuffle) boundaries in the physical plan."""
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", simple_plan(df)))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans; fewer = wider fused pipelines.
+
+    Simple explain marks fused operators ``*(N) HashAggregate``. Under
+    AQE the codegen spans exist only in the FINAL plan, so this executes
+    THIS DataFrame's plan (collect — count() would build a different
+    plan and leave this one unfinalized) before reading it back. Use on
+    small/aggregated results only."""
+    df.collect()
+    ids = set(re.findall(r"\*\((\d+)\)", simple_plan(df)))
+    return len(ids)
+
+
+def has_python_row_udf(df: DataFrame) -> bool:
+    """True if the plan contains a row-at-a-time Python UDF eval node
+    (BatchEvalPython). Arrow-batched pandas evals (ArrowEvalPython,
+    MapInPandas) are the sanctioned slow path and not flagged here."""
+    return "BatchEvalPython" in formatted_plan(df)

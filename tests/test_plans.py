@@ -1,0 +1,101 @@
+"""Physical-plan assertions — the 100 TB readiness gate.
+
+Each test pins a plan property that matters at scale: filter pushdown
+into the parquet scan, column pruning, broadcast of dimension tables,
+no row-at-a-time Python UDFs, bounded shuffle counts. A regression here
+is a 10×-at-scale bug even when sf0.01 correctness stays green.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from poormans_kube_etl_spark.plans.inspect import (
+    broadcast_join_count,
+    codegen_stage_count,
+    has_pushed_filter,
+    has_python_row_udf,
+    read_columns,
+    shuffle_count,
+    sort_merge_join_count,
+)
+from poormans_kube_etl_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return build
+
+
+def test_q1_filter_pushed_to_scan(q):
+    df = q("q1_pricing_summary")
+    assert has_pushed_filter(df, "lineitem", "l_shipdate")
+
+
+def test_q1_column_pruning(q):
+    cols = read_columns(q("q1_pricing_summary"), "lineitem")
+    # 7 needed columns, not the full 11-column table
+    assert "l_quantity" in cols and "l_returnflag" in cols
+    assert "l_partkey" not in cols and "l_suppkey" not in cols
+
+
+def test_revenue_join_broadcasts_dimensions(q):
+    # customer⋈orders⋈lineitem carry volume; nation/region must ride
+    # broadcast, never shuffle the fact table against a 25-row dim
+    df = q("join_revenue_by_nation")
+    assert broadcast_join_count(df) >= 2
+
+
+def test_three_way_fact_join_prunes_columns(q):
+    df = q("join_lineitem_part_supplier")
+    assert "l_comment" not in read_columns(df, "lineitem")
+    cols = read_columns(df, "part")
+    assert cols and "p_retailprice" not in cols
+
+
+def test_top10_is_single_pass_topk(q):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (partial top-k
+    # per partition), not a full sort — a full sort of orders at 100 TB
+    # is the difference between seconds and hours
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    assert "TakeOrderedAndProject" in formatted_plan(q("top10_orders_by_price"))
+
+
+def test_no_row_python_udfs_anywhere(q):
+    for name in QUERIES:
+        assert not has_python_row_udf(q(name)), f"{name} uses BatchEvalPython"
+
+
+def test_q1_single_shuffle(q):
+    # scan → partial agg → exchange on (returnflag, linestatus) → final
+    assert shuffle_count(q("q1_pricing_summary")) <= 2
+
+
+def test_minhash_shuffles_bounded(q):
+    # shingle agg + band bucket agg + verify joins — candidate pipeline
+    # must stay a small constant number of exchanges, independent of N
+    assert shuffle_count(q("dedup_minhash_lsh_pairs")) <= 8
+
+
+def test_codegen_covers_flagship(q):
+    assert codegen_stage_count(q("q1_pricing_summary")) >= 1
+
+
+def test_asof_join_no_cartesian(q):
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q("sess_asof_last_signup"))
+    assert "CartesianProduct" not in plan
+
+
+def test_no_sort_merge_for_dim_joins(q):
+    # region(5 rows)/nation(25 rows) must never sort-merge
+    df = q("rollup_acctbal_by_region_nation")
+    assert broadcast_join_count(df) >= 2
+    assert sort_merge_join_count(df) == 0
