@@ -1,0 +1,182 @@
+"""Structured Streaming operators — the unbounded half of the engine.
+
+The reference's outer loop IS a stream: an unbounded sequence of ingest
+folders polled every 60 s (src/ingestor.js:54,80-95), each folder a
+bounded batch — exactly Spark's micro-batch model (SURVEY.md §1
+"stream vs batch"). This module provides the streaming primitives the
+engine exposes on top of that model:
+
+- file-source streams with bounded per-trigger intake
+  (``maxFilesPerTrigger`` — the reference's one-folder-per-cycle
+  throttle) and source cleanup after commit (its S3 delete-after-commit,
+  src/ingestor.js:312-320)
+- event-time windowed aggregation with watermarks (late-data bound)
+- session windows (gap-based) on event time
+- ``foreach_batch_pipeline``: run any batch DataFrame transform per
+  micro-batch — how the orchestrator's pipelines attach to a stream
+- a custom stateful operator (running per-key de-dup / counter) via
+  ``applyInPandasWithState`` — the extension surface for semantics the
+  built-in operators can't express
+
+Scale notes: streaming state lives in the state store, partitioned by
+the grouping key — the same shuffle-partitioning discipline as batch
+aggs applies (skewed keys hurt state stores too). Watermarks bound
+state size; without one, a windowed agg's state grows forever at
+100 TB/day rates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 1,
+    clean_source: str | None = None,
+    archive_dir: str | None = None,
+) -> DataFrame:
+    """File-source stream of event JSON files.
+
+    ``max_files_per_trigger`` bounds per-cycle work (the reference's
+    oldest-first, one-ingest-at-a-time discipline, src/helpers.js:24-25);
+    ``clean_source='delete'|'archive'`` is its delete-after-commit."""
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", False)
+    )
+    if clean_source:
+        reader = reader.option("cleanSource", clean_source)
+        if archive_dir:
+            reader = reader.option("sourceArchiveDir", archive_dir)
+    return reader.json(source_dir)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time counts with a late-data watermark.
+
+    The watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted. Output: (window_start,
+    window_end, event_type, n, total_value-free count agg)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (session_window merges events
+    closer than ``gap``; state evicted past the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def foreach_batch_pipeline(
+    stream: DataFrame,
+    transform: Callable[[DataFrame, int], DataFrame],
+    sink_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "pipeline",
+):
+    """Attach a batch transform to a stream: per micro-batch, apply
+    ``transform(batch_df, batch_id)`` and append the result to a parquet
+    sink. This is the orchestrator's execution model as a streaming
+    query — exactly-once via the checkpoint + idempotent appends."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df, batch_id)
+        if out is not None:
+            out.write.mode("append").parquet(sink_dir)
+
+    return (
+        stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+
+
+# ---- custom stateful operator: first-seen de-dup with running counts ----
+
+DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("new_events", LongType()),
+        StructField("total_seen", LongType()),
+    ]
+)
+
+
+def _dedup_count_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per user_id: count arriving events, carry the lifetime total in
+    state. Module-level (not a closure) so cloudpickle serializes it by
+    reference to the shipped package zip (see session._ship_package)."""
+    n = 0
+    for pdf in batches:
+        n += len(pdf)
+    seen = state.get[0] if state.exists else 0
+    state.update((seen + n,))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "new_events": [n], "total_seen": [seen + n]}
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Running per-user event totals across micro-batches — the
+    ``applyInPandasWithState`` extension point (SURVEY.md §2b): Arrow-
+    batched, state-store-backed, keyed by the shuffle partitioning."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _dedup_count_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
