@@ -75,3 +75,44 @@ def decode_image_features(df: DataFrame, binary_col: str = "content", id_col: st
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(decode, DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 256,
+    every_k: int = 4,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like binary columns: split the
+    byte stream into fixed-size frames, keep every k-th, emit per-frame
+    size + content hash. Real decoders slot into the same mapInPandas
+    shape (one output row per sampled frame, Arrow-batched); at scale,
+    repartition upstream by byte volume so frames per task stay even."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for did, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_k):
+                    chunk = b[idx * frame_size : (idx + 1) * frame_size]
+                    ids.append(did)
+                    idxs.append(idx)
+                    sizes.append(len(chunk))
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(sample, FRAME_SCHEMA)

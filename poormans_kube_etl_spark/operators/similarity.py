@@ -95,6 +95,86 @@ def random_hyperplane_buckets(
     return embeddings.select(id_col, vec_col).withColumn("bucket", bucket)
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean vector per cell — the IVF coarse quantizer.
+
+    posexplode → avg by (cell, dim) → re-assemble ordered by dim: the
+    per-dimension aggregation is a narrow shuffle of (cells × dims)
+    rows, never materializing per-cell vector lists. At 100 TB the cells
+    come from a k-means fit; here the table's ``label`` column stands in
+    as the trained assignment (same plumbing, zero-training determinism).
+    """
+    ex = embeddings.select(
+        cell_col, F.posexplode(to_double_vec(vec_col)).alias("dim", "x")
+    )
+    per_dim = ex.groupBy(cell_col, "dim").agg(F.avg("x").alias("c"))
+    return (
+        per_dim.groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: assign each query to its ``n_probe``
+    nearest cell centroids, exact-rerank only within those cells.
+
+    Scale shape: centroids are tiny (cells × dims) → broadcast to score
+    query↔centroid; the candidate join touches |probed cells|/|cells| of
+    the corpus instead of all of it. Recall < 1 when the true neighbor
+    lives in an unprobed cell — the exact path is brute_force_topk."""
+    cents = label_centroids(embeddings, cell_col, id_col, vec_col)
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_vec(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cell_sim").desc(), F.col(cell_col)
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_vec",
+            cell_col,
+            cosine(F.col("q_vec"), F.col("centroid")).alias("cell_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .where(F.col("probe_rank") <= n_probe)
+        .select("query_id", "q_vec", cell_col)
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("nn_id"), to_double_vec(vec_col).alias("nn_vec"), cell_col
+    )
+    cands = corpus.join(F.broadcast(probes), cell_col).where(
+        F.col("nn_id") != F.col("query_id")
+    )
+    sim = cosine(F.col("q_vec"), F.col("nn_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    return (
+        cands.select("query_id", "nn_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

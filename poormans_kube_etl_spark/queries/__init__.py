@@ -35,6 +35,7 @@ _MODULES = (
     "similarity",
     "sessions",
     "multimodal",
+    "extended",
 )
 
 

@@ -1,0 +1,334 @@
+"""Extended relational + ANN + multimodal coverage (SURVEY.md §2 gaps):
+outer joins, grouping sets, pivot, exact percentiles, correlation
+stats, filtered aggregates, ordered array_agg, IVF top-k, frame
+sampling. Float-producing queries round to 6 decimals on BOTH sides —
+the driver's value-hash compares canonicalized exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.functions import money
+from poormans_kube_etl_spark.operators.multimodal import sample_frames
+from poormans_kube_etl_spark.operators.similarity import ivf_topk
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Outer joins
+# ---------------------------------------------------------------------------
+@register(
+    "join_left_customer_order_stats",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2))
+             AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def join_left_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeping order-less customers (n_orders = 0).
+    At scale: shuffle join on custkey; the NULL-extended side costs
+    nothing extra — same exchange as the inner join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer_nation_balance",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS cust_bal
+      FROM customer GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS supp_bal
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.cust_bal, s.supp_bal
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates — rows survive from either side."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum(money("c_acctbal")).cast("decimal(38,2)").alias("cust_bal"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.sum(money("s_acctbal")).cast("decimal(38,2)").alias("supp_bal"))
+    )
+    c, s = cust.alias("c"), supp.alias("s")
+    return (
+        c.join(s, F.col("c.nationkey") == F.col("s.nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+            "cust_bal",
+            "supp_bal",
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot
+# ---------------------------------------------------------------------------
+@register(
+    "groupingsets_order_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+)
+def groupingsets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status, per-
+    priority, and grand-total slices in one pass — one shuffle, the
+    expand operator fans rows to their sets map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.sum(money("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "pivot_status_revenue_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT value list — never let pivot infer values at
+    scale (inference = an extra distinct scan + nondeterministic column
+    order)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(money("o_totalprice")).cast("decimal(38,2)"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_quantity_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           ROUND(quantile_cont(l_quantity, 0.95), 6) AS q95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def percentile_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). At 100 TB prefer approx_percentile — the
+    exact form sorts per group; both ship here, the exact one is the
+    oracle-checkable correctness anchor."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", F.lit(p)), 6).alias(name)
+            for p, name in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75"), (0.95, "q95")]
+        ]
+    )
+    return agg.orderBy("l_returnflag")
+
+
+@register(
+    "stats_price_quantity_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+           ROUND(var_samp(l_discount), 6) AS disc_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/stddev/variance — single-pass moment aggregates (Welford-
+    style partials), shuffle carries O(groups) state."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_filtered_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_tax = 0)
+                AS DECIMAL(38,2)) AS tax_free_price,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates (SQL FILTER clause ≡ when().otherwise(NULL))
+    + count distinct in one aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.sum(F.when(F.col("l_tax") == 0, money("l_extendedprice")))
+            .cast("decimal(38,2)")
+            .alias("tax_free_price"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "array_agg_statuses_per_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def array_agg_statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set-collect per group (collect_set + array_sort) — array
+    results must carry a deterministic order to be hash-comparable."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN + frame sampling
+# ---------------------------------------------------------------------------
+@register("sim_ivf_topk")  # rows-only: nested rank-over-centroid not SQL-worthwhile
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label-cell centroids as the coarse quantizer,
+    n_probe=2 cells exact-reranked per query. Deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_probe=2)
+    return out.select(
+        "query_id", "nn_id", F.round("sim", 6).alias("sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "mm_frame_sample_plan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    f AS (
+      SELECT doc_id, n_bytes,
+             UNNEST(range(0, CAST(CEIL(n_bytes / 256.0) AS BIGINT), 4)) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(LEAST(256, n_bytes - frame_idx * 256) AS INT) AS frame_bytes
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling arithmetic oracle: the mapInPandas sampler's
+    (doc, frame_idx, frame_bytes) triples derived purely relationally —
+    proves the Python sampler's slicing math against SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return (
+        sample_frames(binary, frame_size=256, every_k=4)
+        .select("doc_id", "frame_idx", "frame_bytes")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register("mm_frame_sample_hashes")  # rows-only: no blob slicing in DuckDB
+def mm_frame_sample_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full frame-sampling output incl. per-frame md5 — deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return sample_frames(binary, frame_size=256, every_k=4).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -115,6 +115,35 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
         assert abs(exact[r.nn_id] - r.sim) < 1e-12
 
 
+def test_ivf_topk_sims_are_exact_within_probed_cells(spark, sf_dir):
+    """IVF prunes cells but never rescores: every returned sim must
+    equal the exact cosine from the brute-force path."""
+    from poormans_kube_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+    from poormans_kube_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r.nn_id: r.sim for r in brute_force_topk(emb, queries, 100).collect()}
+    approx = ivf_topk(emb, queries, 5, n_probe=2).collect()
+    assert len(approx) == 5
+    for r in approx:
+        assert abs(exact[r.nn_id] - r.sim) < 1e-12
+
+
+def test_sample_frames_covers_stream_deterministically(spark):
+    from poormans_kube_etl_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, b"x" * 1000), (2, b"y" * 100)], "doc_id long, content binary")
+    rows = sorted(
+        (r.doc_id, r.frame_idx, r.frame_bytes) for r in sample_frames(df, 256, 2).collect()
+    )
+    # doc 1: 4 frames (256,256,256,232) → sampled idx 0, 2
+    # doc 2: 1 frame of 100 → sampled idx 0
+    assert rows == [(1, 0, 256), (1, 2, 256), (2, 0, 100)]
+
+
 def test_multimodal_decode_stub(spark, sf_dir):
     from poormans_kube_etl_spark.operators.multimodal import decode_image_features
     from poormans_kube_etl_spark.sources import load_table
