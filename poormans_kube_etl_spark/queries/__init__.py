@@ -36,6 +36,7 @@ _MODULES = (
     "sessions",
     "multimodal",
     "extended",
+    "functions_suite",
 )
 
 
