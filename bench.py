@@ -34,6 +34,11 @@ HEADLINE = [
     "text_term_frequencies",
     "sess_session_window_30m",
     "sess_asof_last_signup",
+    "sim_ivf_topk",
+    "mm_frame_sample_hashes",
+    "percentile_quantity_by_flag",
+    "groupingsets_order_revenue",
+    "join_left_customer_order_stats",
 ]
 
 

@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis) for the reference-semantics
+helpers — the truth-table style of src/helpers.spec.js generalized to
+randomized inputs. Each example builds ONE small DataFrame and checks
+the Spark expression against an independent Python model."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_duration(seconds: int) -> str:
+    """Independent model of reference getJobDuration (helpers.js:65-73):
+    floor(s/3600)%24 hours, floor(s/60)%60 zero-padded minutes."""
+    h = (seconds // 3600) % 24
+    m = (seconds // 60) % 60
+    return f"{h}h:{m:02d}mins"
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=3_000_000), min_size=1, max_size=20))
+def test_duration_format_parity(spark, seconds):
+    from poormans_kube_etl_spark.functions import duration_hmm
+
+    df = spark.createDataFrame([(s,) for s in seconds], "s long")
+    got = [r.d for r in df.select(duration_hmm(F.col("s")).alias("d")).collect()]
+    assert got == [_py_duration(s) for s in seconds]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=1, max_size=30
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_word_shingles_model(spark, toks, n):
+    from poormans_kube_etl_spark.operators.text import word_shingles
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    [row] = df.select(word_shingles(F.col("toks"), n).alias("sh")).collect()
+    if len(toks) >= n:
+        expected = sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+    else:
+        expected = [" ".join(toks)]  # short docs degrade to whole-doc shingle
+    assert sorted(row.sh) == expected
+    assert len(row.sh) > 0  # never empty: the explode-filter-free invariant
+
+
+@SETTINGS
+@given(st.text(alphabet="abcdefgh ", min_size=1, max_size=80))
+def test_minhash_identical_docs_always_pair(spark, text):
+    from poormans_kube_etl_spark.operators.minhash import minhash_near_duplicates
+
+    docs = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    pairs = minhash_near_duplicates(docs, threshold=0.99).collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(alphabet="abcd ", min_size=1, max_size=40), min_size=2, max_size=6)
+)
+def test_simhash_hamming_is_metric_like(spark, texts):
+    from poormans_kube_etl_spark.operators.simhash import simhash_bits_df, hamming_distance
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    fps = simhash_bits_df(docs)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    rows = (
+        a.crossJoin(b)
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            hamming_distance(F.col("a.bits"), F.col("b.bits")).alias("h"),
+        )
+        .collect()
+    )
+    h = {(r.i, r.j): r.h for r in rows}
+    for (i, j), d in h.items():
+        assert 0 <= d <= 64
+        assert h[(j, i)] == d  # symmetric
+        if i == j:
+            assert d == 0  # identity
+    for i, ti in enumerate(texts):
+        for j, tj in enumerate(texts):
+            if ti == tj:
+                assert h[(i, j)] == 0  # equal text → equal fingerprint
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1_500_000_000, max_value=1_600_000_000),
+            st.sampled_from(["bulk.txt", "incremental.txt", "data.csv.gz", None]),
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_oldest_marked_folder_model(spark, tmp_path_factory, folders):
+    """discover() == python-min over folders that carry a marker —
+    the reference's getIngestJobParams truth table randomized."""
+    import os
+
+    from poormans_kube_etl_spark.streaming.orchestrator import Orchestrator
+
+    landing = str(tmp_path_factory.mktemp("landing"))
+    os.makedirs(f"{landing}/pending", exist_ok=True)
+    marked = {}
+    for ts, fname in folders:
+        d = f"{landing}/pending/{ts}"
+        os.makedirs(d, exist_ok=True)
+        if fname:
+            open(f"{d}/{fname}", "w").write("")
+            if fname in ("bulk.txt", "incremental.txt") and ts not in marked:
+                # first marker wins per folder in this model; ok since
+                # hypothesis rarely emits both markers for one ts, and
+                # the engine would pick either deterministically by key
+                marked.setdefault(ts, fname)
+    out = Orchestrator(spark, landing, landing + "_out").discover()
+    expected = min(marked) if marked else None
+    if expected is None:
+        assert out is None
+    else:
+        assert out.ingest_name == str(expected)
+
+
+def test_exact_jaccard_bounds(spark):
+    from pyspark.sql import functions as F2
+
+    from poormans_kube_etl_spark.operators.minhash import (
+        exact_jaccard,
+        exploded_shingles,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta token{i + 1}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    signed = minhash_signatures(exploded_shingles(docs, "doc_id", "text", 2), "doc_id", 16)
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(6) for j in range(i + 1, 6)], "a long, b long"
+    )
+    jac = exact_jaccard(pairs, signed, "doc_id").collect()
+    assert len(jac) == 15
+    for r in jac:
+        assert 0.0 <= r.jaccard <= 1.0
