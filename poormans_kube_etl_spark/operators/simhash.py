@@ -45,10 +45,15 @@ def simhash_bits_df(
     ties (sum == 0, incl. empty docs) resolve to bit 0.
     """
     toks = tokens(normalize_text(F.col(text_col)))
-    ex = docs.select(id_col, F.explode(toks).alias("tok"))
-    h = F.xxhash64("tok")
+    # hash in its own projection: 64 aggregate update expressions each
+    # reference h — materializing it guarantees one string hash per
+    # token instead of relying on CSE inside the aggregate
+    ex = docs.select(id_col, F.explode(toks).alias("tok")).select(
+        id_col, F.xxhash64("tok").alias("h")
+    )
     sums = [
-        F.sum(F.getbit(h, F.lit(b)) * 2 - 1).alias(f"b{b}") for b in range(_BITS)
+        F.sum(F.getbit(F.col("h"), F.lit(b)) * 2 - 1).alias(f"b{b}")
+        for b in range(_BITS)
     ]
     agg = ex.groupBy(id_col).agg(*sums)
     bits = F.array(

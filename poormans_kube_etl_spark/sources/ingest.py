@@ -1,0 +1,102 @@
+"""Ingest-side sources: the reference's scan surface as public loaders.
+
+Maps SURVEY.md §2a sources onto Spark readers:
+- S1 prefix scan  → ``list_prefix`` (Hadoop FileSystem listing; the
+  control-plane metadata op behind listObjectsV2 — file:// in tests,
+  s3a://h dfs:// on a cluster, reference src/ingestor.js:75)
+- D2 manifest     → ``read_manifest`` (multiLine JSON array of
+  {FileName, SHA256}, reference README.md:18-33)
+- payload bytes   → ``read_binary_with_sha`` (binaryFile source +
+  sha2-256 computed ON EXECUTORS — the driver never touches bytes)
+- S5/D6 CSVs      → ``read_csv_gz_with_header_sidecar`` (gzipped entity
+  CSVs whose column names ship in a separate ``*_headers.csv.gz``,
+  reference src/__mocks__/s3-client.js:42-55)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-visible URI."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def delete_path(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.delete(jpath, recursive))
+
+
+def list_prefix(spark: SparkSession, base: str, prefix: str) -> list[str]:
+    """All keys under ``{base}/{prefix}``, relative to ``base`` and
+    sorted — the S3 inventory listing (data model D1). A metadata-only
+    driver operation, same cost class as the reference's listObjectsV2;
+    the payload bytes move only through executor scans."""
+    fs, jpath = hadoop_fs(spark, f"{base}/{prefix}")
+    if not fs.exists(jpath):
+        return []
+    keys = []
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toUri().getPath()
+        idx = p.find(f"/{prefix}/")
+        if idx >= 0:
+            keys.append(p[idx + 1 :])
+    return sorted(keys)
+
+
+def read_manifest(spark: SparkSession, folder: str) -> DataFrame:
+    """DataFrame[file_name, expected_sha256] from the folder's
+    ``manifest.json`` (multiLine JSON array, data model D2)."""
+    return (
+        spark.read.option("multiLine", True)
+        .json(f"{folder}/manifest.json")
+        .select(
+            F.col("FileName").alias("file_name"),
+            F.lower("SHA256").alias("expected_sha256"),
+        )
+    )
+
+
+def read_binary_with_sha(
+    spark: SparkSession, folder: str, rel_pattern: str, glob: str = "*.csv.gz"
+) -> DataFrame:
+    """DataFrame[file_name, actual_sha256] for every payload file under
+    ``folder``: binaryFile source, sha2 computed executor-side,
+    ``rel_pattern`` extracts the manifest-relative name from the path."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", True)
+        .load(folder)
+        .select(
+            F.regexp_extract("path", rel_pattern, 1).alias("file_name"),
+            F.lower(F.sha2("content", 256)).alias("actual_sha256"),
+        )
+    )
+
+
+def read_csv_gz_with_header_sidecar(
+    spark: SparkSession,
+    data_paths: list[str],
+    header_path: str | None = None,
+) -> DataFrame:
+    """Gzipped CSVs with column names shipped in a separate headers file
+    (data model D6). Without a sidecar, the first row is the header."""
+    if header_path:
+        header_cols = spark.read.csv(header_path).first()
+        names = [c for c in header_cols if c is not None]
+        df = spark.read.option("header", False).csv(data_paths)
+        return df.toDF(*names[: len(df.columns)])
+    return spark.read.option("header", True).csv(data_paths)

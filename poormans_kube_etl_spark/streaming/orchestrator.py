@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.functions import duration_hmm
 from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import ingest as ingest_sources
 
 MARKER_FILES = ("bulk.txt", "incremental.txt")
 PENDING_PREFIX = "pending"
@@ -121,28 +122,10 @@ class Orchestrator:
 
     # ---- filesystem (Hadoop FS: file:// in tests, s3a:// in prod) ----
 
-    def _fs_and_path(self, path: str):
-        jvm = self.spark.sparkContext._jvm
-        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        return jpath.getFileSystem(hconf), jpath
-
     def list_keys(self) -> list[str]:
         """S1 prefix scan: all keys under ``pending/``, relative to the
         landing dir (the reference's listObjectsV2 Contents[].Key)."""
-        base = f"{self.landing_dir}/{PENDING_PREFIX}"
-        fs, jpath = self._fs_and_path(base)
-        if not fs.exists(jpath):
-            return []
-        keys = []
-        it = fs.listFiles(jpath, True)  # recursive
-        while it.hasNext():
-            status = it.next()
-            p = status.getPath().toUri().getPath()
-            idx = p.find(f"/{PENDING_PREFIX}/")
-            if idx >= 0:
-                keys.append(p[idx + 1 :])
-        return sorted(keys)
+        return ingest_sources.list_prefix(self.spark, self.landing_dir, PENDING_PREFIX)
 
     # ---- selection (P1/P2/F1/F3/O1 as DataFrame ops) ----
 
@@ -175,10 +158,10 @@ class Orchestrator:
 
     def manifest_ready(self, params: IngestParams) -> bool:
         """EP2 gate: the folder's manifest.json exists."""
-        fs, jpath = self._fs_and_path(
-            f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}/manifest.json"
+        return ingest_sources.path_exists(
+            self.spark,
+            f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}/manifest.json",
         )
-        return bool(fs.exists(jpath))
 
     def ingest_files(self, params: IngestParams) -> list[str]:
         """F7: keys belonging to this ingest (payload csv.gz only)."""
@@ -200,24 +183,9 @@ class Orchestrator:
         touches payload bytes.
         """
         folder = f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
-        manifest = self.spark.read.option("multiLine", True).json(
-            f"{folder}/manifest.json"
-        )
-        manifest = manifest.select(
-            F.col("FileName").alias("file_name"),
-            F.lower("SHA256").alias("expected_sha256"),
-        )
-        actual = (
-            self.spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.csv.gz")
-            .option("recursiveFileLookup", True)
-            .load(folder)
-            .select(
-                F.regexp_extract(
-                    "path", f"{PENDING_PREFIX}/{params.ingest_name}/(.+)$", 1
-                ).alias("file_name"),
-                F.lower(F.sha2("content", 256)).alias("actual_sha256"),
-            )
+        manifest = ingest_sources.read_manifest(self.spark, folder)
+        actual = ingest_sources.read_binary_with_sha(
+            self.spark, folder, f"{PENDING_PREFIX}/{params.ingest_name}/(.+)$"
         )
         joined = manifest.join(actual, "file_name", "full_outer")
         return joined.select(
@@ -251,20 +219,11 @@ class Orchestrator:
             data = [k for k in keys if not k.endswith("_headers.csv.gz")]
             if not data:
                 continue
-            reader = self.spark.read.option("header", False)
-            if headers:
-                header_cols = (
-                    self.spark.read.csv(f"{self.landing_dir}/{headers[0]}")
-                    .first()
-                )
-                names = [c for c in header_cols if c is not None]
-                df = reader.csv([f"{self.landing_dir}/{k}" for k in data])
-                df = df.toDF(*names[: len(df.columns)])
-            else:
-                df = self.spark.read.option("header", True).csv(
-                    [f"{self.landing_dir}/{k}" for k in data]
-                )
-            out[entity] = df
+            out[entity] = ingest_sources.read_csv_gz_with_header_sidecar(
+                self.spark,
+                [f"{self.landing_dir}/{k}" for k in data],
+                f"{self.landing_dir}/{headers[0]}" if headers else None,
+            )
         return out
 
     def _graph_pipeline(self, params: IngestParams) -> None:
@@ -372,10 +331,9 @@ class Orchestrator:
         """EP3: delete the ingested folder FIRST, then append metrics —
         the reference writes metrics only after source cleanup succeeds
         (src/ingestor.js:312-342)."""
-        fs, jpath = self._fs_and_path(
-            f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
-        )
-        if not fs.delete(jpath, True):  # K2 delete-after-commit
+        if not ingest_sources.delete_path(  # K2 delete-after-commit
+            self.spark, f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
+        ):
             raise RuntimeError(f"failed to delete ingest folder {params.ingest_name}")
         t = self.timer
         end = max(t.neo_end or 0.0, t.elastic_end or 0.0)
