@@ -37,6 +37,7 @@ _MODULES = (
     "multimodal",
     "extended",
     "functions_suite",
+    "subqueries",
 )
 
 
