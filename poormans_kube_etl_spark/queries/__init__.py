@@ -38,6 +38,7 @@ _MODULES = (
     "extended",
     "functions_suite",
     "subqueries",
+    "windows_extra",
 )
 
 
