@@ -39,6 +39,7 @@ _MODULES = (
     "functions_suite",
     "subqueries",
     "windows_extra",
+    "training_pipeline",
 )
 
 

@@ -1,0 +1,178 @@
+"""Training-data pipeline operators: the ops a 100 TB LLM corpus build
+needs between raw documents and training shards — BPE-ish tokenization,
+fixed-size chunking with overlap, deterministic train/val/test splits,
+stratified sampling, and deterministic global shuffle.
+
+Determinism discipline: anything "random" here derives from md5 of a
+stable key, never rand() — reruns, retries, and the DuckDB oracle all
+see identical assignments. (xxhash64 stays Spark-side only; md5 is the
+cross-engine hash.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.text import normalize_text, tokens
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+# words | numbers | any single non-space symbol — a GPT-2-style
+# pre-tokenizer simplified to the ASCII classes both regex engines
+# (Java util.regex / RE2) treat identically
+_BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic cross-engine bucket in [0, buckets): first 4 md5
+    hex chars as an int, mod buckets."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("int")
+        % buckets
+    )
+
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
+
+
+@register(
+    "train_bpe_ish_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS INT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def train_bpe_ish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting with a BPE-ish pre-tokenizer regex vs whitespace
+    — the per-document cost estimate every corpus build starts with."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "train_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             UNNEST(range(0, GREATEST(len(toks) - 32, 0) + 1, 16)) AS chunk_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_start AS INT) AS chunk_start,
+           array_to_string(list_slice(toks, chunk_start + 1, chunk_start + 32), ' ') AS chunk_text,
+           CAST(LEAST(32, len(toks) - chunk_start) AS INT) AS chunk_len
+    FROM c
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunks (32 tokens, stride 16 → 50% overlap) —
+    the context-window packing primitive. Chunk starts come from a
+    per-row sequence + explode: rows scale out, no driver loops; at
+    100 TB this is a map-only stage."""
+    docs = _docs(spark, sf_dir)
+    size, stride = 32, 16
+    toked = docs.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - size, F.lit(0)), F.lit(stride)
+    )
+    chunked = toked.select(
+        "doc_id", "toks", F.explode(starts).alias("chunk_start")
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_start").cast("int"),
+        F.array_join(
+            F.slice("toks", F.col("chunk_start") + 1, size), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(size), F.size("toks") - F.col("chunk_start"))
+        .cast("int")
+        .alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_start")
+
+
+@register(
+    "train_split_by_hash",
+    oracle=f"""
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (SELECT lang, {_BUCKET_SQL} AS b FROM documents)
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+)
+def train_split_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from a key hash
+    — stable across reruns and engines, no rand() leakage between
+    splits when the corpus grows (a doc's split never changes)."""
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "train_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang, {_BUCKET_SQL} AS b FROM documents)
+    WHERE (lang = 'en' AND b < 10) OR (lang <> 'en' AND b < 50)
+    ORDER BY doc_id
+    """,
+)
+def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 10% of the dominant language,
+    50% of the rest — the up/down-sampling step of corpus mixing, as a
+    pure filter (no sampleBy nondeterminism, no extra pass)."""
+    docs = _docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id"))
+    keep = ((F.col("lang") == "en") & (b < 10)) | ((F.col("lang") != "en") & (b < 50))
+    return docs.select("doc_id", "lang").where(keep).orderBy("doc_id")
+
+
+@register(
+    "train_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS shuffle_pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def train_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: order by key hash. At 100 TB this
+    is a single range-partitioned sort (Spark samples the hash space to
+    build balanced ranges); writing the result with maxRecordsPerFile
+    yields reproducible training shards."""
+    docs = _docs(spark, sf_dir)
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
+    ).orderBy("doc_id")
