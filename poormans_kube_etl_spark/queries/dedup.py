@@ -162,6 +162,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+@register("dedup_minhash_clusters")  # rows-only: iterative algorithm (driver's weak-check class)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash near-dup pairs: connected
+    components via label propagation (operators/graph.py) → every
+    clustered doc mapped to its cluster's min-id canonical keeper.
+    The step that turns pairwise similarity into a dedup decision."""
+    from poormans_kube_etl_spark.operators.graph import dedup_clusters
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_len=3, num_hashes=32, bands=8, threshold=0.5
+    )
+    return dedup_clusters(pairs).orderBy("doc")
+
+
 @register("dedup_simhash_pairs")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the FULL corpus: 64-bit fingerprints,

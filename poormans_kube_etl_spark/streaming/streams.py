@@ -139,6 +139,40 @@ def foreach_batch_pipeline(
     )
 
 
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the same
+    user's clicks within the preceding ``within`` window.
+
+    Both sides carry watermarks + the join carries a time-range
+    condition — that pair is what lets Spark BOUND the join state (each
+    side's buffered rows are evicted once the other side's watermark
+    passes the interval). An unconstrained stream-stream join would
+    buffer forever at 100 TB/day."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("p_user").alias("user_id"), "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
 # ---- custom stateful operator: first-seen de-dup with running counts ----
 
 DEDUP_STATE_SCHEMA = StructType([StructField("seen", LongType())])

@@ -115,6 +115,28 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
         assert abs(exact[r.nn_id] - r.sim) < 1e-12
 
 
+def test_connected_components_chain_and_island(spark):
+    from poormans_kube_etl_spark.operators.graph import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (10, 11)], "a long, b long"
+    )
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 10: 10, 11: 10}
+    keepers = {r.doc: r.keeper for r in dedup_clusters(pairs).collect()}
+    assert keepers[4] == 1 and keepers[6] == 5 and keepers[11] == 10
+
+
+def test_connected_components_converges_on_star(spark):
+    # star graph: hub 0 connected to 1..30 — diameter 2, converges fast
+    pairs = spark.createDataFrame([(0, i) for i in range(1, 31)], "a long, b long")
+    from poormans_kube_etl_spark.operators.graph import connected_components
+
+    cc = connected_components(pairs).collect()
+    assert all(r.component == 0 for r in cc)
+    assert len(cc) == 31
+
+
 def test_ivf_topk_sims_are_exact_within_probed_cells(spark, sf_dir):
     """IVF prunes cells but never rescores: every returned sim must
     equal the exact cosine from the brute-force path."""

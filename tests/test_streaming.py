@@ -123,6 +123,39 @@ def test_foreach_batch_pipeline_appends_parquet(spark, tmp_path):
     assert out.select("batch_id").distinct().count() == 2
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    from poormans_kube_etl_spark.streaming.streams import stream_stream_attribution_join
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        # user 1: click at 10:00 and purchase at 10:30 → attributed
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:30:00", 1, "purchase"),
+        # user 2: click 3h before purchase → outside the 1h window
+        (3, "2024-01-01 08:00:00", 2, "click"),
+        (4, "2024-01-01 11:00:00", 2, "purchase"),
+        # user 1 second click after the purchase → not attributed
+        (5, "2024-01-01 10:45:00", 1, "click"),
+    ]
+    with open(os.path.join(src, "events.json"), "w") as f:
+        for event_id, ts, user_id, etype in rows:
+            f.write(
+                json.dumps(
+                    {"event_id": event_id, "ts": ts, "user_id": user_id, "event_type": etype}
+                )
+                + "\n"
+            )
+    events = stream_events(spark, src)
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    out = run_to_memory(
+        stream_stream_attribution_join(clicks, purchases), spark, "attrib"
+    )
+    got = [(r.user_id, r.click_id, r.purchase_id) for r in out.collect()]
+    assert got == [(1, 1, 2)]
+
+
 def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
     src = str(tmp_path / "src")
     write_events_files(src, n_files=2)
