@@ -279,6 +279,48 @@ def array_agg_statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 # IVF ANN + frame sampling
 # ---------------------------------------------------------------------------
+@register(
+    "stats_regression_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(regr_slope(value, user_id), 6) AS slope,
+           ROUND(regr_intercept(value, user_id), 6) AS intercept,
+           ROUND(regr_r2(value, user_id), 6) AS r2,
+           CAST(regr_count(value, user_id) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stats_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_*) — single-pass moment math
+    in the JVM; the built-in that makes a per-group Python lstsq UDF
+    unnecessary."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("value", "user_id"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "user_id"), 6).alias("intercept"),
+            F.round(F.regr_r2("value", "user_id"), 6).alias("r2"),
+            F.regr_count("value", "user_id").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("sim_label_spectral_stats")  # rows-only: per-group eigendecomposition
+def sim_label_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label covariance spectrum of the embedding cells via
+    groupBy().applyInPandas (operators/mlstats.py) — the grouped-map
+    extension point for genuinely non-relational per-group math."""
+    from poormans_kube_etl_spark.operators.mlstats import label_spectral_stats
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_spectral_stats(emb).orderBy("label")
+
+
 @register("sim_ivf_topk")  # rows-only: nested rank-over-centroid not SQL-worthwhile
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label-cell centroids as the coarse quantizer,
