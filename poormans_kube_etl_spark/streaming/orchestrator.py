@@ -395,6 +395,69 @@ class Orchestrator:
             if processed is None:
                 time.sleep(self.poll_interval_s)
 
+    def run_stream(self, checkpoint_dir: str, available_now: bool = False):
+        """Streaming-mode orchestration: the manifest file IS the
+        readiness event (EP2), so stream on ``pending/*/manifest.json``
+        arrivals and run the normal lifecycle once per discovered
+        manifest.
+
+        Replaces the 60 s poll with Spark's file-source discovery +
+        checkpointing: a manifest is processed exactly once across
+        restarts (the poll loop instead re-derives state from the
+        landing dir each cycle). Inside foreachBatch the batch rows only
+        say WHICH folders became ready; processing still goes through
+        run-ingest → finalize so bulk/delta routing, verification and
+        metrics are identical to ``run_once``."""
+        manifests = (
+            self.spark.readStream.schema("FileName string, SHA256 string")
+            .option("maxFilesPerTrigger", 1)  # one folder per micro-batch
+            .option("latestFirst", False)  # oldest-first (O1)
+            .option("multiLine", True)
+            .json(f"{self.landing_dir}/{PENDING_PREFIX}/*/manifest.json")
+            .select(F.input_file_name().alias("manifest_path"))
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            folders = sorted(
+                {
+                    r.manifest_path.split(f"/{PENDING_PREFIX}/")[1].split("/")[0]
+                    for r in batch_df.select("manifest_path").distinct().collect()
+                }
+            )
+            for folder in folders:
+                keys = [k for k in self.list_keys() if k.split("/")[1:2] == [folder]]
+                marker = next(
+                    (k.split("/")[2] for k in keys if k.split("/")[2:3] and k.split("/")[2] in MARKER_FILES),
+                    None,
+                )
+                if marker is None:
+                    continue  # malformed folder: no marker → invisible (F3)
+                params = IngestParams(folder, marker.replace(".txt", ""))
+                self.timer.ingest_files = self.ingest_files(params)
+                if self.strict_manifest:
+                    bad = (
+                        self.verify_manifest(params)
+                        .where(F.col("status").isin("mismatch", "missing_file"))
+                        .count()
+                    )
+                    if bad:
+                        raise RuntimeError(
+                            f"manifest verification failed for {folder}: {bad} bad file(s)"
+                        )
+                self.run_ingest(params)
+                self.finalize(params)
+
+        writer = (
+            manifests.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("ingest-orchestrator")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{int(self.poll_interval_s)} seconds")
+        return writer.start()
+
     # ---- metrics surface ----
 
     def metrics(self) -> DataFrame:

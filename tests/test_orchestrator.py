@@ -172,6 +172,37 @@ def test_successive_ingests_oldest_first(orch):
     assert orch.metrics().count() == 2
 
 
+def test_bulk_pipeline_failure_propagates_from_thread(orch):
+    """A store pipeline failing inside the bulk parallel threads must
+    surface as the ingest error (X7), not vanish in the thread."""
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+
+    def boom(params):
+        raise RuntimeError("graph store down")
+
+    orch._graph_pipeline = boom
+    with pytest.raises(RuntimeError, match="graph store down"):
+        orch.run_once()
+    assert orch.errored is not None
+    # folder NOT deleted, no metrics row — nothing half-committed
+    assert os.path.exists(os.path.join(orch.landing_dir, "pending", "1538055240"))
+
+
+def test_run_stream_processes_manifest_arrivals(orch, tmp_path):
+    """Streaming mode: manifest files drive ingestion; malformed folder
+    (no marker) is skipped; both ready folders processed exactly once."""
+    make_ingest_folder(orch.landing_dir, "1538055555", "bulk.txt")
+    make_ingest_folder(orch.landing_dir, "1538055240", "incremental.txt")
+    make_ingest_folder(orch.landing_dir, "1538054000", None)  # no marker
+    q = orch.run_stream(str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+    m = {r.ingest: r.type for r in orch.metrics().collect()}
+    assert m == {"1538055555": "bulk", "1538055240": "incremental"}
+    # processed folders deleted; malformed folder left alone
+    left = sorted(os.listdir(os.path.join(orch.landing_dir, "pending")))
+    assert left == ["1538054000"]
+
+
 def test_headerless_entity_falls_back_to_header_row(orch, tmp_path):
     folder = os.path.join(orch.landing_dir, "pending", "1538055240", "thing")
     os.makedirs(folder, exist_ok=True)
