@@ -69,3 +69,51 @@ def asof_join_backward(
     return filled.where(F.col(_SIDE) == 1).select(
         *keys, F.col(_TS).alias(left_ts), *lcols, *payload
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the EARLIEST right row
+    with right.ts >= left.ts on the same keys (forward as-of, inclusive)
+    — same union + window construction, mirrored: sort descending and
+    carry the next right row backward."""
+    keys = list(keys)
+    payload = list(payload)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in payload],
+    )
+    # Descending ts; right rows first at equal ts → inclusive semantics.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).desc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *keys,
+        _TS,
+        _SIDE,
+        *lcols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return filled.where(F.col(_SIDE) == 1).select(
+        *keys, F.col(_TS).alias(left_ts), *lcols, *payload
+    )

@@ -40,6 +40,7 @@ _MODULES = (
     "subqueries",
     "windows_extra",
     "training_pipeline",
+    "reshape",
 )
 
 

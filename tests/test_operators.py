@@ -35,6 +35,22 @@ def test_asof_inclusive_at_equal_ts(spark):
     assert out[0].tag == "x"  # backward as-of is inclusive
 
 
+def test_asof_forward_basic(spark):
+    from poormans_kube_etl_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 12:00:00")],
+        "id long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 10:00:00", "now"), (10, "2024-01-01 11:00:00", "later")],
+        "k long, rts string, tag string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = {r.id: r.tag for r in asof_join_forward(left, right, ["k"], "ts", "rts", ["tag"]).collect()}
+    # id=1: earliest right >= 10:00 is 'now' (inclusive); id=2: none after 12:00
+    assert out == {1: "now", 2: None}
+
+
 def test_minhash_finds_known_near_dups(spark, sf_dir):
     """The exact-Jaccard query found pairs >= 0.5 at this SF; MinHash-LSH
     with these parameters must recover high-similarity pairs too."""
