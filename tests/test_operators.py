@@ -182,6 +182,21 @@ def test_sample_frames_covers_stream_deterministically(spark):
     assert rows == [(1, 0, 256), (1, 2, 256), (2, 0, 100)]
 
 
+def test_sample_frames_jvm_matches_python(spark, sf_dir):
+    """The all-JVM sampler must be byte-identical to the mapInPandas
+    one — same rows, same per-frame md5."""
+    from pyspark.sql import functions as F2
+
+    from poormans_kube_etl_spark.operators.multimodal import sample_frames, sample_frames_jvm
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    binary = docs.select("doc_id", F2.encode("text", "UTF-8").alias("content"))
+    py = sorted(map(tuple, sample_frames(binary, 256, 4).collect()))
+    jvm = sorted(map(tuple, sample_frames_jvm(binary, 256, 4).collect()))
+    assert py == jvm and len(py) > 0
+
+
 def test_multimodal_decode_stub(spark, sf_dir):
     from poormans_kube_etl_spark.operators.multimodal import decode_image_features
     from poormans_kube_etl_spark.sources import load_table
