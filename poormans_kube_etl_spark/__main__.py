@@ -1,0 +1,113 @@
+"""CLI — the engine as a runnable service, like the reference's
+``npm start`` daemon (index.js → ingestor.start).
+
+    python -m poormans_kube_etl_spark watch --landing DIR --output DIR
+        run the folder-lifecycle orchestrator forever (60 s poll)
+    python -m poormans_kube_etl_spark run-once --landing DIR --output DIR
+        one poll cycle (process the oldest ready ingest, then exit)
+    python -m poormans_kube_etl_spark query NAME [--sf-dir DIR] [-n ROWS]
+        run a registered query and print rows
+    python -m poormans_kube_etl_spark verify NAME [--sf-dir DIR]
+        run a query against its DuckDB oracle and report
+    python -m poormans_kube_etl_spark list
+        list registered queries (★ oracle-checked / ○ rows-only)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="poormans_kube_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    watch = sub.add_parser("watch", help="run the ingest orchestrator forever")
+    once = sub.add_parser("run-once", help="one orchestrator poll cycle")
+    for sp in (watch, once):
+        sp.add_argument("--landing", required=True, help="dir holding pending/")
+        sp.add_argument("--output", required=True, help="dir for graph/index/metrics sinks")
+        sp.add_argument("--poll-interval", type=float, default=60.0)
+        sp.add_argument("--no-verify-manifest", action="store_true")
+        sp.add_argument("--stream", action="store_true", help="manifest-arrival streaming mode (watch only)")
+        sp.add_argument("--checkpoint", help="checkpoint dir for --stream")
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("-n", "--rows", type=int, default=20)
+
+    v = sub.add_parser("verify", help="check a query against its DuckDB oracle")
+    v.add_argument("name")
+    v.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    sub.add_parser("list", help="list registered queries")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "list":
+        from poormans_kube_etl_spark.queries import all_oracles, all_queries
+
+        oracles = all_oracles()
+        for name in sorted(all_queries()):
+            print(("* " if name in oracles else "o ") + name)
+        return 0
+
+    from poormans_kube_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"pke-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd in ("watch", "run-once"):
+        from poormans_kube_etl_spark.streaming.orchestrator import Orchestrator
+
+        orch = Orchestrator(
+            spark,
+            args.landing,
+            args.output,
+            poll_interval_s=args.poll_interval,
+            strict_manifest=not args.no_verify_manifest,
+        )
+        if args.cmd == "watch":
+            if args.stream:
+                if not args.checkpoint:
+                    print("--stream requires --checkpoint", file=sys.stderr)
+                    return 2
+                orch.run_stream(args.checkpoint).awaitTermination()
+            else:
+                orch.run_forever()
+            return 1  # run_forever only returns on error state
+        processed = orch.run_once()
+        print(f"processed: {processed}" if processed else "nothing ready")
+        return 0
+
+    if args.cmd == "query":
+        from poormans_kube_etl_spark.queries import all_queries
+
+        qs = all_queries()
+        if args.name not in qs:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        qs[args.name](spark, args.sf_dir).show(args.rows, truncate=False)
+        return 0
+
+    if args.cmd == "verify":
+        from poormans_kube_etl_spark.oracle import check_query
+        from poormans_kube_etl_spark.queries import all_queries
+
+        if args.name not in all_queries():
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        result = check_query(spark, args.name, args.sf_dir)
+        print(result.message())
+        return 0 if result.ok else 1
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

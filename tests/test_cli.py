@@ -1,0 +1,36 @@
+"""CLI smoke tests — argparse wiring and each subcommand's happy path
+(in-process main() calls; the session fixture keeps the JVM warm)."""
+
+from __future__ import annotations
+
+import os
+
+from poormans_kube_etl_spark.__main__ import main
+from tests.test_orchestrator import make_ingest_folder
+
+
+def test_cli_list(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "* q1_pricing_summary" in out
+    assert "o dedup_minhash_lsh_pairs" in out
+
+
+def test_cli_query_and_verify(spark, sf_dir, capsys):
+    assert main(["query", "top10_orders_by_price", "--sf-dir", sf_dir, "-n", "3"]) == 0
+    assert "o_orderkey" in capsys.readouterr().out
+    assert main(["verify", "top10_orders_by_price", "--sf-dir", sf_dir]) == 0
+    assert "OK" in capsys.readouterr().out
+    assert main(["query", "nope"]) == 2
+    assert main(["verify", "nope"]) == 2
+
+
+def test_cli_run_once(spark, tmp_path, capsys):
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(os.path.join(landing, "pending"), exist_ok=True)
+    assert main(["run-once", "--landing", landing, "--output", out_dir]) == 0
+    assert "nothing ready" in capsys.readouterr().out
+    make_ingest_folder(landing, "1538055240", "bulk.txt")
+    assert main(["run-once", "--landing", landing, "--output", out_dir]) == 0
+    assert "1538055240" in capsys.readouterr().out
