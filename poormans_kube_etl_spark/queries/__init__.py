@@ -41,6 +41,7 @@ _MODULES = (
     "windows_extra",
     "training_pipeline",
     "reshape",
+    "corpus_cleanup",
 )
 
 

@@ -1,0 +1,197 @@
+"""Corpus-cleanup operators: PII scrubbing, sentence segmentation,
+sub-document (paragraph/sentence-level) dedup, and int8 embedding
+quantization — the scrub-and-shrink stages of a training-data build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+# ASCII character classes only: Java util.regex and RE2 agree on these
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "clean_scrub_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL}', '<EMAIL>', 'g'),
+             '{_IPV4}', '<IP>', 'g'),
+             '{_PHONE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_IPV4}')) AS INT) AS n_ips
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def clean_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace emails/IPs/phone-shaped spans with typed
+    placeholders and count what was found — a pure regexp_replace chain,
+    codegen-fused, zero-shuffle map stage at any scale."""
+    docs = _docs(spark, sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL, "<EMAIL>"), _IPV4, "<IP>"
+        ),
+        _PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_IPV4), 0)).alias("n_ips"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "clean_sentence_split",
+    oracle="""
+    SELECT doc_id, sent_idx, sentence,
+           CAST(len(string_split(sentence, ' ')) AS INT) AS n_tokens
+    FROM (
+      SELECT doc_id,
+             CAST(UNNEST(generate_series(1, len(sents))) AS INT) - 1 AS sent_idx,
+             UNNEST(sents) AS sentence
+      FROM (
+        SELECT doc_id,
+               list_filter(
+                 string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(30), 'g'), chr(30)),
+                 s -> len(s) > 0) AS sents
+        FROM documents WHERE doc_id < 100
+      )
+    )
+    ORDER BY doc_id, sent_idx
+    """,
+)
+def clean_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation on terminal punctuation, keeping the
+    punctuation with its sentence: inject a control-char delimiter after
+    [.!?]+space, then split on it (DuckDB's RE2 has no lookbehind, so
+    both engines use the same delimiter construction). posexplode keeps
+    sentence order as an index."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    delimited = F.regexp_replace("text", "([.!?]) ", "$1\u001e")
+    sents = F.filter(F.split(delimited, "\u001e"), lambda s: F.length(s) > 0)
+    return (
+        docs.select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
+        .select(
+            "doc_id",
+            "sent_idx",
+            "sentence",
+            F.size(F.split("sentence", " ")).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "sent_idx")
+    )
+
+
+@register(
+    "clean_sentence_dedup",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             UNNEST(string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(30), 'g'), chr(30)))
+               AS sentence
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, lower(trim(sentence)) AS sent FROM s WHERE len(trim(sentence)) > 0
+    )
+    SELECT sent,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM norm
+    GROUP BY sent
+    HAVING COUNT(*) > 1
+    ORDER BY n_occurrences DESC, sent
+    """,
+)
+def clean_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: sentences repeated across the corpus
+    (boilerplate detection). explode → normalize → hash-agg; the
+    keep-first policy is MIN(doc_id), the same O1 shape as everywhere."""
+    docs = _docs(spark, sf_dir)
+    delimited = F.regexp_replace("text", "([.!?]) ", "$1\u001e")
+    sents = docs.select(
+        "doc_id", F.explode(F.split(delimited, "\u001e")).alias("sentence")
+    )
+    norm = sents.select(
+        "doc_id", F.lower(F.trim("sentence")).alias("sent")
+    ).where(F.length(F.trim("sentence")) > 0)
+    return (
+        norm.groupBy("sent")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), "sent")
+    )
+
+
+@register(
+    "clean_quantize_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100
+    ),
+    b AS (
+      SELECT vec_id, v,
+             list_aggregate(v, 'min') AS lo,
+             list_aggregate(v, 'max') AS hi
+      FROM e
+    )
+    SELECT vec_id,
+           ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+           list_transform(v, x -> CAST(FLOOR((x - lo) / NULLIF(hi - lo, 0) * 255) AS INT))
+             AS q8,
+           CAST(LEN(v) AS INT) AS dim
+    FROM b
+    ORDER BY vec_id
+    """,
+)
+def clean_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8-style quantization: per-vector min/max affine map to
+    [0,255] (floor — unambiguous across engines, unlike ROUND at the
+    half-boundary). Cuts embedding storage 4× for ANN candidate
+    generation; rerank still uses the float vectors."""
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    lo, hi = F.array_min(v), F.array_max(v)
+    base = emb.select("vec_id", v.alias("v"), lo.alias("lo"), hi.alias("hi"))
+    q8 = F.transform(
+        "v",
+        lambda x: F.floor(
+            (x - F.col("lo")) / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)) * 255
+        ).cast("int"),
+    )
+    # q8 in its own projection: aliasing round(lo) AS lo in the same
+    # select would make Spark's LATERAL column-alias resolution bind
+    # q8's lo reference to the ROUNDED value (off-by-one at the band
+    # edges: floor(-epsilon)= -1)
+    quant = base.select(
+        "vec_id", "lo", "hi", q8.alias("q8"), F.size("v").alias("dim")
+    )
+    return quant.select(
+        "vec_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "q8",
+        "dim",
+    ).orderBy("vec_id")
