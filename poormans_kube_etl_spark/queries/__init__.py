@@ -42,6 +42,7 @@ _MODULES = (
     "training_pipeline",
     "reshape",
     "corpus_cleanup",
+    "analytics",
 )
 
 

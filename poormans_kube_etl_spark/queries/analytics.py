@@ -1,0 +1,232 @@
+"""Composite analytics: TF-IDF ranking, bigram PMI, event funnels, and
+cohort retention — multi-stage pipelines composed purely from the
+relational spine (joins + window + conditional aggregation), each
+oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.text import normalize_text, tokens
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3 AND doc_id < 200
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: term-frequency agg ⋈ document-
+    frequency agg (broadcast — the vocabulary is small relative to the
+    corpus) × corpus size, ranked per doc. The idf join is THE shuffle;
+    everything else is map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar: corpus size (driver-side literal)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where((F.col("rnk") <= 3) & (F.col("doc_id") < 200))
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "text_bigram_pmi",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM tok, LATERAL (SELECT UNNEST(range(1, len(t))) AS i)
+    ),
+    u1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    u2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n FROM bg),
+    pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2)
+    SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+           ROUND(ln((CAST(p.c12 AS DOUBLE) * t.n) / (CAST(u1.c1 AS DOUBLE) * u2.c2)), 6) AS pmi
+    FROM pair p
+    JOIN u1 ON u1.w1 = p.w1
+    JOIN u2 ON u2.w2 = p.w2
+    CROSS JOIN tot t
+    WHERE p.c12 >= 20
+    ORDER BY pmi DESC, p.w1, p.w2
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent-token bigrams (the
+    collocation detector behind tokenizer-merge candidates): bigram
+    counts ⋈ positional marginals (w1-position and w2-position counts),
+    PMI over the bigram total."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(tokens(normalize_text("text")).alias("t"))
+    starts = F.sequence(F.lit(1), F.size("t") - 1)
+    bg = toked.select(F.explode(starts).alias("i"), "t").select(
+        F.get("t", F.col("i") - 1).alias("w1"), F.get("t", F.col("i")).alias("w2")
+    )
+    u1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    u2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = bg.count()
+    pair = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    return (
+        pair.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .where(F.col("c12") >= 20)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * total)
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_signup) AS BIGINT) AS n_signed,
+           CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT) AS n_clicked_after,
+           CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END) AS BIGINT)
+             AS n_full_funnel
+    FROM per_user
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first click after signup → first
+    purchase after that click. One conditional-MIN aggregation per user
+    then one global count — two shuffles total regardless of corpus
+    size (the naive per-step self-join would be three)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signed"),
+        F.count(F.when(F.col("t_click") > F.col("t_signup"), 1)).alias(
+            "n_clicked_after"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INT) AS week_n
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_n, CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE week_n <= 4
+    GROUP BY cohort_week, week_n
+    ORDER BY cohort_week, week_n
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, then
+    distinct (user, weeks-since-cohort) activity counts — the classic
+    triangle matrix. first_seen is small (one row per user) → broadcast
+    back onto events."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+                )
+            )
+            .cast("int")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("week_n") <= 4)
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_n")
+    )
