@@ -1,0 +1,76 @@
+"""Custom Python DataSource + merge_into upsert tests."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.upsert import merge_into
+from poormans_kube_etl_spark.sources.inventory_source import register_inventory_source
+
+
+def _touch(path: str, content: bytes = b"x") -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(content)
+
+
+def test_inventory_datasource_lists_keys(spark, tmp_path):
+    landing = str(tmp_path)
+    _touch(f"{landing}/pending/1538055240/person/person_sample.csv.gz", b"abc")
+    _touch(f"{landing}/pending/1538055240/bulk.txt", b"")
+    _touch(f"{landing}/pending/1538055555/manifest.json", b"[]")
+    _touch(f"{landing}/pending/.DS_Store", b"")
+    register_inventory_source(spark)
+    inv = spark.read.format("pending_inventory").option("path", landing).load()
+    keys = sorted(r.key for r in inv.collect())
+    assert keys == [
+        "pending/.DS_Store",
+        "pending/1538055240/bulk.txt",
+        "pending/1538055240/person/person_sample.csv.gz",
+        "pending/1538055555/manifest.json",
+    ]
+    sizes = {r.key: r.size for r in inv.collect()}
+    assert sizes["pending/1538055240/person/person_sample.csv.gz"] == 3
+    # composes with the engine's folder-selection operators
+    seg = F.split("key", "/")
+    oldest_marked = (
+        inv.select(F.get(seg, 1).alias("folder"), F.get(seg, 2).alias("file"))
+        .where(F.col("file").isin("bulk.txt", "incremental.txt"))
+        .orderBy(F.expr("try_cast(folder AS BIGINT)"))
+        .first()
+    )
+    assert oldest_marked.folder == "1538055240"
+
+
+def test_inventory_datasource_empty_landing(spark, tmp_path):
+    register_inventory_source(spark)
+    inv = spark.read.format("pending_inventory").option("path", str(tmp_path)).load()
+    assert inv.count() == 0
+
+
+def test_merge_into_upsert_semantics(spark, tmp_path):
+    path = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    merge_into(spark, path, base, ["id"])  # first write = plain create
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id long, name string, v long"
+    )
+    merge_into(spark, path, updates, ["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_merge_into_with_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    base = spark.createDataFrame(
+        [(1, "p0", 1), (2, "p0", 2), (3, "p1", 3)], "id long, part string, v long"
+    )
+    merge_into(spark, path, base, ["id"])
+    updates = spark.createDataFrame([(2, "p0", 22)], "id long, part string, v long")
+    merge_into(spark, path, updates, ["id"], partition_pruning=F.col("part") == "p0")
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1, 2: 22, 3: 3}
