@@ -43,6 +43,7 @@ _MODULES = (
     "reshape",
     "corpus_cleanup",
     "analytics",
+    "data_quality",
 )
 
 

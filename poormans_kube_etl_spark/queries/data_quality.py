@@ -1,0 +1,131 @@
+"""Data-quality validation queries — the checks an ingest pipeline runs
+before committing a batch (the engine-side generalization of the
+reference's manifest gate: don't load what doesn't validate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "dq_null_and_blank_rates",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(text) AS BIGINT) AS null_text,
+           CAST(COUNT(CASE WHEN trim(text) = '' THEN 1 END) AS BIGINT) AS blank_text,
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS null_lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS distinct_ids,
+           (COUNT(DISTINCT doc_id) = COUNT(*)) AS id_unique
+    FROM documents
+    """,
+)
+def dq_null_and_blank_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/blank audit + primary-key uniqueness in one aggregation
+    pass — count(col) vs count(*) is the null counter, no extra scans."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("text")).alias("null_text"),
+        F.count(F.when(F.trim("text") == "", 1)).alias("blank_text"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("null_lang"),
+        F.countDistinct("doc_id").alias("distinct_ids"),
+        (F.countDistinct("doc_id") == F.count(F.lit(1))).alias("id_unique"),
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS orphan_orders,
+      CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS orphan_lineitems,
+      CAST((SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+           AS BIGINT) AS orphan_nations
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan counts via left-anti joins — each check is one
+    shuffle (or broadcast for dim parents); at scale run them per
+    ingest partition, not per table."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orphan_orders = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).count()
+    orphan_lineitems = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+    ).count()
+    orphan_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(orphan_orders, orphan_lineitems, orphan_nations)],
+        "orphan_orders bigint, orphan_lineitems bigint, orphan_nations bigint",
+    )
+
+
+@register(
+    "dq_value_range_violations",
+    oracle="""
+    SELECT 'lineitem' AS tbl, 'l_discount' AS col,
+           CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT)
+             AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_quantity',
+           CAST(COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'o_totalprice',
+           CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'events', 'ts',
+           CAST(COUNT(CASE WHEN ts > TIMESTAMP '2100-01-01 00:00:00' THEN 1 END) AS BIGINT)
+    FROM events
+    ORDER BY tbl, col
+    """,
+)
+def dq_value_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-constraint audit as a union of per-table single-pass
+    conditional counts (each branch is scan+agg with the predicate
+    inside the aggregate — never a separate filtered scan per rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+
+    def audit(df, tbl, col, pred):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.count(F.when(pred, 1)).alias("violations"),
+        )
+
+    out = (
+        audit(li, "lineitem", "l_discount", (F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .unionByName(audit(li, "lineitem", "l_quantity", F.col("l_quantity") <= 0))
+        .unionByName(audit(orders, "orders", "o_totalprice", F.col("o_totalprice") <= 0))
+        .unionByName(
+            audit(events, "events", "ts", F.col("ts") > F.lit("2100-01-01 00:00:00").cast("timestamp"))
+        )
+    )
+    return out.orderBy("tbl", "col")
