@@ -139,6 +139,20 @@ def foreach_batch_pipeline(
     )
 
 
+def stream_dedup_events(
+    events: DataFrame, watermark: str = "2 hours", keys: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``). State holds
+    one entry per key seen inside the horizon and is EVICTED as the
+    watermark advances — the unbounded-state trap of a plain streaming
+    dropDuplicates, solved; this is batch exact-dedup's streaming twin
+    (at-least-once sources → effectively-once events)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def stream_stream_attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -61,6 +61,43 @@ def test_salt_spreads_hot_key(spark, skewed):
     assert n_salt_buckets > 1
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's runtime skew handling: with one key carrying ~83% of the
+    left side, the final sort-merge join must mark and split the skewed
+    partition (skew=true) instead of leaving one straggler task."""
+    import contextlib
+    import io
+    import re
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") < 250000, F.lit(7)).otherwise(F.col("id") % 500).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        assert j.collect()[0].s == 44999850000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert re.search("skew=true", plan), "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
     lineitem_like = spark.range(0, 20000).select(
         (F.col("id") % 3000).alias("key"), (F.col("id") * 2).alias("a")

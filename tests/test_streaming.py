@@ -123,6 +123,32 @@ def test_foreach_batch_pipeline_appends_parquet(spark, tmp_path):
     assert out.select("batch_id").distinct().count() == 2
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from poormans_kube_etl_spark.streaming.streams import stream_dedup_events
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    # event_id 1 delivered twice (at-least-once redelivery), id 2 once
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:05:00", 2, "view"),
+    ]
+    with open(os.path.join(src, "events.json"), "w") as f:
+        for event_id, ts, user_id, etype in rows:
+            f.write(
+                json.dumps(
+                    {"event_id": event_id, "ts": ts, "user_id": user_id, "event_type": etype}
+                )
+                + "\n"
+            )
+    out = run_to_memory(
+        stream_dedup_events(stream_events(spark, src)), spark, "dedup_stream"
+    )
+    got = sorted(r.event_id for r in out.collect())
+    assert got == [1, 2]
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     from poormans_kube_etl_spark.streaming.streams import stream_stream_attribution_join
 
