@@ -222,6 +222,66 @@ def stats_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_mode_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           mode(l_linestatus) AS modal_status,
+           CAST(mode(CAST(l_quantity AS INT)) AS INT) AS modal_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent-value aggregate (mode) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.mode("l_linestatus").alias("modal_status"),
+            F.mode(F.col("l_quantity").cast("int")).alias("modal_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_histogram_quantity",
+    oracle="""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(l_quantity), 6) AS lo,
+           ROUND(MAX(l_quantity), 6) AS hi
+    FROM (
+      SELECT l_quantity,
+             CAST(LEAST(FLOOR((l_quantity - 1) / 50.0 * 10), 9) AS INT) AS bucket
+      FROM lineitem
+    )
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor-bucket assignment (clamped top edge)
+    + one hash-agg — the single-pass distribution profile (DuckDB lacks
+    width_bucket, so both sides spell out the same bucket math)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor((F.col("l_quantity") - 1) / 50.0 * 10), F.lit(9)
+    ).cast("int")
+    return (
+        li.select(bucket.alias("bucket"), "l_quantity")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 6).alias("lo"),
+            F.round(F.max("l_quantity"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "agg_filtered_conditional",
     oracle="""
     SELECT l_returnflag,
