@@ -7,7 +7,7 @@ the driver's value-hash compares canonicalized exact values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.functions import money
@@ -224,23 +224,36 @@ def stats_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_mode_by_group",
     oracle="""
-    SELECT l_returnflag,
-           mode(l_linestatus) AS modal_status,
-           CAST(mode(CAST(l_quantity AS INT)) AS INT) AS modal_qty
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS INT) AS q, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT l_returnflag, q, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, q AS modal_qty, CAST(n AS BIGINT) AS n
+    FROM r WHERE rk = 1
     ORDER BY l_returnflag
     """,
 )
 def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most-frequent-value aggregate (mode) per group."""
+    """Deterministic mode (most frequent value, smallest-value
+    tiebreak). The built-in ``mode`` on BOTH engines picks an arbitrary
+    member of a frequency tie — useless against a value-hash gate — so
+    the mode is spelled as count + ranked tiebreak."""
     li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.select("l_returnflag", F.col("l_quantity").cast("int").alias("q"))
+        .groupBy("l_returnflag", "q")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "q")
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.mode("l_linestatus").alias("modal_status"),
-            F.mode(F.col("l_quantity").cast("int")).alias("modal_qty"),
-        )
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("l_returnflag", F.col("q").alias("modal_qty"), "n")
         .orderBy("l_returnflag")
     )
 
