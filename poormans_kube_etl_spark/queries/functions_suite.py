@@ -57,6 +57,30 @@ def fn_json_construct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_variant_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_var,
+           (json_extract(props, '$.missing') IS NOT NULL) AS has_missing
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse once into the
+    binary variant encoding, then typed path extraction — the
+    schema-on-read path for props columns whose shape drifts, without
+    re-parsing JSON text per access."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_var"),
+        F.variant_get(v, "$.missing", "string").isNotNull().alias("has_missing"),
+    ).orderBy("event_id")
+
+
+@register(
     "fn_map_entries",
     oracle="""
     SELECT event_type,

@@ -42,7 +42,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.functions import duration_hmm
@@ -60,6 +60,8 @@ METRICS_COLUMNS = (
     "neo_job_duration",
     "elastic_job_duration",
     "total_job_duration",
+    "neo_rows",
+    "elastic_rows",
 )
 
 
@@ -79,12 +81,16 @@ class IngestParams:
 @dataclass
 class Times:
     """Per-ingest timing accumulator (reference Times class,
-    src/helpers.js:89-120): start/end per store + the ingest file list."""
+    src/helpers.js:89-120): start/end per store + the ingest file list.
+    Row counts come from query-execution Observations — measured during
+    the pipeline writes, never by a second scan."""
 
     neo_start: float | None = None
     neo_end: float | None = None
     elastic_start: float | None = None
     elastic_end: float | None = None
+    neo_rows: int = 0
+    elastic_rows: int = 0
     ingest_files: list[str] = field(default_factory=list)
 
     def is_complete(self) -> bool:  # A5 completion conjunction
@@ -93,6 +99,7 @@ class Times:
     def reset(self) -> None:
         self.neo_start = self.neo_end = None
         self.elastic_start = self.elastic_end = None
+        self.neo_rows = self.elastic_rows = 0
         self.ingest_files = []
 
 
@@ -239,9 +246,14 @@ class Orchestrator:
                 nodes = df.withColumn("_entity", F.lit(entity)).withColumn(
                     "_ingest", F.lit(params.ingest_name)
                 )
-                nodes.write.mode("overwrite").parquet(
+                # Observation: count rows DURING the write (no re-scan)
+                obs = Observation()
+                nodes.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                    "overwrite"
+                ).parquet(
                     f"{self.output_dir}/graph/nodes/{params.ingest_name}/{entity}"
                 )
+                self.timer.neo_rows += int(obs.get["n"])
                 fk_cols = [
                     c for c in df.columns if c.endswith("_id") and c not in id_cols
                 ]
@@ -272,9 +284,13 @@ class Orchestrator:
                     F.lit(entity).alias("_entity"),
                     F.lit(params.ingest_name).alias("_ingest"),
                 )
-                docs.write.mode("overwrite").parquet(
+                obs = Observation()
+                docs.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                    "overwrite"
+                ).parquet(
                     f"{self.output_dir}/index/{params.ingest_name}/{entity}"
                 )
+                self.timer.elastic_rows += int(obs.get["n"])
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
 
@@ -354,6 +370,8 @@ class Orchestrator:
             duration_hmm(F.lit(end - (t.neo_start or end))).alias(
                 "total_job_duration"
             ),
+            F.lit(t.neo_rows).cast("bigint").alias("neo_rows"),
+            F.lit(t.elastic_rows).cast("bigint").alias("elastic_rows"),
         )
         metrics.write.mode("append").parquet(f"{self.output_dir}/ingest_metrics")
         self.timer.reset()

@@ -150,6 +150,8 @@ def test_bulk_ingest_end_to_end(orch):
     assert row.ingest == "1538055240" and row.type == "bulk"
     for col in ("neo_job_duration", "elastic_job_duration", "total_job_duration"):
         assert getattr(row, col).endswith("mins") and "h:" in getattr(row, col)
+    # row counts observed during the writes (Observation, no re-scan)
+    assert row.neo_rows == len(PERSON_ROWS) and row.elastic_rows == len(PERSON_ROWS)
 
 
 def test_delta_ingest_serial_order(orch):
