@@ -134,6 +134,45 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 6) AS value,
+           ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 6) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mu) / NULLIF(s.sigma, 0)) > 3
+    ORDER BY e.event_id
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): one moment aggregation
+    (groups × 2 doubles) broadcast back onto the stream — anomaly
+    flagging without a second full shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "events_funnel_conversion",
     oracle="""
     WITH per_user AS (
