@@ -131,3 +131,23 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "nn_id", "sim", F.col("rank").cast("int").alias("rank")).orderBy(
         "query_id", "rank"
     )
+
+
+@register("sim_kmeans_clusters")  # rows-only: iterative algorithm class
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings (operators/kmeans.py):
+    deterministic lowest-id init, 3 refinement iterations, per-iteration
+    centroid rounding so float partial-sum order can't flip boundary
+    assignments between runs. Output: per-cluster sizes + rounded
+    centroid norm — stable under repeated rows-only checks."""
+    from poormans_kube_etl_spark.operators.kmeans import kmeans_fit
+
+    apply_runtime_confs(spark)
+    emb = _emb(spark, sf_dir)
+    centroids, assigned = kmeans_fit(emb, k=8, max_iter=3)
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    norms = spark.createDataFrame(
+        [(i, round(sum(x * x for x in c) ** 0.5, 6)) for i, c in enumerate(centroids)],
+        "cluster int, centroid_norm double",
+    )
+    return sizes.join(norms, "cluster").orderBy("cluster")

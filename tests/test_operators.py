@@ -131,6 +131,24 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
         assert abs(exact[r.nn_id] - r.sim) < 1e-12
 
 
+def test_kmeans_separates_clear_clusters(spark):
+    """Two well-separated blobs in 4-D: k=2 must recover them exactly
+    and place centroids at the blob means."""
+    from poormans_kube_etl_spark.operators.kmeans import kmeans_fit
+
+    rows = [(i, [10.0 + (i % 3), 10.0, 0.0, 0.0]) for i in range(10)] + [
+        (i, [-10.0 - (i % 3), -10.0, 0.0, 0.0]) for i in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, assigned = kmeans_fit(df, k=2, max_iter=5)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    first = got[0]
+    assert all(got[i] == first for i in range(10))
+    assert all(got[i] != first for i in range(10, 20))
+    assert abs(centroids[first][0] - 11.0) < 0.2  # mean of 10,11,12 pattern
+    assert abs(centroids[1 - first][1] + 10.0) < 1e-6
+
+
 def test_connected_components_chain_and_island(spark):
     from poormans_kube_etl_spark.operators.graph import connected_components, dedup_clusters
 
