@@ -558,3 +558,94 @@ def ref_dt1_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("folder_time"),
         F.unix_timestamp(ts).alias("roundtrip_ts"),
     ).orderBy("folder_ts")
+
+
+# ---------------------------------------------------------------------------
+# The IMPLIED manifest↔file integrity join (README.md:18-33) — the
+# reference only checks manifest PRESENCE (src/ingestor.js:113-117);
+# the orchestrator executes the real sha-verify (verify_manifest), and
+# this query proves the join SHAPE against the oracle: full-outer on
+# FileName with ok / missing_file / unlisted_file statuses. Manifests
+# here deterministically list every even-event file plus one phantom
+# per folder, so all three statuses occur.
+# ---------------------------------------------------------------------------
+@register(
+    "ref_manifest_integrity_join",
+    oracle="WITH "
+    + INVENTORY_CTE
+    + """,
+    files AS (
+      SELECT key,
+             string_split(key, '/')[2] AS folder,
+             string_split(key, '/')[3] || '/' || string_split(key, '/')[4] AS file_name
+      FROM inventory
+      WHERE len(string_split(key, '/')) = 4 AND key LIKE '%.csv.gz'
+    ),
+    manifest AS (
+      SELECT folder, file_name, md5(file_name) AS expected_sha256
+      FROM files WHERE CAST(regexp_extract(file_name, 'part_([0-9]+)', 1) AS BIGINT) % 2 = 0
+      UNION ALL
+      SELECT CAST(folder_ts AS VARCHAR), 'ghost/phantom.csv.gz', md5('phantom')
+      FROM folders
+    ),
+    actual AS (SELECT folder, file_name, md5(file_name) AS actual_sha256 FROM files)
+    SELECT COALESCE(m.folder, a.folder) AS folder,
+           COALESCE(m.file_name, a.file_name) AS file_name,
+           CASE WHEN m.file_name IS NULL THEN 'unlisted_file'
+                WHEN a.file_name IS NULL THEN 'missing_file'
+                WHEN m.expected_sha256 = a.actual_sha256 THEN 'ok'
+                ELSE 'mismatch' END AS status
+    FROM manifest m
+    FULL OUTER JOIN actual a ON m.folder = a.folder AND m.file_name = a.file_name
+    ORDER BY folder, file_name, status
+    """,
+)
+def ref_manifest_integrity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2⋈D1 integrity check: manifest entries full-outer-joined with
+    scanned files on (folder, FileName); md5-of-name stands in for the
+    payload sha at oracle scale (the orchestrator hashes real bytes)."""
+    inv = inventory_df(spark, sf_dir)
+    seg = path_segments(F.col("key"))
+    files = (
+        inv.where((F.size(seg) == 4) & F.col("key").endswith(".csv.gz"))
+        .select(
+            F.get(seg, 1).alias("folder"),
+            F.concat(F.get(seg, 2), F.lit("/"), F.get(seg, 3)).alias("file_name"),
+        )
+    )
+    part_no = F.regexp_extract("file_name", "part_([0-9]+)", 1).cast("bigint")
+    manifest = (
+        files.where(part_no % 2 == 0)
+        .select("folder", "file_name", F.md5("file_name").alias("expected_sha256"))
+        .unionByName(
+            inv.select(F.get(path_segments(F.col("key")), 1).alias("folder"))
+            .where(F.col("folder").rlike("^[0-9]+$"))
+            .distinct()
+            .select(
+                "folder",
+                F.lit("ghost/phantom.csv.gz").alias("file_name"),
+                F.md5(F.lit("phantom")).alias("expected_sha256"),
+            )
+        )
+    )
+    actual = files.select(
+        "folder", "file_name", F.md5("file_name").alias("actual_sha256")
+    )
+    m, a = manifest.alias("m"), actual.alias("a")
+    joined = m.join(
+        a,
+        (F.col("m.folder") == F.col("a.folder"))
+        & (F.col("m.file_name") == F.col("a.file_name")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("m.folder"), F.col("a.folder")).alias("folder"),
+        F.coalesce(F.col("m.file_name"), F.col("a.file_name")).alias("file_name"),
+        F.when(F.col("m.file_name").isNull(), F.lit("unlisted_file"))
+        .when(F.col("a.file_name").isNull(), F.lit("missing_file"))
+        .when(
+            F.col("m.expected_sha256") == F.col("a.actual_sha256"), F.lit("ok")
+        )
+        .otherwise(F.lit("mismatch"))
+        .alias("status"),
+    ).orderBy("folder", "file_name", "status")
