@@ -195,3 +195,110 @@ def clean_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q8",
         "dim",
     ).orderBy("vec_id")
+
+
+@register(
+    "clean_repetition_ratio",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(0, len(toks) - 2),
+                                      i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                  ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def clean_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total word-3-grams — the
+    looped-text / boilerplate signal (Gopher-style repetition filter);
+    pure array expressions, map-only."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " ")
+    toked = docs.select("doc_id", toks.alias("toks"))
+    win = F.sequence(F.lit(0), F.size("toks") - 3)
+    grams = F.when(
+        F.size("toks") >= 3,
+        F.transform(win, lambda i: F.array_join(F.slice("toks", i + 1, 3), " ")),
+    ).otherwise(F.array(F.array_join("toks", " ")))
+    g = toked.select("doc_id", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"), 6
+        ).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "clean_quality_rules",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(30), 'g'), chr(30)) AS sents
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             ROUND(CAST(len(list_filter(sents, s -> s LIKE '%.' OR s LIKE '%!' OR s LIKE '%?'))
+                        AS DOUBLE) / GREATEST(len(sents), 1), 6) AS terminal_ratio,
+             ROUND(CAST(len(toks) AS DOUBLE) / GREATEST(len(sents), 1), 6) AS words_per_sentence
+      FROM base
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           terminal_ratio, words_per_sentence,
+           (n_tokens >= 10 AND n_tokens <= 100000
+            AND terminal_ratio >= 0.5 AND words_per_sentence >= 3) AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def clean_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule filter: token-count bounds, terminal-
+    punctuation sentence ratio, words-per-sentence floor → one boolean
+    keep decision per doc, all map-side expressions."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    sents = F.split(F.regexp_replace("text", "([.!?]) ", "$1\u001e"), "\u001e")
+    base = docs.select("doc_id", toks.alias("toks"), sents.alias("sents"))
+    terminal = F.round(
+        F.size(
+            F.filter(
+                "sents",
+                lambda s: s.endswith(".") | s.endswith("!") | s.endswith("?"),
+            )
+        ).cast("double")
+        / F.greatest(F.size("sents"), F.lit(1)),
+        6,
+    )
+    wps = F.round(
+        F.size("toks").cast("double") / F.greatest(F.size("sents"), F.lit(1)), 6
+    )
+    m = base.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        terminal.alias("terminal_ratio"),
+        wps.alias("words_per_sentence"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("terminal_ratio") >= 0.5)
+        & (F.col("words_per_sentence") >= 3)
+    )
+    return m.select("*", keep.alias("keep")).orderBy("doc_id")
