@@ -649,3 +649,67 @@ def ref_manifest_integrity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("mismatch"))
         .alias("status"),
     ).orderBy("folder", "file_name", "status")
+
+
+@register(
+    "ref_folder_lifecycle_summary",
+    oracle="WITH "
+    + INVENTORY_CTE
+    + """
+    SELECT folder,
+           CAST(COUNT(CASE WHEN len(seg) = 4 AND key LIKE '%.csv.gz' THEN 1 END) AS BIGINT)
+             AS n_payload_files,
+           MAX(CASE WHEN seg[3] = 'bulk.txt' THEN 'bulk'
+                    WHEN seg[3] = 'incremental.txt' THEN 'incremental' END) AS ingest_type,
+           bool_or(seg[3] = 'manifest.json') AS manifest_ready,
+           (MAX(CASE WHEN seg[3] IN ('bulk.txt', 'incremental.txt') THEN 1 ELSE 0 END) = 1
+            AND bool_or(seg[3] = 'manifest.json')) AS processable
+    FROM (
+      SELECT key, string_split(key, '/') AS seg, string_split(key, '/')[2] AS folder
+      FROM inventory
+    )
+    WHERE TRY_CAST(folder AS BIGINT) IS NOT NULL
+    GROUP BY folder
+    ORDER BY folder
+    """,
+)
+def ref_folder_lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole EP1 selection state in one aggregation: per timestamped
+    folder — payload file count (A2), marker classification (F3/P4),
+    manifest readiness (S2/F2 as bool_or), and the processable
+    conjunction the poll loop acts on (A5-shaped)."""
+    inv = inventory_df(spark, sf_dir)
+    seg = path_segments(F.col("key"))
+    rows = inv.select(
+        "key",
+        seg.alias("seg"),
+        F.get(seg, 1).alias("folder"),
+        F.get(seg, 2).alias("file"),
+    ).where(F.expr("try_cast(get(split(key, '/'), 1) AS BIGINT)").isNotNull())
+    marker = F.when(F.col("file") == "bulk.txt", "bulk").when(
+        F.col("file") == "incremental.txt", "incremental"
+    )
+    return (
+        rows.groupBy("folder")
+        .agg(
+            F.count(
+                F.when(
+                    (F.size("seg") == 4) & F.col("key").endswith(".csv.gz"), 1
+                )
+            ).alias("n_payload_files"),
+            F.max(marker).alias("ingest_type"),
+            F.bool_or(F.col("file") == "manifest.json").alias("manifest_ready"),
+            (
+                (
+                    F.max(
+                        F.when(
+                            F.col("file").isin("bulk.txt", "incremental.txt"), 1
+                        ).otherwise(0)
+                    )
+                    == 1
+                )
+                & F.bool_or(F.col("file") == "manifest.json")
+            ).alias("processable"),
+        )
+        .orderBy("folder")
+    )

@@ -208,3 +208,39 @@ def sess_range_self_join_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "sess_debounce_10s",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM ordered
+    WHERE prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 10
+    ORDER BY event_id
+    """,
+)
+def sess_debounce_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop repeats of the same (user, type) arriving within
+    10 s of the previous kept-or-dropped occurrence — lag + time-delta
+    filter, one shuffle on the key. (This is trailing-edge debounce
+    against the PREVIOUS event, not against the last KEPT event — the
+    latter is inherently sequential and lives in
+    streaming.stateful_user_counts-style state logic.)"""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", prev.alias("prev_ts"))
+        .where(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 10)
+        )
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
