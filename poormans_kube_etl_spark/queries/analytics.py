@@ -311,3 +311,69 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_week", "week_n")
     )
+
+
+@register(
+    "orders_pareto_revenue_share",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS BIGINT) AS rnk,
+             CAST(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(38,2)) AS cum_revenue,
+             CAST(SUM(revenue) OVER () AS DECIMAL(38,2)) AS total_revenue,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cust
+      FROM per_cust
+    )
+    SELECT rnk, o_custkey, revenue, cum_revenue,
+           ROUND(CAST(cum_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE), 6)
+             AS cum_share,
+           ROUND(CAST(rnk AS DOUBLE) / n_cust, 6) AS cust_share
+    FROM ranked
+    WHERE CAST(cum_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE) <= 0.5
+    ORDER BY rnk
+    """,
+)
+def orders_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: which top customers make up the first 50% of
+    revenue — decimal running sums over a global revenue ordering
+    (range-partitioned sort; the per-customer agg shrinks the data
+    before the single-partition window touches it)."""
+    orders = _t(spark, sf_dir, "orders")
+    from poormans_kube_etl_spark.functions import money
+
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).cast("decimal(38,2)").alias("revenue")
+    )
+    w_order = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "revenue",
+        F.row_number().over(w_order).cast("bigint").alias("rnk"),
+        F.sum("revenue").over(w_cum).cast("decimal(38,2)").alias("cum_revenue"),
+        F.sum("revenue").over(w_all).cast("decimal(38,2)").alias("total_revenue"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    share = F.col("cum_revenue").cast("double") / F.col("total_revenue").cast("double")
+    return (
+        ranked.where(share <= 0.5)
+        .select(
+            "rnk",
+            "o_custkey",
+            "revenue",
+            "cum_revenue",
+            F.round(share, 6).alias("cum_share"),
+            F.round(F.col("rnk").cast("double") / F.col("n_cust"), 6).alias(
+                "cust_share"
+            ),
+        )
+        .orderBy("rnk")
+    )
