@@ -452,3 +452,94 @@ def mm_frame_sample_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames_jvm(binary, frame_size=256, every_k=4).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+@register(
+    "fn_null_semantics",
+    oracle="""
+    SELECT e.event_id,
+           (NULLIF(e.event_type, 'error') IS NOT DISTINCT FROM 'click') AS nullsafe_is_click,
+           (NULLIF(e.event_type, 'error') IS DISTINCT FROM NULL) AS not_nullified,
+           COALESCE(NULLIF(e.event_type, 'error'), 'fallback') AS with_fallback
+    FROM events e
+    ORDER BY e.event_id
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe comparison semantics: <=> (IS NOT DISTINCT FROM),
+    its negation, and fallback chains — the three-valued-logic corners
+    that silently change row counts when mishandled."""
+    ev = _t(spark, sf_dir, "events")
+    nn = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        nn.eqNullSafe(F.lit("click")).alias("nullsafe_is_click"),
+        (~nn.eqNullSafe(F.lit(None))).alias("not_nullified"),
+        F.coalesce(nn, F.lit("fallback")).alias("with_fallback"),
+    ).orderBy("event_id")
+
+
+@register(
+    "join_relational_division",
+    oracle="""
+    WITH target_parts AS (
+      SELECT p_partkey FROM part WHERE p_size = 50
+    ),
+    cover AS (
+      SELECT l.l_suppkey,
+             COUNT(DISTINCT l.l_partkey) AS n_covered
+      FROM lineitem l
+      JOIN target_parts t ON t.p_partkey = l.l_partkey
+      GROUP BY l.l_suppkey
+    )
+    SELECT c.l_suppkey AS suppkey, CAST(c.n_covered AS BIGINT) AS n_covered
+    FROM cover c
+    WHERE c.n_covered = (SELECT COUNT(*) FROM target_parts)
+    ORDER BY suppkey
+    """,
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (FOR ALL): suppliers covering EVERY part of
+    size 50 — semi-join to the divisor set, distinct-count per candidate,
+    keep counts equal to the divisor cardinality. The count-match
+    formulation is the scalable shape (no per-element anti-join chain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    target = part.where(F.col("p_size") == 50).select("p_partkey")
+    n_target = target.count()
+    cover = (
+        li.join(F.broadcast(target), li.l_partkey == target.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_covered"))
+    )
+    return (
+        cover.where(F.col("n_covered") == n_target)
+        .select(F.col("l_suppkey").alias("suppkey"), "n_covered")
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+    SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_of_day, event_type
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the diurnal
+    pattern extraction behind capacity planning; one hash-agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("hour_of_day", "event_type")
+    )
