@@ -267,3 +267,89 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head3_sorted"),
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
     ).orderBy("vec_id")
+
+
+@register(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id & 255 AS BIGINT) AS low_byte,
+           CAST(user_id | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(user_id, event_id) AS BIGINT) AS mixed,
+           CAST(user_id << 2 AS BIGINT) AS shl2,
+           CAST(user_id >> 1 AS BIGINT) AS shr1
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family: and/or/xor/shifts — the flag-mask and
+    hash-mixing primitives."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft("user_id", 2).alias("shl2"),
+        F.shiftright("user_id", 1).alias("shr1"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_math_suite",
+    oracle="""
+    SELECT event_id,
+           ROUND(sin(value / 10.0), 6) AS sin_v,
+           ROUND(atan2(value, 7.0), 6) AS atan2_v,
+           ROUND(log10(value + 1.0), 6) AS log10_v,
+           ROUND(exp(value / 100.0), 6) AS exp_v,
+           ROUND(cbrt(value), 6) AS cbrt_v,
+           CAST(sign(value - 50.0) AS INT) AS sign_v,
+           ROUND(ln(GREATEST(value, 0.5)), 6) AS ln_v
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental/math scalar family — identical libm-level results
+    on both engines, rounded to 6 dp against representation noise."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.sin(F.col("value") / 10.0), 6).alias("sin_v"),
+        F.round(F.atan2(F.col("value"), F.lit(7.0)), 6).alias("atan2_v"),
+        F.round(F.log10(F.col("value") + 1.0), 6).alias("log10_v"),
+        F.round(F.exp(F.col("value") / 100.0), 6).alias("exp_v"),
+        F.round(F.cbrt("value"), 6).alias("cbrt_v"),
+        F.signum(F.col("value") - 50.0).cast("int").alias("sign_v"),
+        F.round(F.log(F.greatest(F.col("value"), F.lit(0.5))), 6).alias("ln_v"),
+    ).orderBy("event_id")
+
+
+@register(
+    "fn_interval_arithmetic",
+    oracle="""
+    SELECT event_id,
+           strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_90m,
+           strftime(ts - INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') AS minus_2d,
+           CAST(date_diff('minute', date_trunc('day', ts), ts) AS BIGINT) AS minutes_into_day
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on timestamps, compared as formatted strings
+    (pandas timestamp-unit promotion differs between engines)."""
+    ev = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format(F.col("ts") + F.expr("INTERVAL 90 MINUTE"), fmt).alias("plus_90m"),
+        F.date_format(F.col("ts") - F.expr("INTERVAL 2 DAY"), fmt).alias("minus_2d"),
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.date_trunc("day", "ts"))) / 60
+        )
+        .cast("bigint")
+        .alias("minutes_into_day"),
+    ).orderBy("event_id")
