@@ -543,3 +543,35 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day", "event_type")
     )
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
+           CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+           CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
+           CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-min/arg-max) — the aggregate form of the
+    reference's min-by-key selection (O1): carry a different column's
+    value from the extremal row without a join-back. (Tie behavior is
+    value-dependent; o_totalprice is unique per priority group here,
+    keeping both engines deterministic.)"""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min("o_totalprice").cast("decimal(18,2)").alias("min_price"),
+            F.max("o_totalprice").cast("decimal(18,2)").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
