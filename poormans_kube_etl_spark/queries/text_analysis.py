@@ -9,7 +9,7 @@ IEEE-deterministic and therefore hash-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.text import (
@@ -203,3 +203,45 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5("text").alias("fp_md5"),
         prefix_fingerprint(tokens(normalize_text("text")), 5).alias("fp_prefix5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       t -> list_contains({_STOP_SQL}, t))) >= 2
+                  THEN 'en' ELSE 'unk' END AS predicted_lang
+      FROM documents
+    )
+    SELECT lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS recall_share
+    FROM pred
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of declared language vs the function-word
+    heuristic: per (truth, prediction) counts with row-normalized recall
+    shares — the classifier-evaluation shape for any labeling op."""
+    docs = _docs(spark, sf_dir)
+    en_cnt = stopword_count(tokens("text")).cast("int")
+    pred = F.when(en_cnt >= 2, F.lit("en")).otherwise(F.lit("unk"))
+    counts = (
+        docs.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(row), 6).alias(
+            "recall_share"
+        ),
+    ).orderBy("lang", "predicted_lang")
