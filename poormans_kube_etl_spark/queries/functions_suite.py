@@ -353,3 +353,67 @@ def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("minutes_into_day"),
     ).orderBy("event_id")
+
+
+@register(
+    "agg_boolean_family",
+    oracle="""
+    SELECT event_type,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 95) AS any_high,
+           CAST(count_if(value > 50) AS BIGINT) AS n_high,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (every/any/count_if) — predicate
+    summaries in one partial-aggregated pass, the A1/A5 conjunction
+    shapes as first-class aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 95).alias("any_high"),
+            F.count_if(F.col("value") > 50).alias("n_high"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_array_set_ops",
+    oracle="""
+    SELECT vec_id,
+           list_sort(list_distinct(list_intersect(a, b))) AS inter,
+           list_sort(list_distinct(a || b)) AS uni,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS diff,
+           list_has_any(a, b) AS overlaps
+    FROM (
+      SELECT vec_id,
+             [vec_id % 7, vec_id % 5, vec_id % 3] AS a,
+             [vec_id % 5, vec_id % 4] AS b
+      FROM embeddings
+    )
+    ORDER BY vec_id
+    """,
+)
+def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation family: intersect/union/except/overlap on
+    per-row arrays (E1/E2 at array granularity), sorted for hash
+    stability."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = F.array(F.col("vec_id") % 7, F.col("vec_id") % 5, F.col("vec_id") % 3)
+    b = F.array(F.col("vec_id") % 5, F.col("vec_id") % 4)
+    base = emb.select("vec_id", a.alias("a"), b.alias("b"))
+    return base.select(
+        "vec_id",
+        F.array_sort(F.array_intersect("a", "b")).alias("inter"),
+        F.array_sort(F.array_union("a", "b")).alias("uni"),
+        F.array_sort(F.array_except("a", "b")).alias("diff"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+    ).orderBy("vec_id")
