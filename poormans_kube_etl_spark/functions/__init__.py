@@ -25,6 +25,25 @@ def money(c: Column | str) -> Column:
     return dec(c, 18, 2)
 
 
+def hash_safe(c: Column | str, scale: int = 2) -> Column:
+    """Representation-stable final projection for decimal aggregates.
+
+    Keep SUMs in DECIMAL while aggregating (exact, order-independent),
+    but emit the FINAL column as DOUBLE: Spark returns ``Decimal('x.00')``
+    for decimal columns while DuckDB fetched through pandas yields
+    float64 ``x.0`` — bit-identical values, different canonical form, so
+    the driver's value hash fails (CORRECTNESS_r01: 8 queries). Routing
+    both sides through DECIMAL(38,scale) → DOUBLE makes the conversion
+    identical: the decimal value is exact and equal on both engines, and
+    decimal→double is deterministic nearest-rounding on both.
+
+    Oracle side must mirror this as
+    ``CAST(CAST(x AS DECIMAL(38,scale)) AS DOUBLE)``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(38,{scale})").cast("double")
+
+
 def duration_hmm(seconds: Column) -> Column:
     """Format a duration in seconds as the reference's ``"Xh:YYmins"``.
 

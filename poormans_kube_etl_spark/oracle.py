@@ -40,20 +40,24 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_value(v) -> str:
-    """Canonicalize one cell to a comparable string."""
+    """Canonicalize one cell to a comparable string.
+
+    Strictness mirrors the driver's value hash (VERDICT r01 "what's
+    wrong" #3): a ``Decimal('138014.00')`` must NOT compare equal to
+    float64 ``138014.0`` — Spark decimal columns vs DuckDB decimals
+    fetched through pandas differ exactly this way, so queries must
+    emit representation-stable types (DOUBLE/BIGINT finals; see
+    functions.hash_safe). Floats canonicalize via repr (bit-exact);
+    Decimals keep their scale (trailing zeros significant).
+    """
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        f = float(v)
-        if f == int(f) and abs(f) < 1e15:
-            return str(int(f))
-        return repr(f)
+        return "dec:" + str(v)
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:

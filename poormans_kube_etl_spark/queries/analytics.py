@@ -331,7 +331,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) OVER () AS BIGINT) AS n_cust
       FROM per_cust
     )
-    SELECT rnk, o_custkey, revenue, cum_revenue,
+    SELECT rnk, o_custkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(cum_revenue AS DOUBLE) AS cum_revenue,
            ROUND(CAST(cum_revenue AS DOUBLE) / CAST(total_revenue AS DOUBLE), 6)
              AS cum_share,
            ROUND(CAST(rnk AS DOUBLE) / n_cust, 6) AS cust_share
@@ -368,8 +370,8 @@ def orders_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "rnk",
             "o_custkey",
-            "revenue",
-            "cum_revenue",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("cum_revenue").cast("double").alias("cum_revenue"),
             F.round(share, 6).alias("cum_share"),
             F.round(F.col("rnk").cast("double") / F.col("n_cust"), 6).alias(
                 "cust_share"

@@ -31,8 +31,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2))
-             AS total_spent
+           CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2))
+                AS DOUBLE) AS total_spent
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
@@ -52,6 +52,7 @@ def join_left_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_spent"),
         )
         .orderBy("c_custkey")
@@ -63,12 +64,12 @@ def join_left_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH c AS (
       SELECT c_nationkey AS nationkey,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS cust_bal
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS cust_bal
       FROM customer GROUP BY c_nationkey
     ),
     s AS (
       SELECT s_nationkey AS nationkey,
-             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS supp_bal
+             CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS supp_bal
       FROM supplier GROUP BY s_nationkey
     )
     SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, c.cust_bal, s.supp_bal
@@ -81,12 +82,12 @@ def join_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFram
     cust = (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.sum(money("c_acctbal")).cast("decimal(38,2)").alias("cust_bal"))
+        .agg(F.sum(money("c_acctbal")).cast("decimal(38,2)").cast("double").alias("cust_bal"))
     )
     supp = (
         _t(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("nationkey"))
-        .agg(F.sum(money("s_acctbal")).cast("decimal(38,2)").alias("supp_bal"))
+        .agg(F.sum(money("s_acctbal")).cast("decimal(38,2)").cast("double").alias("supp_bal"))
     )
     c, s = cust.alias("c"), supp.alias("s")
     return (
@@ -109,7 +110,7 @@ def join_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
@@ -129,7 +130,7 @@ def groupingsets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-            F.sum(money("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(money("o_totalprice")).cast("decimal(38,2)").cast("double").alias("revenue"),
         )
         .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
     )
@@ -139,12 +140,12 @@ def groupingsets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_revenue_by_priority",
     oracle="""
     SELECT o_orderpriority,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-                AS DECIMAL(38,2)) AS F,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-                AS DECIMAL(38,2)) AS O,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
-                AS DECIMAL(38,2)) AS P
+           CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS DOUBLE) AS F,
+           CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS DOUBLE) AS O,
+           CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DECIMAL(38,2)) AS DOUBLE) AS P
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -158,7 +159,7 @@ def pivot_status_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum(money("o_totalprice")).cast("decimal(38,2)"))
+        .agg(F.sum(money("o_totalprice")).cast("decimal(38,2)").cast("double"))
         .orderBy("o_orderpriority")
     )
 
@@ -299,8 +300,8 @@ def agg_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_tax = 0)
-                AS DECIMAL(38,2)) AS tax_free_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_tax = 0)
+                AS DECIMAL(38,2)) AS DOUBLE) AS tax_free_price,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
     FROM lineitem
     GROUP BY l_returnflag
@@ -317,6 +318,7 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
             F.sum(F.when(F.col("l_tax") == 0, money("l_extendedprice")))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("tax_free_price"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
@@ -551,8 +553,8 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
            CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
-           CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS min_price,
-           CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS max_price
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -570,8 +572,8 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
             F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
-            F.min("o_totalprice").cast("decimal(18,2)").alias("min_price"),
-            F.max("o_totalprice").cast("decimal(18,2)").alias("max_price"),
+            F.min("o_totalprice").cast("decimal(18,2)").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("decimal(18,2)").cast("double").alias("max_price"),
         )
         .orderBy("o_orderpriority")
     )

@@ -45,13 +45,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2)))
-               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -69,10 +69,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(price * (one - disc)).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax)).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(money("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -88,7 +94,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       r_name,
       n_name,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
       COUNT(*) AS order_cnt
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -112,7 +118,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(money("o_totalprice")).cast("decimal(38,2)").alias("revenue"),
+            F.sum(money("o_totalprice")).cast("decimal(38,2)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("order_cnt"),
         )
         .orderBy("r_name", "n_name")
@@ -165,7 +171,7 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     SELECT
       p_brand,
       s_name,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty,
       COUNT(*) AS line_cnt
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
@@ -185,7 +191,7 @@ def join_lineitem_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
-            F.sum(money("l_quantity")).cast("decimal(38,2)").alias("qty"),
+            F.sum(money("l_quantity")).cast("decimal(38,2)").cast("double").alias("qty"),
             F.count(F.lit(1)).alias("line_cnt"),
         )
         .orderBy("p_brand", "s_name")
@@ -198,7 +204,8 @@ def join_lineitem_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top10_orders_by_price",
     oracle="""
-    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
@@ -210,7 +217,11 @@ def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_custkey", money("o_totalprice").alias("totalprice"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            money("o_totalprice").cast("double").alias("totalprice"),
+        )
         .limit(10)
     )
 
@@ -218,7 +229,8 @@ def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_top3_orders_per_customer",
     oracle="""
-    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rn
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rn
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -240,7 +252,7 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "o_custkey",
             "o_orderkey",
-            money("o_totalprice").alias("totalprice"),
+            money("o_totalprice").cast("double").alias("totalprice"),
             "rn",
         )
         .orderBy("o_custkey", "rn")
@@ -251,11 +263,11 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS running_revenue
+                AS DECIMAL(38,2)) AS DOUBLE) AS running_revenue
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,
@@ -272,7 +284,11 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(money("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_revenue"),
+        F.sum(money("o_totalprice"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("running_revenue"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -309,7 +325,7 @@ def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_acctbal_by_region_nation",
     oracle="""
     SELECT r_name, n_name,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal_sum,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS acctbal_sum,
            COUNT(*) AS cust_cnt
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
@@ -327,7 +343,7 @@ def rollup_acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.sum(money("c_acctbal")).cast("decimal(38,2)").alias("acctbal_sum"),
+            F.sum(money("c_acctbal")).cast("decimal(38,2)").cast("double").alias("acctbal_sum"),
             F.count(F.lit(1)).alias("cust_cnt"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
@@ -457,7 +473,7 @@ def distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(DAY(o_orderdate) AS INT) AS o_day,
       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
       CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
-      CAST(ABS(o_totalprice - 100000.0) AS DECIMAL(18,2)) AS price_dist
+      CAST(CAST(ABS(o_totalprice - 100000.0) AS DECIMAL(18,2)) AS DOUBLE) AS price_dist
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -476,5 +492,8 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
         F.floor("o_totalprice").cast("bigint").alias("price_floor"),
         (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
-        F.abs(F.col("o_totalprice") - 100000.0).cast("decimal(18,2)").alias("price_dist"),
+        F.abs(F.col("o_totalprice") - 100000.0)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("price_dist"),
     ).orderBy("o_orderkey")

@@ -63,7 +63,9 @@ def reshape_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY 1
     )
-    SELECT s.month, COALESCE(r.revenue, 0) AS revenue, COALESCE(r.n_orders, 0) AS n_orders
+    SELECT s.month,
+           CAST(COALESCE(r.revenue, 0) AS DOUBLE) AS revenue,
+           COALESCE(r.n_orders, 0) AS n_orders
     FROM spine s LEFT JOIN rev r ON s.month = r.month
     ORDER BY s.month
     """,
@@ -93,7 +95,9 @@ def reshape_month_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(rev, "month", "left")
         .select(
             "month",
-            F.coalesce("revenue", F.lit(0).cast("decimal(38,2)")).alias("revenue"),
+            F.coalesce("revenue", F.lit(0).cast("decimal(38,2)"))
+            .cast("double")
+            .alias("revenue"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
         .orderBy("month")

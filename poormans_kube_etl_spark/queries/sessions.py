@@ -27,7 +27,7 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS win_start,
            event_type,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS val_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS val_sum
     FROM events
     GROUP BY 1, 2
     ORDER BY win_start, event_type
@@ -41,7 +41,7 @@ def sess_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(money("value")).cast("decimal(38,2)").alias("val_sum"),
+            F.sum(money("value")).cast("decimal(38,2)").cast("double").alias("val_sum"),
         )
         .orderBy("win_start", "event_type")
     )
@@ -53,7 +53,7 @@ def sess_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT win_start,
            win_start + INTERVAL 2 HOUR AS win_end,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS val_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS val_sum
     FROM (
       SELECT date_trunc('hour', ts) - UNNEST([INTERVAL '0' HOUR, INTERVAL '1' HOUR]) AS win_start,
              value
@@ -72,7 +72,7 @@ def sess_hopping_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("win"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(money("value")).cast("decimal(38,2)").alias("val_sum"),
+            F.sum(money("value")).cast("decimal(38,2)").cast("double").alias("val_sum"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -169,8 +169,8 @@ def sess_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.event_id,
            COUNT(b.event_id) AS neighbor_cnt,
-           CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))), 0) AS DECIMAL(38,2))
-             AS neighbor_val
+           CAST(CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))), 0) AS DECIMAL(38,2))
+                AS DOUBLE) AS neighbor_val
     FROM events a
     LEFT JOIN events b
       ON b.user_id = a.user_id AND b.event_id <> a.event_id
@@ -204,6 +204,7 @@ def sess_range_self_join_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("b.b_event_id").alias("neighbor_cnt"),
             F.coalesce(F.sum(money("b_value")), F.lit(0).cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("neighbor_val"),
         )
         .orderBy("event_id")

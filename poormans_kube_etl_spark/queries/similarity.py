@@ -85,7 +85,7 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_label_centroids",
     oracle="""
-    SELECT label, pos, SUM(comp_scaled) AS sum_scaled, COUNT(*) AS vec_cnt
+    SELECT label, pos, CAST(SUM(comp_scaled) AS BIGINT) AS sum_scaled, COUNT(*) AS vec_cnt
     FROM (
       SELECT label,
              UNNEST(generate_series(1, len(embedding))) AS pos,

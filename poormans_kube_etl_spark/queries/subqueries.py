@@ -81,7 +81,7 @@ def subq_not_in_inactive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subq_scalar_above_avg_orders",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
     FROM orders
     WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
     ORDER BY o_orderkey
@@ -95,7 +95,7 @@ def subq_scalar_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
         SELECT o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM orders
         WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
         ORDER BY o_orderkey
@@ -107,7 +107,7 @@ def subq_scalar_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subq_correlated_scalar_max_item",
     oracle="""
     SELECT o.o_orderkey,
-           (SELECT CAST(MAX(l.l_extendedprice) AS DECIMAL(18,2))
+           (SELECT CAST(CAST(MAX(l.l_extendedprice) AS DECIMAL(18,2)) AS DOUBLE)
             FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS max_item_price
     FROM orders o
     WHERE o.o_orderkey < 5000
@@ -122,7 +122,7 @@ def subq_correlated_scalar_max_item(spark: SparkSession, sf_dir: str) -> DataFra
         sf_dir,
         """
         SELECT o.o_orderkey,
-               (SELECT CAST(MAX(l.l_extendedprice) AS DECIMAL(18,2))
+               (SELECT CAST(CAST(MAX(l.l_extendedprice) AS DECIMAL(18,2)) AS DOUBLE)
                 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS max_item_price
         FROM orders o
         WHERE o.o_orderkey < 5000

@@ -28,10 +28,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "window_sliding_3row_avg",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,6)) AS avg3
+                AS DECIMAL(38,6)) AS DOUBLE) AS avg3
     FROM orders
     ORDER BY o_custkey, o_orderkey
     """,
@@ -47,7 +47,7 @@ def window_sliding_3row_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.avg(money("o_totalprice")).over(w).cast("decimal(38,6)").alias("avg3"),
+        F.avg(money("o_totalprice")).over(w).cast("decimal(38,6)").cast("double").alias("avg3"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -107,14 +107,14 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_first_last_value",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           CAST(FIRST_VALUE(o_totalprice) OVER (
+           CAST(CAST(FIRST_VALUE(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2))
-             AS first_price,
-           CAST(LAST_VALUE(o_totalprice) OVER (
+             AS DOUBLE) AS first_price,
+           CAST(CAST(LAST_VALUE(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DECIMAL(18,2))
-             AS last_price
+             AS DOUBLE) AS last_price
     FROM orders
     ORDER BY o_orderkey
     """,
@@ -131,8 +131,8 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.first("o_totalprice").over(w).cast("decimal(18,2)").alias("first_price"),
-        F.last("o_totalprice").over(w).cast("decimal(18,2)").alias("last_price"),
+        F.first("o_totalprice").over(w).cast("decimal(18,2)").cast("double").alias("first_price"),
+        F.last("o_totalprice").over(w).cast("decimal(18,2)").cast("double").alias("last_price"),
     ).orderBy("o_orderkey")
 
 
