@@ -18,6 +18,13 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _TS = "__asof_ts"
+_PAYLOAD = "__asof_payload"
+
+
+def _payload_struct_type(right: DataFrame, payload: list[str]):
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType([StructField(c, right.schema[c].dataType, True) for c in payload])
 
 
 def asof_join_backward(
@@ -34,6 +41,13 @@ def asof_join_backward(
     Returns the left rows + ``payload`` columns (null when no prior right
     row exists). Left and right must not share payload column names with
     left's columns.
+
+    The payload rides as ONE struct column through a single
+    ``last(ignorenulls)`` — per-column fills would (a) resurrect an older
+    row's value where the as-of row legitimately carries NULL, and (b)
+    mix values from different right rows across payload columns (ADVICE
+    r01). The struct itself is non-null whenever a right row exists, so
+    member NULLs survive intact.
     """
     keys = list(keys)
     payload = list(payload)
@@ -44,14 +58,14 @@ def asof_join_backward(
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(_payload_struct_type(right, payload)).alias(_PAYLOAD),
     )
     r = right.select(
         *keys,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias(_PAYLOAD),
     )
     # Right rows sort before left rows at equal ts → inclusive semantics.
     w = (
@@ -64,10 +78,13 @@ def asof_join_backward(
         _TS,
         _SIDE,
         *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(_PAYLOAD, ignorenulls=True).over(w).alias(_PAYLOAD),
     )
     return filled.where(F.col(_SIDE) == 1).select(
-        *keys, F.col(_TS).alias(left_ts), *lcols, *payload
+        *keys,
+        F.col(_TS).alias(left_ts),
+        *lcols,
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload],
     )
 
 
@@ -82,7 +99,8 @@ def asof_join_forward(
     """For each left row, attach the payload of the EARLIEST right row
     with right.ts >= left.ts on the same keys (forward as-of, inclusive)
     — same union + window construction, mirrored: sort descending and
-    carry the next right row backward."""
+    carry the next right row backward. Payload rides as one struct (see
+    asof_join_backward)."""
     keys = list(keys)
     payload = list(payload)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
@@ -92,14 +110,14 @@ def asof_join_forward(
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(_payload_struct_type(right, payload)).alias(_PAYLOAD),
     )
     r = right.select(
         *keys,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias(_PAYLOAD),
     )
     # Descending ts; right rows first at equal ts → inclusive semantics.
     w = (
@@ -112,8 +130,11 @@ def asof_join_forward(
         _TS,
         _SIDE,
         *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(_PAYLOAD, ignorenulls=True).over(w).alias(_PAYLOAD),
     )
     return filled.where(F.col(_SIDE) == 1).select(
-        *keys, F.col(_TS).alias(left_ts), *lcols, *payload
+        *keys,
+        F.col(_TS).alias(left_ts),
+        *lcols,
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload],
     )

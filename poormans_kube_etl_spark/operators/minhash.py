@@ -91,10 +91,26 @@ def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> Dat
 
 
 def lsh_candidate_pairs(
-    signed: DataFrame, id_col: str, bands: int, rows_per_band: int
+    signed: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Band the signature and bucket-join. Output: (a, b) candidate doc
-    ids with a < b, distinct."""
+    ids with a < b, distinct.
+
+    Hot-bucket guard (VERDICT r01 #5): all-pairs expansion is O(|bucket|²)
+    inside ONE task, which melts down on boilerplate-heavy corpora where
+    thousands of near-identical docs share a band hash. Buckets larger
+    than ``max_bucket`` switch to STAR linking — every doc pairs with the
+    bucket's smallest doc id only — which is O(|bucket|), keeps every doc
+    linked (the transitive-closure clustering downstream sees the same
+    connected components; no doc is silently dropped), and bounds task
+    work. Trade-off, documented not hidden: within an oversized bucket,
+    two docs that are near-dups of each other but NOT of the
+    representative lose their direct candidate pair. Use
+    ``lsh_bucket_stats`` to observe how many buckets hit the cap."""
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = signed.select(
         F.col(id_col).alias("doc"),
@@ -129,10 +145,52 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
+    all_pairs = (
+        buckets.where(F.size("docs") <= max_bucket)
+        .select(F.explode(pair_structs).alias("p"))
         .select("p.a", "p.b")
-        .distinct()
+    )
+    # rep + remainder projected BEFORE the explode so the generator's
+    # output rows don't each carry the full bucket array (see
+    # simhash.simhash_near_duplicates for the measured failure mode)
+    star_pairs = (
+        buckets.where(F.size("docs") > max_bucket)
+        .select(
+            F.element_at("docs", 1).alias("a"),
+            F.slice("docs", 2, F.size("docs")).alias("rest"),
+        )
+        .select("a", F.explode("rest").alias("b"))
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
+def lsh_bucket_stats(
+    signed: DataFrame, id_col: str, bands: int, rows_per_band: int, max_bucket: int = 256
+) -> DataFrame:
+    """Observability for the hot-bucket guard: per-band bucket-size
+    histogram with an ``oversized`` flag — run this (cheap: reuses the
+    banding aggregate shape) to see what the cap is doing before trusting
+    a near-dup sweep on a new corpus."""
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = signed.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_id", "band.band_hash")
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > 1)
+        .withColumn("oversized", F.col("bucket_size") > max_bucket)
     )
 
 
@@ -162,6 +220,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.5,
     cache: bool = False,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """End-to-end near-dup pairs: (a, b, jaccard) with jaccard >= threshold.
 
@@ -179,5 +238,5 @@ def minhash_near_duplicates(
         from pyspark import StorageLevel
 
         signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands)
+    cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands, max_bucket)
     return exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)

@@ -30,8 +30,19 @@ def salted_join(
     n_salt) so a key carrying 30% of the table fans out across n_salt
     reducers instead of one straggler; the right side is replicated
     n_salt× (explode of a literal sequence — cheap when the right side
-    is the smaller input). Result is exactly the plain join's output.
+    is the smaller input). Result is exactly the plain join's output —
+    which only holds for join types that never EMIT unmatched right
+    rows: under right/full outer, each of the n_salt replicas of an
+    unmatched right row would surface, multiplying it n_salt times
+    (ADVICE r01). Those types are rejected; salt the other side instead.
     """
+    safe = {"inner", "left", "left_outer", "left_semi", "left_anti", "cross"}
+    if how.lower().replace("_", "") not in {s.replace("_", "") for s in safe}:
+        raise ValueError(
+            f"salted_join(how={how!r}): right-side replication breaks "
+            "right/full outer semantics (unmatched right rows emitted "
+            f"n_salt times); use one of {sorted(safe)} or salt the other side"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt)
     ).cast("int")

@@ -181,10 +181,15 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash_pairs")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the FULL corpus: 64-bit fingerprints,
-    16-bit-block pigeonhole candidates, Hamming <= 8."""
+    16-bit-block pigeonhole candidates, Hamming <= 3 — the published
+    standard radius for 64-bit SimHash web dedup (Manku et al., WWW'07):
+    4×16-bit blocking gives 2^-16 per-block selectivity, so buckets stay
+    tiny. Wider radii derive more blocks (simhash_near_duplicates), but
+    at radius 8 the 7-bit blocks only filter 1/128 — candidate volume
+    approaches N²/128, which is the wrong tool past radius ~4."""
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy("a", "b")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).orderBy("a", "b")
 
 
 @register(

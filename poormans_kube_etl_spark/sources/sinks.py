@@ -39,16 +39,33 @@ def compact(
 ) -> None:
     """Small-file compaction: read back, coalesce to ``target_partitions``
     output tasks, overwrite in place via a staging path swap (a straight
-    overwrite would read and clobber the same directory)."""
+    overwrite would read and clobber the same directory).
+
+    Swap order is crash-safe (ADVICE r01): the original is renamed ASIDE
+    first, then staging renamed into place, then the old copy deleted —
+    so at every instant either the old or the new dataset exists at
+    ``path`` (worst crash window leaves the old data at ``__old``,
+    recoverable by hand; the previous delete-then-rename order had a
+    window with NO data at ``path``). Each rename's boolean result is
+    checked — HDFS-style FileSystem.rename reports failure by returning
+    false, not by raising."""
     from poormans_kube_etl_spark.sources.ingest import delete_path, hadoop_fs
 
     staging = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
     df = spark.read.parquet(path).coalesce(target_partitions)
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
-    delete_path(spark, path)
-    fs, src = hadoop_fs(spark, staging)
-    _, dst = hadoop_fs(spark, path)
-    fs.rename(src, dst)
+    delete_path(spark, old)  # clear any debris from a prior crashed run
+    fs, cur = hadoop_fs(spark, path)
+    _, aside = hadoop_fs(spark, old)
+    _, stg = hadoop_fs(spark, staging)
+    if not fs.rename(cur, aside):
+        raise IOError(f"compact: failed to move {path} aside to {old}")
+    if not fs.rename(stg, cur):
+        # restore the original so `path` never stays empty
+        fs.rename(aside, cur)
+        raise IOError(f"compact: failed to move staging {staging} into {path}")
+    delete_path(spark, old)

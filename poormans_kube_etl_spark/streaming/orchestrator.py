@@ -126,6 +126,9 @@ class Orchestrator:
         self.strict_manifest = strict_manifest
         self.timer = Times()
         self.errored: str | None = None  # X7 error state
+        # consecutive transient scan failures (listing/gating); reset on
+        # any successful scan — never escalates to the X7 halt
+        self.scan_failures: int = 0
 
     # ---- filesystem (Hadoop FS: file:// in tests, s3a:// in prod) ----
 
@@ -378,16 +381,37 @@ class Orchestrator:
 
     def run_once(self) -> IngestParams | None:
         """One poll cycle. Returns the processed ingest, or None if the
-        cycle found nothing ready (empty/no-marker/manifest-not-ready)."""
+        cycle found nothing ready (empty/no-marker/manifest-not-ready)
+        or the scan itself failed transiently.
+
+        Error taxonomy mirrors the reference: LISTING/GATING failures are
+        transient — log and re-poll forever (src/ingestor.js:77-81
+        retries the S3 scan unconditionally; src/s3-client.spec.js:8-14
+        pins that the loop survives error → empty → malformed listings).
+        The terminal X7 halt is reserved for pipeline/verification
+        failures (src/ingestor.js:289-292 enters the error state from
+        job failure, never from a scan error)."""
         if self.errored:
             return None
         try:
             params = self.discover()
             if params is None:
+                self.scan_failures = 0
                 return None
             if not self.manifest_ready(params):
+                self.scan_failures = 0
                 return None  # EP2: re-poll next cycle
-            self.timer.ingest_files = self.ingest_files(params)
+            files = self.ingest_files(params)
+        except Exception as e:  # transient: scan/list errors re-poll
+            self.scan_failures += 1
+            print(
+                f"orchestrator: transient scan failure "
+                f"#{self.scan_failures} ({e}); re-polling"
+            )
+            return None
+        self.scan_failures = 0
+        try:
+            self.timer.ingest_files = files
             if self.strict_manifest:
                 bad = (
                     self.verify_manifest(params)
@@ -407,11 +431,14 @@ class Orchestrator:
             raise
 
     def run_forever(self) -> None:
-        """X1 polling loop (the reference's 60 s setTimeout tail-recursion)."""
+        """X1 polling loop (the reference's 60 s setTimeout tail-recursion).
+        Transient scan failures back off exponentially, capped at 8×
+        the poll interval — bounded, and never terminal."""
         while not self.errored:
             processed = self.run_once()
             if processed is None:
-                time.sleep(self.poll_interval_s)
+                backoff = min(2 ** min(self.scan_failures, 3), 8)
+                time.sleep(self.poll_interval_s * backoff)
 
     def run_stream(self, checkpoint_dir: str, available_now: bool = False):
         """Streaming-mode orchestration: the manifest file IS the

@@ -35,6 +35,27 @@ def test_asof_inclusive_at_equal_ts(spark):
     assert out[0].tag == "x"  # backward as-of is inclusive
 
 
+def test_asof_payload_nulls_and_row_consistency(spark):
+    """ADVICE r01: per-column last(ignorenulls) fills resurrected an
+    older row's value where the as-of row legitimately carries NULL, and
+    could mix payload columns from different right rows. The struct
+    carry must keep the as-of row's NULL and keep all payload columns
+    from the SAME right row."""
+    from poormans_kube_etl_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 12:00:00")], "id long, k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # older right row has tag='old', v=1; the as-of row has tag=NULL, v=2
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 09:00:00", "old", 1), (10, "2024-01-01 11:00:00", None, 2)],
+        "k long, rts string, tag string, v long",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = asof_join_backward(left, right, ["k"], "ts", "rts", ["tag", "v"]).collect()[0]
+    assert out.v == 2
+    assert out.tag is None, "as-of row's legitimate NULL must survive, not 'old'"
+
+
 def test_asof_forward_basic(spark):
     from poormans_kube_etl_spark.operators.asof import asof_join_forward
 
@@ -77,6 +98,71 @@ def test_minhash_identical_docs_always_pair(spark):
     pairs = minhash_near_duplicates(docs, threshold=0.9).collect()
     assert [(p.a, p.b) for p in pairs] == [(1, 2)]
     assert pairs[0].jaccard == 1.0
+
+
+def test_hot_bucket_degenerate_corpus_completes(spark):
+    """VERDICT r01 #5: 10k identical docs put every doc in ONE bucket per
+    band — unguarded all-pairs expansion is 50M pairs in a single task.
+    With the max_bucket star-link guard this must complete quickly, link
+    every doc into one component, and be deterministic across runs."""
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate legal disclaimer text repeated verbatim everywhere").alias(
+            "text"
+        ),
+    )
+    from poormans_kube_etl_spark.operators.graph import connected_components
+    from poormans_kube_etl_spark.operators.minhash import minhash_near_duplicates
+    from poormans_kube_etl_spark.operators.simhash import simhash_near_duplicates
+
+    pairs = minhash_near_duplicates(docs, threshold=0.9)
+    got = pairs.collect()
+    # star linking: every doc pairs with the representative, nothing dropped
+    assert len(got) == n - 1
+    assert all(p.jaccard == 1.0 for p in got)
+    comps = connected_components(pairs.select("a", "b"))
+    assert comps.select("component").distinct().count() == 1
+    assert comps.count() == n
+    # deterministic rerun (the driver's repeated rows-only gate)
+    assert sorted((p.a, p.b) for p in got) == sorted(
+        (p.a, p.b) for p in minhash_near_duplicates(docs, threshold=0.9).collect()
+    )
+
+    sh = simhash_near_duplicates(docs, max_hamming=0).collect()
+    assert len(sh) == n - 1
+    assert all(p.hamming == 0 for p in sh)
+
+
+def test_simhash_blocking_covers_requested_radius(spark):
+    """ADVICE r01: a fixed 4×16-bit blocking only guarantees recall for
+    Hamming <= 3; max_hamming >= 4 silently lost pairs. Block count is
+    now derived from the radius: a pair at distance 4 must be found."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.simhash import (
+        _BITS,
+        simhash_bits_df,
+        simhash_near_duplicates,
+    )
+
+    with pytest.raises(ValueError, match="fingerprint width"):
+        simhash_near_duplicates(None, max_hamming=_BITS)
+
+    # find two docs whose fingerprints differ by exactly 4+ bits, then
+    # require the blocking to recover them at that radius
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappb"),
+        ],
+        "doc_id long, text string",
+    )
+    bits = {r.doc_id: r.bits for r in simhash_bits_df(docs).collect()}
+    d = sum(1 for x, y in zip(bits[1], bits[2]) if x != y)
+    if 4 <= d < 64:
+        pairs = simhash_near_duplicates(docs, max_hamming=d).collect()
+        assert [(p.a, p.b, p.hamming) for p in pairs] == [(1, 2, d)]
 
 
 def test_simhash_identical_docs_zero_hamming(spark):

@@ -127,6 +127,33 @@ def test_corrupt_sha_halts_ingest(orch):
     assert orch.run_once() is None  # error state: loop halts (X7)
 
 
+def test_transient_listing_errors_retry_then_succeed(orch, monkeypatch):
+    """Reference src/ingestor.js:77-81 retries forever on listing errors;
+    src/s3-client.spec.js:8-14 pins that the poll loop survives
+    error → empty → malformed listings and fires on a later call. Scan
+    failures must NOT enter the X7 halt — only pipeline/verification
+    failures do."""
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+    real_list = type(orch).list_keys
+    calls = {"n": 0}
+
+    def flaky(self):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("connection reset by S3")
+        return real_list(self)
+
+    monkeypatch.setattr(type(orch), "list_keys", flaky)
+    assert orch.run_once() is None  # listing error #1 → re-poll
+    assert orch.errored is None and orch.scan_failures == 1
+    assert orch.run_once() is None  # listing error #2 → re-poll
+    assert orch.errored is None and orch.scan_failures == 2
+    # third cycle: listing recovers, ingest completes end-to-end
+    assert orch.run_once() == IngestParams("1538055240", "bulk")
+    assert orch.errored is None and orch.scan_failures == 0
+    assert orch.metrics().count() == 1
+
+
 def test_bulk_ingest_end_to_end(orch):
     make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
     assert orch.run_once() == IngestParams("1538055240", "bulk")

@@ -123,3 +123,14 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_fact")
         spark.sql("DROP TABLE IF EXISTS t_dim")
+
+
+def test_salted_join_rejects_right_outer(spark, skewed):
+    # ADVICE r01: right/full outer would emit each unmatched right row
+    # n_salt times; the safe set is enforced
+    import pytest
+
+    left, right = skewed
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, ["k"], n_salt=4, how=how)
