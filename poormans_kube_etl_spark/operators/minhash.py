@@ -78,10 +78,19 @@ def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> Dat
     ]
     # collect_set rides the same aggregate, so downstream consumers that
     # need both the signature AND the shingle set (the exact-Jaccard
-    # verify) share one scan+shuffle via exchange reuse.
+    # verify) share one scan+shuffle via exchange reuse. The set holds
+    # 64-bit HASHES of the shingles, not the strings: Jaccard only needs
+    # cardinalities of the sets, which hashing preserves (up to 2^-64
+    # collisions), and 8-byte longs cut the aggregate's shuffle width
+    # 3-4x vs multi-word shingle strings — the width that matters when
+    # the corpus is 100 TB of documents. Seed -1 keeps the set hash
+    # independent of the num_hashes signature seeds (0..k-1).
     return (
         exploded.groupBy(id_col)
-        .agg(*mins, F.collect_set("shingle").alias("shingles"))
+        .agg(
+            *mins,
+            F.collect_set(F.xxhash64(F.lit(-1), "shingle")).alias("shingles"),
+        )
         .select(
             id_col,
             F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
