@@ -176,3 +176,62 @@ def train_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
     ).orderBy("doc_id")
+
+
+@register(
+    "train_decontaminate_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN list_transform(range(0, len(t) - 4),
+                                        i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+                    ELSE [array_to_string(t, ' ')] END)) AS s
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_overlap_ngrams,
+           CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def train_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-5-gram with the held-out eval set (the n-gram-overlap scrub
+    every serious LLM corpus build runs before training; doc_id % 97
+    stands in for the benchmark membership list). Output: contaminated
+    train docs with overlap counts — the removal step is a left-anti
+    join on this result.
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    set, not a corpus) → its distinct (shingle, bench_id) pairs
+    BROADCAST; the training side streams map-side through the broadcast
+    hash join, so the only shuffle is the final per-doc aggregation of
+    matching shingles — no corpus-vs-corpus self-join."""
+    from poormans_kube_etl_spark.operators.minhash import exploded_shingles
+
+    docs = _docs(spark, sf_dir)
+    ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
+    bench = (
+        ex.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "s")
+        .distinct()
+    )
+    train = ex.where(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_overlap_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )

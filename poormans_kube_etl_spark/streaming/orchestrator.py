@@ -118,12 +118,20 @@ class Orchestrator:
         output_dir: str,
         poll_interval_s: float = 60.0,
         strict_manifest: bool = True,
+        settle_delay_s: float = 0.0,
     ):
         self.spark = apply_runtime_confs(spark)
         self.landing_dir = landing_dir.rstrip("/")
         self.output_dir = output_dir.rstrip("/")
         self.poll_interval_s = poll_interval_s
         self.strict_manifest = strict_manifest
+        # X6 tail (reference src/ingestor.js:259 sleeps one poll cycle
+        # after job success before declaring the store settled). Spark
+        # actions are synchronous so the barrier itself is free; this
+        # knob exists for sinks with eventual-consistency semantics
+        # (e.g. an external index refreshing). Default 0: no analogue
+        # needed for parquet sinks (SURVEY §2a X6 decision).
+        self.settle_delay_s = settle_delay_s
         self.timer = Times()
         self.errored: str | None = None  # X7 error state
         # consecutive transient scan failures (listing/gating); reset on
@@ -313,11 +321,15 @@ class Orchestrator:
         def neo():
             self.timer.neo_start = time.time()
             self._graph_pipeline(params)
+            if self.settle_delay_s:
+                time.sleep(self.settle_delay_s)  # X6 settle tail
             self.timer.neo_end = time.time()
 
         def elastic():
             self.timer.elastic_start = time.time()
             self._index_pipeline(params)
+            if self.settle_delay_s:
+                time.sleep(self.settle_delay_s)
             self.timer.elastic_end = time.time()
 
         if params.ingest_type == "bulk":

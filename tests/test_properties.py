@@ -157,3 +157,43 @@ def test_exact_jaccard_bounds(spark):
     assert len(jac) == 15
     for r in jac:
         assert 0.0 <= r.jaccard <= 1.0
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # query_id
+            st.integers(min_value=0, max_value=50),     # nn_id
+            st.integers(min_value=-100, max_value=100),  # sim (int → exact doubles)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_two_stage_topk_equals_window_topk(spark, rows, k):
+    """The two-stage top-k rewrite (partial per-partition select + merge)
+    must return EXACTLY the naive Window.partitionBy(query_id) top-k —
+    same rows, same ranks — for any scored input, including duplicate
+    sims (ties broken by nn_id) and duplicate (query, nn) rows."""
+    from pyspark.sql import Window
+
+    from poormans_kube_etl_spark.operators.similarity import _topk_per_query
+
+    # dedupe (query, nn) pairs: both forms assume one score per pair
+    uniq = {(q, n): s for q, n, s in rows}
+    data = [(q, n, float(s)) for (q, n), s in uniq.items()]
+    scored = spark.createDataFrame(data, "query_id long, nn_id long, sim double").repartition(4)
+
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nn_id"))
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .collect()
+    )
+    fast = _topk_per_query(scored, k).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(((r.query_id, r.rank, r.nn_id, r.sim) for r in naive)) == sorted(
+        ((r.query_id, r.rank, r.nn_id, r.sim) for r in fast)
+    )

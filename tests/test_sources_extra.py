@@ -74,3 +74,36 @@ def test_merge_into_with_partition_pruning(spark, tmp_path):
     merge_into(spark, path, updates, ["id"], partition_pruning=F.col("part") == "p0")
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 1, 2: 22, 3: 3}
+
+
+def test_mongo_sink_fails_actionably_without_connector(spark):
+    # K1 Mongo parity: without the connector jar the writer must raise a
+    # clear RuntimeError, not a raw ClassNotFoundException
+    import pytest
+
+    from poormans_kube_etl_spark.sources.mongo import write_metrics_mongo
+
+    df = spark.range(1).selectExpr("'x' AS ingest")
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        write_metrics_mongo(df, "mongodb://localhost:27017", "etl")
+
+
+def test_orchestrator_settle_delay_applies(spark, tmp_path):
+    # X6 settle tail: durations include the configured settle window
+    import os
+    import time
+
+    from poormans_kube_etl_spark.streaming.orchestrator import Orchestrator
+    from tests.test_orchestrator import make_ingest_folder
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(os.path.join(landing, "pending"), exist_ok=True)
+    make_ingest_folder(landing, "1538055240", "incremental.txt")
+    orch = Orchestrator(
+        spark, landing, str(tmp_path / "out"), poll_interval_s=0.01, settle_delay_s=0.3
+    )
+    t0 = time.time()
+    assert orch.run_once() is not None
+    assert time.time() - t0 >= 0.6  # serial delta: two settle windows
+    t = orch.metrics().collect()[0]
+    assert t.ingest == "1538055240"
