@@ -322,3 +322,18 @@ def test_real_decode_raises_without_pillow():
 
         with pytest.raises(NotImplementedError):
             multimodal.real_decode_image(b"\x00\x01")
+
+
+def test_lsh_bucket_stats_flags_oversized(spark):
+    from poormans_kube_etl_spark.operators.minhash import (
+        exploded_shingles,
+        lsh_bucket_stats,
+        minhash_signatures,
+    )
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit("same text for every doc here").alias("text")
+    )
+    signed = minhash_signatures(exploded_shingles(docs, "doc_id", "text", 3), "doc_id", 32)
+    stats = lsh_bucket_stats(signed, "doc_id", 8, 4, max_bucket=10).collect()
+    assert stats and all(r.bucket_size == 40 and r.oversized for r in stats)
