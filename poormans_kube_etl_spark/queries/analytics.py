@@ -344,26 +344,30 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto analysis: which top customers make up the first 50% of
-    revenue — decimal running sums over a global revenue ordering
-    (range-partitioned sort; the per-customer agg shrinks the data
-    before the single-partition window touches it)."""
+    revenue. The global rank + exact decimal running sum use the
+    two-pass prefix-sum operator (operators/ordering.py) — range-
+    partitioned by (revenue DESC, custkey), local window per partition,
+    broadcast prefix offsets — so no single-partition window touches
+    the per-customer aggregate (1.5B rows at TPC-H SF100k). Grand
+    totals ride a broadcast single-row aggregate."""
     orders = _t(spark, sf_dir, "orders")
     from poormans_kube_etl_spark.functions import money
+    from poormans_kube_etl_spark.operators.ordering import with_global_order
 
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(money("o_totalprice")).cast("decimal(38,2)").alias("revenue")
     )
-    w_order = Window.orderBy(F.col("revenue").desc(), "o_custkey")
-    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        "o_custkey",
-        "revenue",
-        F.row_number().over(w_order).cast("bigint").alias("rnk"),
-        F.sum("revenue").over(w_cum).cast("decimal(38,2)").alias("cum_revenue"),
-        F.sum("revenue").over(w_all).cast("decimal(38,2)").alias("total_revenue"),
-        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    totals = per_cust.agg(
+        F.sum("revenue").cast("decimal(38,2)").alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_cust"),
     )
+    ranked = with_global_order(
+        per_cust,
+        [F.col("revenue").desc(), F.col("o_custkey")],
+        rank_col="rnk",
+        cumsum={"revenue": "cum_revenue_raw"},
+    ).withColumn("cum_revenue", F.col("cum_revenue_raw").cast("decimal(38,2)"))
+    ranked = ranked.crossJoin(F.broadcast(totals))
     share = F.col("cum_revenue").cast("double") / F.col("total_revenue").cast("double")
     return (
         ranked.where(share <= 0.5)

@@ -167,15 +167,22 @@ def train_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def train_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global shuffle: order by key hash. At 100 TB this
-    is a single range-partitioned sort (Spark samples the hash space to
-    build balanced ranges); writing the result with maxRecordsPerFile
-    yields reproducible training shards."""
+    """Deterministic global shuffle position: order by key hash. Uses
+    the two-pass global rank (operators/ordering.py) — range-partition
+    on the hash, rank within partitions, add broadcast prefix offsets —
+    NOT ``row_number().over(Window.orderBy(...))``, which plans as
+    Exchange SinglePartition and funnels the corpus through one task.
+    Writing the result with maxRecordsPerFile yields reproducible
+    training shards."""
+    from poormans_kube_etl_spark.operators.ordering import with_global_order
+
     docs = _docs(spark, sf_dir)
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    return docs.select(
-        "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
-    ).orderBy("doc_id")
+    ranked = with_global_order(
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")),
+        [F.col("_h"), F.col("doc_id")],
+        rank_col="shuffle_pos",
+    )
+    return ranked.select("doc_id", "shuffle_pos").orderBy("doc_id")
 
 
 @register(

@@ -337,3 +337,30 @@ def test_lsh_bucket_stats_flags_oversized(spark):
     signed = minhash_signatures(exploded_shingles(docs, "doc_id", "text", 3), "doc_id", 32)
     stats = lsh_bucket_stats(signed, "doc_id", 8, 4, max_bucket=10).collect()
     assert stats and all(r.bucket_size == 40 and r.oversized for r in stats)
+
+
+def test_with_global_order_matches_naive_window(spark):
+    """Two-pass global rank/cumsum == the naive single-partition window,
+    including exact decimal running sums and desc ordering with ties
+    broken by key."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from poormans_kube_etl_spark.operators.ordering import with_global_order
+
+    rows = [(i, Decimal(str((i * 37) % 11 + 0.25))) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v decimal(18,2)").repartition(7)
+    order = [F.col("v").desc(), F.col("k")]
+    fast = {
+        r.k: (r.pos, r.cum)
+        for r in with_global_order(df, order, rank_col="pos", cumsum={"v": "cum"}).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        r.k: (r.pos, r.cum)
+        for r in df.select(
+            "k", F.row_number().over(w).cast("bigint").alias("pos"), F.sum("v").over(w).alias("cum")
+        ).collect()
+    }
+    assert fast == naive

@@ -142,6 +142,22 @@ def test_topk_is_two_stage(q, spark, sf_dir):
     assert _topk_per_query(scored, k).count() == k * n_queries
 
 
+def test_global_order_has_no_single_partition_data_path(q):
+    # row_number().over(Window.orderBy(...)) plans as Exchange
+    # SinglePartition on the FULL input — the one-task funnel. The
+    # two-pass operator keeps every window keyed by the range-partition
+    # id; the only single-partition stage is the per-partition stats
+    # frame (rows = #partitions).
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    for name in ("train_deterministic_shuffle", "orders_pareto_revenue_share"):
+        plan = formatted_plan(q(name))
+        for frag in plan.split("windowspecdefinition(")[1:]:
+            assert frag.startswith("__ord_pid"), (
+                f"{name}: window not keyed by range-partition id: {frag[:60]}"
+            )
+
+
 def test_no_sort_merge_for_dim_joins(q):
     # region(5 rows)/nation(25 rows) must never sort-merge
     df = q("rollup_acctbal_by_region_nation")
