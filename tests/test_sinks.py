@@ -46,3 +46,49 @@ def test_compaction_reduces_files(spark, tmp_path):
     after = len(glob.glob(f"{out}/p=*/*.parquet"))
     assert after == 2  # one file per partition dir
     assert spark.read.parquet(out).count() == 400
+
+
+def test_zorder_key_matches_python_model(spark):
+    from poormans_kube_etl_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame([(x, y) for x in range(8) for y in range(8)], "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=3).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y, bits=3):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x in range(8) for y in range(8)}
+
+
+def test_zordered_write_clusters_both_columns(spark, tmp_path):
+    """Each output file must cover a NARROW range of every z-ordered
+    column — the property that makes min/max pruning work on any keyed
+    column, which a single-column sort cannot give."""
+    import glob
+
+    from poormans_kube_etl_spark.sources.layout import write_zordered
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 17) % 64).alias("b"),
+    )
+    path = str(tmp_path / "zz")
+    write_zordered(df, path, ["a", "b"], bits=6, num_files=16)
+    spans_a, spans_b = [], []
+    for f in glob.glob(path + "/part-*.parquet"):
+        pdf = spark.read.parquet(f).toPandas()
+        spans_a.append(int(pdf.a.max() - pdf.a.min()))
+        spans_b.append(int(pdf.b.max() - pdf.b.min()))
+    # global span is 63; z-ordered files must each cover far less on BOTH
+    assert sum(spans_a) / len(spans_a) < 40
+    assert sum(spans_b) / len(spans_b) < 40
+    assert spark.read.parquet(path).count() == n
