@@ -242,3 +242,54 @@ def train_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "train_pack_shards",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM documents
+    )
+    SELECT CAST(FLOOR((cum_chars - n_chars) / 50000.0) AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM ordered
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def train_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy shard packing: deterministically shuffle (hash order),
+    then bin documents into ~50k-char training shards by start offset —
+    the step that turns a corpus into fixed-budget training files.
+    The global running sum uses the two-pass prefix-sum operator
+    (operators/ordering.py), NOT a single-partition window, so packing
+    scales to the full corpus; the shard assignment itself is a pure
+    map expression over the cumulative offset."""
+    from poormans_kube_etl_spark.operators.ordering import with_global_order
+
+    budget = 50_000.0
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    packed = with_global_order(
+        docs, [F.col("_h"), F.col("doc_id")], rank_col="_pos", cumsum={"n_chars": "cum_chars"}
+    ).withColumn(
+        "shard_id",
+        F.floor((F.col("cum_chars") - F.col("n_chars")) / F.lit(budget)).cast("bigint"),
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
