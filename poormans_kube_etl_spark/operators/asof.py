@@ -7,6 +7,13 @@ partition by (ts, side) and carry the right side's payload forward with
 ``last(..., ignorenulls)``. One shuffle on the join keys, no range
 explosion, no broadcast requirement — survives 100 TB where a naive
 non-equi join (O(n·m) nested loop) does not.
+
+Known skew limit: the window partitions by the join keys, so one
+degenerate key (a bot user with 10^8 events) serializes into one task.
+The standard mitigation — process per (key, time-bucket) with a
+boundary carry-over of each bucket's last right-row — composes from
+this same operator; salting does NOT work here because the fill needs
+the key's full time order.
 """
 
 from __future__ import annotations

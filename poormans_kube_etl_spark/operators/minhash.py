@@ -204,7 +204,13 @@ def lsh_bucket_stats(
 
 
 def exact_jaccard(pairs: DataFrame, shingled: DataFrame, id_col: str) -> DataFrame:
-    """Verify candidates: exact Jaccard over the distinct-shingle sets."""
+    """Verify candidates: exact Jaccard over the distinct-shingle sets.
+
+    Per-doc set size is bounded by document length (a 1 MiB doc ≈ 10^5
+    shingles ≈ 1 MB of hashed-long array) — fine for LLM-corpus docs;
+    for book-length outliers, cap upstream (truncate to first N tokens
+    for the VERIFY only, which biases Jaccard conservatively) rather
+    than collecting unbounded arrays."""
     sa = shingled.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col(id_col).alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

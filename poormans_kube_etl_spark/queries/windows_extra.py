@@ -167,3 +167,32 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "window_trailing_1h_count",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_last_hour
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def window_trailing_1h_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: events in the trailing hour per user —
+    the rate-limit / burst-detection window. Ordered on epoch seconds so
+    the frame is a true time interval, not a row count; one shuffle on
+    user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    ).orderBy("event_id")
