@@ -6,14 +6,19 @@ must represent {a,b,c}. That closure is connected components — the
 canonical example of an iterative algorithm no single SQL query
 expresses (the driver's rows-only class).
 
-Algorithm: label propagation to fixpoint. Every vertex starts labeled
-with itself; each round, every vertex adopts the min label among itself
-and its neighbors; stop when no label changed. Rounds = graph diameter
-(near-dup clusters are shallow — a handful of rounds). Each round is
-one shuffle (groupBy vertex); lineage is cut with localCheckpoint every
-round so the plan doesn't grow exponentially across iterations — the
-standard Spark iterative-algorithm discipline (GraphX/GraphFrames do
-the same internally).
+Algorithm: label propagation + pointer jumping to fixpoint. Every
+vertex starts labeled with itself; each round every vertex adopts the
+min label among itself and its neighbors (1-hop propagation), THEN
+adopts its label's own label (label-of-label — pointer jumping, which
+halves the remaining propagation distance). Neighbor-only propagation
+needs diameter rounds — a 100-doc near-dup CHAIN would exceed any
+small iteration cap and silently mislabel; with the jump step rounds
+are O(log diameter), so the default cap covers diameters past 10^6.
+Each round is two shuffles (neighbor groupBy + self-join); lineage is
+cut with localCheckpoint every round so the plan doesn't grow across
+iterations — the standard Spark iterative-algorithm discipline
+(GraphX/GraphFrames do the same internally). Non-convergence within
+``max_iter`` raises instead of returning wrong components.
 """
 
 from __future__ import annotations
@@ -52,13 +57,24 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "node")
         )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least("component", F.coalesce("nbr_component", "component")).alias(
+                "component"
+            ),
+        )
+        # pointer jump: adopt the label's own label — halves remaining
+        # propagation distance, turning O(diameter) rounds into O(log d)
+        parents = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("parent")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            propagated.join(parents, "component", "left")
             .select(
                 "node",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
+                F.least("component", F.coalesce("parent", "component")).alias(
+                    "component"
+                ),
             )
             .localCheckpoint()  # cut lineage: constant-depth plan per round
         )
@@ -71,8 +87,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter beyond 2^max_iter is not a near-dup graph; "
+        "raise max_iter explicitly if this input is expected"
+    )
 
 
 def dedup_clusters(

@@ -364,3 +364,16 @@ def test_with_global_order_matches_naive_window(spark):
         ).collect()
     }
     assert fast == naive
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 100-node chain has diameter 99 — neighbor-only propagation
+    would need 99 rounds and silently mislabel under a 20-round cap.
+    Pointer jumping must converge well within the default cap."""
+    from poormans_kube_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(99)], "a long, b long")
+    comps = connected_components(edges)
+    rows = comps.collect()
+    assert len(rows) == 100
+    assert all(r.component == 0 for r in rows)
