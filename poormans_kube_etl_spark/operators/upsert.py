@@ -42,24 +42,39 @@ def merge_into(
 
     value_cols = [c for c in target.columns if c not in keys]
     t = target.alias("t")
-    u = updates.alias("u")
+    # presence marker, NOT a key-null probe: the join is eqNullSafe, so
+    # NULL key values are legitimate and u.key IS NOT NULL would
+    # misclassify those matched rows as target-only
+    u = updates.withColumn("__u_present", F.lit(1)).alias("u")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys]
+    present = F.col("u.__u_present").isNotNull()
     merged = t.join(u, cond, "full_outer").select(
-        *[F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k) for k in keys],
+        *[
+            F.when(present, F.col(f"u.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
+            for k in keys
+        ],
         *[
             # matched or insert → update side; target-only → keep
-            F.when(
-                F.col(f"u.{keys[0]}").isNotNull(), F.col(f"u.{c}")
-            ).otherwise(F.col(f"t.{c}")).alias(c)
+            F.when(present, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             for c in value_cols
         ],
     )
     if untouched is not None:
         merged = merged.unionByName(untouched)
 
+    # crash-safe swap (same discipline as sources.sinks.compact): the
+    # original moves ASIDE first, so `target_path` always holds either
+    # the old or the new dataset; rename results are checked.
     staging = target_path.rstrip("/") + "__merging"
+    old = target_path.rstrip("/") + "__old"
     merged.write.mode("overwrite").parquet(staging)
-    delete_path(spark, target_path)
-    fs, src = hadoop_fs(spark, staging)
-    _, dst = hadoop_fs(spark, target_path)
-    fs.rename(src, dst)
+    delete_path(spark, old)
+    fs, dst = hadoop_fs(spark, target_path)
+    _, aside = hadoop_fs(spark, old)
+    _, src = hadoop_fs(spark, staging)
+    if not fs.rename(dst, aside):
+        raise IOError(f"merge_into: failed to move {target_path} aside")
+    if not fs.rename(src, dst):
+        fs.rename(aside, dst)
+        raise IOError(f"merge_into: failed to move staging into {target_path}")
+    delete_path(spark, old)

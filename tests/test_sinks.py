@@ -92,3 +92,23 @@ def test_zordered_write_clusters_both_columns(spark, tmp_path):
     assert sum(spans_a) / len(spans_a) < 40
     assert sum(spans_b) / len(spans_b) < 40
     assert spark.read.parquet(path).count() == n
+
+
+def test_merge_into_null_key_rows(spark, tmp_path):
+    """eqNullSafe join ⇒ NULL key values are legitimate; a NULL-keyed
+    update row must UPDATE its NULL-keyed target match, not duplicate
+    it (the old u.key-IS-NOT-NULL presence probe misclassified it)."""
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k long, v string"
+    ).write.parquet(path)
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(None, "B"), (2, "c")], "k long, v string"),
+        keys=["k"],
+    )
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", None: "B", 2: "c"}
