@@ -139,15 +139,26 @@ def sample_frames_jvm(
     idxs = F.sequence(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_k)
     )
-    framed = df.where(F.octet_length(binary_col) > 0).select(
-        F.col(id_col), F.col(binary_col), F.explode(idxs).alias("frame_idx")
-    )  # empty payloads yield no frames, matching the Python sampler
-    chunk = F.substring(
-        F.col(binary_col), F.col("frame_idx") * frame_size + 1, frame_size
+    # Slice each sampled chunk BEFORE the explode (generator hygiene,
+    # SCALING.md): exploding the index list and substring-ing afterwards
+    # would carry the FULL binary payload through every generated row —
+    # a 100 MB video sampled into 10^5 frames would copy 10 TB. The
+    # chunk array is bounded by payload_size / every_k in one row.
+    chunks = F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.cast("int").alias("frame_idx"),
+            F.substring(F.col(binary_col), i * frame_size + 1, frame_size).alias(
+                "chunk"
+            ),
+        ),
     )
+    framed = df.where(F.octet_length(binary_col) > 0).select(
+        F.col(id_col), F.explode(chunks).alias("f")
+    )  # empty payloads yield no frames, matching the Python sampler
     return framed.select(
         id_col,
-        F.col("frame_idx").cast("int"),
-        F.octet_length(chunk).cast("int").alias("frame_bytes"),
-        F.md5(chunk).alias("frame_md5"),
+        F.col("f.frame_idx").alias("frame_idx"),
+        F.octet_length("f.chunk").cast("int").alias("frame_bytes"),
+        F.md5("f.chunk").alias("frame_md5"),
     )
