@@ -105,10 +105,22 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI over the bigram total."""
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select(tokens(normalize_text("text")).alias("t"))
-    starts = F.sequence(F.lit(1), F.size("t") - 1)
-    bg = toked.select(F.explode(starts).alias("i"), "t").select(
-        F.get("t", F.col("i") - 1).alias("w1"), F.get("t", F.col("i")).alias("w2")
-    )
+    # bigram structs built INSIDE the transform, then exploded —
+    # exploding positions and indexing `t` afterwards would carry the
+    # full token array through every bigram row (generator hygiene,
+    # SCALING.md). The size guard also fixes single-token docs, where
+    # sequence(1, 0) yields a DESCENDING [1,0] and minted phantom
+    # (w, NULL)/(NULL, w) bigrams the SQL range() never produces.
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.get("t", i - 1).alias("w1"), F.get("t", i).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array())
+    bg = toked.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
     u1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     u2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
     total = bg.count()

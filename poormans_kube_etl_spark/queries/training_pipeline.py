@@ -94,19 +94,23 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("toks") - size, F.lit(0)), F.lit(stride)
     )
-    chunked = toked.select(
-        "doc_id", "toks", F.explode(starts).alias("chunk_start")
+    # chunks are cut INSIDE the transform, then exploded — exploding the
+    # start offsets and slicing `toks` afterwards would carry the full
+    # token array through every chunk row (~size/stride × amplification
+    # of the corpus through the generator; SCALING.md generator hygiene)
+    chunk_structs = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("chunk_start"),
+            F.array_join(F.slice("toks", s + 1, size), " ").alias("chunk_text"),
+            F.least(F.lit(size), F.size("toks") - s).cast("int").alias("chunk_len"),
+        ),
     )
-    return chunked.select(
-        "doc_id",
-        F.col("chunk_start").cast("int"),
-        F.array_join(
-            F.slice("toks", F.col("chunk_start") + 1, size), " "
-        ).alias("chunk_text"),
-        F.least(F.lit(size), F.size("toks") - F.col("chunk_start"))
-        .cast("int")
-        .alias("chunk_len"),
-    ).orderBy("doc_id", "chunk_start")
+    return (
+        toked.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .select("doc_id", "c.chunk_start", "c.chunk_text", "c.chunk_len")
+        .orderBy("doc_id", "chunk_start")
+    )
 
 
 @register(
