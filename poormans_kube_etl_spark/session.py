@@ -25,6 +25,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF / toPandas exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Answer filterless MIN/MAX/COUNT aggregates from parquet footers —
+    # a metadata read instead of a 100 TB scan where eligible (off by
+    # default; no semantic change, Catalyst only applies it to plans
+    # whose result is provably identical).
+    "spark.sql.parquet.aggregatePushdown": "true",
     # events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
     # reader rejects; read as long and convert in sources.tables.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
