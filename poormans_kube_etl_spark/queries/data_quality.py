@@ -68,19 +68,24 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    orphan_orders = orders.join(
-        customer, orders.o_custkey == customer.c_custkey, "left_anti"
-    ).count()
-    orphan_lineitems = lineitem.join(
-        orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
-    ).count()
-    orphan_nations = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_anti"
-    ).count()
-    return spark.createDataFrame(
-        [(orphan_orders, orphan_lineitems, orphan_nations)],
-        "orphan_orders bigint, orphan_lineitems bigint, orphan_nations bigint",
+    # one lazy plan: each check is a single-row aggregate over a
+    # left-anti join, assembled by trivial 1×1 cross joins — no eager
+    # driver-side .count() actions inside the builder
+    orphan_orders = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
     )
+    orphan_lineitems = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    orphan_nations = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_nations"))
+    )
+    return orphan_orders.crossJoin(orphan_lineitems).crossJoin(orphan_nations)
 
 
 @register(
