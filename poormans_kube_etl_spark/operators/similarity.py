@@ -136,6 +136,110 @@ def random_hyperplane_buckets(
     return embeddings.select(id_col, vec_col).withColumn("bucket", bucket)
 
 
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Full-corpus embedding near-dup pairs (a, b, cos_sim >= threshold)
+    via banded sign-random-projection LSH — the scale path whose exact
+    anchor is the capped all-pairs query (dedup_embedding_near_pairs).
+
+    Banding math: two vectors at angle θ agree on one hyperplane sign
+    with prob 1 − θ/π; a band of r planes matches with (1 − θ/π)^r, and
+    b bands give recall 1 − (1 − p^r)^b — r trades precision against
+    recall exactly like MinHash bands. Candidates are generated by ONE
+    groupBy on (band, bucket) and verified with exact cosine; the
+    hot-bucket guard star-links oversized buckets (same trade as
+    minhash.lsh_candidate_pairs). Each vector contributes ``bands``
+    bucket rows carrying its vector — at billion-vector scale quantize
+    first (clean_quantize_embeddings) to shrink that exchange.
+    """
+    v = to_double_vec(vec_col)
+
+    def band_bucket(band: int) -> Column:
+        bits = [
+            F.when(
+                dot(
+                    F.col("_v"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda j, p=band * planes_per_band + i: (
+                            (F.xxhash64(F.lit(p), j) % 1001) - 500
+                        ).cast("double")
+                        / 500.0,
+                    ),
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for i in range(planes_per_band)
+        ]
+        acc = bits[0].cast("long")
+        for bit in bits[1:]:
+            acc = acc * 2 + bit.cast("long")
+        return acc
+
+    banded = embeddings.select(F.col(id_col).alias("vid"), v.alias("_v")).select(
+        "vid",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "_v", "bb.band_id", "bb.bucket")
+    buckets = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "_v"))).alias("vs"))
+        .where(F.size("vs") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "vs",
+            lambda a, i: F.transform(
+                F.slice("vs", i + 2, F.size("vs")),
+                lambda b: F.struct(
+                    a.getField("vid").alias("a"),
+                    b.getField("vid").alias("b"),
+                    cosine(a.getField("_v"), b.getField("_v")).alias("cos_sim"),
+                ),
+            ),
+        )
+    )
+    all_pairs = (
+        buckets.where(F.size("vs") <= max_bucket)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.cos_sim")
+    )
+    star_pairs = (
+        buckets.where(F.size("vs") > max_bucket)
+        .select(
+            F.element_at("vs", 1).alias("r"),
+            F.slice("vs", 2, F.size("vs")).alias("rest"),
+        )
+        .select("r", F.explode("rest").alias("m"))
+        .select(
+            F.col("r.vid").alias("a"),
+            F.col("m.vid").alias("b"),
+            cosine(F.col("r._v"), F.col("m._v")).alias("cos_sim"),
+        )
+    )
+    return (
+        all_pairs.unionByName(star_pairs)
+        .distinct()
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     cell_col: str = "label",

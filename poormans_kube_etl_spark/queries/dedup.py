@@ -226,3 +226,17 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_sim") >= 0.4)
         .orderBy("a", "b")
     )
+
+
+@register("dedup_embedding_lsh_pairs")  # rows-only: SRP-LSH is approximate by design
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs over the FULL corpus via banded
+    sign-random-projection LSH (operators/similarity.py:
+    embedding_near_pairs_lsh) — the uncapped scale path whose exact
+    anchor is dedup_embedding_near_pairs. Deterministic planes
+    (xxhash64), deterministic cosine fold → rerun-stable."""
+    from poormans_kube_etl_spark.operators.similarity import embedding_near_pairs_lsh
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs_lsh(emb, threshold=0.8).orderBy("a", "b")

@@ -377,3 +377,39 @@ def test_connected_components_long_chain_converges(spark):
     rows = comps.collect()
     assert len(rows) == 100
     assert all(r.component == 0 for r in rows)
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
+    """SRP-LSH candidates verified with exact cosine: every emitted pair
+    must appear in the exact all-pairs result at the same threshold
+    (precision = 1 after verify; recall < 1 is the LSH trade)."""
+    from poormans_kube_etl_spark.operators.similarity import (
+        cosine,
+        embedding_near_pairs_lsh,
+        to_double_vec,
+    )
+    from poormans_kube_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {(r.a, r.b) for r in embedding_near_pairs_lsh(emb, threshold=0.6).collect()}
+    e = emb.select("vec_id", to_double_vec("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    exact = {
+        (r.a, r.b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .where(F.col("c") >= 0.6)
+        .collect()
+    }
+    assert got <= exact
+    # identical-direction vectors always collide in every band
+    dup = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64), (3, [-1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_near_pairs_lsh(dup, threshold=0.99).collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
