@@ -391,7 +391,7 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     from poormans_kube_etl_spark.sources import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    got = {(r.a, r.b) for r in embedding_near_pairs_lsh(emb, threshold=0.6).collect()}
+    got = {(r.a, r.b) for r in embedding_near_pairs_lsh(emb, threshold=0.4).collect()}
     e = emb.select("vec_id", to_double_vec("embedding").alias("v"))
     a, b = e.alias("a"), e.alias("b")
     exact = {
@@ -402,7 +402,7 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
             F.col("b.vec_id").alias("b"),
             cosine(F.col("a.v"), F.col("b.v")).alias("c"),
         )
-        .where(F.col("c") >= 0.6)
+        .where(F.col("c") >= 0.4)
         .collect()
     }
     assert got <= exact
