@@ -150,10 +150,64 @@ def load_all() -> None:
     _loaded = True
 
 
+# Queries with a fully-green CORRECTNESS_r01 row (rows+schema+hash, or
+# deterministic rows-only). If the driver's sweep extends past the
+# priority window, never-checked queries should be reached BEFORE
+# re-checking these.
+_R01_GREEN = frozenset(
+    {
+        "join_semi_customers_with_orders",
+        "join_anti_customers_without_orders",
+        "window_lag_order_gap_days",
+        "cube_orders_status_priority",
+        "set_intersect_active_custkeys",
+        "set_except_inactive_custkeys",
+        "set_union_all_keys",
+        "distinct_order_priorities",
+        "ref_p1_p2_path_segments",
+        "ref_f1_timestamp_folders",
+        "ref_f2_any_timestamp",
+        "ref_f3_marker_rows",
+        "ref_o1_oldest_ingest",
+        "ref_f7_ingest_file_set",
+        "ref_s2_manifest_gate",
+        "ref_f4_f5_f6_job_filters",
+        "ref_e1_token_intersection",
+        "ref_a3_duration_format",
+        "ref_a4_run_metrics",
+        "ref_p6_json_props",
+        "ref_p7_array_struct_probe",
+        "ref_f8_temporal_filter",
+        "ref_dt1_epoch_roundtrip",
+        "ref_manifest_integrity_join",
+        "ref_folder_lifecycle_summary",
+        "text_token_stats",
+        "text_term_frequencies",
+        "text_lang_stats",
+        "text_quality_scores",
+        "text_langid_heuristic",
+        "text_fingerprints",
+        "text_langid_confusion",
+        "dedup_exact_stats",
+        "dedup_keep_first_by_prefix",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_lsh_pairs",
+        "dedup_minhash_clusters",
+        "dedup_simhash_pairs",
+        "dedup_embedding_near_pairs",
+        "sim_topk_bruteforce",
+        "sim_embedding_norms",
+    }
+)
+
+
 def _ordered(mapping: dict) -> dict:
     head = {n: mapping[n] for n in _PRIORITY if n in mapping}
-    tail = {n: v for n, v in mapping.items() if n not in head}
-    return {**head, **tail}
+    rest = [n for n in mapping if n not in head]
+    # never-driver-checked first, r01-green last (registration order
+    # within each class)
+    tail = sorted(rest, key=lambda n: n in _R01_GREEN)
+    return {**head, **{n: mapping[n] for n in tail}}
 
 
 def all_queries() -> dict[str, QueryFn]:
