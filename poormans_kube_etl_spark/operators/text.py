@@ -54,6 +54,53 @@ def fingerprint_md5(col: Column | str) -> Column:
 
 
 def prefix_fingerprint(toks: Column, n: int = 5) -> Column:
-    """Coarse rolling fingerprint: md5 of the first n tokens — a cheap
+    """Coarse prefix fingerprint: md5 of the first n tokens — a cheap
     near-dup blocking key (same-prefix docs collide)."""
     return F.md5(F.array_join(F.slice(toks, 1, n), " "))
+
+
+# Karp-Rabin rolling-hash parameters — shared with the DuckDB oracle
+# (queries/text_analysis.py), so every constant must stay cross-engine
+# exact in 64-bit signed arithmetic: per-token values and powers are
+# < M ≈ 2^31, products < 2^62, 4-term sums < 2^33.
+ROLL_WINDOW = 4
+ROLL_BASE = 1_000_003
+ROLL_MOD = (1 << 31) - 1
+
+
+def token_hash(tok: Column) -> Column:
+    """Cross-engine 31-bit token value: first 8 md5 hex chars as int,
+    mod ROLL_MOD (md5 exists on both engines; xxhash64 does not)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint") % ROLL_MOD
+
+
+def rolling_window_hashes(hs: Column) -> Column:
+    """Karp-Rabin hash of every ROLL_WINDOW-element window of an already-
+    hashed token array (array<long>, empty below the window size).
+
+    ``hs`` MUST be a materialized column (project ``transform(toks,
+    token_hash)`` in its own select first) — passing the raw transform
+    expression would re-inline the full token-hash array into every
+    per-window element_at (the array-reevaluation trap documented in
+    operators/minhash.py).
+
+    H_i = Σ_j hs[i+j]·B^(W-1-j) mod M — per-term mods keep the
+    arithmetic overflow-free and bit-identical on both engines. This is
+    the rolling-hash fingerprint primitive: sampling the H stream
+    (mod-p selection, winnowing) yields position-robust document
+    fingerprints, and H-value boundaries drive content-defined chunking.
+    """
+    pows = [pow(ROLL_BASE, ROLL_WINDOW - 1 - j, ROLL_MOD) for j in range(ROLL_WINDOW)]
+
+    def win_hash(i: Column) -> Column:
+        total = F.lit(0).cast("bigint")
+        for j, p in enumerate(pows):
+            total = total + (F.element_at(hs, i + j) * F.lit(p)) % ROLL_MOD
+        return total % ROLL_MOD
+
+    return F.when(
+        F.size(hs) >= ROLL_WINDOW,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (ROLL_WINDOW - 1)), win_hash
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))

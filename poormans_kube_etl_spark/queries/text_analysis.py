@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from poormans_kube_etl_spark.operators.text import (
     STOPWORDS_EN,
     fingerprint_md5,
+    normalize_text,
     prefix_fingerprint,
     stopword_count,
     tokens,
@@ -245,3 +246,65 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_share"
         ),
     ).orderBy("lang", "predicted_lang")
+
+
+@register(
+    "text_rolling_fingerprints",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647) AS hs
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) >= 4 THEN
+               list_transform(range(1, len(hs) - 2),
+                 i -> ((hs[i] * 1049561761) % 2147483647
+                     + (hs[i+1] * 1426104154) % 2147483647
+                     + (hs[i+2] * 1000003) % 2147483647
+                     + (hs[i+3] * 1) % 2147483647) % 2147483647)
+             ELSE [] END AS wh
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(wh) AS INT) AS n_windows,
+           CAST(len(list_filter(wh, x -> x % 16 = 0)) AS INT) AS n_fp,
+           CASE WHEN len(list_filter(wh, x -> x % 16 = 0)) = 0 THEN NULL
+                ELSE md5(array_to_string(list_filter(wh, x -> x % 16 = 0), '-')) END
+             AS fp_digest
+    FROM w
+    ORDER BY doc_id
+    """,
+)
+def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (Karp-Rabin over 4-token
+    windows, mod-16 sampled — the winnowing/MOSS family): near-dup docs
+    share most sampled window hashes even when content shifts position,
+    which prefix/md5 fingerprints cannot survive. fp_digest compresses
+    the sampled set for exact-compare; join on exploded sampled hashes
+    for overlap scoring. Map-only: the token-hash array is materialized
+    in its own projection (array-reevaluation trap, operators/text.py),
+    then windows, sampling, and digest are pure array expressions."""
+    from poormans_kube_etl_spark.operators.text import (
+        rolling_window_hashes,
+        token_hash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", F.transform(tokens(normalize_text("text")), token_hash).alias("hs")
+    )
+    windowed = hashed.select("doc_id", rolling_window_hashes(F.col("hs")).alias("wh"))
+    sampled = F.filter("wh", lambda x: x % 16 == 0)
+    return windowed.select(
+        "doc_id",
+        F.size("wh").cast("int").alias("n_windows"),
+        F.size(sampled).cast("int").alias("n_fp"),
+        F.when(
+            F.size(sampled) > 0,
+            F.md5(F.array_join(F.transform(sampled, lambda x: x.cast("string")), "-")),
+        ).alias("fp_digest"),
+    ).orderBy("doc_id")

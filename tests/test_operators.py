@@ -413,3 +413,31 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     )
     pairs = embedding_near_pairs_lsh(dup, threshold=0.99).collect()
     assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+
+
+def test_rolling_hashes_survive_content_shift(spark):
+    """The rolling-hash property: prepending tokens shifts positions but
+    leaves every interior window hash unchanged — so sampled
+    fingerprints still overlap, which md5/prefix fingerprints cannot do."""
+    from poormans_kube_etl_spark.operators.text import (
+        ROLL_WINDOW,
+        rolling_window_hashes,
+        token_hash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, "shifted prefix " + base)], "doc_id long, text string"
+    )
+    hashed = docs.select(
+        "doc_id", F.transform(F.split("text", " "), token_hash).alias("hs")
+    )
+    wh = {
+        r.doc_id: list(r.wh)
+        for r in hashed.select(
+            "doc_id", rolling_window_hashes(F.col("hs")).alias("wh")
+        ).collect()
+    }
+    # every window of the original appears in the shifted doc's stream
+    assert set(wh[1]) <= set(wh[2])
+    assert len(wh[2]) == len(wh[1]) + 2  # two new boundary windows
