@@ -9,6 +9,8 @@
         run a registered query and print rows
     python -m poormans_kube_etl_spark verify NAME [--sf-dir DIR]
         run a query against its DuckDB oracle and report
+    python -m poormans_kube_etl_spark verify --all [--sf-dir DIR]
+        sweep every registered query (the driver's correctness gate)
     python -m poormans_kube_etl_spark list
         list registered queries (★ oracle-checked / ○ rows-only)
 """
@@ -39,7 +41,8 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("-n", "--rows", type=int, default=20)
 
     v = sub.add_parser("verify", help="check a query against its DuckDB oracle")
-    v.add_argument("name")
+    v.add_argument("name", nargs="?", help="query name, or omit with --all")
+    v.add_argument("--all", action="store_true", help="sweep every registered query")
     v.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
     sub.add_parser("list", help="list registered queries")
@@ -97,8 +100,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "verify":
         from poormans_kube_etl_spark.oracle import check_query
-        from poormans_kube_etl_spark.queries import all_queries
+        from poormans_kube_etl_spark.queries import all_oracles, all_queries
 
+        if args.all:
+            oracles = all_oracles()
+            failed = []
+            for name in all_queries():  # driver sweep order
+                result = check_query(spark, name, args.sf_dir)
+                tag = "ok " if result.ok else "FAIL"
+                kind = "oracle" if name in oracles else "rows-only"
+                print(f"{tag} {name} ({kind}, rows={result.row_count[0]})")
+                if not result.ok:
+                    failed.append(name)
+            print(f"\n{len(all_queries()) - len(failed)}/{len(all_queries())} green")
+            return 1 if failed else 0
         if args.name not in all_queries():
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
