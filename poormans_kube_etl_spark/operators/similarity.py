@@ -324,9 +324,19 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
+    multi_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: only score corpus vectors sharing the query's
-    LSH bucket. Recall < 1 by design; the exact path is brute_force_topk."""
+    """Approximate top-k: only score corpus vectors sharing one of the
+    query's probed LSH buckets. Recall < 1 by design; the exact path is
+    brute_force_topk.
+
+    ``multi_probe=1`` additionally probes every 1-bit-flip neighbor of
+    the query's bucket (Lv et al.'s multi-probe LSH): a near neighbor
+    that disagrees on exactly one hyperplane sign — the most likely miss
+    — is recovered. Probe expansion happens on the QUERY side only
+    (n_planes+1 bucket rows per query, still broadcast-tiny); corpus
+    cost is unchanged. Each corpus vector has one bucket and probe
+    values are distinct, so no candidate dedup is needed."""
     corpus_b = random_hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim).select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec_raw"), "bucket"
     )
@@ -337,6 +347,14 @@ def lsh_topk(
         vec_col,
         dim,
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec_raw"), "bucket")
+    if multi_probe >= 1:
+        probe_vals = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        query_b = query_b.select(
+            "query_id", "q_vec_raw", F.explode(probe_vals).alias("bucket")
+        )
     joined = corpus_b.join(F.broadcast(query_b), "bucket").where(
         F.col("nn_id") != F.col("query_id")
     )

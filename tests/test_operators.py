@@ -441,3 +441,30 @@ def test_rolling_hashes_survive_content_shift(spark):
     # every window of the original appears in the shifted doc's stream
     assert set(wh[1]) <= set(wh[2])
     assert len(wh[2]) == len(wh[1]) + 2  # two new boundary windows
+
+
+def test_multi_probe_lsh_recall_dominates_single(spark, sf_dir):
+    """Multi-probe (1-bit-flip) candidates are a superset of the
+    single-bucket candidates, so recall vs brute force can only improve;
+    all emitted sims must still appear in the exact ranking."""
+    from poormans_kube_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+    from poormans_kube_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.nn_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    single = {
+        (r.query_id, r.nn_id)
+        for r in lsh_topk(emb, queries, k=10, multi_probe=0).collect()
+    }
+    multi = {
+        (r.query_id, r.nn_id)
+        for r in lsh_topk(emb, queries, k=10, multi_probe=1).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
