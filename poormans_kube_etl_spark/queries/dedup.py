@@ -240,3 +240,74 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs_lsh(emb, threshold=0.4).orderBy("a", "b")
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647) AS hs
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= 4 THEN
+               list_transform(range(1, len(hs) - 2),
+                 i -> ((hs[i] * 1049561761) % 2147483647
+                     + (hs[i+1] * 1426104154) % 2147483647
+                     + (hs[i+2] * 1000003) % 2147483647
+                     + (hs[i+3] * 1) % 2147483647) % 2147483647)
+             ELSE [] END AS wh
+      FROM h
+    ),
+    fp AS (SELECT DISTINCT doc_id, UNNEST(list_filter(wh, x -> x % 16 = 0)) AS f FROM w),
+    keep AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) <= 50),
+    fp2 AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep USING (f))
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp2 a JOIN fp2 b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY a, b
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style near-dup candidates: docs sharing >= 2 sampled
+    rolling-window hashes (Schleimer et al.'s fingerprint family via
+    operators/text.py rolling hashes — position-robust, unlike prefix
+    blocking). Overly-common fingerprints (> 50 docs — boilerplate
+    'stop hashes') are dropped before pairing, which is BOTH the
+    standard practice AND the hot-key guard: the pair join is keyed on
+    fingerprint values, so one boilerplate hash shared by 10^5 docs
+    would otherwise make a 10^10-row join key. Sampling (mod 16) keeps
+    the join input ~1/16 of the window stream. Fully cross-engine
+    (md5 + modular arithmetic) -> oracle-checked, unlike xxhash-based
+    MinHash."""
+    from poormans_kube_etl_spark.operators.text import rolling_window_hashes, token_hash
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.transform(tokens(normalize_text("text")), token_hash).alias("hs")
+    )
+    windowed = hashed.select("doc_id", rolling_window_hashes(F.col("hs")).alias("wh"))
+    fp = (
+        windowed.select(
+            "doc_id", F.explode(F.filter("wh", lambda x: x % 16 == 0)).alias("f")
+        )
+        .distinct()
+    )
+    keep = fp.groupBy("f").agg(F.count(F.lit(1)).alias("nd")).where(F.col("nd") <= 50)
+    fp2 = fp.join(keep.select("f"), "f")
+    a = fp2.select(F.col("doc_id").alias("a"), "f")
+    b = fp2.select(F.col("doc_id").alias("b"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .orderBy("a", "b")
+    )
