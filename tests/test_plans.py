@@ -72,6 +72,42 @@ def test_no_row_python_udfs_anywhere(q):
         assert not has_python_row_udf(q(name)), f"{name} uses BatchEvalPython"
 
 
+# Queries whose plans legitimately contain Exchange SinglePartition:
+# every entry is a 1-row global/scalar aggregate or the per-partition
+# offsets frame of the two-pass global-ordering operator (rows =
+# #partitions) — never the full input. Audited individually (r2).
+_SINGLE_PARTITION_OK = {
+    "subq_scalar_above_avg_orders",  # uncorrelated scalar subquery (1 row)
+    "orders_pareto_revenue_share",  # prefix-offset frame + 1-row totals
+    "dq_null_and_blank_rates",  # global audit aggregate (1 row)
+    "train_deterministic_shuffle",  # prefix-offset frame (#partitions rows)
+    "train_pack_shards",  # prefix-offset frame
+    "reshape_month_spine_gap_fill",  # min/max bounds aggregate (1 row)
+    "events_funnel_conversion",  # final funnel aggregate (1 row)
+    "dq_referential_integrity",  # three 1-row orphan counts
+    "dq_value_range_violations",  # four 1-row audits
+    "ref_f2_any_timestamp",  # global any-aggregate (1 row)
+    "ref_f7_ingest_file_set",  # oldest-folder limit(1) + membership
+    "dedup_exact_stats",  # global dedup accounting (1 row)
+}
+
+
+def test_no_unexpected_single_partition_exchanges(q):
+    # Exchange SinglePartition funnels its ENTIRE input through one task
+    # — the failure class fixed twice this round (global windows; see
+    # operators/ordering.py). Any new query that plans one must either
+    # be a 1-row aggregate (add to the audited allowlist) or be rewritten.
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    offenders = []
+    for name in QUERIES:
+        if name in _SINGLE_PARTITION_OK:
+            continue
+        if "Exchange SinglePartition" in formatted_plan(q(name)):
+            offenders.append(name)
+    assert not offenders, f"unaudited SinglePartition exchanges in: {offenders}"
+
+
 def test_q1_single_shuffle(q):
     # scan → partial agg → exchange on (returnflag, linestatus) → final
     assert shuffle_count(q("q1_pricing_summary")) <= 2
