@@ -249,3 +249,36 @@ def test_headerless_entity_falls_back_to_header_row(orch, tmp_path):
         f"{orch.output_dir}/graph/nodes/1538055240/thing"
     )
     assert nodes.select("thing_id", "label").collect()[0][:2] == ("7", "x")
+
+
+def test_preempt_stale_cancels_running_job_group(orch):
+    """X5 preemption (reference src/ingestor.js:136-146): a running
+    same-kind job group must actually be cancelled by preempt_stale,
+    not just ignored — pinned by racing a slow job in a thread."""
+    import threading
+    import time
+
+    params = IngestParams("1538055240", "bulk")
+    errs: list[BaseException] = []
+    started = threading.Event()
+
+    def slow_job():
+        sc = orch.spark.sparkContext
+        sc.setJobGroup(f"neo4j-{params.job_type}-{params.ingest_name}", "stale work")
+        try:
+            started.set()
+            # ~minutes of work if not cancelled: 64 partitions × 1s sleep
+            orch.spark.range(64).repartition(64).foreach(lambda r: time.sleep(1))
+        except BaseException as e:  # noqa: BLE001 - cancellation arrives as an error
+            errs.append(e)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    t = threading.Thread(target=slow_job)
+    t.start()
+    assert started.wait(10)
+    time.sleep(2)  # let the action actually submit
+    orch.preempt_stale(params)
+    t.join(60)
+    assert not t.is_alive(), "stale job still running after preemption"
+    assert errs, "cancelled job must surface an error to its owner"
