@@ -69,10 +69,15 @@ def _canon_value(v) -> str:
         return v.hex()
     if isinstance(v, bool):
         return str(bool(v))
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_canon_value(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_canon_value(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+        # The DRIVER's canonicalizer dies on these (pandas sort_values →
+        # "unhashable type: 'numpy.ndarray'", CORRECTNESS_r02). Failing
+        # here keeps the local gate exactly as strict: oracle-checked
+        # finals must be serialized (array_join / array_to_string).
+        raise TypeError(
+            "array/map-typed final cell is not driver-hashable; "
+            "serialize it (array_join on Spark, array_to_string on DuckDB)"
+        )
     if isinstance(v, int):
         return str(v)
     # numpy scalars

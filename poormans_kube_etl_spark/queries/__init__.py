@@ -64,76 +64,79 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order (CORRECTNESS_r01 recorded exactly the
-# first 50 of 127 in registration order). This list pins the checked
-# window to the highest-value queries: (a) the 9 queries whose r01
-# hash-fails were fixed this round (decimal→double finals) so the fix
-# is driver-proven, then (b) at least one representative of every
-# family that had no driver row in r01 (sessions, multimodal, extended
-# aggregates/stats, functions suites, subqueries, window frames,
-# training pipeline, corpus cleanup, analytics, data quality, reshape).
-# Families already fully driver-green in r01 (ref_*, text_*, dedup_*,
-# set ops, semi/anti joins) rotate out — their green rows are on
-# record. Everything not listed keeps registration order after these.
+# ``queries()`` iteration order. Round-3 rotation (VERDICT r02 #1b):
+# (a) the 2 queries whose r02 driver ERRORS (array-typed finals) were
+# fixed this round — must flip green first; (b) every query with no
+# driver row yet (the r02 never-swept set, minus the three fn_* scalar
+# suites consolidated into fn_scalar_suite); (c) queries whose
+# implementation changed in r02 after their r01 green row (ADVICE r02:
+# a green row no longer describes current code once the operator is
+# rewritten); (d) a few green sentinels guarding the relational spine.
+# Everything else rotates out — green rows on record.
 _PRIORITY = [
-    # r01 hash-fails, fixed this round — must flip green
+    # (a) r02 driver errors, fixed this round (serialized array finals)
+    "array_agg_statuses_per_priority",
+    "fn_array_suite",
+    # (b) never driver-checked — similarity / dedup scale paths
+    "dedup_winnowing_pairs",
+    "dedup_embedding_lsh_pairs",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_kmeans_clusters",
+    "sim_label_spectral_stats",
+    # (b) multimodal
+    "mm_decode_features",
+    "mm_frame_sample_hashes",
+    # (b) functions suites (fn_scalar_suite = merged bitwise/math/interval)
+    "fn_scalar_suite",
+    "fn_variant_props",
+    "fn_map_entries",
+    "fn_conditional_suite",
+    "fn_array_set_ops",
+    # (b) subqueries / approx / window frames
+    "subq_not_in_inactive_parts",
+    "approx_distinct_users_by_type",
+    "approx_percentile_quantity",
+    "window_range_frame_value_band",
+    "window_trailing_1h_count",
+    # (b) training pipeline
+    "train_chunk_documents",
+    "train_stratified_sample",
+    "train_deterministic_shuffle",
+    "train_decontaminate_ngram",
+    "train_pack_shards",
+    # (b) reshape
+    "reshape_unpivot_part_metrics",
+    "reshape_month_spine_gap_fill",
+    "reshape_explode_outer_shingles",
+    # (b) corpus cleanup
+    "clean_sentence_split",
+    "clean_sentence_dedup",
+    "clean_quantize_embeddings",
+    "clean_repetition_ratio",
+    "clean_quality_rules",
+    # (b) text analytics
+    "text_rolling_fingerprints",
+    "text_tfidf_top_terms",
+    "text_bigram_pmi",
+    # (b) events analytics
+    "events_zscore_outliers",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    "events_cohort_retention",
+    # (b) data quality
+    "dq_referential_integrity",
+    "dq_value_range_violations",
+    # (c) implementation changed in r02 after the r01 green/rows-only row
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    "sim_topk_bruteforce",
+    # (d) green sentinels — relational spine regression guard
     "q1_pricing_summary",
     "join_revenue_by_nation",
-    "join_lineitem_part_supplier",
-    "top10_orders_by_price",
     "window_top3_orders_per_customer",
-    "window_running_revenue",
-    "rollup_acctbal_by_region_nation",
-    "scalar_string_date_math",
-    "sim_label_centroids",
-    # sessions / as-of / range (no r01 driver rows)
-    "sess_tumbling_hourly",
-    "sess_session_window_30m",
     "sess_asof_last_signup",
-    "sess_range_self_join_5m",
-    "sess_hopping_2h_1h",
-    "sess_debounce_10s",
-    # multimodal
-    "mm_binary_stats",
-    "mm_props_typed",
-    "mm_frame_sample_plan",
-    # extended relational / stats
-    "join_left_customer_order_stats",
-    "join_full_outer_nation_balance",
-    "groupingsets_order_revenue",
-    "pivot_status_revenue_by_priority",
-    "agg_filtered_conditional",
-    "agg_min_by_max_by",
-    "percentile_quantity_by_flag",
-    "stats_price_quantity_corr",
-    "agg_mode_by_group",
-    "agg_histogram_quantity",
-    "array_agg_statuses_per_priority",
-    "stats_regression_by_type",
-    "fn_null_semantics",
-    "join_relational_division",
-    "events_hourly_seasonality",
-    # functions suites
-    "fn_json_construct_extract",
-    "fn_string_suite",
-    "fn_datetime_suite",
-    "fn_array_suite",
-    "agg_boolean_family",
-    # subqueries
-    "subq_scalar_above_avg_orders",
-    "subq_correlated_scalar_max_item",
-    "subq_exists_high_value_customers",
-    # window frames
-    "window_sliding_3row_avg",
-    "window_rank_family",
-    "window_first_last_value",
-    "agg_string_concat_ordered",
-    # training pipeline / cleanup / analytics / dq / reshape
-    "train_bpe_ish_token_counts",
-    "train_split_by_hash",
-    "clean_scrub_pii",
-    "orders_pareto_revenue_share",
-    "dq_null_and_blank_rates",
 ]
 
 
@@ -150,10 +153,10 @@ def load_all() -> None:
     _loaded = True
 
 
-# Queries with a fully-green CORRECTNESS_r01 row (rows+schema+hash, or
-# deterministic rows-only). If the driver's sweep extends past the
-# priority window, never-checked queries should be reached BEFORE
-# re-checking these.
+# Queries with a fully-green driver row (rows+schema+hash, or
+# deterministic rows-only) from CORRECTNESS_r01/r02. If the driver's
+# sweep extends past the priority window, never-checked queries should
+# be reached BEFORE re-checking these.
 _R01_GREEN = frozenset(
     {
         "join_semi_customers_with_orders",
@@ -200,13 +203,70 @@ _R01_GREEN = frozenset(
     }
 )
 
+# CORRECTNESS_r02 green rows (48 of 50 checked; the 2 errors are in
+# _PRIORITY slot (a) above).
+_R02_GREEN = frozenset(
+    {
+        "q1_pricing_summary",
+        "join_revenue_by_nation",
+        "join_lineitem_part_supplier",
+        "top10_orders_by_price",
+        "window_top3_orders_per_customer",
+        "window_running_revenue",
+        "rollup_acctbal_by_region_nation",
+        "scalar_string_date_math",
+        "sim_label_centroids",
+        "sess_tumbling_hourly",
+        "sess_session_window_30m",
+        "sess_asof_last_signup",
+        "sess_range_self_join_5m",
+        "sess_hopping_2h_1h",
+        "sess_debounce_10s",
+        "mm_binary_stats",
+        "mm_props_typed",
+        "mm_frame_sample_plan",
+        "join_left_customer_order_stats",
+        "join_full_outer_nation_balance",
+        "groupingsets_order_revenue",
+        "pivot_status_revenue_by_priority",
+        "agg_filtered_conditional",
+        "agg_min_by_max_by",
+        "percentile_quantity_by_flag",
+        "stats_price_quantity_corr",
+        "agg_mode_by_group",
+        "agg_histogram_quantity",
+        "stats_regression_by_type",
+        "fn_null_semantics",
+        "join_relational_division",
+        "events_hourly_seasonality",
+        "fn_json_construct_extract",
+        "fn_string_suite",
+        "fn_datetime_suite",
+        "agg_boolean_family",
+        "subq_scalar_above_avg_orders",
+        "subq_correlated_scalar_max_item",
+        "subq_exists_high_value_customers",
+        "window_sliding_3row_avg",
+        "window_rank_family",
+        "window_first_last_value",
+        "agg_string_concat_ordered",
+        "train_bpe_ish_token_counts",
+        "train_split_by_hash",
+        "clean_scrub_pii",
+        "orders_pareto_revenue_share",
+        "dq_null_and_blank_rates",
+    }
+)
+
+_DRIVER_GREEN = _R01_GREEN | _R02_GREEN
+
 
 def _ordered(mapping: dict) -> dict:
     head = {n: mapping[n] for n in _PRIORITY if n in mapping}
     rest = [n for n in mapping if n not in head]
-    # never-driver-checked first, r01-green last (registration order
+    # never-driver-checked first, driver-green last (registration order
     # within each class)
-    tail = sorted(rest, key=lambda n: n in _R01_GREEN)
+    tail = sorted(rest, key=lambda n: n in _DRIVER_GREEN)
     return {**head, **{n: mapping[n] for n in tail}}
 
 

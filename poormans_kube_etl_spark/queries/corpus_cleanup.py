@@ -158,8 +158,9 @@ def clean_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
-           list_transform(v, x -> CAST(FLOOR((x - lo) / NULLIF(hi - lo, 0) * 255) AS INT))
-             AS q8,
+           array_to_string(
+             list_transform(v, x -> CAST(FLOOR((x - lo) / NULLIF(hi - lo, 0) * 255) AS INT)),
+             ',') AS q8,
            CAST(LEN(v) AS INT) AS dim
     FROM b
     ORDER BY vec_id
@@ -175,11 +176,18 @@ def clean_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform("embedding", lambda x: x.cast("double"))
     lo, hi = F.array_min(v), F.array_max(v)
     base = emb.select("vec_id", v.alias("v"), lo.alias("lo"), hi.alias("hi"))
-    q8 = F.transform(
-        "v",
-        lambda x: F.floor(
-            (x - F.col("lo")) / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)) * 255
-        ).cast("int"),
+    # serialized to a ','-joined string: array finals are
+    # driver-unhashable (CORRECTNESS_r02)
+    q8 = F.array_join(
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                (x - F.col("lo"))
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+                * 255
+            ).cast("int").cast("string"),
+        ),
+        ",",
     )
     # q8 in its own projection: aliasing round(lo) AS lo in the same
     # select would make Spark's LATERAL column-alias resolution bind

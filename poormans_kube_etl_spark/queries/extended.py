@@ -330,7 +330,7 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_statuses_per_priority",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -338,13 +338,17 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def array_agg_statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered set-collect per group (collect_set + array_sort) — array
-    results must carry a deterministic order to be hash-comparable."""
+    """Ordered set-collect per group (collect_set + array_sort), serialized
+    to a ','-joined string — array-typed final columns are banned in
+    oracle-checked queries because the driver's pandas canonicalizer
+    cannot hash ndarray cells (r02 driver error)."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("o_orderpriority")

@@ -87,7 +87,7 @@ def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT) AS n,
            CAST(element_at(m, 'count')[1] AS BIGINT) AS from_map_count,
            CAST(element_at(m, 'users')[1] AS BIGINT) AS from_map_users,
-           list_sort(map_keys(m)) AS keys
+           array_to_string(list_sort(map_keys(m)), ',') AS keys
     FROM (
       SELECT event_type, COUNT(*) AS n,
              MAP(['count', 'users'], [COUNT(*), COUNT(DISTINCT user_id)]) AS m
@@ -113,7 +113,8 @@ def fn_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.element_at(m, "count").alias("from_map_count"),
         F.element_at(m, "users").alias("from_map_users"),
-        F.array_sort(F.map_keys(m)).alias("keys"),
+        # serialized: array finals are driver-unhashable (CORRECTNESS_r02)
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
     ).orderBy("event_type")
 
 
@@ -241,7 +242,7 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS vec_max,
            ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 6) AS vec_min,
            ROUND((embedding::DOUBLE[])[1], 6) AS first_dim,
-           list_sort(list_transform(embedding[1:3]::DOUBLE[], x -> round(x, 6))) AS head3_sorted,
+           array_to_string(list_sort(list_transform(embedding[1:3]::DOUBLE[], x -> printf('%.6f', round(x, 6)))), ',') AS head3_sorted,
            CAST(list_count(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_positive
     FROM embeddings
     ORDER BY vec_id
@@ -262,75 +263,38 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(v), 6).alias("vec_max"),
         F.round(F.array_min(v), 6).alias("vec_min"),
         F.round(F.get(v, 0), 6).alias("first_dim"),
-        F.array_sort(
-            F.transform(F.slice(v, 1, 3), lambda x: F.round(x, 6))
+        # serialized to a string: array-typed finals crash the driver's
+        # pandas canonicalizer (r02); %.6f after round(…,6) formats
+        # identically on both engines, and the sort is over the strings
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.slice(v, 1, 3),
+                    lambda x: F.format_string("%.6f", F.round(x, 6)),
+                )
+            ),
+            ",",
         ).alias("head3_sorted"),
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
     ).orderBy("vec_id")
 
 
 @register(
-    "fn_bitwise_suite",
+    "fn_scalar_suite",
     oracle="""
     SELECT event_id,
            CAST(user_id & 255 AS BIGINT) AS low_byte,
            CAST(user_id | 4096 AS BIGINT) AS with_flag,
            CAST(xor(user_id, event_id) AS BIGINT) AS mixed,
            CAST(user_id << 2 AS BIGINT) AS shl2,
-           CAST(user_id >> 1 AS BIGINT) AS shr1
-    FROM events
-    ORDER BY event_id
-    """,
-)
-def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise scalar family: and/or/xor/shifts — the flag-mask and
-    hash-mixing primitives."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.col("user_id").bitwiseAND(F.lit(255)).alias("low_byte"),
-        F.col("user_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
-        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("mixed"),
-        F.shiftleft("user_id", 2).alias("shl2"),
-        F.shiftright("user_id", 1).alias("shr1"),
-    ).orderBy("event_id")
-
-
-@register(
-    "fn_math_suite",
-    oracle="""
-    SELECT event_id,
+           CAST(user_id >> 1 AS BIGINT) AS shr1,
            ROUND(sin(value / 10.0), 6) AS sin_v,
            ROUND(atan2(value, 7.0), 6) AS atan2_v,
            ROUND(log10(value + 1.0), 6) AS log10_v,
            ROUND(exp(value / 100.0), 6) AS exp_v,
            ROUND(cbrt(value), 6) AS cbrt_v,
            CAST(sign(value - 50.0) AS INT) AS sign_v,
-           ROUND(ln(GREATEST(value, 0.5)), 6) AS ln_v
-    FROM events
-    ORDER BY event_id
-    """,
-)
-def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcendental/math scalar family — identical libm-level results
-    on both engines, rounded to 6 dp against representation noise."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.round(F.sin(F.col("value") / 10.0), 6).alias("sin_v"),
-        F.round(F.atan2(F.col("value"), F.lit(7.0)), 6).alias("atan2_v"),
-        F.round(F.log10(F.col("value") + 1.0), 6).alias("log10_v"),
-        F.round(F.exp(F.col("value") / 100.0), 6).alias("exp_v"),
-        F.round(F.cbrt("value"), 6).alias("cbrt_v"),
-        F.signum(F.col("value") - 50.0).cast("int").alias("sign_v"),
-        F.round(F.log(F.greatest(F.col("value"), F.lit(0.5))), 6).alias("ln_v"),
-    ).orderBy("event_id")
-
-
-@register(
-    "fn_interval_arithmetic",
-    oracle="""
-    SELECT event_id,
+           ROUND(ln(GREATEST(value, 0.5)), 6) AS ln_v,
            strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus_90m,
            strftime(ts - INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') AS minus_2d,
            CAST(date_diff('minute', date_trunc('day', ts), ts) AS BIGINT) AS minutes_into_day
@@ -338,13 +302,29 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id
     """,
 )
-def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval arithmetic on timestamps, compared as formatted strings
-    (pandas timestamp-unit promotion differs between engines)."""
+def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function families merged into one sweep row (VERDICT r02
+    #5: consolidate the long tail): bitwise and/or/xor/shifts (the
+    flag-mask and hash-mixing primitives), transcendental math rounded
+    to 6 dp against representation noise, and interval arithmetic on
+    timestamps compared as formatted strings (pandas timestamp-unit
+    promotion differs between engines). One row per event, one scan."""
     ev = _t(spark, sf_dir, "events")
     fmt = "yyyy-MM-dd HH:mm:ss"
     return ev.select(
         "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft("user_id", 2).alias("shl2"),
+        F.shiftright("user_id", 1).alias("shr1"),
+        F.round(F.sin(F.col("value") / 10.0), 6).alias("sin_v"),
+        F.round(F.atan2(F.col("value"), F.lit(7.0)), 6).alias("atan2_v"),
+        F.round(F.log10(F.col("value") + 1.0), 6).alias("log10_v"),
+        F.round(F.exp(F.col("value") / 100.0), 6).alias("exp_v"),
+        F.round(F.cbrt("value"), 6).alias("cbrt_v"),
+        F.signum(F.col("value") - 50.0).cast("int").alias("sign_v"),
+        F.round(F.log(F.greatest(F.col("value"), F.lit(0.5))), 6).alias("ln_v"),
         F.date_format(F.col("ts") + F.expr("INTERVAL 90 MINUTE"), fmt).alias("plus_90m"),
         F.date_format(F.col("ts") - F.expr("INTERVAL 2 DAY"), fmt).alias("minus_2d"),
         (
@@ -389,9 +369,9 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_set_ops",
     oracle="""
     SELECT vec_id,
-           list_sort(list_distinct(list_intersect(a, b))) AS inter,
-           list_sort(list_distinct(a || b)) AS uni,
-           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS diff,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS inter,
+           COALESCE(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS uni,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS diff,
            list_has_any(a, b) AS overlaps
     FROM (
       SELECT vec_id,
@@ -410,10 +390,18 @@ def fn_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.array(F.col("vec_id") % 7, F.col("vec_id") % 5, F.col("vec_id") % 3)
     b = F.array(F.col("vec_id") % 5, F.col("vec_id") % 4)
     base = emb.select("vec_id", a.alias("a"), b.alias("b"))
+
+    # serialized finals: array-typed outputs are driver-unhashable
+    # (CORRECTNESS_r02); sort numerically first, then join as strings
+    def ser(col):
+        return F.array_join(
+            F.transform(F.array_sort(col), lambda x: x.cast("string")), ","
+        )
+
     return base.select(
         "vec_id",
-        F.array_sort(F.array_intersect("a", "b")).alias("inter"),
-        F.array_sort(F.array_union("a", "b")).alias("uni"),
-        F.array_sort(F.array_except("a", "b")).alias("diff"),
+        ser(F.array_intersect("a", "b")).alias("inter"),
+        ser(F.array_union("a", "b")).alias("uni"),
+        ser(F.array_except("a", "b")).alias("diff"),
         F.arrays_overlap("a", "b").alias("overlaps"),
     ).orderBy("vec_id")

@@ -43,6 +43,16 @@ def test_canon_is_driver_strict():
     assert compare_frames(
         "same", pd.DataFrame({"x": [138014.0]}), pd.DataFrame({"x": [138014.0]})
     ).ok
+    # array cells must RAISE, like the driver's canonicalizer crash
+    # (CORRECTNESS_r02) — not stringify-and-pass
+    import numpy as np
+
+    with pytest.raises(TypeError, match="driver-hashable|not driver"):
+        compare_frames(
+            "array_cell",
+            pd.DataFrame({"x": [np.array([1.0, 2.0])]}),
+            pd.DataFrame({"x": [np.array([1.0, 2.0])]}),
+        )
 
 
 def test_no_decimal_typed_outputs(spark):
@@ -51,13 +61,25 @@ def test_no_decimal_typed_outputs(spark):
     any decimal output hash-fails at the driver even when values are
     identical (CORRECTNESS_r01). Finals go through functions.hash_safe
     (decimal → double) or integer types instead."""
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType
+
+    from poormans_kube_etl_spark.queries import all_oracles
 
     sf = "/root/testdata/sf0.001"
+    oracled = set(all_oracles())
     offenders = []
+    array_offenders = []
     for name, fn in all_queries().items():
         df = fn(spark, sf)
         for f in df.schema.fields:
             if isinstance(f.dataType, DecimalType):
                 offenders.append(f"{name}.{f.name}")
+            # arrays/maps in ORACLE-CHECKED finals crash the driver's
+            # pandas canonicalizer (CORRECTNESS_r02: unhashable ndarray)
+            if name in oracled and isinstance(f.dataType, (ArrayType, MapType)):
+                array_offenders.append(f"{name}.{f.name}")
     assert not offenders, f"decimal-typed final columns: {offenders}"
+    assert not array_offenders, (
+        f"array/map-typed final columns in oracle-checked queries "
+        f"(driver-unhashable, serialize with array_join): {array_offenders}"
+    )
