@@ -153,12 +153,19 @@ def embedding_near_pairs_lsh(
     Banding math: two vectors at angle θ agree on one hyperplane sign
     with prob 1 − θ/π; a band of r planes matches with (1 − θ/π)^r, and
     b bands give recall 1 − (1 − p^r)^b — r trades precision against
-    recall exactly like MinHash bands. Candidates are generated by ONE
-    groupBy on (band, bucket) and verified with exact cosine; the
-    hot-bucket guard star-links oversized buckets (same trade as
-    minhash.lsh_candidate_pairs). Each vector contributes ``bands``
-    bucket rows carrying its vector — at billion-vector scale quantize
-    first (clean_quantize_embeddings) to shrink that exchange.
+    recall exactly like MinHash bands.
+
+    Scale shape (VERDICT r02 #2): the bucket exchange carries ONLY
+    ``(vid, band_id, bucket)`` — all ``bands`` signatures are computed
+    map-side in one projection and the vector is dropped BEFORE the
+    explode, so the shuffle is O(bands · ids), not bands × corpus-bytes.
+    Candidate id pairs are generated per (band, bucket) from the sorted
+    vid list (hot buckets star-link to the min-id representative, same
+    trade as minhash.lsh_candidate_pairs), deduped across bands while
+    still bare ids, and only the surviving candidates join the vectors
+    back (twice, id-keyed) for the exact-cosine verify — each cosine is
+    computed once per unique pair instead of once per colliding band.
+    Pinned by ``test_embedding_lsh_bucket_exchange_is_id_only``.
     """
     v = to_double_vec(vec_col)
 
@@ -185,57 +192,54 @@ def embedding_near_pairs_lsh(
             acc = acc * 2 + bit.cast("long")
         return acc
 
-    banded = embeddings.select(F.col(id_col).alias("vid"), v.alias("_v")).select(
-        "vid",
-        "_v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), band_bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vid", "_v", "bb.band_id", "bb.bucket")
+    sigs = (
+        embeddings.select(F.col(id_col).alias("vid"), v.alias("_v"))
+        .select(
+            "vid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band_id"), band_bucket(b).alias("bucket"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("vid", "bb.band_id", "bb.bucket")
+    )
     buckets = (
-        banded.groupBy("band_id", "bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("vid", "_v"))).alias("vs"))
-        .where(F.size("vs") > 1)
+        sigs.groupBy("band_id", "bucket")
+        .agg(F.array_sort(F.collect_list("vid")).alias("vids"))
+        .where(F.size("vids") > 1)
     )
     pair_structs = F.flatten(
         F.transform(
-            "vs",
+            "vids",
             lambda a, i: F.transform(
-                F.slice("vs", i + 2, F.size("vs")),
-                lambda b: F.struct(
-                    a.getField("vid").alias("a"),
-                    b.getField("vid").alias("b"),
-                    cosine(a.getField("_v"), b.getField("_v")).alias("cos_sim"),
-                ),
+                F.slice("vids", i + 2, F.size("vids")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
             ),
         )
     )
     all_pairs = (
-        buckets.where(F.size("vs") <= max_bucket)
+        buckets.where(F.size("vids") <= max_bucket)
         .select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b", "p.cos_sim")
+        .select("p.a", "p.b")
     )
     star_pairs = (
-        buckets.where(F.size("vs") > max_bucket)
+        buckets.where(F.size("vids") > max_bucket)
         .select(
-            F.element_at("vs", 1).alias("r"),
-            F.slice("vs", 2, F.size("vs")).alias("rest"),
-        )
-        .select("r", F.explode("rest").alias("m"))
-        .select(
-            F.col("r.vid").alias("a"),
-            F.col("m.vid").alias("b"),
-            cosine(F.col("r._v"), F.col("m._v")).alias("cos_sim"),
+            F.element_at("vids", 1).alias("a"),
+            F.explode(F.slice("vids", 2, F.size("vids"))).alias("b"),
         )
     )
+    cands = all_pairs.unionByName(star_pairs).distinct()
+    va = embeddings.select(F.col(id_col).alias("a"), v.alias("_va"))
+    vb = embeddings.select(F.col(id_col).alias("b"), v.alias("_vb"))
     return (
-        all_pairs.unionByName(star_pairs)
-        .distinct()
+        cands.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 

@@ -178,6 +178,28 @@ def test_topk_is_two_stage(q, spark, sf_dir):
     assert _topk_per_query(scored, k).count() == k * n_queries
 
 
+def test_embedding_lsh_bucket_exchange_is_id_only(q):
+    # VERDICT r02 #2: each vector used to ride `bands`× through the
+    # (band, bucket) exchange carrying its full array<double>. The
+    # candidate stage must shuffle bare ids only; vectors rejoin
+    # (id-keyed, O(candidates)) for the exact-cosine verify.
+    import re
+
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q("dedup_embedding_lsh_pairs"))
+    bucket_exchanges = 0
+    for m in re.finditer(r"\(\d+\) Exchange\s*\n(.*?)(?=\n\(\d+\)|\Z)", plan, re.S):
+        body = m.group(1)
+        if "band_id" not in body:
+            continue
+        bucket_exchanges += 1
+        inp = re.search(r"Input \[\d+\]: \[(.*?)\]", body)
+        assert inp is not None
+        assert "_v#" not in inp.group(1), f"vector riding bucket exchange: {inp.group(1)}"
+    assert bucket_exchanges >= 1, "expected a (band_id, bucket)-keyed exchange"
+
+
 def test_global_order_has_no_single_partition_data_path(q):
     # row_number().over(Window.orderBy(...)) plans as Exchange
     # SinglePartition on the FULL input — the one-task funnel. The
