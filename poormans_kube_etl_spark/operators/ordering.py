@@ -49,8 +49,18 @@ def with_global_order(
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ranged = df.repartitionByRange(n, *order_by).withColumn(
-        _PID, F.spark_partition_id()
+    # Both consumers below (the local window and the per-partition
+    # stats) must observe IDENTICAL range-partition boundaries. Relying
+    # on exchange reuse for that is fragile: RangePartitioner samples
+    # with an rdd.id-derived seed, so if the two plan branches fail to
+    # canonicalize to one exchange (or reuse is disabled), each branch
+    # could sample different bounds and the prefix offsets would be
+    # silently wrong. A lazy localCheckpoint pins ONE materialization —
+    # both branches read the same cached RDD, partition ids frozen.
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy(_PID)

@@ -72,9 +72,17 @@ def merge_into(
     fs, dst = hadoop_fs(spark, target_path)
     _, aside = hadoop_fs(spark, old)
     _, src = hadoop_fs(spark, staging)
-    if not fs.rename(dst, aside):
+    # rename of a missing source returns False, so re-probe the target
+    # right before the swap: if it vanished since the read (or this is a
+    # bootstrap that raced past the early return), skip the aside step
+    # and promote staging directly — and never leave staging behind on
+    # a failed swap.
+    if fs.exists(dst) and not fs.rename(dst, aside):
+        delete_path(spark, staging)
         raise IOError(f"merge_into: failed to move {target_path} aside")
     if not fs.rename(src, dst):
-        fs.rename(aside, dst)
+        if fs.exists(aside):
+            fs.rename(aside, dst)
+        delete_path(spark, staging)
         raise IOError(f"merge_into: failed to move staging into {target_path}")
     delete_path(spark, old)

@@ -193,7 +193,9 @@ def train_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_decontaminate_ngram",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
     ),
     sh AS (
       SELECT doc_id,

@@ -173,7 +173,7 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_trailing_1h_count",
     oracle="""
     SELECT event_id, user_id,
-           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
              AS n_last_hour
     FROM events
