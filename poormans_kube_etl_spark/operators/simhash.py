@@ -51,13 +51,17 @@ def simhash_bits_df(
     ex = docs.select(id_col, F.explode(toks).alias("tok")).select(
         id_col, F.xxhash64("tok").alias("h")
     )
-    sums = [
-        F.sum(F.getbit(F.col("h"), F.lit(b)) * 2 - 1).alias(f"b{b}")
-        for b in range(_BITS)
-    ]
-    agg = ex.groupBy(id_col).agg(*sums)
+    # sign(sum(bit*2-1)) == (2*ones > n): accumulate the raw bit counts
+    # plus one token count instead of 64 sign terms — drops a multiply
+    # and subtract from every (token, bit) aggregate update, the hottest
+    # loop of the signature stage
+    sums = [F.sum(F.getbit(F.col("h"), F.lit(b))).alias(f"b{b}") for b in range(_BITS)]
+    agg = ex.groupBy(id_col).agg(*sums, F.count(F.lit(1)).alias("__n"))
     bits = F.array(
-        *[F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)) for b in range(_BITS)]
+        *[
+            F.when(F.col(f"b{b}") * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
+            for b in range(_BITS)
+        ]
     )
     return agg.select(id_col, bits.alias("bits"))
 
@@ -204,9 +208,15 @@ def simhash_near_duplicates(
             ),
         )
     )
+    # threshold filter INSIDE the array, before the explode: hamming is a
+    # pure function of (a, b), so filtering early changes nothing
+    # semantically but the Generate now emits only true near-dups and the
+    # distinct below shuffles matching pairs instead of every candidate
+    # pair a bucket produced
+    matching = F.filter(pair_structs, lambda p: p.getField("hamming") <= max_hamming)
     all_pairs = (
         buckets.where(F.size("ds") <= max_bucket)
-        .select(F.explode(pair_structs).alias("p"))
+        .select(F.explode(matching).alias("p"))
         .select("p.a", "p.b", "p.hamming")
     )
     # The representative and the sliced remainder are materialized in
@@ -227,5 +237,5 @@ def simhash_near_duplicates(
             hamming_distance_packed(F.col("r.pk"), F.col("m.pk")).alias("hamming"),
         )
     )
-    pairs = all_pairs.unionByName(star_pairs).distinct()
-    return pairs.where(F.col("hamming") <= max_hamming)
+    star_pairs = star_pairs.where(F.col("hamming") <= max_hamming)
+    return all_pairs.unionByName(star_pairs).distinct()
