@@ -43,6 +43,9 @@ HEADLINE = [
     "percentile_quantity_by_flag",
     "groupingsets_order_revenue",
     "join_left_customer_order_stats",
+    # r03 additions (VERDICT r02 #8): the two new scale operators
+    "dedup_embedding_lsh_pairs",
+    "train_pack_shards",
 ]
 
 
@@ -99,6 +102,21 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     out["dedup_simhash_pairs"] = {
         "fingerprints": round(t_fp, 4),
         "pairs_delta": round(t_pairs - t_fp, 4),
+    }
+
+    from poormans_kube_etl_spark.operators.similarity import (
+        embedding_lsh_candidate_pairs,
+        embedding_near_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ecands = embedding_lsh_candidate_pairs(emb)
+    t_ecand = timed(ecands)
+    epairs = embedding_near_pairs_lsh(emb, threshold=0.4)
+    t_epairs = timed(epairs)
+    out["dedup_embedding_lsh_pairs"] = {
+        "candidates": round(t_ecand, 4),
+        "verify_delta": round(t_epairs - t_ecand, 4),
     }
     return out
 

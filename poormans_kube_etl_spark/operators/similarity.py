@@ -136,9 +136,8 @@ def random_hyperplane_buckets(
     return embeddings.select(id_col, vec_col).withColumn("bucket", bucket)
 
 
-def embedding_near_pairs_lsh(
+def embedding_lsh_candidate_pairs(
     embeddings: DataFrame,
-    threshold: float = 0.8,
     bands: int = 8,
     planes_per_band: int = 8,
     id_col: str = "vec_id",
@@ -146,14 +145,9 @@ def embedding_near_pairs_lsh(
     dim: int = 64,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Full-corpus embedding near-dup pairs (a, b, cos_sim >= threshold)
-    via banded sign-random-projection LSH — the scale path whose exact
-    anchor is the capped all-pairs query (dedup_embedding_near_pairs).
-
-    Banding math: two vectors at angle θ agree on one hyperplane sign
-    with prob 1 − θ/π; a band of r planes matches with (1 − θ/π)^r, and
-    b bands give recall 1 − (1 − p^r)^b — r trades precision against
-    recall exactly like MinHash bands.
+    """Deduped candidate id pairs (a, b) from banded SRP-LSH buckets —
+    the id-only half of ``embedding_near_pairs_lsh``, exposed so the
+    bench can attribute candidate-generation vs verify cost.
 
     Scale shape (VERDICT r02 #2): the bucket exchange carries ONLY
     ``(vid, band_id, bucket)`` — all ``bands`` signatures are computed
@@ -161,11 +155,9 @@ def embedding_near_pairs_lsh(
     explode, so the shuffle is O(bands · ids), not bands × corpus-bytes.
     Candidate id pairs are generated per (band, bucket) from the sorted
     vid list (hot buckets star-link to the min-id representative, same
-    trade as minhash.lsh_candidate_pairs), deduped across bands while
-    still bare ids, and only the surviving candidates join the vectors
-    back (twice, id-keyed) for the exact-cosine verify — each cosine is
-    computed once per unique pair instead of once per colliding band.
-    Pinned by ``test_embedding_lsh_bucket_exchange_is_id_only``.
+    trade as minhash.lsh_candidate_pairs) and deduped across bands while
+    still bare ids. Pinned by
+    ``test_embedding_lsh_bucket_exchange_is_id_only``.
     """
     v = to_double_vec(vec_col)
 
@@ -233,7 +225,37 @@ def embedding_near_pairs_lsh(
             F.explode(F.slice("vids", 2, F.size("vids"))).alias("b"),
         )
     )
-    cands = all_pairs.unionByName(star_pairs).distinct()
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Full-corpus embedding near-dup pairs (a, b, cos_sim >= threshold)
+    via banded sign-random-projection LSH — the scale path whose exact
+    anchor is the capped all-pairs query (dedup_embedding_near_pairs).
+
+    Banding math: two vectors at angle θ agree on one hyperplane sign
+    with prob 1 − θ/π; a band of r planes matches with (1 − θ/π)^r, and
+    b bands give recall 1 − (1 − p^r)^b — r trades precision against
+    recall exactly like MinHash bands.
+
+    Candidates come id-only from ``embedding_lsh_candidate_pairs``; only
+    the surviving unique pairs join the vectors back (twice, id-keyed)
+    for the exact-cosine verify — each cosine is computed once per
+    unique pair instead of once per colliding band.
+    """
+    cands = embedding_lsh_candidate_pairs(
+        embeddings, bands, planes_per_band, id_col, vec_col, dim, max_bucket
+    )
+    v = to_double_vec(vec_col)
     va = embeddings.select(F.col(id_col).alias("a"), v.alias("_va"))
     vb = embeddings.select(F.col(id_col).alias("b"), v.alias("_vb"))
     return (

@@ -140,10 +140,14 @@ class Orchestrator:
 
     # ---- filesystem (Hadoop FS: file:// in tests, s3a:// in prod) ----
 
-    def list_keys(self) -> list[str]:
-        """S1 prefix scan: all keys under ``pending/``, relative to the
-        landing dir (the reference's listObjectsV2 Contents[].Key)."""
-        return ingest_sources.list_prefix(self.spark, self.landing_dir, PENDING_PREFIX)
+    def list_keys(self, folder: str | None = None) -> list[str]:
+        """S1 prefix scan: all keys under ``pending/`` (or just
+        ``pending/<folder>`` when given), relative to the landing dir
+        (the reference's listObjectsV2 Contents[].Key — which takes the
+        same narrower Prefix for the manifest probe,
+        src/ingestor.js:111-113)."""
+        prefix = PENDING_PREFIX if folder is None else f"{PENDING_PREFIX}/{folder}"
+        return ingest_sources.list_prefix(self.spark, self.landing_dir, prefix)
 
     # ---- selection (P1/P2/F1/F3/O1 as DataFrame ops) ----
 
@@ -182,12 +186,10 @@ class Orchestrator:
         )
 
     def ingest_files(self, params: IngestParams) -> list[str]:
-        """F7: keys belonging to this ingest (payload csv.gz only)."""
-        name = params.ingest_name
+        """F7: keys belonging to this ingest (payload csv.gz only) —
+        listed under the ingest's own prefix, not the whole landing dir."""
         return [
-            k
-            for k in self.list_keys()
-            if k.split("/")[1:2] == [name] and k.endswith(".csv.gz")
+            k for k in self.list_keys(params.ingest_name) if k.endswith(".csv.gz")
         ]
 
     # ---- manifest verification (the implied join, upgraded to real) ----
@@ -482,7 +484,9 @@ class Orchestrator:
                 }
             )
             for folder in folders:
-                keys = [k for k in self.list_keys() if k.split("/")[1:2] == [folder]]
+                # prefix-scoped: list only this folder's subtree, not the
+                # whole landing dir per discovered folder (VERDICT r02 #9)
+                keys = self.list_keys(folder)
                 marker = next(
                     (k.split("/")[2] for k in keys if k.split("/")[2:3] and k.split("/")[2] in MARKER_FILES),
                     None,

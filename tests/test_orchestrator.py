@@ -137,11 +137,11 @@ def test_transient_listing_errors_retry_then_succeed(orch, monkeypatch):
     real_list = type(orch).list_keys
     calls = {"n": 0}
 
-    def flaky(self):
+    def flaky(self, folder=None):
         calls["n"] += 1
         if calls["n"] <= 2:
             raise OSError("connection reset by S3")
-        return real_list(self)
+        return real_list(self, folder)
 
     monkeypatch.setattr(type(orch), "list_keys", flaky)
     assert orch.run_once() is None  # listing error #1 → re-poll

@@ -94,6 +94,50 @@ def test_zordered_write_clusters_both_columns(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
 
 
+def test_merge_into_partition_scoped_swap(spark, tmp_path):
+    """VERDICT r02 #7: a small delta touching ONE partition must leave
+    every untouched partition's files byte-identical — the partition-
+    scoped path reads and swaps only the touched directories."""
+    import hashlib
+
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    path = str(tmp_path / "pt")
+    spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("day"),
+        (F.col("id") * 10).alias("v"),
+    ).write.partitionBy("day").parquet(path)
+
+    def snapshot(day):
+        return {
+            os.path.basename(f): hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in glob.glob(f"{path}/day={day}/*.parquet")
+        }
+
+    before = {d: snapshot(d) for d in (0, 1, 2)}
+    # 1% delta, all in day=1: one update + one insert
+    delta = spark.createDataFrame([(1, 1, 999), (9001, 1, 111)], "k long, day long, v long")
+
+    # the pruned target scan must plan a real partition filter
+    target = spark.read.parquet(path).where(F.col("day").eqNullSafe(F.lit(1)))
+    plan = formatted_plan(target)
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+
+    merge_into(spark, path, delta, keys=["k"], partition_cols=["day"])
+
+    # untouched partitions: same files, same bytes
+    assert snapshot(0) == before[0]
+    assert snapshot(2) == before[2]
+    # touched partition rewritten
+    assert snapshot(1) != before[1]
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got[1] == 999 and got[9001] == 111 and got[0] == 0 and got[2] == 20
+    assert len(got) == 301
+    assert not glob.glob(f"{path}__merging*") and not glob.glob(f"{path}/day=*__old")
+
+
 def test_merge_into_null_key_rows(spark, tmp_path):
     """eqNullSafe join ⇒ NULL key values are legitimate; a NULL-keyed
     update row must UPDATE its NULL-keyed target match, not duplicate
