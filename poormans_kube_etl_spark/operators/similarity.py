@@ -108,6 +108,60 @@ def brute_force_topk(
     return _topk_per_query(scored.select("query_id", "nn_id", sim.alias("sim")), k)
 
 
+_PLANE_CACHE: dict[tuple[int, int], list[list[float]]] = {}
+
+
+def _hyperplanes(spark, n_planes: int, dim: int) -> list[list[float]]:
+    """The deterministic SRP hyperplanes as driver-side literals.
+
+    Component j of plane p = (xxhash64(p, j) % 1001 - 500) / 500 —
+    unchanged from the original per-row expression, but evaluated ONCE
+    in a 1-row control-plane job (k×dim model state, same class as the
+    kmeans centroids) and embedded as constant arrays. The per-row
+    expression form re-ran n_planes × dim xxhash64 calls plus array
+    construction for EVERY data row (4096 hashes/row at 8×8 bands ×
+    64 dims — measured as the dominant cost of the candidate stage).
+    """
+    key = (n_planes, dim)
+    if key not in _PLANE_CACHE:
+        row = (
+            spark.range(1)
+            .select(
+                F.array(
+                    *[
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda j, p=p: ((F.xxhash64(F.lit(p), j) % 1001) - 500).cast(
+                                "double"
+                            )
+                            / 500.0,
+                        )
+                        for p in range(n_planes)
+                    ]
+                ).alias("planes")
+            )
+            .collect()[0]
+        )
+        _PLANE_CACHE[key] = [list(p) for p in row.planes]
+    return _PLANE_CACHE[key]
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    """A constant array<double> column (folds to one Literal)."""
+    return F.array(*[F.lit(float(x)) for x in plane])
+
+
+def _dot_cols_sql(a: str, b: str, dim: int) -> str:
+    """``a · b`` for two array<double> columns as ONE parsed SQL string
+    of plain arithmetic: runs inside whole-stage codegen (higher-order
+    folds are interpreted per element) and costs one F.expr parse
+    instead of per-element Column construction. The leading 0D and
+    left-to-right chain reproduce ``dot()``'s float summation order
+    bit-for-bit."""
+    terms = "+".join(f"{a}[{j}]*{b}[{j}]" for j in range(dim))
+    return f"(0D+{terms})"
+
+
 def random_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 16,
@@ -118,18 +172,12 @@ def random_hyperplane_buckets(
     """Sign-random-projection LSH bucket per vector (SimHash for vectors).
 
     Hyperplanes are pseudo-random but fully deterministic: component j of
-    plane p = (xxhash64(p, j) % 1001 - 500) / 500. Vectors in the same
-    bucket are cosine-close candidates; join buckets instead of all
-    pairs."""
-    planes = [
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j, p=p: ((F.xxhash64(F.lit(p), j) % 1001) - 500).cast("double") / 500.0,
-        )
-        for p in range(n_planes)
-    ]
+    plane p = (xxhash64(p, j) % 1001 - 500) / 500 (see ``_hyperplanes``).
+    Vectors in the same bucket are cosine-close candidates; join buckets
+    instead of all pairs."""
+    planes = _hyperplanes(embeddings.sparkSession, n_planes, dim)
     v = to_double_vec(vec_col)
-    bits = [F.when(dot(v, plane) > 0, F.lit(1)).otherwise(F.lit(0)) for plane in planes]
+    bits = [F.when(dot(v, _plane_lit(p)) > 0, F.lit(1)).otherwise(F.lit(0)) for p in planes]
     bucket = bits[0].cast("long")
     for bit in bits[1:]:
         bucket = F.shiftleft(bucket, 1).bitwiseOR(bit.cast("long"))
@@ -159,45 +207,48 @@ def embedding_lsh_candidate_pairs(
     still bare ids. Pinned by
     ``test_embedding_lsh_bucket_exchange_is_id_only``.
     """
-    v = to_double_vec(vec_col)
+    # The band signatures are a dense (N × dim) · (dim × n_planes)
+    # matrix product — exactly the shape built-in expressions express
+    # WORST: per-element Column construction costs thousands of py4j
+    # round trips per query build, a SQL-string form costs seconds of
+    # ANTLR parse, and either way the planes×dim multiply-adds run as
+    # scalar expression code. This is the legitimate mapInPandas case:
+    # one Arrow exchange per batch, one numpy GEMM (vectorized, cache-
+    # blocked), output already the narrow (vid, band_id, bucket) rows —
+    # the vector never leaves the map side, so the bucket exchange stays
+    # id-only (pinned by test_embedding_lsh_bucket_exchange_is_id_only).
+    n_planes = bands * planes_per_band
+    planes = _hyperplanes(embeddings.sparkSession, n_planes, dim)
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in embeddings.schema.fields
+    )[id_col]
 
-    def band_bucket(band: int) -> Column:
-        bits = [
-            F.when(
-                dot(
-                    F.col("_v"),
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda j, p=band * planes_per_band + i: (
-                            (F.xxhash64(F.lit(p), j) % 1001) - 500
-                        ).cast("double")
-                        / 500.0,
-                    ),
-                )
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for i in range(planes_per_band)
-        ]
-        acc = bits[0].cast("long")
-        for bit in bits[1:]:
-            acc = acc * 2 + bit.cast("long")
-        return acc
+    def band_sigs(batches):
+        import numpy as np
+        import pandas as pd
 
-    sigs = (
-        embeddings.select(F.col(id_col).alias("vid"), v.alias("_v"))
-        .select(
-            "vid",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band_id"), band_bucket(b).alias("bucket"))
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select("vid", "bb.band_id", "bb.bucket")
+        plane_t = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+        msb_first = (1 << np.arange(planes_per_band - 1, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            bits = (vecs @ plane_t) > 0  # (n, n_planes)
+            buckets = (
+                bits.reshape(len(pdf), bands, planes_per_band) * msb_first
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf[id_col].to_numpy(), bands),
+                    "band_id": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1).astype(np.int64),
+                }
+            )
+
+    sigs = embeddings.select(id_col, vec_col).mapInPandas(
+        band_sigs, schema=f"vid {id_type}, band_id int, bucket bigint"
     )
     buckets = (
         sigs.groupBy("band_id", "bucket")
@@ -255,13 +306,22 @@ def embedding_near_pairs_lsh(
     cands = embedding_lsh_candidate_pairs(
         embeddings, bands, planes_per_band, id_col, vec_col, dim, max_bucket
     )
+    # norms are per-VECTOR: compute them once on each join side instead
+    # of twice per pair (cosine() would fold 3 arrays per candidate);
+    # the pair dot is a single codegen'd expression. Bit-identical to
+    # cosine(): same elementwise ops in the same order.
     v = to_double_vec(vec_col)
-    va = embeddings.select(F.col(id_col).alias("a"), v.alias("_va"))
-    vb = embeddings.select(F.col(id_col).alias("b"), v.alias("_vb"))
+    va = embeddings.select(F.col(id_col).alias("a"), v.alias("_va")).withColumn(
+        "_na", F.expr(f"sqrt{_dot_cols_sql('_va', '_va', dim)}")
+    )
+    vb = embeddings.select(F.col(id_col).alias("b"), v.alias("_vb")).withColumn(
+        "_nb", F.expr(f"sqrt{_dot_cols_sql('_vb', '_vb', dim)}")
+    )
+    sim = F.expr(_dot_cols_sql("_va", "_vb", dim)) / (F.col("_na") * F.col("_nb"))
     return (
         cands.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .select("a", "b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
