@@ -92,19 +92,24 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query row.
 
     ``queries``: DataFrame[query_id, embedding]. Broadcast against the
-    corpus; ties broken by neighbor id for determinism."""
+    corpus; ties broken by neighbor id for determinism. Norms are
+    precomputed per SIDE (N + Q sqrt-folds instead of 3 folds per
+    N·Q scored pair) and the pair dot is one codegen'd expression —
+    bit-identical to ``cosine()`` (same elementwise order), so oracle
+    hashes are unaffected."""
     corpus = embeddings.select(
         F.col(id_col).alias("nn_id"), to_double_vec(vec_col).alias("nn_vec")
-    )
+    ).withColumn("_nn", F.expr(f"sqrt{_dot_cols_sql('nn_vec', 'nn_vec', dim)}"))
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), to_double_vec(vec_col).alias("q_vec")
-    )
+    ).withColumn("_qn", F.expr(f"sqrt{_dot_cols_sql('q_vec', 'q_vec', dim)}"))
     scored = corpus.crossJoin(F.broadcast(qs)).where(F.col("nn_id") != F.col("query_id"))
-    sim = cosine(F.col("q_vec"), F.col("nn_vec"))
+    sim = F.expr(_dot_cols_sql("q_vec", "nn_vec", dim)) / (F.col("_qn") * F.col("_nn"))
     return _topk_per_query(scored.select("query_id", "nn_id", sim.alias("sim")), k)
 
 
@@ -364,6 +369,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int = 64,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign each query to its ``n_probe``
     nearest cell centroids, exact-rerank only within those cells.
@@ -375,7 +381,7 @@ def ivf_topk(
     cents = label_centroids(embeddings, cell_col, id_col, vec_col)
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), to_double_vec(vec_col).alias("q_vec")
-    )
+    ).withColumn("_qn", F.expr(f"sqrt{_dot_cols_sql('q_vec', 'q_vec', dim)}"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cell_sim").desc(), F.col(cell_col)
     )
@@ -384,20 +390,23 @@ def ivf_topk(
         .select(
             "query_id",
             "q_vec",
+            "_qn",
             cell_col,
             cosine(F.col("q_vec"), F.col("centroid")).alias("cell_sim"),
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .where(F.col("probe_rank") <= n_probe)
-        .select("query_id", "q_vec", cell_col)
+        .select("query_id", "q_vec", "_qn", cell_col)
     )
     corpus = embeddings.select(
         F.col(id_col).alias("nn_id"), to_double_vec(vec_col).alias("nn_vec"), cell_col
-    )
+    ).withColumn("_nn", F.expr(f"sqrt{_dot_cols_sql('nn_vec', 'nn_vec', dim)}"))
     cands = corpus.join(F.broadcast(probes), cell_col).where(
         F.col("nn_id") != F.col("query_id")
     )
-    sim = cosine(F.col("q_vec"), F.col("nn_vec"))
+    # same bit-parity rationale as brute_force_topk: per-side norms +
+    # one codegen'd pair dot instead of 3 folds per candidate
+    sim = F.expr(_dot_cols_sql("q_vec", "nn_vec", dim)) / (F.col("_qn") * F.col("_nn"))
     return _topk_per_query(cands.select("query_id", "nn_id", sim.alias("sim")), k)
 
 
@@ -444,5 +453,21 @@ def lsh_topk(
     joined = corpus_b.join(F.broadcast(query_b), "bucket").where(
         F.col("nn_id") != F.col("query_id")
     )
-    sim = cosine(to_double_vec(F.col("q_vec_raw")), to_double_vec(F.col("nn_vec_raw")))
-    return _topk_per_query(joined.select("query_id", "nn_id", sim.alias("sim")), k)
+    # per-side norms + codegen pair dot (bit-identical to cosine())
+    scored = joined.select(
+        "query_id",
+        "nn_id",
+        to_double_vec(F.col("q_vec_raw")).alias("_qv"),
+        to_double_vec(F.col("nn_vec_raw")).alias("_nv"),
+    ).select(
+        "query_id",
+        "nn_id",
+        (
+            F.expr(_dot_cols_sql("_qv", "_nv", dim))
+            / (
+                F.expr(f"sqrt{_dot_cols_sql('_qv', '_qv', dim)}")
+                * F.expr(f"sqrt{_dot_cols_sql('_nv', '_nv', dim)}")
+            )
+        ).alias("sim"),
+    )
+    return _topk_per_query(scored, k)

@@ -20,7 +20,7 @@ from poormans_kube_etl_spark.operators.minhash import (
     minhash_near_duplicates,
 )
 from poormans_kube_etl_spark.operators.simhash import simhash_near_duplicates
-from poormans_kube_etl_spark.operators.similarity import cosine, to_double_vec
+from poormans_kube_etl_spark.operators.similarity import to_double_vec
 from poormans_kube_etl_spark.operators.text import (
     fingerprint_md5,
     normalize_text,
@@ -211,18 +211,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (capped slice, exact; the banded
     scale path is similarity.lsh_topk / random-hyperplane buckets)."""
+    from poormans_kube_etl_spark.operators.similarity import _dot_cols_sql
+
     apply_runtime_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _EMB_PAIR_CAP)
-    e = emb.select("vec_id", to_double_vec("embedding").alias("v"))
-    a, b = e.alias("a"), e.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    # per-side norms + one codegen'd pair dot — bit-identical to
+    # cosine() (same elementwise order), so the oracle hash holds
+    e = emb.select("vec_id", to_double_vec("embedding").alias("v")).withColumn(
+        "n", F.expr(f"sqrt{_dot_cols_sql('v', 'v', 64)}")
+    )
+    a, b = e.alias("ea"), e.alias("eb")
+    joined = a.join(b, F.col("ea.vec_id") < F.col("eb.vec_id")).select(
+        F.col("ea.vec_id").alias("a"),
+        F.col("eb.vec_id").alias("b"),
+        F.col("ea.v").alias("_va"),
+        F.col("eb.v").alias("_vb"),
+        (F.col("ea.n") * F.col("eb.n")).alias("_nn"),
+    )
+    sim = F.expr(_dot_cols_sql("_va", "_vb", 64)) / F.col("_nn")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a"),
-            F.col("b.vec_id").alias("b"),
-            sim.alias("cos_sim"),
-        )
+        joined.select("a", "b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.4)
         .orderBy("a", "b")
     )
