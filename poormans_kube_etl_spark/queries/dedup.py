@@ -103,7 +103,8 @@ def dedup_keep_first_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
       FROM documents WHERE doc_id < {_JACCARD_DOC_CAP}
     ),
     sh AS (

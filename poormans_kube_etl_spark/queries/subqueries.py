@@ -155,15 +155,34 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
 @register("approx_percentile_quantity")
 def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna) — mergeable sketch, no
-    per-group sort; exact anchor: percentile_quantity_by_flag."""
+    per-group sort; exact anchor: percentile_quantity_by_flag.
+
+    Determinism: a GK sketch's result depends on insertion AND merge
+    order, and final-aggregation merge order follows shuffle fetch
+    order — nondeterministic across reruns (caught by the rerun-
+    stability gate). Pre-partitioning on the group key with a unique
+    in-partition sort pins ONE deterministically-ordered partial per
+    group, so the merge step has nothing to reorder. At 100 TB you'd
+    accept sketch jitter instead of the repartition (the sketch's
+    whole point is parallel mergeability); the harness demands
+    bit-stable reruns, so the demo pins it. Finals are three scalar
+    columns — the driver canonicalizer cannot hash array cells."""
     apply_runtime_confs(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    pctl = F.approx_percentile(
+        "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_percentile(
-                "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
-            ).alias("approx_q")
+        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .repartition("l_returnflag")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .groupBy("l_returnflag")
+        .agg(pctl.alias("approx_q"))
+        .select(
+            "l_returnflag",
+            F.col("approx_q")[0].cast("double").alias("p25"),
+            F.col("approx_q")[1].cast("double").alias("p50"),
+            F.col("approx_q")[2].cast("double").alias("p75"),
         )
         .orderBy("l_returnflag")
     )
