@@ -72,24 +72,27 @@ def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> Dat
     — and breaks down on giant documents; rows scale out, arrays don't.)
     Docs with zero shingles don't exist (see word_shingles).
     """
+    # The shingle STRING is hashed exactly once (h0); the k seeded
+    # minhash values re-hash the 8-byte h0, not the multi-word string —
+    # xxhash64(seed, long) is a fixed-width mix vs k full passes over
+    # the string bytes (the signature aggregate's hottest loop, k× per
+    # shingle row). xxhash64(i, h0) is still a uniform min-wise family.
+    hashed = exploded.select(id_col, F.xxhash64("shingle").alias("h0"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.xxhash64(F.lit(i), "h0")).alias(f"h{i}") for i in range(num_hashes)
     ]
     # collect_set rides the same aggregate, so downstream consumers that
     # need both the signature AND the shingle set (the exact-Jaccard
     # verify) share one scan+shuffle via exchange reuse. The set holds
-    # 64-bit HASHES of the shingles, not the strings: Jaccard only needs
-    # cardinalities of the sets, which hashing preserves (up to 2^-64
-    # collisions), and 8-byte longs cut the aggregate's shuffle width
-    # 3-4x vs multi-word shingle strings — the width that matters when
-    # the corpus is 100 TB of documents. Seed -1 keeps the set hash
-    # independent of the num_hashes signature seeds (0..k-1).
+    # h0 — Jaccard only needs cardinalities of the sets, which hashing
+    # preserves (up to 2^-64 collisions), and 8-byte longs cut the
+    # aggregate's shuffle width 3-4x vs multi-word shingle strings —
+    # the width that matters when the corpus is 100 TB of documents.
     return (
-        exploded.groupBy(id_col)
+        hashed.groupBy(id_col)
         .agg(
             *mins,
-            F.collect_set(F.xxhash64(F.lit(-1), "shingle")).alias("shingles"),
+            F.collect_set("h0").alias("shingles"),
         )
         .select(
             id_col,
