@@ -77,6 +77,59 @@ def decode_image_features(df: DataFrame, binary_col: str = "content", id_col: st
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(decode, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, new_width int, new_height int, resized binary"
+)
+
+
+def fake_resize_image(
+    data: bytes, max_w: int = 32, max_h: int = 32
+) -> tuple[int, int, int, int, bytes]:
+    """Deterministic stand-in resize: fit the fake-decoded (w, h) into a
+    ``max_w × max_h`` box preserving aspect ratio with INTEGER-only math
+    (so a SQL oracle reproduces the dims exactly), and "resample" by
+    truncating the payload to the new pixel budget. A real implementation
+    replaces the body with ``Image.resize`` — the mapInPandas plumbing,
+    schema, and batch shape stay identical."""
+    w, h, c, _ = fake_decode_image(data)
+    if w <= max_w and h <= max_h:
+        nw, nh = w, h
+    elif w >= h:
+        nw, nh = max_w, max(1, (h * max_w) // w)
+    else:
+        nw, nh = max(1, (w * max_h) // h), max_h
+    return w, h, nw, nh, data[: nw * nh * c]
+
+
+def resize_images(
+    df: DataFrame,
+    max_w: int = 32,
+    max_h: int = 32,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched image resize: DataFrame[id, binary] → original dims,
+    fitted dims, and the resized payload. Same mapInPandas shape as
+    ``decode_image_features`` — the codec is the stub, the Spark-side
+    contract is real."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [fake_resize_image(bytes(d), max_w, max_h) for d in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([o[0] for o in out], dtype="int32"),
+                    "height": pd.Series([o[1] for o in out], dtype="int32"),
+                    "new_width": pd.Series([o[2] for o in out], dtype="int32"),
+                    "new_height": pd.Series([o[3] for o in out], dtype="int32"),
+                    "resized": pd.Series([o[4] for o in out], dtype="object"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(resize, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
 
 

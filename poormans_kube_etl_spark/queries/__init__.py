@@ -84,9 +84,10 @@ _PRIORITY = [
     "sim_ivf_topk",
     "sim_kmeans_clusters",
     "sim_label_spectral_stats",
-    # (b) multimodal
+    # (b) multimodal (mm_resize_dims is new in r03)
     "mm_decode_features",
     "mm_frame_sample_hashes",
+    "mm_resize_dims",
     # (b) functions suites (fn_scalar_suite = merged bitwise/math/interval)
     "fn_scalar_suite",
     "fn_variant_props",
@@ -133,9 +134,11 @@ _PRIORITY = [
     "dedup_minhash_clusters",
     "sim_topk_bruteforce",
     # (d) green sentinels — relational spine regression guard
+    # (window_top3_orders_per_customer rotated out for mm_resize_dims:
+    # r02-green, untouched since, and the window family keeps three
+    # other sentinels in the tail ordering)
     "q1_pricing_summary",
     "join_revenue_by_nation",
-    "window_top3_orders_per_customer",
     "sess_asof_last_signup",
 ]
 

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.operators.multimodal import decode_image_features
+from poormans_kube_etl_spark.operators.multimodal import (
+    decode_image_features,
+    resize_images,
+)
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table
@@ -62,6 +65,48 @@ def mm_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_typed"),
         parsed.getField("k").isNotNull().alias("has_k"),
     ).orderBy("event_id")
+
+
+@register(
+    "mm_resize_dims",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n, n % 64 + 1 AS w, (n // 64) % 64 + 1 AS h FROM b),
+    r AS (SELECT doc_id, n, w, h,
+            CASE WHEN w <= 32 AND h <= 32 THEN w
+                 WHEN w >= h THEN 32
+                 ELSE GREATEST(1, (w * 32) // h) END AS nw,
+            CASE WHEN w <= 32 AND h <= 32 THEN h
+                 WHEN w >= h THEN GREATEST(1, (h * 32) // w)
+                 ELSE 32 END AS nh
+          FROM d)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nw AS INT) AS new_width, CAST(nh AS INT) AS new_height,
+           CAST(LEAST(n, nw * nh * 3) AS INT) AS n_resized
+    FROM r ORDER BY doc_id
+    """,
+)
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize to a 32×32 box over binary media columns
+    (Arrow-batched mapInPandas, stub codec with INTEGER-only geometry —
+    see operators/multimodal.py:resize_images). The oracle replays the
+    geometry from octet_length alone; the resized payload itself is
+    pinned by pytest (exact byte prefix)."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return (
+        resize_images(binary, 32, 32, "content", "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "new_width",
+            "new_height",
+            F.octet_length("resized").cast("int").alias("n_resized"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register("mm_decode_features")  # rows-only: mapInPandas stub decoder

@@ -301,6 +301,32 @@ def test_sample_frames_jvm_matches_python(spark, sf_dir):
     assert py == jvm and len(py) > 0
 
 
+def test_resize_images_geometry_and_bytes(spark):
+    """Resize fits (w, h) into the 32×32 box aspect-preserved with
+    integer math, and the stub 'resample' is exactly the new pixel
+    budget's byte prefix."""
+    from poormans_kube_etl_spark.operators.multimodal import (
+        fake_decode_image,
+        resize_images,
+    )
+
+    payloads = [(1, b"a" * 10), (2, b"b" * 3000), (3, b"c" * 4000), (4, b"")]
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    got = {r.doc_id: r for r in resize_images(df, 32, 32).collect()}
+    for did, data in payloads:
+        w, h, c, _ = fake_decode_image(data)
+        r = got[did]
+        assert (r.width, r.height) == (w, h)
+        assert r.new_width <= 32 and r.new_height <= 32
+        assert r.new_width >= 1 and r.new_height >= 1
+        # aspect preserved within integer truncation when downscaling
+        if w > 32 or h > 32:
+            assert max(r.new_width, r.new_height) == 32
+        else:
+            assert (r.new_width, r.new_height) == (w, h)
+        assert bytes(r.resized) == data[: r.new_width * r.new_height * c]
+
+
 def test_multimodal_decode_stub(spark, sf_dir):
     from poormans_kube_etl_spark.operators.multimodal import decode_image_features
     from poormans_kube_etl_spark.sources import load_table
