@@ -97,7 +97,10 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
 
     fps = simhash_bits_df(docs)
     t_fp = timed(fps)
-    pairs = simhash_near_duplicates(docs, max_hamming=8)
+    # max_hamming=3 matches the HEADLINE query's config (r02 split used
+    # radius 8 — a different blocking scheme whose pair-stage cost does
+    # not attribute the headline number)
+    pairs = simhash_near_duplicates(docs, max_hamming=3)
     t_pairs = timed(pairs)
     out["dedup_simhash_pairs"] = {
         "fingerprints": round(t_fp, 4),
