@@ -161,7 +161,13 @@ def _merge_into_partitioned(
 
     fs, _root = hadoop_fs(spark, target_path)
     for combo in touched:
-        rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, combo))
+        # hive dir encoding: NULL partition values write as
+        # __HIVE_DEFAULT_PARTITION__ — a str(None) dir name would miss
+        # the staging dir and silently drop that partition's delta
+        rel = "/".join(
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for c, v in zip(partition_cols, combo)
+        )
         _, src = hadoop_fs(spark, f"{staging.rstrip('/')}/{rel}")
         _, dst = hadoop_fs(spark, f"{target_path.rstrip('/')}/{rel}")
         _, aside = hadoop_fs(spark, f"{target_path.rstrip('/')}/{rel}__old")

@@ -138,6 +138,21 @@ def test_merge_into_partition_scoped_swap(spark, tmp_path):
     assert not glob.glob(f"{path}__merging*") and not glob.glob(f"{path}/day=*__old")
 
 
+def test_merge_into_partitioned_null_partition_value(spark, tmp_path):
+    """A delta targeting the NULL partition must land in the hive
+    __HIVE_DEFAULT_PARTITION__ directory, not be silently skipped."""
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    path = str(tmp_path / "np")
+    spark.createDataFrame(
+        [(1, 0, 10), (2, None, 20), (3, 1, 30)], "k long, day long, v long"
+    ).write.partitionBy("day").parquet(path)
+    delta = spark.createDataFrame([(2, None, 99), (4, None, 44)], "k long, day long, v long")
+    merge_into(spark, path, delta, keys=["k"], partition_cols=["day"])
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (0, 10), 2: (None, 99), 3: (1, 30), 4: (None, 44)}
+
+
 def test_merge_into_null_key_rows(spark, tmp_path):
     """eqNullSafe join ⇒ NULL key values are legitimate; a NULL-keyed
     update row must UPDATE its NULL-keyed target match, not duplicate
