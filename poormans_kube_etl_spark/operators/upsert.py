@@ -172,7 +172,17 @@ def _merge_into_partitioned(
         _, dst = hadoop_fs(spark, f"{target_path.rstrip('/')}/{rel}")
         _, aside = hadoop_fs(spark, f"{target_path.rstrip('/')}/{rel}__old")
         if not fs.exists(src):
-            continue  # merge emitted no rows for this partition
+            # Every touched combo has >= 1 update row, so merged always
+            # writes this directory — absence means the dir-name encoding
+            # above disagrees with Spark's hive escaping (e.g. special
+            # characters in a string partition value). Silent skip would
+            # drop the partition's delta; fail loudly instead.
+            delete_path(spark, staging)
+            raise ValueError(
+                f"merge_into: staging dir for partition {rel!r} missing — "
+                "partition value needs hive escaping this helper doesn't "
+                "implement; use plain ascii partition values"
+            )
         fs.mkdirs(dst.getParent())  # nested new combos need the parent dir
         try:
             _swap_dir(spark, fs, src, dst, aside)
