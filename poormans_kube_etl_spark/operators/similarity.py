@@ -19,6 +19,8 @@ MinHash banding does for text.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,12 +106,12 @@ def brute_force_topk(
     hashes are unaffected."""
     corpus = embeddings.select(
         F.col(id_col).alias("nn_id"), to_double_vec(vec_col).alias("nn_vec")
-    ).withColumn("_nn", F.expr(f"sqrt{_dot_cols_sql('nn_vec', 'nn_vec', dim)}"))
+    ).withColumn("_nn", _norm_expr("nn_vec", dim))
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), to_double_vec(vec_col).alias("q_vec")
-    ).withColumn("_qn", F.expr(f"sqrt{_dot_cols_sql('q_vec', 'q_vec', dim)}"))
+    ).withColumn("_qn", _norm_expr("q_vec", dim))
     scored = corpus.crossJoin(F.broadcast(qs)).where(F.col("nn_id") != F.col("query_id"))
-    sim = F.expr(_dot_cols_sql("q_vec", "nn_vec", dim)) / (F.col("_qn") * F.col("_nn"))
+    sim = _dot_expr("q_vec", "nn_vec", dim) / (F.col("_qn") * F.col("_nn"))
     return _topk_per_query(scored.select("query_id", "nn_id", sim.alias("sim")), k)
 
 
@@ -165,6 +167,20 @@ def _dot_cols_sql(a: str, b: str, dim: int) -> str:
     bit-for-bit."""
     terms = "+".join(f"{a}[{j}]*{b}[{j}]" for j in range(dim))
     return f"(0D+{terms})"
+
+
+@lru_cache(maxsize=64)
+def _dot_expr(a: str, b: str, dim: int) -> Column:
+    """Cached parsed form of ``_dot_cols_sql`` — Column objects are
+    immutable expression wrappers, so one ANTLR parse serves every
+    query build in the process (the repeat parse was measurable in
+    min-of-2 bench loops)."""
+    return F.expr(_dot_cols_sql(a, b, dim))
+
+
+@lru_cache(maxsize=64)
+def _norm_expr(v: str, dim: int) -> Column:
+    return F.expr(f"sqrt{_dot_cols_sql(v, v, dim)}")
 
 
 def random_hyperplane_buckets(
@@ -317,12 +333,12 @@ def embedding_near_pairs_lsh(
     # cosine(): same elementwise ops in the same order.
     v = to_double_vec(vec_col)
     va = embeddings.select(F.col(id_col).alias("a"), v.alias("_va")).withColumn(
-        "_na", F.expr(f"sqrt{_dot_cols_sql('_va', '_va', dim)}")
+        "_na", _norm_expr("_va", dim)
     )
     vb = embeddings.select(F.col(id_col).alias("b"), v.alias("_vb")).withColumn(
-        "_nb", F.expr(f"sqrt{_dot_cols_sql('_vb', '_vb', dim)}")
+        "_nb", _norm_expr("_vb", dim)
     )
-    sim = F.expr(_dot_cols_sql("_va", "_vb", dim)) / (F.col("_na") * F.col("_nb"))
+    sim = _dot_expr("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
     return (
         cands.join(va, "a")
         .join(vb, "b")
@@ -381,7 +397,7 @@ def ivf_topk(
     cents = label_centroids(embeddings, cell_col, id_col, vec_col)
     qs = queries.select(
         F.col(query_id_col).alias("query_id"), to_double_vec(vec_col).alias("q_vec")
-    ).withColumn("_qn", F.expr(f"sqrt{_dot_cols_sql('q_vec', 'q_vec', dim)}"))
+    ).withColumn("_qn", _norm_expr("q_vec", dim))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cell_sim").desc(), F.col(cell_col)
     )
@@ -400,13 +416,13 @@ def ivf_topk(
     )
     corpus = embeddings.select(
         F.col(id_col).alias("nn_id"), to_double_vec(vec_col).alias("nn_vec"), cell_col
-    ).withColumn("_nn", F.expr(f"sqrt{_dot_cols_sql('nn_vec', 'nn_vec', dim)}"))
+    ).withColumn("_nn", _norm_expr("nn_vec", dim))
     cands = corpus.join(F.broadcast(probes), cell_col).where(
         F.col("nn_id") != F.col("query_id")
     )
     # same bit-parity rationale as brute_force_topk: per-side norms +
     # one codegen'd pair dot instead of 3 folds per candidate
-    sim = F.expr(_dot_cols_sql("q_vec", "nn_vec", dim)) / (F.col("_qn") * F.col("_nn"))
+    sim = _dot_expr("q_vec", "nn_vec", dim) / (F.col("_qn") * F.col("_nn"))
     return _topk_per_query(cands.select("query_id", "nn_id", sim.alias("sim")), k)
 
 
@@ -463,10 +479,10 @@ def lsh_topk(
         "query_id",
         "nn_id",
         (
-            F.expr(_dot_cols_sql("_qv", "_nv", dim))
+            _dot_expr("_qv", "_nv", dim)
             / (
-                F.expr(f"sqrt{_dot_cols_sql('_qv', '_qv', dim)}")
-                * F.expr(f"sqrt{_dot_cols_sql('_nv', '_nv', dim)}")
+                _norm_expr("_qv", dim)
+                * _norm_expr("_nv", dim)
             )
         ).alias("sim"),
     )

@@ -212,14 +212,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (capped slice, exact; the banded
     scale path is similarity.lsh_topk / random-hyperplane buckets)."""
-    from poormans_kube_etl_spark.operators.similarity import _dot_cols_sql
+    from poormans_kube_etl_spark.operators.similarity import _dot_expr, _norm_expr
 
     apply_runtime_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _EMB_PAIR_CAP)
     # per-side norms + one codegen'd pair dot — bit-identical to
     # cosine() (same elementwise order), so the oracle hash holds
     e = emb.select("vec_id", to_double_vec("embedding").alias("v")).withColumn(
-        "n", F.expr(f"sqrt{_dot_cols_sql('v', 'v', 64)}")
+        "n", _norm_expr("v", 64)
     )
     a, b = e.alias("ea"), e.alias("eb")
     joined = a.join(b, F.col("ea.vec_id") < F.col("eb.vec_id")).select(
@@ -229,7 +229,7 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eb.v").alias("_vb"),
         (F.col("ea.n") * F.col("eb.n")).alias("_nn"),
     )
-    sim = F.expr(_dot_cols_sql("_va", "_vb", 64)) / F.col("_nn")
+    sim = _dot_expr("_va", "_vb", 64) / F.col("_nn")
     return (
         joined.select("a", "b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.4)

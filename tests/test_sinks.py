@@ -153,6 +153,32 @@ def test_merge_into_partitioned_null_partition_value(spark, tmp_path):
     assert got == {1: (0, 10), 2: (None, 99), 3: (1, 30), 4: (None, 44)}
 
 
+def test_merge_into_partitioned_equals_unpartitioned(spark, tmp_path):
+    """The partition-scoped path is an OPTIMIZATION: for any delta whose
+    keys keep their partition value, its result must equal the plain
+    full-table merge row-for-row."""
+    import random
+
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    rng = random.Random(7)
+    base = [(k, k % 5, rng.randrange(1000)) for k in range(200)]
+    # delta: updates to existing keys (same partition) + fresh inserts
+    delta = [(k, k % 5, rng.randrange(1000)) for k in rng.sample(range(200), 30)]
+    delta += [(k, k % 5, rng.randrange(1000)) for k in range(200, 220)]
+
+    p_path, u_path = str(tmp_path / "p"), str(tmp_path / "u")
+    schema = "k long, day long, v long"
+    spark.createDataFrame(base, schema).write.partitionBy("day").parquet(p_path)
+    spark.createDataFrame(base, schema).write.parquet(u_path)
+    delta_df = spark.createDataFrame(delta, schema)
+    merge_into(spark, p_path, delta_df, keys=["k"], partition_cols=["day"])
+    merge_into(spark, u_path, delta_df, keys=["k"])
+    p_rows = sorted((r.k, r.day, r.v) for r in spark.read.parquet(p_path).collect())
+    u_rows = sorted((r.k, r.day, r.v) for r in spark.read.parquet(u_path).collect())
+    assert p_rows == u_rows and len(p_rows) == 220
+
+
 def test_merge_into_null_key_rows(spark, tmp_path):
     """eqNullSafe join ⇒ NULL key values are legitimate; a NULL-keyed
     update row must UPDATE its NULL-keyed target match, not duplicate
