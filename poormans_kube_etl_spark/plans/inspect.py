@@ -75,6 +75,14 @@ def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin", formatted_plan(df)))
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """FORCED broadcasts (F.broadcast hints) in the analyzed logical
+    plan — distinct from broadcasts AQE chooses at runtime. A hint on an
+    unbounded-cardinality side is an OOM at scale even when the measured
+    side happens to fit at test SF."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
 def sort_merge_join_count(df: DataFrame) -> int:
     return len(re.findall(r"SortMergeJoin", formatted_plan(df)))
 

@@ -108,6 +108,18 @@ def test_no_unexpected_single_partition_exchanges(q):
     assert not offenders, f"unaudited SinglePartition exchanges in: {offenders}"
 
 
+def test_text_analytics_marginals_not_force_broadcast(q):
+    # VERDICT r02 #4: TF-IDF's document-frequency side and PMI's
+    # positional marginals are VOCABULARY-keyed — forced broadcast OOMs
+    # on an open-domain corpus. Exactly one hint is allowed per query:
+    # the 1-row totals aggregate. AQE remains free to broadcast the
+    # measured sides at runtime; that choice is not a hint.
+    from poormans_kube_etl_spark.plans.inspect import broadcast_hint_count
+
+    for name in ("text_tfidf_top_terms", "text_bigram_pmi"):
+        assert broadcast_hint_count(q(name)) == 1, f"{name} force-broadcasts a vocab side"
+
+
 def test_q1_single_shuffle(q):
     # scan → partial agg → exchange on (returnflag, linestatus) → final
     assert shuffle_count(q("q1_pricing_summary")) <= 2
