@@ -133,13 +133,13 @@ _PRIORITY = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
     "sim_topk_bruteforce",
-    # (d) green sentinels — relational spine regression guard
-    # (window_top3_orders_per_customer rotated out for mm_resize_dims:
-    # r02-green, untouched since, and the window family keeps three
-    # other sentinels in the tail ordering)
+    # (d) changed-in-r03 green queries (ADVICE r02: a green row no
+    # longer describes current code once the implementation changes —
+    # broadcast hints dropped on SF-scaling sides) + one unchanged
+    # sentinel guarding the relational spine
+    "join_lineitem_part_supplier",
+    "join_relational_division",
     "q1_pricing_summary",
-    "join_revenue_by_nation",
-    "sess_asof_last_signup",
 ]
 
 

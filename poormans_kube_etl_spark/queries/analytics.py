@@ -310,14 +310,16 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucketed by first-seen week, then
     distinct (user, weeks-since-cohort) activity counts — the classic
-    triangle matrix. first_seen is small (one row per user) → broadcast
-    back onto events."""
+    triangle matrix. first_seen is USER-cardinality (hundreds of
+    millions on a real event stream) — no broadcast hint; AQE broadcasts
+    only when the measured side fits, else both sides shuffle on the
+    same user_id key they were just aggregated on."""
     ev = _t(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort_week",

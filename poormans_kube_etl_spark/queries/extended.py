@@ -511,15 +511,19 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation is the scalable shape (no per-element anti-join chain)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    # the divisor is a slice of part, which SCALES with the corpus — no
+    # broadcast hint (AQE decides), and its cardinality folds in-plan as
+    # a 1-row broadcast aggregate instead of a separate count() action
     target = part.where(F.col("p_size") == 50).select("p_partkey")
-    n_target = target.count()
+    n_target = target.agg(F.count(F.lit(1)).alias("n_target"))
     cover = (
-        li.join(F.broadcast(target), li.l_partkey == target.p_partkey)
+        li.join(target, li.l_partkey == target.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.countDistinct("l_partkey").alias("n_covered"))
     )
     return (
-        cover.where(F.col("n_covered") == n_target)
+        cover.crossJoin(F.broadcast(n_target))
+        .where(F.col("n_covered") == F.col("n_target"))
         .select(F.col("l_suppkey").alias("suppkey"), "n_covered")
         .orderBy("suppkey")
     )

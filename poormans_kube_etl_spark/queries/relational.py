@@ -181,14 +181,17 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     """,
 )
 def join_lineitem_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Biggest fact joined to two dims — both broadcast at test SF; at
-    100 TB part stays broadcast-able per AQE, supplier certainly."""
+    """Biggest fact joined to two dims. part and supplier SCALE with the
+    corpus (unlike fixed 25-row nation) — no broadcast hints: AQE
+    broadcasts them while they fit (it does at every test SF) and
+    falls back to shuffle joins when they don't, instead of a forced
+    hint OOMing the executors."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
             F.sum(money("l_quantity")).cast("decimal(38,2)").cast("double").alias("qty"),
