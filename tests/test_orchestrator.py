@@ -232,6 +232,35 @@ def test_run_stream_processes_manifest_arrivals(orch, tmp_path):
     assert left == ["1538054000"]
 
 
+def test_run_stream_failed_batch_redelivers_on_restart(orch, tmp_path):
+    """Checkpoint recovery: a batch that fails mid-pipeline commits
+    NOTHING (no metrics row, folder intact), and restarting from the
+    same checkpoint redelivers the manifest so the ingest completes
+    exactly once — the at-least-once-redelivery / exactly-once-commit
+    pair the checkpointing claim actually means."""
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+    ckpt = str(tmp_path / "ckpt")
+    real = orch._graph_pipeline
+
+    def boom(params):
+        raise RuntimeError("graph store down")
+
+    orch._graph_pipeline = boom
+    q = orch.run_stream(ckpt, available_now=True)
+    with pytest.raises(Exception, match="graph store down"):
+        q.awaitTermination(180)
+    # nothing half-committed: folder intact, no metrics written
+    assert os.path.exists(os.path.join(orch.landing_dir, "pending", "1538055240"))
+    assert not os.path.exists(os.path.join(orch.output_dir, "ingest_metrics"))
+
+    orch._graph_pipeline = real
+    q2 = orch.run_stream(ckpt, available_now=True)
+    q2.awaitTermination(180)
+    rows = orch.metrics().collect()
+    assert [(r.ingest, r.type) for r in rows] == [("1538055240", "bulk")]
+    assert not os.path.exists(os.path.join(orch.landing_dir, "pending", "1538055240"))
+
+
 def test_headerless_entity_falls_back_to_header_row(orch, tmp_path):
     folder = os.path.join(orch.landing_dir, "pending", "1538055240", "thing")
     os.makedirs(folder, exist_ok=True)
