@@ -153,11 +153,6 @@ def _hyperplanes(spark, n_planes: int, dim: int) -> list[list[float]]:
     return _PLANE_CACHE[key]
 
 
-def _plane_lit(plane: list[float]) -> Column:
-    """A constant array<double> column (folds to one Literal)."""
-    return F.array(*[F.lit(float(x)) for x in plane])
-
-
 def _dot_cols_sql(a: str, b: str, dim: int) -> str:
     """``a · b`` for two array<double> columns as ONE parsed SQL string
     of plain arithmetic: runs inside whole-stage codegen (higher-order
@@ -195,14 +190,34 @@ def random_hyperplane_buckets(
     Hyperplanes are pseudo-random but fully deterministic: component j of
     plane p = (xxhash64(p, j) % 1001 - 500) / 500 (see ``_hyperplanes``).
     Vectors in the same bucket are cosine-close candidates; join buckets
-    instead of all pairs."""
+    instead of all pairs.
+
+    Same Arrow/numpy GEMM shape as ``embedding_lsh_candidate_pairs``
+    (dense matrix product — the anti-expression case): one map-only
+    mapInPandas stage, vector passed through, bucket = MSB-first bit
+    pack of the plane signs."""
     planes = _hyperplanes(embeddings.sparkSession, n_planes, dim)
-    v = to_double_vec(vec_col)
-    bits = [F.when(dot(v, _plane_lit(p)) > 0, F.lit(1)).otherwise(F.lit(0)) for p in planes]
-    bucket = bits[0].cast("long")
-    for bit in bits[1:]:
-        bucket = F.shiftleft(bucket, 1).bitwiseOR(bit.cast("long"))
-    return embeddings.select(id_col, vec_col).withColumn("bucket", bucket)
+    schema = dict((f.name, f.dataType.simpleString()) for f in embeddings.schema.fields)
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        plane_t = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+        msb_first = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            bits = (vecs @ plane_t) > 0
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["bucket"] = (bits * msb_first).sum(axis=1).astype(np.int64)
+            yield pdf
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        bucketize,
+        schema=f"{id_col} {schema[id_col]}, {vec_col} {schema[vec_col]}, bucket bigint",
+    )
 
 
 def embedding_lsh_candidate_pairs(
