@@ -1,9 +1,21 @@
 """Vector similarity over array<float> embedding columns.
 
-Column builders compute in DOUBLE with strict left-to-right array
-folds (F.aggregate / zip_with) so results are bit-identical to the
-DuckDB oracle's list_dot_product on DOUBLE[] — float math must be
-order-deterministic to survive the driver's value-hash comparison.
+Three execution tiers, chosen by the SHAPE of the math (SCALING.md
+"Similarity search"):
+
+- ``dot``/``cosine`` folds (F.aggregate / zip_with): the generic
+  Column-level form, strict left-to-right DOUBLE summation so results
+  are bit-identical to the DuckDB oracle's list_dot_product.
+- ``_dot_expr``/``_norm_expr``: the same summation as ONE parsed
+  arithmetic chain — whole-stage codegen instead of interpreted
+  per-element folds, bit-identical by construction. Used for per-PAIR
+  scoring in the top-k/verify hot paths, with norms precomputed per
+  SIDE (a per-vector quantity, never per pair).
+- Arrow/numpy GEMM via mapInPandas: anything shaped like a dense
+  matrix product (SRP band signatures, hyperplane bucketing) — every
+  expression-level encoding pays a construction tax (py4j round trips
+  or ANTLR parse) larger than the job at test SF, and scalar expression
+  code loses to BLAS at every SF.
 
 Scale notes: brute-force top-k is a broadcast of the (small) query set
 against the full table — embarrassingly parallel scoring. The per-query
