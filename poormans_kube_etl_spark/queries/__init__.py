@@ -135,11 +135,12 @@ _PRIORITY = [
     "sim_topk_bruteforce",
     # (d) changed-in-r03 green queries (ADVICE r02: a green row no
     # longer describes current code once the implementation changes —
-    # broadcast hints dropped on SF-scaling sides) + one unchanged
-    # sentinel guarding the relational spine
+    # broadcast hints dropped on SF-scaling sides; range join bucketed).
+    # No unchanged sentinel: the driver smoke-checks entry() == q1
+    # separately every round.
     "join_lineitem_part_supplier",
     "join_relational_division",
-    "q1_pricing_summary",
+    "sess_range_self_join_5m",
 ]
 
 

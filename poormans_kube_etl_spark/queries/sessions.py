@@ -181,18 +181,37 @@ def sess_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sess_range_self_join_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: events within ±5 minutes of each event for the same
-    user. The equi-key (user_id) carries the shuffle; the range predicate
-    filters within partitions — no cross product at scale."""
+    user, via INTERVAL BUCKETING (r3): a plain equi-join on user_id
+    makes every same-user pair a candidate — a hot user with 10^6
+    lifetime events is a 10^12-pair cross product in ONE task, and AQE
+    skew splitting cannot divide a single key. Binning ts into
+    radius-width (300 s) buckets and probing each event's own bin ±1
+    adds the bin to the equi-key, so candidates are bounded by the
+    user's BURST rate (events per 10 minutes), not lifetime volume.
+    Every true neighbor lands in exactly one probe bin (|Δts| <= 300 s
+    ⇒ bin distance <= 1, and each b-row has one bin) — no double count,
+    and the exact timestamp predicate keeps results identical to the
+    naive form."""
     ev = _ev(spark, sf_dir)
-    a = ev.select("event_id", "user_id", "ts").alias("a")
+    radius_s = 300
+    a_bin = F.floor(F.unix_timestamp("ts") / radius_s)
+    a = (
+        ev.select("event_id", "user_id", "ts")
+        .withColumn(
+            "probe_bin", F.explode(F.array(a_bin - 1, a_bin, a_bin + 1))
+        )
+        .alias("a")
+    )
     b = ev.select(
         F.col("event_id").alias("b_event_id"),
         F.col("user_id").alias("b_user_id"),
         F.col("ts").alias("b_ts"),
         F.col("value").alias("b_value"),
+        F.floor(F.unix_timestamp("ts") / radius_s).alias("b_bin"),
     ).alias("b")
     cond = (
         (F.col("b.b_user_id") == F.col("a.user_id"))
+        & (F.col("b.b_bin") == F.col("a.probe_bin"))
         & (F.col("b.b_event_id") != F.col("a.event_id"))
         & (F.col("b.b_ts") >= F.col("a.ts") - F.expr("INTERVAL 5 MINUTES"))
         & (F.col("b.b_ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
