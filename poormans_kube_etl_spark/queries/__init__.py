@@ -64,83 +64,71 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-3 rotation (VERDICT r02 #1b):
-# (a) the 2 queries whose r02 driver ERRORS (array-typed finals) were
-# fixed this round — must flip green first; (b) every query with no
-# driver row yet (the r02 never-swept set, minus the three fn_* scalar
-# suites consolidated into fn_scalar_suite); (c) queries whose
-# implementation changed in r02 after their r01 green row (ADVICE r02:
-# a green row no longer describes current code once the operator is
-# rewritten); (d) a few green sentinels guarding the relational spine.
-# Everything else rotates out — green rows on record.
+# ``queries()`` iteration order. Round-4 rotation (VERDICT r03 #1):
+# (a) dedup_ngram_jaccard_pairs — its oracle tokenization changed in
+# r03 (commit 8ab7b9f) AFTER its only green row (r01), so the recorded
+# green predates current code; (b) every query whose implementation
+# changed in r04 (similarity dim-guard + bounded top-k rewrite,
+# quantized-verify plumbing, simhash packed-word aggregate) plus
+# sim_ivf_topk (r03 bench regression under attribution); (c) the
+# rows-only dedup trio stays in-window per the r03 brief; (d) the
+# rotating refresh band: every r01-green query never re-checked since
+# (36 queries) so no driver row is more than two rounds stale.
+# Everything checked green in r02/r03 rotates out — rows on record.
 _PRIORITY = [
-    # (a) r02 driver errors, fixed this round (serialized array finals)
-    "array_agg_statuses_per_priority",
-    "fn_array_suite",
-    # (b) never driver-checked — similarity / dedup scale paths
-    "dedup_winnowing_pairs",
-    "dedup_embedding_lsh_pairs",
-    "sim_lsh_topk",
+    # (a) stale green — oracle changed after the row was recorded
+    "dedup_ngram_jaccard_pairs",
+    # (b) implementation changed in r04 (similarity module rework:
+    # schema-derived dim + per-row size guard, spillable stage-1 top-k,
+    # session-scoped expr cache) + the r03 bench-regression query
+    "sim_topk_bruteforce",
     "sim_ivf_topk",
-    "sim_kmeans_clusters",
-    "sim_label_spectral_stats",
-    # (b) multimodal (mm_resize_dims is new in r03)
-    "mm_decode_features",
-    "mm_frame_sample_hashes",
-    "mm_resize_dims",
-    # (b) functions suites (fn_scalar_suite = merged bitwise/math/interval)
-    "fn_scalar_suite",
-    "fn_variant_props",
-    "fn_map_entries",
-    "fn_conditional_suite",
-    "fn_array_set_ops",
-    # (b) subqueries / approx / window frames
-    "subq_not_in_inactive_parts",
-    "approx_distinct_users_by_type",
-    "approx_percentile_quantity",
-    "window_range_frame_value_band",
-    "window_trailing_1h_count",
-    # (b) training pipeline
-    "train_chunk_documents",
-    "train_stratified_sample",
-    "train_deterministic_shuffle",
-    "train_decontaminate_ngram",
-    "train_pack_shards",
-    # (b) reshape
-    "reshape_unpivot_part_metrics",
-    "reshape_month_spine_gap_fill",
-    "reshape_explode_outer_shingles",
-    # (b) corpus cleanup
-    "clean_sentence_split",
-    "clean_sentence_dedup",
-    "clean_quantize_embeddings",
-    "clean_repetition_ratio",
-    "clean_quality_rules",
-    # (b) text analytics
-    "text_rolling_fingerprints",
-    "text_tfidf_top_terms",
-    "text_bigram_pmi",
-    # (b) events analytics
-    "events_zscore_outliers",
-    "events_funnel_conversion",
-    "events_transition_matrix",
-    "events_cohort_retention",
-    # (b) data quality
-    "dq_referential_integrity",
-    "dq_value_range_violations",
-    # (c) implementation changed in r02 after the r01 green/rows-only row
+    "sim_lsh_topk",
+    "dedup_embedding_lsh_pairs",
+    "dedup_embedding_near_pairs",
+    # (c) rows-only dedup trio (kept in-window per r03 brief)
     "dedup_simhash_pairs",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
-    "sim_topk_bruteforce",
-    # (d) changed-in-r03 green queries (ADVICE r02: a green row no
-    # longer describes current code once the implementation changes —
-    # broadcast hints dropped on SF-scaling sides; range join bucketed).
-    # No unchanged sentinel: the driver smoke-checks entry() == q1
-    # separately every round.
-    "join_lineitem_part_supplier",
-    "join_relational_division",
-    "sess_range_self_join_5m",
+    # (d) r01-green refresh band — relational set/window spine
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "window_lag_order_gap_days",
+    "cube_orders_status_priority",
+    "set_intersect_active_custkeys",
+    "set_except_inactive_custkeys",
+    "set_union_all_keys",
+    "distinct_order_priorities",
+    # (d) reference-operator surface (r01 rows)
+    "ref_p1_p2_path_segments",
+    "ref_f1_timestamp_folders",
+    "ref_f2_any_timestamp",
+    "ref_f3_marker_rows",
+    "ref_o1_oldest_ingest",
+    "ref_f7_ingest_file_set",
+    "ref_s2_manifest_gate",
+    "ref_f4_f5_f6_job_filters",
+    "ref_e1_token_intersection",
+    "ref_a3_duration_format",
+    "ref_a4_run_metrics",
+    "ref_p6_json_props",
+    "ref_p7_array_struct_probe",
+    "ref_f8_temporal_filter",
+    "ref_dt1_epoch_roundtrip",
+    "ref_manifest_integrity_join",
+    "ref_folder_lifecycle_summary",
+    # (d) text-analysis family (r01 rows)
+    "text_token_stats",
+    "text_term_frequencies",
+    "text_lang_stats",
+    "text_quality_scores",
+    "text_langid_heuristic",
+    "text_fingerprints",
+    "text_langid_confusion",
+    # (d) dedup/similarity exact anchors (r01 rows)
+    "dedup_exact_stats",
+    "dedup_keep_first_by_prefix",
+    "sim_embedding_norms",
 ]
 
 
@@ -262,7 +250,52 @@ _R02_GREEN = frozenset(
     }
 )
 
-_DRIVER_GREEN = _R01_GREEN | _R02_GREEN
+# CORRECTNESS_r03 green rows (hash-green; the 12 no_oracle rows-only
+# queries keep their class and are not listed here).
+_R03_GREEN = frozenset(
+    {
+        "array_agg_statuses_per_priority",
+        "fn_array_suite",
+        "dedup_winnowing_pairs",
+        "mm_resize_dims",
+        "fn_scalar_suite",
+        "fn_variant_props",
+        "fn_map_entries",
+        "fn_conditional_suite",
+        "fn_array_set_ops",
+        "subq_not_in_inactive_parts",
+        "window_range_frame_value_band",
+        "window_trailing_1h_count",
+        "train_chunk_documents",
+        "train_stratified_sample",
+        "train_deterministic_shuffle",
+        "train_decontaminate_ngram",
+        "train_pack_shards",
+        "reshape_unpivot_part_metrics",
+        "reshape_month_spine_gap_fill",
+        "reshape_explode_outer_shingles",
+        "clean_sentence_split",
+        "clean_sentence_dedup",
+        "clean_quantize_embeddings",
+        "clean_repetition_ratio",
+        "clean_quality_rules",
+        "text_rolling_fingerprints",
+        "text_tfidf_top_terms",
+        "text_bigram_pmi",
+        "events_zscore_outliers",
+        "events_funnel_conversion",
+        "events_transition_matrix",
+        "events_cohort_retention",
+        "dq_referential_integrity",
+        "dq_value_range_violations",
+        "sim_topk_bruteforce",
+        "join_lineitem_part_supplier",
+        "join_relational_division",
+        "sess_range_self_join_5m",
+    }
+)
+
+_DRIVER_GREEN = _R01_GREEN | _R02_GREEN | _R03_GREEN
 
 
 def _ordered(mapping: dict) -> dict:
