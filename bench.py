@@ -113,9 +113,9 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ecands = embedding_lsh_candidate_pairs(emb)
+    ecands = embedding_lsh_candidate_pairs(emb, dim=64)
     t_ecand = timed(ecands)
-    epairs = embedding_near_pairs_lsh(emb, threshold=0.4)
+    epairs = embedding_near_pairs_lsh(emb, threshold=0.4, dim=64)
     t_epairs = timed(epairs)
     out["dedup_embedding_lsh_pairs"] = {
         "candidates": round(t_ecand, 4),

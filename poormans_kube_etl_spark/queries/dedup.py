@@ -248,7 +248,7 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs_lsh(emb, threshold=0.4).orderBy("a", "b")
+    return embedding_near_pairs_lsh(emb, threshold=0.4, dim=64).orderBy("a", "b")
 
 
 @register(

@@ -408,7 +408,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ivf_topk(emb, queries, k=5, n_probe=2)
+    out = ivf_topk(emb, queries, k=5, n_probe=2, dim=64)
     return out.select(
         "query_id", "nn_id", F.round("sim", 6).alias("sim"), "rank"
     ).orderBy("query_id", "rank")

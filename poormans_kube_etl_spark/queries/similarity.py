@@ -23,6 +23,7 @@ from poormans_kube_etl_spark.sources import load_table
 
 _N_QUERIES = 3  # query vectors: vec_id < 3
 _K = 5
+_DIM = 64  # testdata embedding width; explicit so builds skip the infer job
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +61,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    out = brute_force_topk(emb, queries, _K)
+    out = brute_force_topk(emb, queries, _K, dim=_DIM)
     return out.select("query_id", "nn_id", "sim", F.col("rank").cast("int").alias("rank")).orderBy(
         "query_id", "rank"
     )
@@ -127,7 +128,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    out = lsh_topk(emb, queries, _K, n_planes=8)
+    out = lsh_topk(emb, queries, _K, n_planes=8, dim=_DIM)
     return out.select("query_id", "nn_id", "sim", F.col("rank").cast("int").alias("rank")).orderBy(
         "query_id", "rank"
     )

@@ -217,6 +217,50 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
         assert abs(exact[r.nn_id] - r.sim) < 1e-12
 
 
+def test_vector_dim_mismatch_fails_loudly(spark):
+    """ADVICE r03: a vector shorter/longer than ``dim`` used to silently
+    NULL (or truncate) the codegen'd dot product. Both the expression
+    path and the numpy GEMM path must fail the job naming the length."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from poormans_kube_etl_spark.operators.similarity import (
+        brute_force_topk,
+        random_hyperplane_buckets,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = bad.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException), match="expected 4-dim"):
+        brute_force_topk(bad, queries, 1, dim=4).collect()
+    with pytest.raises(Exception, match="expected 4-dim"):
+        random_hyperplane_buckets(bad, n_planes=4, dim=4).collect()
+
+
+def test_vector_dim_inferred_from_corpus(spark):
+    """dim=None derives the width from the first non-null row — results
+    must match the explicit-dim build exactly."""
+    from poormans_kube_etl_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(6)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inferred = brute_force_topk(emb, queries, 3).collect()
+    explicit = brute_force_topk(emb, queries, 3, dim=6).collect()
+    assert [tuple(r) for r in inferred] == [tuple(r) for r in explicit]
+    assert len(inferred) == 3
+
+
 def test_kmeans_separates_clear_clusters(spark):
     """Two well-separated blobs in 4-D: k=2 must recover them exactly
     and place centroids at the blob means."""
