@@ -5,7 +5,11 @@ Semantics of ``merge_into``: rows whose key exists in both sides take
 the UPDATE side's values; update-only keys are inserted; target-only
 keys are kept (i.e. MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED
 INSERT). Implementation is one full-outer join on the key + a
-staging-path swap, so readers never observe a half-written target.
+staging-path swap: readers never observe half-written FILES (data lands
+in staging, promotion is directory renames), and the partitioned path's
+two-phase promote confines the reader-visible swap window to the
+metadata-only rename loops, with full rollback on failure and
+heal-on-next-merge after a crash (details on ``_merge_into_partitioned``).
 
 At 100 TB you never rewrite the whole table for a 0.1% delta. Two
 narrowing levers, strongest first:
@@ -53,6 +57,23 @@ def _merge_frames(target: DataFrame, updates: DataFrame, keys: list[str]) -> Dat
     )
 
 
+def _heal_aside(fs, dst, aside) -> None:
+    """Recover from a prior merge's crash window (ADVICE r03). A
+    leftover ``__old`` aside dir means the previous merge died either
+    AFTER its promote (``dst`` exists and holds the new data — the aside
+    is obsolete; delete it) or BETWEEN aside-move and promote (``dst``
+    missing — the aside IS the current data; restore it). Healing runs
+    before the target is read, so a merge never computes against a
+    half-swapped view, and a stale aside can never fail the next swap's
+    rename (rename returns false when the destination exists)."""
+    if not fs.exists(aside):
+        return
+    if fs.exists(dst):
+        fs.delete(aside, True)
+    elif not fs.rename(aside, dst):
+        raise IOError(f"merge_into: failed to restore {aside} to {dst}")
+
+
 def _swap_dir(spark: SparkSession, fs, src, dst, aside) -> None:
     """Promote ``src`` into ``dst`` with the move-ASIDE-first discipline:
     ``dst`` always holds either the old or the new data, and a failed
@@ -61,6 +82,7 @@ def _swap_dir(spark: SparkSession, fs, src, dst, aside) -> None:
     # right before the swap: if it is absent (bootstrap / new partition),
     # skip the aside step and promote directly — and never leave staging
     # behind on a failed swap.
+    _heal_aside(fs, dst, aside)
     if fs.exists(dst) and not fs.rename(dst, aside):
         raise IOError(f"merge_into: failed to move {dst} aside")
     if not fs.rename(src, dst):
@@ -86,6 +108,14 @@ def merge_into(
         _merge_into_partitioned(spark, target_path, updates, keys, partition_cols)
         return
 
+    old = target_path.rstrip("/") + "__old"
+    fs0, dst0 = hadoop_fs(spark, target_path)
+    _, aside0 = hadoop_fs(spark, old)
+    # a crashed prior merge may have left the data in the aside dir with
+    # the target missing — restoring FIRST means the bootstrap branch
+    # below can't mistake that state for an empty target and drop rows
+    _heal_aside(fs0, dst0, aside0)
+
     if not path_exists(spark, target_path):
         updates.write.mode("overwrite").parquet(target_path)
         return
@@ -105,14 +135,10 @@ def merge_into(
     # original moves ASIDE first, so `target_path` always holds either
     # the old or the new dataset; rename results are checked.
     staging = target_path.rstrip("/") + "__merging"
-    old = target_path.rstrip("/") + "__old"
     merged.write.mode("overwrite").parquet(staging)
-    delete_path(spark, old)
-    fs, dst = hadoop_fs(spark, target_path)
-    _, aside = hadoop_fs(spark, old)
     _, src = hadoop_fs(spark, staging)
     try:
-        _swap_dir(spark, fs, src, dst, aside)
+        _swap_dir(spark, fs0, src, dst0, aside0)
     except IOError:
         delete_path(spark, staging)
         raise
@@ -127,20 +153,35 @@ def _merge_into_partitioned(
 ) -> None:
     """Partition-scoped merge for a hive-partitioned parquet target.
 
-    1. The delta's DISTINCT partition values (driver-tiny: a delta
+    1. Leftover ``__old`` asides from a crashed prior merge are healed
+       (restored or cleared) BEFORE the target is read.
+    2. The delta's DISTINCT partition values (driver-tiny: a delta
        touches few partitions by definition) become an ``isin`` filter —
        the target scan plans real ``PartitionFilters``, reading only the
        touched directories.
-    2. The merge output is written to staging partitioned the same way.
-    3. ONLY the touched partition directories are swapped (aside-first,
-       per directory); untouched directories are never read or moved,
-       so their files stay byte-identical.
+    3. The merge output is written to staging partitioned the same way.
+    4. Promotion is TWO-PHASE over only the touched directories
+       (untouched directories are never read or moved, so their files
+       stay byte-identical): phase A moves every touched target dir
+       aside, phase B renames every staging dir in. Directory renames
+       are metadata-only, so the reader-visible window — during which a
+       touched partition may be briefly absent or already-new while
+       another is still-old — is the few milliseconds of the rename
+       loops, not the minutes of the merge job. Any failure rolls BOTH
+       phases back (un-promote, restore asides), leaving the target
+       byte-identical to its pre-merge state; atomicity is therefore
+       all-or-nothing per MERGE CALL, not merely per partition, and
+       re-running the same delta after a crash first heals, then
+       converges (the merge is idempotent on its inputs).
     """
     from poormans_kube_etl_spark.sources.ingest import delete_path, hadoop_fs, path_exists
 
     if not path_exists(spark, target_path):
         updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
         return
+
+    fs, _root = hadoop_fs(spark, target_path)
+    _heal_partition_asides(spark, fs, target_path, len(partition_cols))
 
     touched = [tuple(r) for r in updates.select(*partition_cols).distinct().collect()]
     if not touched:
@@ -159,7 +200,7 @@ def _merge_into_partitioned(
     staging = target_path.rstrip("/") + "__merging"
     merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
 
-    fs, _root = hadoop_fs(spark, target_path)
+    plan = []
     for combo in touched:
         # hive dir encoding: NULL partition values write as
         # __HIVE_DEFAULT_PARTITION__ — a str(None) dir name would miss
@@ -176,17 +217,64 @@ def _merge_into_partitioned(
             # writes this directory — absence means the dir-name encoding
             # above disagrees with Spark's hive escaping (e.g. special
             # characters in a string partition value). Silent skip would
-            # drop the partition's delta; fail loudly instead.
+            # drop the partition's delta; fail loudly BEFORE any target
+            # dir has been touched.
             delete_path(spark, staging)
             raise ValueError(
                 f"merge_into: staging dir for partition {rel!r} missing — "
                 "partition value needs hive escaping this helper doesn't "
                 "implement; use plain ascii partition values"
             )
-        fs.mkdirs(dst.getParent())  # nested new combos need the parent dir
-        try:
-            _swap_dir(spark, fs, src, dst, aside)
-        except IOError:
-            delete_path(spark, staging)
-            raise
+        plan.append((src, dst, aside))
+
+    # two-phase promote (ADVICE r03): all asides first, then all
+    # staging renames — the mixed-state window is the rename loops
+    # only, and a failure in either phase rolls the target back whole.
+    moved: list[tuple] = []  # (dst, aside) pairs whose dst went aside
+    promoted: list[tuple] = []  # (src, dst) pairs renamed in
+    try:
+        for _src, dst, aside in plan:
+            if fs.exists(dst):
+                if not fs.rename(dst, aside):
+                    raise IOError(f"merge_into: failed to move {dst} aside")
+                moved.append((dst, aside))
+        for src, dst, _aside in plan:
+            fs.mkdirs(dst.getParent())  # nested new combos need the parent dir
+            if not fs.rename(src, dst):
+                raise IOError(f"merge_into: failed to move staging into {dst}")
+            promoted.append((src, dst))
+    except IOError:
+        for src, dst in reversed(promoted):
+            fs.rename(dst, src)
+        for dst, aside in reversed(moved):
+            fs.rename(aside, dst)
+        delete_path(spark, staging)
+        raise
+    for _dst, aside in moved:
+        fs.delete(aside, True)
     delete_path(spark, staging)
+
+
+def _heal_partition_asides(
+    spark: SparkSession, fs, target_path: str, depth: int
+) -> None:
+    """Glob ``<partition-dir>__old`` leftovers at the partition depth and
+    heal each (restore when its partition dir is missing, clear when it
+    is present) — a crashed prior merge must not block, or feed a
+    half-swapped view to, the next one. Aside dirs live only at the
+    LEAF partition level (``c1=v1/c2=v2__old``), so one glob per merge
+    covers every possible leftover."""
+    jvm = spark.sparkContext._jvm
+    pattern = "/".join(["*"] * (depth - 1) + ["*__old"])
+    gpath = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/{pattern}")
+    statuses = fs.globStatus(gpath)
+    if statuses is None:
+        return
+    suffix = "__old"
+    for st in statuses:
+        aside = st.getPath()
+        name = aside.toString()
+        if not name.endswith(suffix):
+            continue
+        dst = jvm.org.apache.hadoop.fs.Path(name[: -len(suffix)])
+        _heal_aside(fs, dst, aside)

@@ -179,6 +179,68 @@ def test_merge_into_partitioned_equals_unpartitioned(spark, tmp_path):
     assert p_rows == u_rows and len(p_rows) == 220
 
 
+def test_merge_heals_stale_aside_then_succeeds(spark, tmp_path):
+    """ADVICE r03: a crashed prior merge that died after its promote
+    leaves a ``<dir>__old`` aside; rename-to-existing returns false, so
+    every later merge of that partition used to fail until manual
+    cleanup. The next merge must clear the leftover and proceed."""
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    path = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20)], "k long, day long, v long"
+    ).write.partitionBy("day").parquet(path)
+    # simulate the crash-after-promote state: obsolete old data parked
+    # in the aside dir while the real partition dir is live
+    os.makedirs(f"{path}/day=1__old")
+    open(f"{path}/day=1__old/junk.parquet", "w").write("stale")
+
+    delta = spark.createDataFrame([(2, 1, 99)], "k long, day long, v long")
+    merge_into(spark, path, delta, keys=["k"], partition_cols=["day"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10, 2: 99}
+    assert not glob.glob(f"{path}/day=*__old")
+
+
+def test_merge_heals_aside_with_missing_partition_dir(spark, tmp_path):
+    """Crash BETWEEN aside-move and promote: the aside holds the only
+    copy of the partition. The next merge must restore it before
+    reading, so target-only rows survive."""
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    path = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20), (3, 1, 30)], "k long, day long, v long"
+    ).write.partitionBy("day").parquet(path)
+    os.rename(f"{path}/day=1", f"{path}/day=1__old")  # the crash state
+
+    delta = spark.createDataFrame([(2, 1, 99)], "k long, day long, v long")
+    merge_into(spark, path, delta, keys=["k"], partition_cols=["day"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    # k=3 is target-only in the healed partition — it must survive
+    assert got == {1: 10, 2: 99, 3: 30}
+    assert not glob.glob(f"{path}/day=*__old")
+
+
+def test_merge_unpartitioned_heals_aside_before_bootstrap(spark, tmp_path):
+    """Unpartitioned variant of the missing-dst crash state: the whole
+    target sits in ``__old``. Without healing, path_exists(target) is
+    false and the bootstrap branch would overwrite with the delta alone,
+    silently dropping every old row."""
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(path)
+    os.rename(path, path + "__old")
+
+    merge_into(
+        spark, path, spark.createDataFrame([(2, "B")], "k long, v string"), keys=["k"]
+    )
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B"}
+    assert not os.path.exists(path + "__old")
+
+
 def test_merge_into_null_key_rows(spark, tmp_path):
     """eqNullSafe join ⇒ NULL key values are legitimate; a NULL-keyed
     update row must UPDATE its NULL-keyed target match, not duplicate
