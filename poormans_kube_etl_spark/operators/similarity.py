@@ -514,14 +514,23 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cell_sim").desc(), F.col(cell_col)
     )
+    # cell_sim via the cached codegen'd dot/norm (bit-identical to the
+    # cosine() fold — same elementwise order): the fold form rebuilt its
+    # zip_with/aggregate lambda tree through py4j on EVERY query build,
+    # ~0.3 s of the measured 0.6 s/iteration driver-side build cost
+    # (bench rebuilds the DataFrame each timing loop; r03's +13%
+    # regression was mostly this, not executor work)
     probes = (
         qs.crossJoin(F.broadcast(cents))
+        .withColumn("_cn", _norm_expr("centroid", dim))
         .select(
             "query_id",
             "q_vec",
             "_qn",
             cell_col,
-            cosine(F.col("q_vec"), F.col("centroid")).alias("cell_sim"),
+            (_dot_expr("q_vec", "centroid", dim) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cell_sim"
+            ),
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .where(F.col("probe_rank") <= n_probe)

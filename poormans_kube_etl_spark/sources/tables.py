@@ -27,10 +27,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (session id, sf_dir, table) -> DataFrame. A DataFrame is an immutable
+# logical-plan handle, so reusing one across query builds is safe — the
+# SCAN still runs per action with current pushdown/pruning. What the
+# cache removes is the per-build driver cost of spark.read.parquet
+# (footer/schema round trips: ~0.1 s and dozens of py4j calls per table
+# per build — measured while attributing sim_ivf_topk's bench build
+# overhead). Keyed on the session instance so a restarted session can't
+# be served plan handles bound to a dead JVM gateway.
+# values hold the session strongly, so an id() can never be recycled
+# into a false hit while its entry lives
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from poormans_kube_etl_spark.session import apply_runtime_confs
 
     apply_runtime_confs(spark)
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): unsupported by Spark's
@@ -41,6 +58,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
         if isinstance(field, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if len(_TABLE_CACHE) > 256:  # bound: many sessions/sf_dirs in one process
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 
