@@ -261,6 +261,64 @@ def test_run_stream_failed_batch_redelivers_on_restart(orch, tmp_path):
     assert not os.path.exists(os.path.join(orch.landing_dir, "pending", "1538055240"))
 
 
+def test_run_stream_hundred_folder_fanout(orch, tmp_path):
+    """VERDICT r03 #5: realistic folder fan-out. 100 ready folders must
+    stream through oldest-first, one folder per micro-batch, with every
+    listing scoped to its folder's prefix (never a full landing-dir
+    scan per discovered folder). Store pipelines are stubbed — the
+    subject is orchestration order/batching/listing, which is identical
+    for real pipelines."""
+    n = 100
+    base_ts = 1538050000
+    folders = []
+    for i in range(n):
+        ts = str(base_ts + i * 10)
+        folder = make_ingest_folder(orch.landing_dir, ts, "bulk.txt")
+        # the file source orders by modification time (latestFirst=False
+        # → oldest first); pin distinct ascending mtimes so arrival
+        # order is exactly the timestamp naming order
+        mpath = os.path.join(folder, "manifest.json")
+        os.utime(mpath, (base_ts + i, base_ts + i))
+        folders.append(ts)
+
+    orch.strict_manifest = False  # sha verification exercised elsewhere
+    processed: list[str] = []
+    orch._graph_pipeline = lambda params: processed.append(params.ingest_name)
+    orch._index_pipeline = lambda params: None
+
+    listing_args: list[str | None] = []
+    real_list = orch.list_keys
+
+    def counting_list(folder=None):
+        listing_args.append(folder)
+        return real_list(folder)
+
+    orch.list_keys = counting_list
+
+    # default progress retention is ~100 entries; keep all n batches
+    orch.spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "250")
+    q = orch.run_stream(str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(600)
+
+    # every folder processed exactly once, oldest first
+    assert processed == folders
+    # one folder per micro-batch: each manifest carries exactly 2 file
+    # records, so every data batch reports exactly 2 input ROWS (one
+    # manifest file — maxFilesPerTrigger=1), and there are n of them
+    progress = q.recentProgress
+    assert progress, "stream reported no progress"
+    data_batches = [p for p in progress if int(p["numInputRows"]) > 0]
+    assert len(data_batches) == n
+    assert all(int(p["numInputRows"]) == 2 for p in data_batches)
+    # prefix-scoped listings only: no un-scoped (whole landing dir)
+    # listing ever happens in streaming mode, and the count stays O(n)
+    # (marker probe + ingest_files per folder), not O(n^2)
+    assert None not in listing_args
+    assert len(listing_args) <= 2 * n + 5
+    # all folders consumed and deleted
+    assert os.listdir(os.path.join(orch.landing_dir, "pending")) == []
+
+
 def test_headerless_entity_falls_back_to_header_row(orch, tmp_path):
     folder = os.path.join(orch.landing_dir, "pending", "1538055240", "thing")
     os.makedirs(folder, exist_ok=True)
