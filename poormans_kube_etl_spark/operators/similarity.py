@@ -202,14 +202,22 @@ def _hyperplanes(spark, n_planes: int, dim: int) -> list[list[float]]:
     return _PLANE_CACHE[key]
 
 
-def _dot_cols_sql(a: str, b: str, dim: int) -> str:
-    """``a · b`` for two array<double> columns as ONE parsed SQL string
-    of plain arithmetic: runs inside whole-stage codegen (higher-order
-    folds are interpreted per element) and costs one F.expr parse
-    instead of per-element Column construction. The leading 0D and
-    left-to-right chain reproduce ``dot()``'s float summation order
-    bit-for-bit."""
-    terms = "+".join(f"{a}[{j}]*{b}[{j}]" for j in range(dim))
+def _dot_cols_sql(a: str, b: str, dim: int, elem_cast: str | None = None) -> str:
+    """``a · b`` for two array columns as ONE parsed SQL string of plain
+    arithmetic: runs inside whole-stage codegen (higher-order folds are
+    interpreted per element) and costs one F.expr parse instead of
+    per-element Column construction. The leading 0D and left-to-right
+    chain reproduce ``dot()``'s float summation order bit-for-bit.
+    ``elem_cast`` widens each element before the multiply — required for
+    narrow integer arrays (tinyint·tinyint stays tinyint under ANSI and
+    overflows at ±12)."""
+    if elem_cast:
+        terms = "+".join(
+            f"cast({a}[{j}] as {elem_cast})*cast({b}[{j}] as {elem_cast})"
+            for j in range(dim)
+        )
+    else:
+        terms = "+".join(f"{a}[{j}]*{b}[{j}]" for j in range(dim))
     return f"(0D+{terms})"
 
 
@@ -240,12 +248,12 @@ def _cached_expr(sql: str) -> Column:
     return col
 
 
-def _dot_expr(a: str, b: str, dim: int) -> Column:
-    return _cached_expr(_dot_cols_sql(a, b, dim))
+def _dot_expr(a: str, b: str, dim: int, elem_cast: str | None = None) -> Column:
+    return _cached_expr(_dot_cols_sql(a, b, dim, elem_cast))
 
 
-def _norm_expr(v: str, dim: int) -> Column:
-    return _cached_expr(f"sqrt{_dot_cols_sql(v, v, dim)}")
+def _norm_expr(v: str, dim: int, elem_cast: str | None = None) -> Column:
+    return _cached_expr(f"sqrt{_dot_cols_sql(v, v, dim, elem_cast)}")
 
 
 def _vec_matrix(pdf, vec_col: str, dim: int):
@@ -419,10 +427,22 @@ def embedding_near_pairs_lsh(
     vec_col: str = "embedding",
     dim: int | None = None,
     max_bucket: int = 256,
+    quantized: bool = False,
 ) -> DataFrame:
     """Full-corpus embedding near-dup pairs (a, b, cos_sim >= threshold)
     via banded sign-random-projection LSH — the scale path whose exact
     anchor is the capped all-pairs query (dedup_embedding_near_pairs).
+
+    ``quantized=True`` runs the verify join on symmetric int8 vectors
+    (q_j = round(127·x_j / max|x|), per-vector scale — it cancels in
+    cosine, unlike the affine [0,255] STORAGE quantizer in
+    clean_quantize_embeddings whose offset shifts angles): the verify
+    exchange carries array<tinyint> instead of array<double>, 8× fewer
+    bytes per vector at 100 TB. Emitted ``cos_sim`` is then the
+    quantized cosine — within ~1/127 of exact for unit-ish vectors —
+    so pairs whose true similarity sits inside that band of the
+    threshold can flip relative to the exact path; callers wanting
+    byte-exact decisions keep the default float verify.
 
     Banding math: two vectors at angle θ agree on one hyperplane sign
     with prob 1 − θ/π; a band of r planes matches with (1 − θ/π)^r, and
@@ -442,14 +462,37 @@ def embedding_near_pairs_lsh(
     # of twice per pair (cosine() would fold 3 arrays per candidate);
     # the pair dot is a single codegen'd expression. Bit-identical to
     # cosine(): same elementwise ops in the same order.
-    v = checked_double_vec(vec_col, dim)
-    va = embeddings.select(F.col(id_col).alias("a"), v.alias("_va")).withColumn(
-        "_na", _norm_expr("_va", dim)
+    def _side(alias: str) -> DataFrame:
+        side = embeddings.select(
+            F.col(id_col).alias(alias), checked_double_vec(vec_col, dim).alias("_x")
+        )
+        if quantized:
+            # symmetric int8: the per-vector scale cancels inside
+            # cosine. Scale sits in its OWN projection so array_max runs
+            # once per row, not once per element inside the transform.
+            # The tinyint arrays then flow through the same
+            # _dot_expr/_norm_expr chains — the 0D seed promotes the
+            # sum to double and per-term products are bounded by 127²,
+            # so nothing overflows.
+            side = side.withColumn(
+                "_s",
+                F.lit(127.0)
+                / F.nullif(F.array_max(F.transform("_x", F.abs)), F.lit(0.0)),
+            ).select(
+                alias,
+                F.transform(
+                    "_x", lambda x: F.round(x * F.col("_s")).cast("tinyint")
+                ).alias("_x"),
+            )
+        cast = "int" if quantized else None
+        return side.select(
+            alias, F.col("_x").alias(f"_v{alias}")
+        ).withColumn(f"_n{alias}", _norm_expr(f"_v{alias}", dim, cast))
+
+    va, vb = _side("a"), _side("b")
+    sim = _dot_expr("_va", "_vb", dim, "int" if quantized else None) / (
+        F.col("_na") * F.col("_nb")
     )
-    vb = embeddings.select(F.col(id_col).alias("b"), v.alias("_vb")).withColumn(
-        "_nb", _norm_expr("_vb", dim)
-    )
-    sim = _dot_expr("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
     return (
         cands.join(va, "a")
         .join(vb, "b")

@@ -485,6 +485,51 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     assert [(p.a, p.b) for p in pairs] == [(1, 2)]
 
 
+def test_embedding_lsh_quantized_verify_tracks_exact(spark, sf_dir):
+    """VERDICT r03 #6: the int8 verify option. Same candidates, verify on
+    symmetric-quantized vectors — every emitted cos_sim must sit within
+    the quantization error band of the exact cosine, the pair set must
+    match exact-verify away from the threshold boundary, and the verify
+    side must actually carry tinyint vectors (the 8x byte-width claim)."""
+    from poormans_kube_etl_spark.operators.similarity import (
+        cosine,
+        embedding_near_pairs_lsh,
+        to_double_vec,
+    )
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+    from poormans_kube_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    thresh, tol = 0.4, 0.05
+    q = embedding_near_pairs_lsh(emb, threshold=thresh, quantized=True)
+    assert "tinyint" in formatted_plan(q)
+    got_q = {(r.a, r.b): r.cos_sim for r in q.collect()}
+    got_f = {
+        (r.a, r.b): r.cos_sim
+        for r in embedding_near_pairs_lsh(emb, threshold=thresh).collect()
+    }
+    # quantized similarity within the error band of exact, pair-by-pair
+    e = emb.select("vec_id", to_double_vec("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    exact_all = {
+        (r.a, r.b): r.c
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .collect()
+    }
+    for pair, sim_q in got_q.items():
+        assert abs(sim_q - exact_all[pair]) < tol
+    # decisions agree except inside the tolerance band of the threshold
+    flips = set(got_q) ^ set(got_f)
+    assert all(abs(exact_all[p] - thresh) < tol for p in flips)
+    # pairs comfortably above threshold are found by both
+    assert {p for p, s in got_f.items() if s >= thresh + tol} <= set(got_q)
+
+
 def test_rolling_hashes_survive_content_shift(spark):
     """The rolling-hash property: prepending tokens shifts positions but
     leaves every interior window hash unchanged — so sampled
