@@ -159,23 +159,44 @@ def main() -> None:
 
     stages = _dedup_stage_split(spark, sf_dir)
 
+    # Linearity section (VERDICT r03 #7): if the locally-generated sf1
+    # replica set exists (scripts/scale_testdata.py — 10x sf0.1 with
+    # decorrelated replicas), run every headline query there once.
+    # Single-shot, not min-of-2: the point is the SHAPE (sublinear
+    # growth ⇒ per-action constants amortize), not a tight headline.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(REPO_ROOT, ".benchdata", "sf1")
+    )
+    sf1_section = None
+    if os.path.isdir(sf1_dir):
+        sf1_timings: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            _execute(qs[name](spark, sf1_dir))
+            sf1_timings[name] = round(time.perf_counter() - t0, 4)
+        sf1_section = {
+            "sf": 1.0,
+            "passes": 1,
+            "value": round(sum(sf1_timings.values()), 4),
+            "queries": sf1_timings,
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "stages": stages,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "stages": stages,
+        "sf": sf_val,
+    }
+    if sf1_section is not None:
+        payload["sf1"] = sf1_section
+    print(json.dumps(payload))
     spark.stop()
 
 

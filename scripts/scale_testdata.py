@@ -1,0 +1,116 @@
+"""Scale the driver's sf0.1 tables to a larger synthetic SF for
+LOCAL linearity validation (VERDICT r03 #7) — writes to
+``.benchdata/sf{N}`` inside the repo (testdata itself is read-only).
+
+Replication is 1 original + (factor-1) derived copies, built so the
+WORKLOAD SHAPE scales linearly instead of degenerating:
+
+- Every entity key (custkey/orderkey/partkey/suppkey/event_id/user_id/
+  doc_id/vec_id) is offset by ``replica * 10_000_000`` — FK joins stay
+  consistent WITHIN a replica, the join fan-out per key is unchanged,
+  and key-range predicates (e.g. the vec_id < 3 query set) keep their
+  original selectivity denominator semantics.
+- ``nation``/``region`` are genuine dimensions — copied once, so the
+  star joins scale the fact side only, like real TPC-H SFs do.
+- ``documents.text`` gets every TOKEN suffixed with the replica tag:
+  replicas share no shingles with the original, so near-dup pair
+  counts grow ~linearly. A naive copy would make every doc a 10-way
+  exact dup — LSH buckets and pair outputs would grow quadratically,
+  which benchmarks the degenerate corpus, not scale.
+- ``embeddings.embedding`` is rolled by the replica index and
+  sign-flipped per (replica, dim) via xxhash64 — replicas are
+  ~uncorrelated with their originals (norms preserved), again keeping
+  near-pair volume linear.
+
+Deterministic end-to-end (seeded by replica index and xxhash64 only).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+STRIDE = 10_000_000
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _replicas(df: DataFrame, factor: int) -> DataFrame:
+    reps = df.sparkSession.range(factor).select(F.col("id").cast("int").alias("_rep"))
+    return df.crossJoin(F.broadcast(reps))
+
+
+def scale_table(df: DataFrame, name: str, factor: int) -> DataFrame:
+    if name in ("region", "nation"):
+        return df
+    out = _replicas(df, factor)
+    for k in KEY_COLS.get(name, []):
+        out = out.withColumn(k, F.col(k) + F.col("_rep").cast("bigint") * STRIDE)
+    if name == "documents":
+        salted = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(t, F.lit("_q"), F.col("_rep").cast("string")),
+            ),
+            " ",
+        )
+        out = out.withColumn(
+            "text", F.when(F.col("_rep") == 0, F.col("text")).otherwise(salted)
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    if name == "embeddings":
+        dim = 64
+        v = F.col("embedding")
+        rolled = F.concat(
+            F.slice(v, F.col("_rep") + 1, F.lit(dim) - F.col("_rep")),
+            F.slice(v, 1, F.col("_rep")),
+        )
+        remixed = F.transform(
+            rolled,
+            lambda x, i: (
+                x
+                * F.when(
+                    F.pmod(F.xxhash64(F.col("_rep"), i), F.lit(2)) == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+            ).cast("float"),
+        )
+        out = out.withColumn(
+            "embedding", F.when(F.col("_rep") == 0, v).otherwise(remixed)
+        )
+    return out.drop("_rep").select(*df.columns)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    sf_label = sys.argv[3] if len(sys.argv) > 3 else "sf1"
+    dst = os.path.join(REPO_ROOT, ".benchdata", sf_label)
+
+    from poormans_kube_etl_spark import TABLES
+    from poormans_kube_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-testdata")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in TABLES:
+        df = spark.read.parquet(f"{src}/{name}.parquet")
+        scaled = scale_table(df, name, factor)
+        scaled.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(name, spark.read.parquet(f"{dst}/{name}.parquet").count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
