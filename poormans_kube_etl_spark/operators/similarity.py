@@ -634,24 +634,23 @@ def lsh_topk(
         query_b = query_b.select(
             "query_id", "q_vec_raw", F.explode(probe_vals).alias("bucket")
         )
+    # per-side norms computed BEFORE the bucket join — a norm is a
+    # per-VECTOR quantity (SCALING.md pair-scoring rule); the previous
+    # form recomputed both sqrt-folds per CANDIDATE row, so a corpus
+    # vector colliding with q probed buckets paid its norm q times
+    corpus_b = corpus_b.withColumn(
+        "_nv", to_double_vec(F.col("nn_vec_raw")).alias("_nv")
+    ).select("nn_id", "bucket", "_nv").withColumn("_nn", _norm_expr("_nv", dim))
+    query_b = query_b.withColumn(
+        "_qv", to_double_vec(F.col("q_vec_raw")).alias("_qv")
+    ).select("query_id", "bucket", "_qv").withColumn("_qn", _norm_expr("_qv", dim))
     joined = corpus_b.join(F.broadcast(query_b), "bucket").where(
         F.col("nn_id") != F.col("query_id")
     )
-    # per-side norms + codegen pair dot (bit-identical to cosine())
+    # codegen pair dot (bit-identical to cosine())
     scored = joined.select(
         "query_id",
         "nn_id",
-        to_double_vec(F.col("q_vec_raw")).alias("_qv"),
-        to_double_vec(F.col("nn_vec_raw")).alias("_nv"),
-    ).select(
-        "query_id",
-        "nn_id",
-        (
-            _dot_expr("_qv", "_nv", dim)
-            / (
-                _norm_expr("_qv", dim)
-                * _norm_expr("_nv", dim)
-            )
-        ).alias("sim"),
+        (_dot_expr("_qv", "_nv", dim) / (F.col("_qn") * F.col("_nn"))).alias("sim"),
     )
     return _topk_per_query(scored, k)

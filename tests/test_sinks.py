@@ -222,6 +222,26 @@ def test_merge_heals_aside_with_missing_partition_dir(spark, tmp_path):
     assert not glob.glob(f"{path}/day=*__old")
 
 
+def test_merge_heals_aside_at_nested_partition_depth(spark, tmp_path):
+    """Two partition columns: leftover asides live at depth 2
+    (day=../hour=..__old) — the heal glob must find them there."""
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    path = str(tmp_path / "pt2")
+    spark.createDataFrame(
+        [(1, 0, 0, 10), (2, 0, 1, 20), (3, 1, 0, 30)],
+        "k long, day long, hour long, v long",
+    ).write.partitionBy("day", "hour").parquet(path)
+    # crash state at nested depth: partition dir moved aside, not promoted
+    os.rename(f"{path}/day=0/hour=1", f"{path}/day=0/hour=1__old")
+
+    delta = spark.createDataFrame([(2, 0, 1, 99)], "k long, day long, hour long, v long")
+    merge_into(spark, path, delta, keys=["k"], partition_cols=["day", "hour"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+    assert not glob.glob(f"{path}/day=*/hour=*__old")
+
+
 def test_merge_unpartitioned_heals_aside_before_bootstrap(spark, tmp_path):
     """Unpartitioned variant of the missing-dst crash state: the whole
     target sits in ``__old``. Without healing, path_exists(target) is
