@@ -6,6 +6,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.plans.inspect import formatted_plan
@@ -259,6 +260,95 @@ def test_merge_unpartitioned_heals_aside_before_bootstrap(spark, tmp_path):
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B"}
     assert not os.path.exists(path + "__old")
+
+
+def test_merge_rename_fault_matrix_rolls_back_then_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Fault-injection over the two-phase promote: make the K-th
+    filesystem rename fail, for every K the merge performs. Each
+    failure must (a) raise, (b) leave the target byte-identical to its
+    pre-merge state (full rollback), and (c) be healed by simply
+    re-running the same merge."""
+    import shutil
+
+    import poormans_kube_etl_spark.sources.ingest as ingest
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    schema = "k long, day long, v long"
+    base_rows = [(1, 0, 10), (2, 1, 20), (3, 2, 30), (4, 1, 40)]
+    delta_rows = [(2, 1, 99), (5, 2, 55), (6, 3, 66)]  # 3 touched, 1 new
+
+    pristine = str(tmp_path / "pristine")
+    spark.createDataFrame(base_rows, schema).write.partitionBy("day").parquet(pristine)
+    expected = {1: (0, 10), 2: (1, 99), 3: (2, 30), 4: (1, 40), 5: (2, 55), 6: (3, 66)}
+
+    real_hf = ingest.hadoop_fs
+    counter = {"n": 0, "fail_at": 10**9}
+
+    class FailingFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, a, b):
+            counter["n"] += 1
+            if counter["n"] == counter["fail_at"]:
+                return False  # hadoop's failure mode: false, no exception
+            return self._fs.rename(a, b)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(spark_, path):
+        fs, p = real_hf(spark_, path)
+        return FailingFS(fs), p
+
+    def snapshot(path):
+        import hashlib
+
+        out = {}
+        for f in sorted(glob.glob(f"{path}/**/*.parquet", recursive=True)):
+            rel = os.path.relpath(f, path)
+            out[rel] = hashlib.sha256(open(f, "rb").read()).hexdigest()
+        return out
+
+    monkeypatch.setattr(ingest, "hadoop_fs", patched)
+
+    # clean run to count renames (also sanity-checks the patch itself)
+    probe = str(tmp_path / "probe")
+    shutil.copytree(pristine, probe)
+    counter["n"], counter["fail_at"] = 0, 10**9
+    merge_into(
+        spark, probe, spark.createDataFrame(delta_rows, schema),
+        keys=["k"], partition_cols=["day"],
+    )
+    total_renames = counter["n"]
+    assert total_renames >= 2  # asides + promotes
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(probe).collect()}
+    assert got == expected
+
+    for fail_at in range(1, total_renames + 1):
+        path = str(tmp_path / f"t{fail_at}")
+        shutil.copytree(pristine, path)
+        before = snapshot(path)
+        counter["n"], counter["fail_at"] = 0, fail_at
+        with pytest.raises(IOError):
+            merge_into(
+                spark, path, spark.createDataFrame(delta_rows, schema),
+                keys=["k"], partition_cols=["day"],
+            )
+        # rollback: byte-identical target, no staging/aside debris
+        assert snapshot(path) == before, f"rollback failed at rename #{fail_at}"
+        assert not glob.glob(f"{path}__merging*")
+        assert not glob.glob(f"{path}/day=*__old")
+        # re-run heals and converges
+        counter["n"], counter["fail_at"] = 0, 10**9
+        merge_into(
+            spark, path, spark.createDataFrame(delta_rows, schema),
+            keys=["k"], partition_cols=["day"],
+        )
+        got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+        assert got == expected, f"re-run after failure #{fail_at} did not converge"
 
 
 def test_merge_into_null_key_rows(spark, tmp_path):
