@@ -151,6 +151,11 @@ def test_topk_is_two_stage(q, spark, sf_dir):
 
     plan = formatted_plan(q("sim_topk_bruteforce"))
     assert "SPARK_PARTITION_ID" in plan.upper(), "partial per-partition top-k missing"
+    # VERDICT r03 #4 memory gate: stage 1 must run as a Window over the
+    # external (spilling) sort, not as a collect_list aggregation whose
+    # buffers hold whole candidate arrays on the heap
+    assert plan.count("Window") >= 2, "spillable window stage-1 missing"
+    assert "collect_list" not in plan, "top-k must not buffer candidate arrays"
 
     # row-width gate: the merge input is O(k·P·Q), not N·Q
     from pyspark.sql import functions as F
