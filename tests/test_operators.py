@@ -530,6 +530,56 @@ def test_embedding_lsh_quantized_verify_tracks_exact(spark, sf_dir):
     assert {p for p, s in got_f.items() if s >= thresh + tol} <= set(got_q)
 
 
+def test_approx_distinct_tracks_exact(spark, sf_dir):
+    """HLL++ is rows-only at the driver (no DuckDB twin): pin its
+    accuracy locally — per-group estimates must sit within 5 relative
+    standard deviations of the exact distinct count (rsd=0.05 default;
+    5σ makes the bound deterministic-in-practice for a fixed dataset)."""
+    from poormans_kube_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    est = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(5, 0.25 * exact[k]), (k, est[k], exact[k])
+
+
+def test_label_spectral_stats_match_driver_numpy(spark, sf_dir):
+    """The applyInPandas spectral operator vs the same math computed
+    driver-side on the collected cell — distributed grouping must not
+    change the answer."""
+    import numpy as np
+
+    from poormans_kube_etl_spark.operators.mlstats import label_spectral_stats
+    from poormans_kube_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.label: r for r in label_spectral_stats(emb).collect()}
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(list(r.embedding))
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        mat = np.array(vecs, dtype="float64")
+        cov = np.cov(mat, rowvar=False)
+        eig = np.linalg.eigvalsh(cov)
+        assert got[label].n_vectors == len(vecs)
+        assert abs(got[label].top_eigenvalue - round(float(eig[-1]), 6)) < 1e-6
+        assert abs(got[label].trace - round(float(np.trace(cov)), 6)) < 1e-6
+
+
 def test_rolling_hashes_survive_content_shift(spark):
     """The rolling-hash property: prepending tokens shifts positions but
     leaves every interior window hash unchanged — so sampled
