@@ -167,10 +167,19 @@ def main() -> None:
     sf1_dir = os.environ.get(
         "SPARK_GRAFT_SF1_DIR", os.path.join(REPO_ROOT, ".benchdata", "sf1")
     )
+    sf1_budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "150"))
     sf1_section = None
-    if os.path.isdir(sf1_dir):
+    if os.path.isdir(sf1_dir) and sf1_budget_s > 0:
+        # wall-clock capped so this section can never push the whole
+        # bench past a harness timeout; a truncated run still reports
+        # which queries it covered
         sf1_timings: dict[str, float] = {}
+        sf1_start = time.perf_counter()
+        truncated = False
         for name in names:
+            if time.perf_counter() - sf1_start > sf1_budget_s:
+                truncated = True
+                break
             t0 = time.perf_counter()
             _execute(qs[name](spark, sf1_dir))
             sf1_timings[name] = round(time.perf_counter() - t0, 4)
@@ -180,6 +189,8 @@ def main() -> None:
             "value": round(sum(sf1_timings.values()), 4),
             "queries": sf1_timings,
         }
+        if truncated:
+            sf1_section["truncated"] = True
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
