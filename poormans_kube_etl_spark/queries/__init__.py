@@ -86,6 +86,11 @@ _PRIORITY = [
     "sim_lsh_topk",
     "dedup_embedding_lsh_pairs",
     "dedup_embedding_near_pairs",
+    # (b) oracles ADDED in r04 (was rows-only): stub-codec decode and
+    # frame-md5 replayed in SQL via the printable-ASCII corpus premise
+    # (pinned by test_corpus_is_printable_ascii) — first hash rows ever
+    "mm_decode_features",
+    "mm_frame_sample_hashes",
     # (c) rows-only dedup trio (kept in-window per r03 brief)
     "dedup_simhash_pairs",
     "dedup_minhash_lsh_pairs",

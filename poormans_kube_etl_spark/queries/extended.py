@@ -445,12 +445,32 @@ def mm_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_frame_sample_hashes")  # rows-only: no blob slicing in DuckDB
+@register(
+    "mm_frame_sample_hashes",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, length(text) AS n,
+             UNNEST(range(0, CAST(CEIL(length(text) / 256.0) AS BIGINT), 4)) AS frame_idx
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS INT) AS frame_bytes,
+           md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_md5
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+)
 def mm_frame_sample_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full frame-sampling output incl. per-frame md5 — deterministic.
     Uses the all-JVM sampler (sequence/substring/md5, codegen-fused);
     the mapInPandas twin in operators/multimodal.py is the shape real
-    codecs plug into, verified byte-identical by test."""
+    codecs plug into, verified byte-identical by test.
+
+    Oracle (r4, was rows-only "no blob slicing in DuckDB"): DuckDB 1.0
+    slices/hashes VARCHAR only, but the test corpus is printable ASCII
+    (pinned by ``test_corpus_is_printable_ascii``), so byte offsets ==
+    character offsets and ``md5(substring(text, ...))`` reproduces the
+    binary chunk hashes exactly."""
     from poormans_kube_etl_spark.operators.multimodal import sample_frames_jvm
 
     docs = _t(spark, sf_dir, "documents")

@@ -109,11 +109,31 @@ def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features")  # rows-only: mapInPandas stub decoder
+@register(
+    "mm_decode_features",
+    oracle="""
+    WITH b AS (SELECT doc_id, CAST(length(text) AS INT) AS n, text FROM documents)
+    SELECT doc_id,
+           n AS n_bytes,
+           CAST(n % 64 + 1 AS INT) AS width,
+           CAST((n // 64) % 64 + 1 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(string_split(text, ''), c -> ord(c))) AS DOUBLE) / n
+           END AS mean_byte
+    FROM b ORDER BY doc_id
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media decode over binary columns (stubbed codec —
     deterministic fake; see operators/multimodal.py). Exercises the real
-    Spark plumbing: binary encode → mapInPandas → typed metadata."""
+    Spark plumbing: binary encode → mapInPandas → typed metadata.
+
+    Oracle (r4, was rows-only): the stub decoder is pure byte
+    arithmetic, and the test corpus is printable ASCII (pinned by
+    ``test_corpus_is_printable_ascii``), so bytes == characters and the
+    per-doc byte sum is ``ord()`` folded over the characters; the
+    mean divides two exact integers identically on both sides."""
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))

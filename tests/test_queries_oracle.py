@@ -83,3 +83,22 @@ def test_no_decimal_typed_outputs(spark):
         f"array/map-typed final columns in oracle-checked queries "
         f"(driver-unhashable, serialize with array_join): {array_offenders}"
     )
+
+
+def test_corpus_is_printable_ascii():
+    """Premise pin for the r4 multimodal oracles (mm_decode_features,
+    mm_frame_sample_hashes): DuckDB 1.0 can only slice/hash VARCHAR, so
+    those oracles reproduce BYTE semantics (offsets, md5, byte sums)
+    with character functions. That equivalence holds iff the corpus is
+    single-byte text; this pins it for every SF the driver touches."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        bad, nulls = duckdb.sql(
+            "SELECT count(*) FILTER (WHERE NOT regexp_matches(text, '^[\\x20-\\x7e\\n\\t]*$')), "
+            "       count(*) FILTER (WHERE text IS NULL) "
+            f"FROM read_parquet('{path}')"
+        ).fetchone()
+        assert bad == 0, f"sf{sf}: {bad} docs with non-printable-ASCII text"
+        assert nulls == 0, f"sf{sf}: {nulls} NULL texts"
