@@ -169,6 +169,23 @@ def main() -> None:
     )
     sf1_budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "150"))
     sf1_section = None
+    sf1_generated_s = None
+    # .benchdata/ is gitignored: a fresh checkout loses the replica set
+    # and would silently drop this section. Regenerate it (deterministic,
+    # atomic tmp+rename — a crashed generation never half-exists); set
+    # SPARK_GRAFT_SF1_GEN=0 to skip. Paid once; later runs see the dir.
+    if (
+        not os.path.isdir(sf1_dir)
+        and sf1_budget_s > 0
+        and os.environ.get("SPARK_GRAFT_SF1_GEN", "1") != "0"
+        and os.path.isdir("/root/testdata/sf0.1")
+    ):
+        sys.path.insert(0, os.path.join(REPO_ROOT, "scripts"))
+        from scale_testdata import generate
+
+        t0 = time.perf_counter()
+        generate(spark, 10, "/root/testdata/sf0.1", sf1_dir, verbose=False)
+        sf1_generated_s = round(time.perf_counter() - t0, 1)
     if os.path.isdir(sf1_dir) and sf1_budget_s > 0:
         # wall-clock capped so this section can never push the whole
         # bench past a harness timeout; a truncated run still reports
@@ -191,6 +208,8 @@ def main() -> None:
         }
         if truncated:
             sf1_section["truncated"] = True
+        if sf1_generated_s is not None:
+            sf1_section["generated_sec"] = sf1_generated_s
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

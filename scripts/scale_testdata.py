@@ -93,22 +93,40 @@ def scale_table(df: DataFrame, name: str, factor: int) -> DataFrame:
     return out.drop("_rep").select(*df.columns)
 
 
+def generate(spark, factor: int, src: str, dst: str, verbose: bool = True) -> None:
+    """Write the scaled replica set to ``dst``, atomically: tables land
+    in ``dst + '.tmp'`` and the directory is renamed into place only
+    after every table wrote, so a crashed/interrupted generation can
+    never leave a half-built dir that looks complete to bench.py."""
+    import shutil
+
+    from poormans_kube_etl_spark import TABLES
+
+    tmp = dst + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    for name in TABLES:
+        df = spark.read.parquet(f"{src}/{name}.parquet")
+        scaled = scale_table(df, name, factor)
+        scaled.write.mode("overwrite").parquet(f"{tmp}/{name}.parquet")
+        if verbose:
+            print(name, spark.read.parquet(f"{tmp}/{name}.parquet").count())
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.rename(tmp, dst)
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     sf_label = sys.argv[3] if len(sys.argv) > 3 else "sf1"
     dst = os.path.join(REPO_ROOT, ".benchdata", sf_label)
 
-    from poormans_kube_etl_spark import TABLES
     from poormans_kube_etl_spark.session import get_spark
 
     spark = get_spark(app_name="scale-testdata")
     spark.sparkContext.setLogLevel("ERROR")
-    for name in TABLES:
-        df = spark.read.parquet(f"{src}/{name}.parquet")
-        scaled = scale_table(df, name, factor)
-        scaled.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
-        print(name, spark.read.parquet(f"{dst}/{name}.parquet").count())
+    generate(spark, factor, src, dst)
     spark.stop()
 
 
