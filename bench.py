@@ -187,11 +187,14 @@ def main() -> None:
         generate(spark, 10, "/root/testdata/sf0.1", sf1_dir, verbose=False)
         sf1_generated_s = round(time.perf_counter() - t0, 1)
     if os.path.isdir(sf1_dir) and sf1_budget_s > 0:
-        # wall-clock capped so this section can never push the whole
-        # bench past a harness timeout; a truncated run still reports
-        # which queries it covered
+        # the query loop is wall-clock capped; a one-time regeneration
+        # (fresh checkout) COUNTS AGAINST the same cap, so the whole
+        # sf1 section is bounded by budget + one query's overshoot —
+        # generation alone cannot push the bench past a harness timeout
+        # by more than its ~60-90 s deterministic cost, and the section
+        # degrades to fewer queries rather than the bench dying
         sf1_timings: dict[str, float] = {}
-        sf1_start = time.perf_counter()
+        sf1_start = time.perf_counter() - (sf1_generated_s or 0.0)
         truncated = False
         for name in names:
             if time.perf_counter() - sf1_start > sf1_budget_s:

@@ -75,6 +75,14 @@ def resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     )
     if row is None:
         return 1  # empty input: any dim builds a valid (never-evaluated) plan
+    if not row["d"]:
+        # an empty first vector would otherwise flow dim=0 into the
+        # codegen'd expressions and surface as an unparseable-SQL
+        # ParseException instead of a width error
+        raise ValueError(
+            f"cannot derive vector dim: first non-null {vec_col!r} is an "
+            "empty array; pass dim= explicitly or fix the corpus"
+        )
     return row["d"]
 
 
@@ -115,10 +123,19 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     with heap use independent of partition size. Selection comparator
     (sim DESC, nn_id ASC) and the stage-2 rank are unchanged, so the
     output rows are identical.
+
+    NaN/NULL policy: a NaN similarity (NaN vector element) is DROPPED
+    before ranking — Spark sorts NaN above every real double, so
+    without the filter one corrupt vector would claim rank 1 for every
+    query and shift every real neighbor down a slot. A NULL similarity
+    (zero-norm vector: the scoring sites nullif the norm product, since
+    under ANSI 0/0 would kill the job at scale) is dropped for the same
+    reason. Exact top-k means top-k of the well-defined similarities.
     """
     w1 = Window.partitionBy("query_id", "_pid").orderBy(F.col("sim").desc(), F.col("nn_id"))
     part = (
-        scored.withColumn("_pid", F.spark_partition_id())
+        scored.where(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
+        .withColumn("_pid", F.spark_partition_id())
         .withColumn("_r1", F.row_number().over(w1))
         .where(F.col("_r1") <= k)
         .select("query_id", "nn_id", "sim")
@@ -160,7 +177,9 @@ def brute_force_topk(
         checked_double_vec(vec_col, dim).alias("q_vec"),
     ).withColumn("_qn", _norm_expr("q_vec", dim))
     scored = corpus.crossJoin(F.broadcast(qs)).where(F.col("nn_id") != F.col("query_id"))
-    sim = _dot_expr("q_vec", "nn_vec", dim) / (F.col("_qn") * F.col("_nn"))
+    sim = _dot_expr("q_vec", "nn_vec", dim) / F.nullif(
+        F.col("_qn") * F.col("_nn"), F.lit(0.0)
+    )  # zero-norm -> NULL sim -> dropped (ANSI 0/0 would kill the job)
     return _topk_per_query(scored.select("query_id", "nn_id", sim.alias("sim")), k)
 
 
@@ -222,7 +241,7 @@ def _dot_cols_sql(a: str, b: str, dim: int, elem_cast: str | None = None) -> str
 
 
 _EXPR_CACHE: dict[str, Column] = {}
-_EXPR_CACHE_CTX: int | None = None
+_EXPR_CACHE_CTX = None  # STRONG reference to the owning SparkContext
 
 
 def _cached_expr(sql: str) -> Column:
@@ -233,15 +252,20 @@ def _cached_expr(sql: str) -> Column:
     later query build into an obscure Py4JError. The cache empties
     itself whenever the active context changes; within one context a
     single ANTLR parse still serves every build (the repeat parse was
-    measurable in min-of-2 bench loops)."""
+    measurable in min-of-2 bench loops).
+
+    The owning context is held STRONGLY and compared with ``is`` — an
+    ``id()`` key without a reference lets CPython hand a new context
+    the dead one's address, which would serve stale handles on exactly
+    the restart path this cache exists to survive (same discipline as
+    ``sources/tables._TABLE_CACHE``)."""
     global _EXPR_CACHE_CTX
     from pyspark import SparkContext
 
     sc = getattr(SparkContext, "_active_spark_context", None)
-    ctx = id(sc) if sc is not None else None
-    if ctx != _EXPR_CACHE_CTX:
+    if sc is not _EXPR_CACHE_CTX:
         _EXPR_CACHE.clear()
-        _EXPR_CACHE_CTX = ctx
+        _EXPR_CACHE_CTX = sc
     col = _EXPR_CACHE.get(sql)
     if col is None:
         col = _EXPR_CACHE[sql] = F.expr(sql)
@@ -490,9 +514,9 @@ def embedding_near_pairs_lsh(
         ).withColumn(f"_n{alias}", _norm_expr(f"_v{alias}", dim, cast))
 
     va, vb = _side("a"), _side("b")
-    sim = _dot_expr("_va", "_vb", dim, "int" if quantized else None) / (
-        F.col("_na") * F.col("_nb")
-    )
+    sim = _dot_expr("_va", "_vb", dim, "int" if quantized else None) / F.nullif(
+        F.col("_na") * F.col("_nb"), F.lit(0.0)
+    )  # zero-norm -> NULL -> fails the >= threshold filter, no ANSI 0/0
     return (
         cands.join(va, "a")
         .join(vb, "b")
@@ -571,9 +595,10 @@ def ivf_topk(
             "q_vec",
             "_qn",
             cell_col,
-            (_dot_expr("q_vec", "centroid", dim) / (F.col("_qn") * F.col("_cn"))).alias(
-                "cell_sim"
-            ),
+            (
+                _dot_expr("q_vec", "centroid", dim)
+                / F.nullif(F.col("_qn") * F.col("_cn"), F.lit(0.0))
+            ).alias("cell_sim"),
         )
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .where(F.col("probe_rank") <= n_probe)
@@ -589,7 +614,9 @@ def ivf_topk(
     )
     # same bit-parity rationale as brute_force_topk: per-side norms +
     # one codegen'd pair dot instead of 3 folds per candidate
-    sim = _dot_expr("q_vec", "nn_vec", dim) / (F.col("_qn") * F.col("_nn"))
+    sim = _dot_expr("q_vec", "nn_vec", dim) / F.nullif(
+        F.col("_qn") * F.col("_nn"), F.lit(0.0)
+    )  # zero-norm -> NULL sim -> dropped (ANSI 0/0 would kill the job)
     return _topk_per_query(cands.select("query_id", "nn_id", sim.alias("sim")), k)
 
 
@@ -651,6 +678,9 @@ def lsh_topk(
     scored = joined.select(
         "query_id",
         "nn_id",
-        (_dot_expr("_qv", "_nv", dim) / (F.col("_qn") * F.col("_nn"))).alias("sim"),
+        (
+            _dot_expr("_qv", "_nv", dim)
+            / F.nullif(F.col("_qn") * F.col("_nn"), F.lit(0.0))
+        ).alias("sim"),
     )
     return _topk_per_query(scored, k)

@@ -57,9 +57,31 @@ def _merge_frames(target: DataFrame, updates: DataFrame, keys: list[str]) -> Dat
     )
 
 
+# Aside/staging dirs live in a RESERVED, dot-prefixed namespace:
+# ``parent/.<name>.__merge_aside``. Two properties matter (r4, from a
+# self-review finding that the previous ``<dir>__old`` suffix could
+# destroy real data): (a) hive partition dirs are always ``col=value``
+# — they can never start with a dot, so the heal glob can never match a
+# LEGITIMATE partition (a string partition value literally ending in
+# "__old", e.g. ``tag=v1__old``, used to be deleted or renamed as
+# presumed debris); (b) Hadoop/Spark listings skip dot-prefixed names,
+# so during the crash window the parked old data is invisible to
+# readers instead of surfacing as a bogus partition value.
+_ASIDE_TAG = ".__merge_aside"
+_STAGING_TAG = ".__merge_staging"
+
+
+def _hidden_sibling(path: str, tag: str) -> str:
+    """``/w/t`` → ``/w/.t<tag>``: same parent (rename stays a metadata
+    op on the same filesystem), dot-hidden, outside the hive namespace."""
+    p = path.rstrip("/")
+    head, sep, name = p.rpartition("/")
+    return f"{head}{sep}.{name}{tag}"
+
+
 def _heal_aside(fs, dst, aside) -> None:
     """Recover from a prior merge's crash window (ADVICE r03). A
-    leftover ``__old`` aside dir means the previous merge died either
+    leftover aside dir means the previous merge died either
     AFTER its promote (``dst`` exists and holds the new data — the aside
     is obsolete; delete it) or BETWEEN aside-move and promote (``dst``
     missing — the aside IS the current data; restore it). Healing runs
@@ -108,7 +130,7 @@ def merge_into(
         _merge_into_partitioned(spark, target_path, updates, keys, partition_cols)
         return
 
-    old = target_path.rstrip("/") + "__old"
+    old = _hidden_sibling(target_path, _ASIDE_TAG)
     fs0, dst0 = hadoop_fs(spark, target_path)
     _, aside0 = hadoop_fs(spark, old)
     # a crashed prior merge may have left the data in the aside dir with
@@ -134,12 +156,14 @@ def merge_into(
     # crash-safe swap (same discipline as sources.sinks.compact): the
     # original moves ASIDE first, so `target_path` always holds either
     # the old or the new dataset; rename results are checked.
-    staging = target_path.rstrip("/") + "__merging"
+    staging = _hidden_sibling(target_path, _STAGING_TAG)
     merged.write.mode("overwrite").parquet(staging)
     _, src = hadoop_fs(spark, staging)
     try:
         _swap_dir(spark, fs0, src, dst0, aside0)
-    except IOError:
+    except Exception:
+        # not just IOError: py4j surfaces JVM IOExceptions as
+        # Py4JJavaError — the cleanup must run for those too
         delete_path(spark, staging)
         raise
 
@@ -153,7 +177,7 @@ def _merge_into_partitioned(
 ) -> None:
     """Partition-scoped merge for a hive-partitioned parquet target.
 
-    1. Leftover ``__old`` asides from a crashed prior merge are healed
+    1. Leftover asides (reserved dot-namespace, see _ASIDE_TAG) from a crashed prior merge are healed
        (restored or cleared) BEFORE the target is read.
     2. The delta's DISTINCT partition values (driver-tiny: a delta
        touches few partitions by definition) become an ``isin`` filter —
@@ -197,7 +221,7 @@ def _merge_into_partitioned(
         pred = combo_pred if pred is None else pred | combo_pred
     merged = _merge_frames(target.where(pred), updates, keys)
 
-    staging = target_path.rstrip("/") + "__merging"
+    staging = _hidden_sibling(target_path, _STAGING_TAG)
     merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
 
     plan = []
@@ -211,7 +235,9 @@ def _merge_into_partitioned(
         )
         _, src = hadoop_fs(spark, f"{staging.rstrip('/')}/{rel}")
         _, dst = hadoop_fs(spark, f"{target_path.rstrip('/')}/{rel}")
-        _, aside = hadoop_fs(spark, f"{target_path.rstrip('/')}/{rel}__old")
+        _, aside = hadoop_fs(
+            spark, _hidden_sibling(f"{target_path.rstrip('/')}/{rel}", _ASIDE_TAG)
+        )
         if not fs.exists(src):
             # Every touched combo has >= 1 update row, so merged always
             # writes this directory — absence means the dir-name encoding
@@ -243,7 +269,10 @@ def _merge_into_partitioned(
             if not fs.rename(src, dst):
                 raise IOError(f"merge_into: failed to move staging into {dst}")
             promoted.append((src, dst))
-    except IOError:
+    except Exception:
+        # not just IOError: Hadoop FileSystem calls raise JVM
+        # IOExceptions through py4j as Py4JJavaError — the rollback
+        # must run for those too, or the target stays mixed-state
         for src, dst in reversed(promoted):
             fs.rename(dst, src)
         for dst, aside in reversed(moved):
@@ -258,23 +287,27 @@ def _merge_into_partitioned(
 def _heal_partition_asides(
     spark: SparkSession, fs, target_path: str, depth: int
 ) -> None:
-    """Glob ``<partition-dir>__old`` leftovers at the partition depth and
-    heal each (restore when its partition dir is missing, clear when it
-    is present) — a crashed prior merge must not block, or feed a
+    """Glob aside leftovers at the partition depth and heal each
+    (restore when its partition dir is missing, clear when it is
+    present) — a crashed prior merge must not block, or feed a
     half-swapped view to, the next one. Aside dirs live only at the
-    LEAF partition level (``c1=v1/c2=v2__old``), so one glob per merge
-    covers every possible leftover."""
+    LEAF partition level (``c1=v1/.c2=v2.__merge_aside``), so one glob
+    per merge covers every possible leftover. The pattern's leaf is
+    anchored on the reserved dot-prefix + tag, which no hive-encoded
+    partition dir can ever carry (dirs are ``col=value``) — so healing
+    can only ever touch this module's own debris, never real data."""
     jvm = spark.sparkContext._jvm
-    pattern = "/".join(["*"] * (depth - 1) + ["*__old"])
+    pattern = "/".join(["*"] * (depth - 1) + [f".*{_ASIDE_TAG}"])
     gpath = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/{pattern}")
     statuses = fs.globStatus(gpath)
     if statuses is None:
         return
-    suffix = "__old"
     for st in statuses:
         aside = st.getPath()
-        name = aside.toString()
-        if not name.endswith(suffix):
+        name = aside.getName()
+        if not (name.startswith(".") and name.endswith(_ASIDE_TAG)):
             continue
-        dst = jvm.org.apache.hadoop.fs.Path(name[: -len(suffix)])
+        dst = jvm.org.apache.hadoop.fs.Path(
+            aside.getParent(), name[1 : -len(_ASIDE_TAG)]
+        )
         _heal_aside(fs, dst, aside)

@@ -44,15 +44,23 @@ def compact(
     Swap order is crash-safe (ADVICE r01): the original is renamed ASIDE
     first, then staging renamed into place, then the old copy deleted —
     so at every instant either the old or the new dataset exists at
-    ``path`` (worst crash window leaves the old data at ``__old``,
+    ``path`` (worst crash window leaves the old data at the aside,
     recoverable by hand; the previous delete-then-rename order had a
     window with NO data at ``path``). Each rename's boolean result is
     checked — HDFS-style FileSystem.rename reports failure by returning
-    false, not by raising."""
+    false, not by raising.
+
+    Staging/aside names use the same reserved dot-prefixed sibling
+    namespace as ``operators/upsert.py`` (``/w/t`` → ``/w/.t.tag``):
+    dot-hidden from Hadoop/Spark listings, and impossible to collide
+    with a user dataset whose name merely ends in a suffix like
+    ``__old`` — the old naming would have DELETED such a sibling as
+    presumed debris."""
+    from poormans_kube_etl_spark.operators.upsert import _hidden_sibling
     from poormans_kube_etl_spark.sources.ingest import delete_path, hadoop_fs
 
-    staging = path.rstrip("/") + "__compacting"
-    old = path.rstrip("/") + "__old"
+    staging = _hidden_sibling(path, ".__compact_staging")
+    old = _hidden_sibling(path, ".__compact_aside")
     df = spark.read.parquet(path).coalesce(target_partitions)
     writer = df.write.mode("overwrite")
     if partition_cols:

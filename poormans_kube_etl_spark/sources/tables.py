@@ -36,8 +36,28 @@ def table_path(sf_dir: str, name: str) -> str:
 # overhead). Keyed on the session instance so a restarted session can't
 # be served plan handles bound to a dead JVM gateway.
 # values hold the session strongly, so an id() can never be recycled
-# into a false hit while its entry lives
-_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+# into a false hit while its entry lives.
+#
+# Staleness (self-review r4): the handle's FILE LISTING is frozen at
+# first read (InMemoryFileIndex) — pushdown re-runs per action, the
+# directory listing does not. A table dir rewritten mid-session would
+# serve deleted-file errors or silently miss new files, so each entry
+# carries the dir's (mtime, inode) version and a changed dir is a cache
+# miss. Non-local paths (s3a:// etc.) have no cheap version probe and
+# are NOT cached — correctness over build speed there.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame, tuple]] = {}
+
+
+def _dir_version(path: str) -> tuple | None:
+    """(mtime_ns, inode) of a LOCAL dir; None = unversionable (remote
+    URI or missing path) — callers skip the cache then. A parquet
+    overwrite recreates the dir (new inode) or changes its entry list
+    (new mtime), so either field moving invalidates."""
+    try:
+        st = os.stat(path)
+    except (OSError, ValueError):
+        return None
+    return (st.st_mtime_ns, st.st_ino)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,8 +65,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     key = (id(spark), sf_dir, name)
+    version = _dir_version(table_path(sf_dir, name))
     cached = _TABLE_CACHE.get(key)
-    if cached is not None and cached[0] is spark:
+    if cached is not None and cached[0] is spark and version and cached[2] == version:
         return cached[1]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
@@ -58,9 +79,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
         if isinstance(field, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if len(_TABLE_CACHE) > 256:  # bound: many sessions/sf_dirs in one process
-        _TABLE_CACHE.clear()
-    _TABLE_CACHE[key] = (spark, df)
+    if version is not None:
+        if len(_TABLE_CACHE) > 256:  # bound: many sessions/sf_dirs per process
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = (spark, df, version)
     return df
 
 

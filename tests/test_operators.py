@@ -633,3 +633,47 @@ def test_multi_probe_lsh_recall_dominates_single(spark, sf_dir):
     }
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_topk_drops_nan_sims_instead_of_ranking_them_first(spark):
+    """Self-review r4: Spark sorts NaN above every real double, so a
+    corrupt vector (NaN element → NaN cosine) would otherwise take
+    rank 1 for EVERY query and shift all real neighbors down a slot.
+    Exact top-k means top-k of the well-defined similarities."""
+    rows = [(i, [float((i * 7 + j * 3) % 11 + 1) for j in range(4)]) for i in range(10)]
+    rows.append((99, [float("nan"), 1.0, 1.0, 1.0]))  # corrupt vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from poormans_kube_etl_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(emb, queries, 5, dim=4).collect()
+    assert len(out) == 5
+    assert all(r.nn_id != 99 for r in out), "NaN-sim candidate must be dropped"
+    assert all(r.sim == r.sim for r in out)  # no NaN survives
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+    # zero-norm vectors (cosine 0/0 = NaN) get the same policy
+    rows2 = rows[:10] + [(98, [0.0, 0.0, 0.0, 0.0])]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    out2 = brute_force_topk(
+        emb2, queries, 20, dim=4
+    ).collect()
+    assert all(r.nn_id != 98 for r in out2)
+
+
+def test_resolve_dim_rejects_empty_first_vector(spark):
+    """Self-review r4: an empty first vector made resolve_dim return 0,
+    which built unparseable SQL '(0D+)' — an opaque ParseException
+    instead of a width error. Must fail loudly naming the problem."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.similarity import resolve_dim
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty array"):
+        resolve_dim(df, "embedding", None)

@@ -13,6 +13,21 @@ from poormans_kube_etl_spark.plans.inspect import formatted_plan
 from poormans_kube_etl_spark.sources.sinks import compact, write_partitioned
 
 
+def _no_merge_debris(path: str) -> bool:
+    """No staging/aside leftovers in the reserved dot-namespace."""
+    from poormans_kube_etl_spark.operators.upsert import (
+        _ASIDE_TAG,
+        _STAGING_TAG,
+        _hidden_sibling,
+    )
+
+    return (
+        not glob.glob(_hidden_sibling(path, _STAGING_TAG))
+        and not glob.glob(_hidden_sibling(path, _ASIDE_TAG))
+        and not glob.glob(f"{path}/**/.*{_ASIDE_TAG}", recursive=True)
+    )
+
+
 def test_partitioned_write_layout_and_pruning(spark, tmp_path):
     out = str(tmp_path / "out")
     df = spark.range(0, 1000).select(
@@ -136,7 +151,7 @@ def test_merge_into_partition_scoped_swap(spark, tmp_path):
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got[1] == 999 and got[9001] == 111 and got[0] == 0 and got[2] == 20
     assert len(got) == 301
-    assert not glob.glob(f"{path}__merging*") and not glob.glob(f"{path}/day=*__old")
+    assert _no_merge_debris(path)
 
 
 def test_merge_into_partitioned_null_partition_value(spark, tmp_path):
@@ -182,7 +197,7 @@ def test_merge_into_partitioned_equals_unpartitioned(spark, tmp_path):
 
 def test_merge_heals_stale_aside_then_succeeds(spark, tmp_path):
     """ADVICE r03: a crashed prior merge that died after its promote
-    leaves a ``<dir>__old`` aside; rename-to-existing returns false, so
+    leaves an aside (reserved dot-namespace); rename-to-existing returns false, so
     every later merge of that partition used to fail until manual
     cleanup. The next merge must clear the leftover and proceed."""
     from poormans_kube_etl_spark.operators.upsert import merge_into
@@ -193,14 +208,14 @@ def test_merge_heals_stale_aside_then_succeeds(spark, tmp_path):
     ).write.partitionBy("day").parquet(path)
     # simulate the crash-after-promote state: obsolete old data parked
     # in the aside dir while the real partition dir is live
-    os.makedirs(f"{path}/day=1__old")
-    open(f"{path}/day=1__old/junk.parquet", "w").write("stale")
+    os.makedirs(f"{path}/.day=1.__merge_aside")
+    open(f"{path}/.day=1.__merge_aside/junk.parquet", "w").write("stale")
 
     delta = spark.createDataFrame([(2, 1, 99)], "k long, day long, v long")
     merge_into(spark, path, delta, keys=["k"], partition_cols=["day"])
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 10, 2: 99}
-    assert not glob.glob(f"{path}/day=*__old")
+    assert _no_merge_debris(path)
 
 
 def test_merge_heals_aside_with_missing_partition_dir(spark, tmp_path):
@@ -213,19 +228,19 @@ def test_merge_heals_aside_with_missing_partition_dir(spark, tmp_path):
     spark.createDataFrame(
         [(1, 0, 10), (2, 1, 20), (3, 1, 30)], "k long, day long, v long"
     ).write.partitionBy("day").parquet(path)
-    os.rename(f"{path}/day=1", f"{path}/day=1__old")  # the crash state
+    os.rename(f"{path}/day=1", f"{path}/.day=1.__merge_aside")  # the crash state
 
     delta = spark.createDataFrame([(2, 1, 99)], "k long, day long, v long")
     merge_into(spark, path, delta, keys=["k"], partition_cols=["day"])
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     # k=3 is target-only in the healed partition — it must survive
     assert got == {1: 10, 2: 99, 3: 30}
-    assert not glob.glob(f"{path}/day=*__old")
+    assert _no_merge_debris(path)
 
 
 def test_merge_heals_aside_at_nested_partition_depth(spark, tmp_path):
     """Two partition columns: leftover asides live at depth 2
-    (day=../hour=..__old) — the heal glob must find them there."""
+    (day=../.hour=...__merge_aside) — the heal glob must find them there."""
     from poormans_kube_etl_spark.operators.upsert import merge_into
 
     path = str(tmp_path / "pt2")
@@ -234,32 +249,34 @@ def test_merge_heals_aside_at_nested_partition_depth(spark, tmp_path):
         "k long, day long, hour long, v long",
     ).write.partitionBy("day", "hour").parquet(path)
     # crash state at nested depth: partition dir moved aside, not promoted
-    os.rename(f"{path}/day=0/hour=1", f"{path}/day=0/hour=1__old")
+    os.rename(f"{path}/day=0/hour=1", f"{path}/day=0/.hour=1.__merge_aside")
 
     delta = spark.createDataFrame([(2, 0, 1, 99)], "k long, day long, hour long, v long")
     merge_into(spark, path, delta, keys=["k"], partition_cols=["day", "hour"])
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 10, 2: 99, 3: 30}
-    assert not glob.glob(f"{path}/day=*/hour=*__old")
+    assert _no_merge_debris(path)
 
 
 def test_merge_unpartitioned_heals_aside_before_bootstrap(spark, tmp_path):
     """Unpartitioned variant of the missing-dst crash state: the whole
-    target sits in ``__old``. Without healing, path_exists(target) is
+    target sits in the aside. Without healing, path_exists(target) is
     false and the bootstrap branch would overwrite with the delta alone,
     silently dropping every old row."""
     from poormans_kube_etl_spark.operators.upsert import merge_into
 
     path = str(tmp_path / "t")
     spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(path)
-    os.rename(path, path + "__old")
+    from poormans_kube_etl_spark.operators.upsert import _ASIDE_TAG, _hidden_sibling
+
+    os.rename(path, _hidden_sibling(path, _ASIDE_TAG))
 
     merge_into(
         spark, path, spark.createDataFrame([(2, "B")], "k long, v string"), keys=["k"]
     )
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B"}
-    assert not os.path.exists(path + "__old")
+    assert _no_merge_debris(path)
 
 
 def test_merge_rename_fault_matrix_rolls_back_then_converges(
@@ -339,8 +356,7 @@ def test_merge_rename_fault_matrix_rolls_back_then_converges(
             )
         # rollback: byte-identical target, no staging/aside debris
         assert snapshot(path) == before, f"rollback failed at rename #{fail_at}"
-        assert not glob.glob(f"{path}__merging*")
-        assert not glob.glob(f"{path}/day=*__old")
+        assert _no_merge_debris(path)
         # re-run heals and converges
         counter["n"], counter["fail_at"] = 0, 10**9
         merge_into(
@@ -369,3 +385,110 @@ def test_merge_into_null_key_rows(spark, tmp_path):
     )
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", None: "B", 2: "c"}
+
+
+def test_merge_never_touches_partitions_named_like_debris(spark, tmp_path):
+    """Self-review r4 (data-loss class): a LEGITIMATE string partition
+    value ending in '__old' must never be mistaken for a crashed-merge
+    aside — the old suffix-glob heal deleted `tag=v1__old` whenever
+    `tag=v1` existed. The reserved dot-namespace makes collision
+    impossible; this pins it."""
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "v1", 10), (2, "v1__old", 20), (3, "x", 30)],
+        "k long, tag string, v long",
+    ).write.partitionBy("tag").parquet(path)
+
+    # merge touching only tag=x — both v1 partitions must be untouched
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(3, "x", 99)], "k long, tag string, v long"),
+        keys=["k"],
+        partition_cols=["tag"],
+    )
+    got = {r.k: (r.tag, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("v1", 10), 2: ("v1__old", 20), 3: ("x", 99)}
+
+    # and a merge INTO the suffix-named partition works like any other
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame([(2, "v1__old", 21)], "k long, tag string, v long"),
+        keys=["k"],
+        partition_cols=["tag"],
+    )
+    got = {r.k: (r.tag, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("v1", 10), 2: ("v1__old", 21), 3: ("x", 99)}
+
+
+def test_merge_crash_window_aside_hidden_from_readers(spark, tmp_path):
+    """During the crash window the parked old partition must be
+    INVISIBLE to spark.read (dot-prefixed dirs are skipped by Hadoop
+    listings) — the old `day=1__old` naming surfaced it as a bogus
+    partition value until the next merge healed it."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20)], "k long, day long, v long"
+    ).write.partitionBy("day").parquet(path)
+    os.rename(f"{path}/day=1", f"{path}/.day=1.__merge_aside")
+    days = {r.day for r in spark.read.parquet(path).collect()}
+    assert days == {0}  # parked data invisible, no bogus partition value
+
+
+def test_merge_rollback_runs_on_raising_filesystem(spark, tmp_path, monkeypatch):
+    """Self-review r4: Hadoop FileSystem ops can RAISE (py4j-wrapped JVM
+    IOException), not just return false. A raise mid-promote must roll
+    back and clean staging exactly like the returns-false mode."""
+    import shutil
+
+    import poormans_kube_etl_spark.sources.ingest as ingest
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    schema = "k long, day long, v long"
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20), (3, 2, 30)], schema
+    ).write.partitionBy("day").parquet(path)
+
+    def snapshot():
+        import hashlib
+
+        return {
+            os.path.relpath(f, path): hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        }
+
+    before = snapshot()
+    real_hf = ingest.hadoop_fs
+    counter = {"n": 0, "fail_at": 3}
+
+    class RaisingFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, a, b):
+            counter["n"] += 1
+            if counter["n"] == counter["fail_at"]:
+                raise RuntimeError("py4j-wrapped java.io.IOException: connection lost")
+            return self._fs.rename(a, b)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    monkeypatch.setattr(
+        ingest, "hadoop_fs", lambda sp, p: (RaisingFS(real_hf(sp, p)[0]), real_hf(sp, p)[1])
+    )
+    delta = spark.createDataFrame([(2, 1, 99), (3, 2, 88)], schema)
+    with pytest.raises(RuntimeError):
+        merge_into(spark, path, delta, keys=["k"], partition_cols=["day"])
+    assert snapshot() == before  # full rollback despite the raise
+    assert _no_merge_debris(path)
+
+    # re-run converges
+    monkeypatch.setattr(ingest, "hadoop_fs", real_hf)
+    merge_into(spark, path, delta, keys=["k"], partition_cols=["day"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10, 2: 99, 3: 88}

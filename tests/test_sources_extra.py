@@ -107,3 +107,29 @@ def test_orchestrator_settle_delay_applies(spark, tmp_path):
     assert time.time() - t0 >= 0.6  # serial delta: two settle windows
     t = orch.metrics().collect()[0]
     assert t.ingest == "1538055240"
+
+
+def test_load_table_cache_sees_directory_rewrites(spark, tmp_path):
+    """Self-review r4: the memoized DataFrame freezes its parquet file
+    listing at first read, so a table dir rewritten mid-session used to
+    serve deleted-file errors or silently stale rows. The cache entry is
+    versioned on the dir's (mtime, inode); a rewrite must be a miss."""
+    from poormans_kube_etl_spark.sources import load_table
+
+    sf_dir = str(tmp_path)
+    spark.range(0, 5).selectExpr(
+        "id as doc_id", "'a' as text", "'en' as lang", "'s' as source",
+        "1L as n_chars",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    first = load_table(spark, sf_dir, "documents")
+    assert first.count() == 5
+    assert load_table(spark, sf_dir, "documents") is first  # cache hit
+
+    # full rewrite: different row count, same path
+    spark.range(0, 9).selectExpr(
+        "id as doc_id", "'b' as text", "'en' as lang", "'s' as source",
+        "1L as n_chars",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    again = load_table(spark, sf_dir, "documents")
+    assert again is not first
+    assert again.count() == 9
