@@ -113,9 +113,16 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ecands = embedding_lsh_candidate_pairs(emb, dim=64)
+    from poormans_kube_etl_spark.operators.similarity import srp_banding
+    from poormans_kube_etl_spark.queries.dedup import _with_planted_near_dups
+
+    # mirror the headline query exactly: geometry-planned banding at the
+    # near-dup design point over the planted-near-dup corpus
+    e_ppb, e_bands = srp_banding(0.9)
+    aug = _with_planted_near_dups(emb)
+    ecands = embedding_lsh_candidate_pairs(aug, e_bands, e_ppb, dim=64)
     t_ecand = timed(ecands)
-    epairs = embedding_near_pairs_lsh(emb, threshold=0.4, dim=64)
+    epairs = embedding_near_pairs_lsh(aug, threshold=0.9, dim=64)
     t_epairs = timed(epairs)
     out["dedup_embedding_lsh_pairs"] = {
         "candidates": round(t_ecand, 4),

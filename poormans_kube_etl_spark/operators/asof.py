@@ -34,27 +34,27 @@ def _payload_struct_type(right: DataFrame, payload: list[str]):
     return StructType([StructField(c, right.schema[c].dataType, True) for c in payload])
 
 
-def asof_join_backward(
+def _asof_join(
     left: DataFrame,
     right: DataFrame,
     keys: Sequence[str],
     left_ts: str,
     right_ts: str,
     payload: Sequence[str],
+    descending: bool,
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row with
-    right.ts <= left.ts on the same keys (backward as-of, inclusive).
-
-    Returns the left rows + ``payload`` columns (null when no prior right
-    row exists). Left and right must not share payload column names with
-    left's columns.
+    """Shared union + windowed last-non-null construction; the two
+    public directions differ ONLY in the window's time sort (self-review
+    r4: they were near-verbatim twins, so a fix to the shared logic had
+    to be applied twice or the directions diverged).
 
     The payload rides as ONE struct column through a single
     ``last(ignorenulls)`` — per-column fills would (a) resurrect an older
     row's value where the as-of row legitimately carries NULL, and (b)
     mix values from different right rows across payload columns (ADVICE
     r01). The struct itself is non-null whenever a right row exists, so
-    member NULLs survive intact.
+    member NULLs survive intact. Right rows sort before left rows at
+    equal ts (either direction) → inclusive semantics.
     """
     keys = list(keys)
     payload = list(payload)
@@ -74,10 +74,10 @@ def asof_join_backward(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.struct(*[F.col(c) for c in payload]).alias(_PAYLOAD),
     )
-    # Right rows sort before left rows at equal ts → inclusive semantics.
+    ts_order = F.col(_TS).desc() if descending else F.col(_TS).asc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l.unionByName(r).select(
@@ -93,6 +93,21 @@ def asof_join_backward(
         *lcols,
         *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload],
     )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the LATEST right row with
+    right.ts <= left.ts on the same keys (backward as-of, inclusive).
+    Returns the left rows + ``payload`` columns (null when no prior
+    right row exists); payload names must not collide with left's."""
+    return _asof_join(left, right, keys, left_ts, right_ts, payload, descending=False)
 
 
 def asof_join_forward(
@@ -104,44 +119,6 @@ def asof_join_forward(
     payload: Sequence[str],
 ) -> DataFrame:
     """For each left row, attach the payload of the EARLIEST right row
-    with right.ts >= left.ts on the same keys (forward as-of, inclusive)
-    — same union + window construction, mirrored: sort descending and
-    carry the next right row backward. Payload rides as one struct (see
-    asof_join_backward)."""
-    keys = list(keys)
-    payload = list(payload)
-    lcols = [c for c in left.columns if c not in keys and c != left_ts]
-
-    l = left.select(
-        *keys,
-        F.col(left_ts).alias(_TS),
-        F.lit(1).alias(_SIDE),
-        *[F.col(c) for c in lcols],
-        F.lit(None).cast(_payload_struct_type(right, payload)).alias(_PAYLOAD),
-    )
-    r = right.select(
-        *keys,
-        F.col(right_ts).alias(_TS),
-        F.lit(0).alias(_SIDE),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(*[F.col(c) for c in payload]).alias(_PAYLOAD),
-    )
-    # Descending ts; right rows first at equal ts → inclusive semantics.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(_TS).desc(), F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = l.unionByName(r).select(
-        *keys,
-        _TS,
-        _SIDE,
-        *lcols,
-        F.last(_PAYLOAD, ignorenulls=True).over(w).alias(_PAYLOAD),
-    )
-    return filled.where(F.col(_SIDE) == 1).select(
-        *keys,
-        F.col(_TS).alias(left_ts),
-        *lcols,
-        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload],
-    )
+    with right.ts >= left.ts (forward as-of, inclusive) — the same
+    construction with the time sort mirrored."""
+    return _asof_join(left, right, keys, left_ts, right_ts, payload, descending=True)

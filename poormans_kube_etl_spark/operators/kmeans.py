@@ -54,7 +54,16 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[list[list[float]], DataFrame]:
-    """Returns (centroids, assignments DataFrame[id, cluster])."""
+    """Returns (centroids, assignments DataFrame[id, cluster]).
+
+    The returned pair is CONSISTENT: assignments are (re)computed
+    against the returned centroids. The loop assigns with the previous
+    iteration's centroids before updating them, so on a max_iter exit
+    the in-loop assignment is one model behind — a vector could carry a
+    cluster label that is not its nearest returned centroid, skewing
+    per-cluster stats and IVF cells downstream (self-review r4). On a
+    converged exit the models are equal and the final assign is the
+    same frame the loop already built."""
     seed_rows = (
         embeddings.orderBy(id_col)
         .limit(k)
@@ -86,4 +95,7 @@ def kmeans_fit(
         if new_centroids == centroids:
             break
         centroids = new_centroids
+        assigned = None  # stale: belongs to the pre-update model
+    if assigned is None:
+        assigned = _assign(embeddings, centroids, id_col, vec_col)
     return centroids, assigned.select(id_col, "cluster")

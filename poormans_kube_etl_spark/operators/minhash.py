@@ -102,6 +102,29 @@ def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> Dat
     )
 
 
+def _banded(signed: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, band_id, band_hash): one row per (doc, band), band_hash =
+    xxhash64 of the signature slice. Shared by candidate generation AND
+    ``lsh_bucket_stats`` so the observability view can never drift from
+    the banding it claims to observe (self-review r4: the 15-line
+    projection was duplicated verbatim in both)."""
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    return signed.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(
+                band_ids,
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str,
@@ -123,21 +146,7 @@ def lsh_candidate_pairs(
     two docs that are near-dups of each other but NOT of the
     representative lose their direct candidate pair. Use
     ``lsh_bucket_stats`` to observe how many buckets hit the cap."""
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = signed.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                band_ids,
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                        "band_hash"
-                    ),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc", "band.band_id", "band.band_hash")
+    banded = _banded(signed, id_col, bands, rows_per_band)
     # Bucket once and expand pairs inside each bucket — one shuffle on
     # (band_id, band_hash), vs a self-join that shuffles AND recomputes
     # the whole signature subtree on both sides. Bucket width is bounded
@@ -183,21 +192,7 @@ def lsh_bucket_stats(
     histogram with an ``oversized`` flag — run this (cheap: reuses the
     banding aggregate shape) to see what the cap is doing before trusting
     a near-dup sweep on a new corpus."""
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = signed.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(
-                band_ids,
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                        "band_hash"
-                    ),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc", "band.band_id", "band.band_hash")
+    banded = _banded(signed, id_col, bands, rows_per_band)
     return (
         banded.groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_size"))

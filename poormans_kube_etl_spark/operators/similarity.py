@@ -185,39 +185,49 @@ def brute_force_topk(
 
 _PLANE_CACHE: dict[tuple[int, int], list[list[float]]] = {}
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 — tiny, public-domain, fully specified integer mixer;
+    the plane PRNG is implemented HERE so determinism depends on nothing
+    but this file (not a JVM hash, not numpy's RNG stream policy)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
 
 def _hyperplanes(spark, n_planes: int, dim: int) -> list[list[float]]:
-    """The deterministic SRP hyperplanes as driver-side literals.
+    """Deterministic GAUSSIAN SRP hyperplanes as driver-side literals.
 
-    Component j of plane p = (xxhash64(p, j) % 1001 - 500) / 500 —
-    unchanged from the original per-row expression, but evaluated ONCE
-    in a 1-row control-plane job (k×dim model state, same class as the
-    kmeans centroids) and embedded as constant arrays. The per-row
-    expression form re-ran n_planes × dim xxhash64 calls plus array
-    construction for EVERY data row (4096 hashes/row at 8×8 bands ×
-    64 dims — measured as the dominant cost of the candidate stage).
-    """
+    Component (p, j) = Box-Muller over two SplitMix64 uniforms keyed by
+    (p, j) — pure driver math, microseconds for any plane count.
+    History (r4): this used to be a 1-row Spark job evaluating
+    n_planes x dim xxhash64 EXPRESSIONS — at the geometry-planned 512
+    planes that one-time build cost ~18 s of driver plan construction,
+    dwarfing the query it served; and the expression form had earlier
+    hidden the identical-planes lambda bug. Gaussian (not uniform)
+    components make the planes rotation-invariant, so the collision
+    probability p(s) = 1 - arccos(s)/pi that ``srp_banding`` plans with
+    holds exactly rather than approximately. ``spark`` is accepted for
+    signature stability and unused."""
+    import math
+
     key = (n_planes, dim)
     if key not in _PLANE_CACHE:
-        row = (
-            spark.range(1)
-            .select(
-                F.array(
-                    *[
-                        F.transform(
-                            F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda j, p=p: ((F.xxhash64(F.lit(p), j) % 1001) - 500).cast(
-                                "double"
-                            )
-                            / 500.0,
-                        )
-                        for p in range(n_planes)
-                    ]
-                ).alias("planes")
-            )
-            .collect()[0]
-        )
-        _PLANE_CACHE[key] = [list(p) for p in row.planes]
+        planes = []
+        for p in range(n_planes):
+            row = []
+            for j in range(dim):
+                seed = p * 1_000_003 + j
+                u1 = (_splitmix64(seed) + 1) / 2.0**64  # (0, 1]
+                u2 = _splitmix64(seed ^ 0xDEADBEEFCAFEF00D) / 2.0**64
+                row.append(
+                    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+                )
+            planes.append(row)
+        _PLANE_CACHE[key] = planes
     return _PLANE_CACHE[key]
 
 
@@ -305,7 +315,7 @@ def random_hyperplane_buckets(
     """Sign-random-projection LSH bucket per vector (SimHash for vectors).
 
     Hyperplanes are pseudo-random but fully deterministic: component j of
-    plane p = (xxhash64(p, j) % 1001 - 500) / 500 (see ``_hyperplanes``).
+    plane p = (pmod(xxhash64(p, j), 1001) - 500) / 500 (see ``_hyperplanes``).
     Vectors in the same bucket are cosine-close candidates; join buckets
     instead of all pairs.
 
@@ -344,6 +354,58 @@ def random_hyperplane_buckets(
         bucketize,
         schema=f"{id_col} {schema[id_col]}, {vec_col} {schema[vec_col]}, bucket bigint",
     )
+
+
+def srp_banding(
+    threshold: float,
+    target_recall: float = 0.9,
+    bg_sim: float = 0.0,
+    max_bg_rate: float = 1e-3,
+    max_planes: int = 512,
+) -> tuple[int, int]:
+    """Plan (planes_per_band, bands) for banded SRP-LSH from the
+    collision geometry instead of folklore constants.
+
+    For cosine s, two vectors agree on one random hyperplane sign with
+    p(s) = 1 - arccos(s)/pi; an r-bit band collides with p(s)^r and any
+    of b bands with 1-(1-p(s)^r)^b. The planner picks the smallest r
+    whose background collision rate (pairs at ``bg_sim``, ~0 for
+    uncorrelated corpora) stays under ``max_bg_rate`` once b is sized
+    for ``target_recall`` at ``threshold`` — capping b·r at
+    ``max_planes`` (GEMM width / bucket-exchange rows).
+
+    The math also says when NOT to use LSH: as threshold falls toward
+    the background, p1/p2 -> 1 and the bands needed for recall explode
+    past any plane budget — at threshold 0.4 vs bg 0.0, 90% recall
+    needs ~3,700 16-bit bands (58k planes), and a capped plan keeps the
+    bg rate but gives up recall. Below ~0.7 use the exact (capped)
+    all-pairs path; LSH is the NEAR-DUPLICATE tool (0.8+), where e.g.
+    threshold 0.9 plans (16, 27) with 90% recall and 4e-4 bg.
+
+    Found the hard way (self-review r4): the previous fixed (8, 8)
+    banding benchmarked "fast" only because a lambda-capture bug made
+    every hyperplane identical — with real planes it admitted ~3% of
+    ALL pairs as candidates (quadratic verify: 52 s at sf1 vs 3 s at
+    sf0.1 for 10x the data). Deriving the banding from the geometry is
+    what makes the candidate volume an engineering choice instead of an
+    accident."""
+    import math
+
+    p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p2 = 1.0 - math.acos(max(-1.0, min(1.0, bg_sim))) / math.pi
+    for r in range(4, 33):
+        pb1, pb2 = p1**r, p2**r
+        bands = (
+            1
+            if pb1 >= 1.0
+            else max(1, math.ceil(math.log1p(-target_recall) / math.log1p(-pb1)))
+        )
+        if bands * r > max_planes:
+            bands = max(1, max_planes // r)
+        bg_rate = 1.0 - (1.0 - pb2) ** bands
+        if bg_rate <= max_bg_rate:
+            return r, bands
+    return 32, max(1, max_planes // 32)
 
 
 def embedding_lsh_candidate_pairs(
@@ -445,8 +507,8 @@ def embedding_lsh_candidate_pairs(
 def embedding_near_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.8,
-    bands: int = 8,
-    planes_per_band: int = 8,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -479,6 +541,13 @@ def embedding_near_pairs_lsh(
     unique pair instead of once per colliding band.
     """
     dim = resolve_dim(embeddings, vec_col, dim)
+    if bands is None or planes_per_band is None:
+        # banding derived from the threshold's collision geometry
+        # (see srp_banding) — fixed constants either flood the verify
+        # join with background collisions or silently give up recall
+        auto_ppb, auto_bands = srp_banding(threshold)
+        planes_per_band = planes_per_band or auto_ppb
+        bands = bands or auto_bands
     cands = embedding_lsh_candidate_pairs(
         embeddings, bands, planes_per_band, id_col, vec_col, dim, max_bucket
     )
@@ -635,13 +704,15 @@ def lsh_topk(
     query's probed LSH buckets. Recall < 1 by design; the exact path is
     brute_force_topk.
 
-    ``multi_probe=1`` additionally probes every 1-bit-flip neighbor of
+    ``multi_probe=t`` probes every bucket within Hamming distance t of
     the query's bucket (Lv et al.'s multi-probe LSH): a near neighbor
-    that disagrees on exactly one hyperplane sign — the most likely miss
-    — is recovered. Probe expansion happens on the QUERY side only
-    (n_planes+1 bucket rows per query, still broadcast-tiny); corpus
-    cost is unchanged. Each corpus vector has one bucket and probe
-    values are distinct, so no candidate dedup is needed."""
+    that disagrees on up to t hyperplane signs is recovered. The probe
+    set has sum_{i<=t} C(n_planes, i) buckets — masks are enumerated
+    DRIVER-side (n_planes is small by construction) and expansion
+    happens on the QUERY side only, still broadcast-tiny; corpus cost
+    is unchanged. Each corpus vector has one bucket and probe values
+    are distinct, so no candidate dedup is needed. (Before r4 any
+    t >= 1 silently behaved as t=1 — the parameter is now honored.)"""
     dim = resolve_dim(embeddings, vec_col, dim)
     corpus_b = random_hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim).select(
         F.col(id_col).alias("nn_id"), F.col(vec_col).alias("nn_vec_raw"), "bucket"
@@ -654,9 +725,16 @@ def lsh_topk(
         dim,
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec_raw"), "bucket")
     if multi_probe >= 1:
+        from itertools import combinations
+
+        masks = [
+            sum(1 << i for i in bits)
+            for t in range(1, min(multi_probe, n_planes) + 1)
+            for bits in combinations(range(n_planes), t)
+        ]
         probe_vals = F.array(
             F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks],
         )
         query_b = query_b.select(
             "query_id", "q_vec_raw", F.explode(probe_vals).alias("bucket")

@@ -144,8 +144,13 @@ def merge_into(
 
     target = spark.read.parquet(target_path)
     if partition_pruning is not None:
-        untouched = target.where(~partition_pruning)
-        target = target.where(partition_pruning)
+        # NULL-safe split (self-review r4): rows where the predicate is
+        # NULL fail BOTH where(pred) and where(~pred) — they would land
+        # in neither branch and be silently dropped from the rewrite.
+        # Three-valued logic collapses to: NULL counts as untouched.
+        touched_pred = F.coalesce(partition_pruning, F.lit(False))
+        untouched = target.where(~touched_pred)
+        target = target.where(touched_pred)
     else:
         untouched = None
 

@@ -91,6 +91,9 @@ _PRIORITY = [
     # (pinned by test_corpus_is_printable_ascii) — first hash rows ever
     "mm_decode_features",
     "mm_frame_sample_hashes",
+    # (b) kmeans rework in r04 (final assignments now consistent with
+    # returned centroids — output may differ from the r03 rows)
+    "sim_kmeans_clusters",
     # (c) rows-only dedup trio (kept in-window per r03 brief)
     "dedup_simhash_pairs",
     "dedup_minhash_lsh_pairs",

@@ -237,18 +237,53 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:
+    """Corpus + a deterministic PERTURBED copy of the first ``n``
+    vectors (component j scaled by 1 + pmod(xxhash64(id, j), 7)/100 —
+    cos(original, twin) ≈ 0.999). The driver corpus contains no true
+    near-duplicates (its exact pair tail sits at cos 0.40-0.46, below
+    any regime where banded LSH is the right tool — see srp_banding),
+    so the LSH demo plants some, derived purely from the input table
+    and disjoint in id space (+1e6 clears every SF's replica stride)."""
+    others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    planted = emb.where(F.col("vec_id") < n).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        *others,
+        F.transform(
+            "embedding",
+            # 2-arg lambda: (element, index) — the index IS wanted here
+            lambda x, j: (
+                x
+                * (
+                    1.0
+                    + F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(7)).cast("double")
+                    / 100.0
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
 @register("dedup_embedding_lsh_pairs")  # rows-only: SRP-LSH is approximate by design
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs over the FULL corpus via banded
-    sign-random-projection LSH (operators/similarity.py:
-    embedding_near_pairs_lsh) — the uncapped scale path whose exact
-    anchor is dedup_embedding_near_pairs. Deterministic planes
-    (xxhash64), deterministic cosine fold → rerun-stable."""
+    """Embedding near-dup pairs via banded sign-random-projection LSH at
+    its DESIGN point: threshold 0.9 with geometry-planned banding
+    (srp_banding -> 16-bit bands sized for 90% recall and <=1e-3
+    background collisions), over the corpus plus a deterministic
+    planted-near-dup slice (the raw corpus has no pairs above ~0.46;
+    running LSH down there either floods the verify join with
+    background candidates — the r03 config admitted ~3% of ALL pairs,
+    quadratic at scale — or finds nothing; that regime belongs to the
+    exact anchor dedup_embedding_near_pairs). Deterministic planes
+    (SplitMix64 Box-Muller) + deterministic perturbation → rerun-stable.
+    Recall on planted pairs is pinned by
+    test_embedding_lsh_recall_on_planted_near_dups."""
     from poormans_kube_etl_spark.operators.similarity import embedding_near_pairs_lsh
 
     apply_runtime_confs(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs_lsh(emb, threshold=0.4, dim=64).orderBy("a", "b")
+    emb = _with_planted_near_dups(load_table(spark, sf_dir, "embeddings"))
+    return embedding_near_pairs_lsh(emb, threshold=0.9, dim=64).orderBy("a", "b")
 
 
 @register(

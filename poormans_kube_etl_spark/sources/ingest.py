@@ -45,14 +45,20 @@ def list_prefix(spark: SparkSession, base: str, prefix: str) -> list[str]:
     fs, jpath = hadoop_fs(spark, f"{base}/{prefix}")
     if not fs.exists(jpath):
         return []
+    # anchor on the BASE dir's resolved path length, not a substring
+    # search for the prefix (self-review r4): a base dir containing a
+    # segment equal to the prefix (e.g. base='/srv/pending/land',
+    # prefix='pending') made find('/pending/') match inside the base,
+    # yielding garbage keys that silently filtered every folder as noise
+    fs_base, jbase = hadoop_fs(spark, base)
+    base_path = jbase.toUri().getPath().rstrip("/")
     keys = []
     it = fs.listFiles(jpath, True)  # recursive
     while it.hasNext():
         status = it.next()
         p = status.getPath().toUri().getPath()
-        idx = p.find(f"/{prefix}/")
-        if idx >= 0:
-            keys.append(p[idx + 1 :])
+        if p.startswith(base_path + "/"):
+            keys.append(p[len(base_path) + 1 :])
     return sorted(keys)
 
 
@@ -98,5 +104,14 @@ def read_csv_gz_with_header_sidecar(
         header_cols = spark.read.csv(header_path).first()
         names = [c for c in header_cols if c is not None]
         df = spark.read.option("header", False).csv(data_paths)
+        if len(names) < len(df.columns):
+            # a short sidecar used to surface as an opaque toDF arity
+            # error deep in the pipeline (self-review r4); name the
+            # mismatch and where it came from instead
+            raise ValueError(
+                f"header sidecar {header_path!r} names {len(names)} "
+                f"column(s) but the data files have {len(df.columns)}; "
+                "the sidecar is incomplete"
+            )
         return df.toDF(*names[: len(df.columns)])
     return spark.read.option("header", True).csv(data_paths)

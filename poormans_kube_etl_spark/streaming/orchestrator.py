@@ -393,6 +393,23 @@ class Orchestrator:
         metrics.write.mode("append").parquet(f"{self.output_dir}/ingest_metrics")
         self.timer.reset()
 
+    def _verify_or_raise(self, params: IngestParams) -> None:
+        """Strict-manifest gate shared by BOTH lifecycles (run_once and
+        run_stream) so poll mode and stream mode enforce one contract on
+        the same landing dir; no-op when strict_manifest is off."""
+        if not self.strict_manifest:
+            return
+        bad = (
+            self.verify_manifest(params)
+            .where(F.col("status").isin("mismatch", "missing_file"))
+            .count()
+        )
+        if bad:
+            raise RuntimeError(
+                f"manifest verification failed for {params.ingest_name}: "
+                f"{bad} bad file(s)"
+            )
+
     def run_once(self) -> IngestParams | None:
         """One poll cycle. Returns the processed ingest, or None if the
         cycle found nothing ready (empty/no-marker/manifest-not-ready)
@@ -426,17 +443,7 @@ class Orchestrator:
         self.scan_failures = 0
         try:
             self.timer.ingest_files = files
-            if self.strict_manifest:
-                bad = (
-                    self.verify_manifest(params)
-                    .where(F.col("status").isin("mismatch", "missing_file"))
-                    .count()
-                )
-                if bad:
-                    raise RuntimeError(
-                        f"manifest verification failed for {params.ingest_name}: "
-                        f"{bad} bad file(s)"
-                    )
+            self._verify_or_raise(params)
             self.run_ingest(params)
             self.finalize(params)
             return params
@@ -454,11 +461,94 @@ class Orchestrator:
                 backoff = min(2 ** min(self.scan_failures, 3), 8)
                 time.sleep(self.poll_interval_s * backoff)
 
+    # ---- streaming lifecycle ----
+
+    def _deferred_dir(self) -> str:
+        return f"{self.output_dir}/_deferred"
+
+    def _defer_folder(self, folder: str) -> None:
+        """Durably record a manifest-arrived-but-marker-missing folder:
+        the file source never re-emits a committed manifest, so without
+        this record the folder would be dropped FOREVER once its batch
+        commits. One empty dir per folder — driver metadata, any
+        Hadoop FS."""
+        fs, path = ingest_sources.hadoop_fs(
+            self.spark, f"{self._deferred_dir()}/{folder}"
+        )
+        fs.mkdirs(path)
+
+    def _undefer_folder(self, folder: str) -> None:
+        ingest_sources.delete_path(self.spark, f"{self._deferred_dir()}/{folder}")
+
+    def _sweep_folders(self, folders: set[str], deferred: set[str]) -> None:
+        """Run the ready-folder lifecycle over ``folders`` oldest-first
+        (names are timestamps: lexical sort = age sort), maintaining the
+        durable deferred bookmarks in ``deferred`` (mutated in place)."""
+        for folder in sorted(folders):
+            # prefix-scoped: list only this folder's subtree, not the
+            # whole landing dir per discovered folder (VERDICT r02 #9)
+            keys = self.list_keys(folder)
+            if not keys and folder in deferred:
+                # deferred folder vanished (operator cleanup) — drop
+                # the bookmark
+                deferred.discard(folder)
+                self._undefer_folder(folder)
+                continue
+            marker = next(
+                (k.split("/")[2] for k in keys if k.split("/")[2:3] and k.split("/")[2] in MARKER_FILES),
+                None,
+            )
+            if marker is None:
+                # F3: no marker yet -> not ready. Bookmark durably and
+                # retry on every later batch / stream restart.
+                if folder not in deferred:
+                    deferred.add(folder)
+                    self._defer_folder(folder)
+                continue
+            params = IngestParams(folder, marker.replace(".txt", ""))
+            self.timer.ingest_files = self.ingest_files(params)
+            self._verify_or_raise(params)
+            self.run_ingest(params)
+            self.finalize(params)
+            if folder in deferred:
+                deferred.discard(folder)
+                self._undefer_folder(folder)
+
+    def _load_deferred(self) -> set[str]:
+        fs, path = ingest_sources.hadoop_fs(self.spark, self._deferred_dir())
+        if not fs.exists(path):
+            return set()
+        return {st.getPath().getName() for st in fs.listStatus(path)}
+
     def run_stream(self, checkpoint_dir: str, available_now: bool = False):
         """Streaming-mode orchestration: the manifest file IS the
         readiness event (EP2), so stream on ``pending/*/manifest.json``
         arrivals and run the normal lifecycle once per discovered
         manifest.
+
+        Two failure modes of a naive manifest trigger are closed
+        (self-review r4):
+
+        - **Marker-after-manifest.** The file source checkpoints a
+          committed manifest and never re-emits it, so a folder whose
+          marker (F3) was not yet visible at batch time used to be
+          skipped FOREVER — run_once instead re-polls every cycle.
+          Such folders are recorded in a durable deferred list
+          (``{output_dir}/_deferred/<folder>``, driver metadata) and
+          retried — prefix-scoped, no landing-dir rescans — on every
+          later batch and on every stream (re)start, so the folder is
+          ingested at the first retry where its marker is visible.
+          A folder whose marker NEVER arrives stays deferred and
+          untouched: run_once's F3 invisibility, durably bookmarked.
+        - **Empty-array manifests.** The source reads the manifest as
+          TEXT, not json: the stream only needs the file's PATH (the
+          lifecycle re-reads content via verify_manifest), and a json
+          source emits ZERO rows for ``[]`` — the arrival would commit
+          without ever reaching process(). Any non-empty file has a
+          text row. (binaryFile was rejected: it silently drops
+          0-byte files — measured — and a 0-byte manifest is malformed
+          anyway; it stays on disk unprocessed, exactly like poll mode
+          where verification could never pass.)
 
         Replaces the 60 s poll with Spark's file-source discovery +
         checkpointing: a manifest is processed exactly once across
@@ -468,45 +558,23 @@ class Orchestrator:
         run-ingest → finalize so bulk/delta routing, verification and
         metrics are identical to ``run_once``."""
         manifests = (
-            self.spark.readStream.schema("FileName string, SHA256 string")
-            .option("maxFilesPerTrigger", 1)  # one folder per micro-batch
+            self.spark.readStream.option("maxFilesPerTrigger", 1)  # one folder per micro-batch
             .option("latestFirst", False)  # oldest-first (O1)
-            .option("multiLine", True)
-            .json(f"{self.landing_dir}/{PENDING_PREFIX}/*/manifest.json")
+            .text(f"{self.landing_dir}/{PENDING_PREFIX}/*/manifest.json")
             .select(F.input_file_name().alias("manifest_path"))
         )
+        deferred = self._load_deferred()
+        # restart retry must happen HERE, driver-side: with no new
+        # manifests an availableNow run fires zero batches, so a
+        # batch-side retry alone would never see restart-era pickups
+        self._sweep_folders(deferred, deferred)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
-            folders = sorted(
-                {
-                    r.manifest_path.split(f"/{PENDING_PREFIX}/")[1].split("/")[0]
-                    for r in batch_df.select("manifest_path").distinct().collect()
-                }
-            )
-            for folder in folders:
-                # prefix-scoped: list only this folder's subtree, not the
-                # whole landing dir per discovered folder (VERDICT r02 #9)
-                keys = self.list_keys(folder)
-                marker = next(
-                    (k.split("/")[2] for k in keys if k.split("/")[2:3] and k.split("/")[2] in MARKER_FILES),
-                    None,
-                )
-                if marker is None:
-                    continue  # malformed folder: no marker → invisible (F3)
-                params = IngestParams(folder, marker.replace(".txt", ""))
-                self.timer.ingest_files = self.ingest_files(params)
-                if self.strict_manifest:
-                    bad = (
-                        self.verify_manifest(params)
-                        .where(F.col("status").isin("mismatch", "missing_file"))
-                        .count()
-                    )
-                    if bad:
-                        raise RuntimeError(
-                            f"manifest verification failed for {folder}: {bad} bad file(s)"
-                        )
-                self.run_ingest(params)
-                self.finalize(params)
+            arrived = {
+                r.manifest_path.split(f"/{PENDING_PREFIX}/")[1].split("/")[0]
+                for r in batch_df.select("manifest_path").distinct().collect()
+            }
+            self._sweep_folders(arrived | deferred, deferred)
 
         writer = (
             manifests.writeStream.foreachBatch(process)

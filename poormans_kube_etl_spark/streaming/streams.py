@@ -123,14 +123,22 @@ def foreach_batch_pipeline(
     query_name: str = "pipeline",
 ):
     """Attach a batch transform to a stream: per micro-batch, apply
-    ``transform(batch_df, batch_id)`` and append the result to a parquet
-    sink. This is the orchestrator's execution model as a streaming
-    query — exactly-once via the checkpoint + idempotent appends."""
+    ``transform(batch_df, batch_id)`` and write the result under the
+    sink keyed BY BATCH ID. This is the orchestrator's execution model
+    as a streaming query.
+
+    Exactly-once (self-review r4): foreachBatch is at-least-once — a
+    crash between the sink write and the checkpoint commit REPLAYS the
+    batch, so a blind ``mode("append")`` duplicated every row of the
+    replayed batch. The write is made idempotent by landing each batch
+    in its own hive partition dir (``batch_id=N``) with overwrite: the
+    replay rewrites the same directory instead of appending a second
+    copy. Readers see the sink as one partitioned parquet table."""
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df, batch_id)
         if out is not None:
-            out.write.mode("append").parquet(sink_dir)
+            out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
 
     return (
         stream.writeStream.foreachBatch(run)

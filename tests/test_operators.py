@@ -460,8 +460,13 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     )
     from poormans_kube_etl_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    got = {(r.a, r.b) for r in embedding_near_pairs_lsh(emb, threshold=0.4).collect()}
+    from poormans_kube_etl_spark.queries.dedup import _with_planted_near_dups
+
+    # planted-near-dup corpus at the design threshold: output is
+    # NONEMPTY, so subset-of-exact is a real check, not a vacuous one
+    emb = _with_planted_near_dups(load_table(spark, sf_dir, "embeddings"))
+    got = {(r.a, r.b) for r in embedding_near_pairs_lsh(emb, threshold=0.9).collect()}
+    assert len(got) >= 40  # the planted pairs are found
     e = emb.select("vec_id", to_double_vec("embedding").alias("v"))
     a, b = e.alias("a"), e.alias("b")
     exact = {
@@ -472,7 +477,7 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
             F.col("b.vec_id").alias("b"),
             cosine(F.col("a.v"), F.col("b.v")).alias("c"),
         )
-        .where(F.col("c") >= 0.4)
+        .where(F.col("c") >= 0.9)
         .collect()
     }
     assert got <= exact
@@ -499,8 +504,10 @@ def test_embedding_lsh_quantized_verify_tracks_exact(spark, sf_dir):
     from poormans_kube_etl_spark.plans.inspect import formatted_plan
     from poormans_kube_etl_spark.sources import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    thresh, tol = 0.4, 0.05
+    from poormans_kube_etl_spark.queries.dedup import _with_planted_near_dups
+
+    emb = _with_planted_near_dups(load_table(spark, sf_dir, "embeddings"))
+    thresh, tol = 0.9, 0.05
     q = embedding_near_pairs_lsh(emb, threshold=thresh, quantized=True)
     assert "tinyint" in formatted_plan(q)
     got_q = {(r.a, r.b): r.cos_sim for r in q.collect()}
@@ -677,3 +684,161 @@ def test_resolve_dim_rejects_empty_first_vector(spark):
     )
     with pytest.raises(ValueError, match="empty array"):
         resolve_dim(df, "embedding", None)
+
+
+def test_kmeans_assignments_consistent_with_returned_centroids(spark):
+    """Self-review r4: on a max_iter exit the in-loop assignment was one
+    model behind the returned centroids — a vector could carry a label
+    that is not its nearest returned centroid. The returned pair must be
+    internally consistent for ANY max_iter."""
+    import math
+
+    from poormans_kube_etl_spark.operators.kmeans import kmeans_fit
+
+    # two clear clusters, seeded so iteration 1 moves the centroids
+    rows = [(i, [0.0 + i * 0.1, 0.0]) for i in range(4)]
+    rows += [(10 + i, [10.0 + i * 0.1, 5.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for max_iter in (1, 2, 5):
+        centroids, assigned = kmeans_fit(emb, k=2, max_iter=max_iter)
+        vecs = {r.vec_id: r.embedding for r in emb.collect()}
+        for r in assigned.collect():
+            v = vecs[r.vec_id]
+            d = [
+                sum((x - y) ** 2 for x, y in zip(v, c)) for c in centroids
+            ]
+            assert d[r.cluster] == min(d), (
+                f"max_iter={max_iter}: vec {r.vec_id} labeled {r.cluster}, "
+                f"dists {d}"
+            )
+    assert math.isfinite(centroids[0][0])
+
+
+def test_multi_probe_depth_two_expands_probe_set(spark, sf_dir):
+    """Self-review r4: multi_probe was effectively boolean — any t >= 1
+    probed only 1-bit flips, so t=2 silently didn't deepen recall. The
+    t-bucket candidate set must now be a strict superset of t=1's, and
+    with t = n_planes (all buckets probed) recall must equal exact."""
+    import random
+
+    from poormans_kube_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    # seeded RANDOM corpus: buckets spread over all 2^8 values, so the
+    # t=1 (9 buckets) / t=2 (37) / t=8 (256) probe sets see genuinely
+    # different candidate counts (the parquet test embeddings are
+    # polarized into two antipodal buckets — useless here)
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(500)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # k > corpus size: results == the full scored candidate set, so the
+    # probe-set monotonicity is visible (a small k would let new
+    # candidates displace old ones in the top-k)
+    big_k = 10_000
+    got = {
+        t: {(r.query_id, r.nn_id) for r in
+            lsh_topk(emb, queries, big_k, n_planes=8, multi_probe=t, dim=16).collect()}
+        for t in (1, 2, 8)
+    }
+    assert got[1] <= got[2] <= got[8]
+    assert len(got[2]) > len(got[1])  # t=2 genuinely probes deeper
+    exact = {
+        (r.query_id, r.nn_id)
+        for r in brute_force_topk(emb, queries, big_k, dim=16).collect()
+    }
+    # t = n_planes probes every bucket -> identical to brute force
+    assert got[8] == exact
+
+
+def test_hyperplanes_are_distinct(spark):
+    """Self-review r4 (root cause of the probe-depth test failure): a
+    two-parameter transform lambda ('lambda j, p=p') binds its SECOND
+    argument to the array INDEX in pyspark, silently shadowing the
+    captured plane number — every hyperplane came out IDENTICAL, so
+    16-plane LSH was secretly 1-plane and all vectors fell into two
+    antipodal buckets (no candidate pruning at any scale). Planes must
+    be pairwise distinct and components symmetric in [-1, 1]."""
+    from poormans_kube_etl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(spark, 8, 16)
+    assert len({tuple(p) for p in planes}) == 8, "hyperplanes must differ"
+    flat = [x for p in planes for x in p]
+    # Gaussian components (rotation-invariant SRP): roughly centered,
+    # both signs present, no degenerate constants
+    assert any(x > 0 for x in flat) and any(x < 0 for x in flat)
+    assert abs(sum(flat) / len(flat)) < 0.5
+    assert len(set(flat)) > 100
+
+
+def test_srp_banding_planner_properties():
+    """The banding planner must honor its contract: background collision
+    rate within budget, plane budget respected, and band counts that
+    shrink as the threshold rises (easier separation -> cheaper plan)."""
+    import math
+
+    from poormans_kube_etl_spark.operators.similarity import srp_banding
+
+    def bg_rate(r, b, bg_sim=0.0):
+        p2 = 1 - math.acos(bg_sim) / math.pi
+        return 1 - (1 - p2**r) ** b
+
+    plans = {t: srp_banding(t) for t in (0.4, 0.7, 0.8, 0.9, 0.95)}
+    for t, (r, b) in plans.items():
+        assert r * b <= 512, f"plane budget blown at {t}: {r}x{b}"
+        assert bg_rate(r, b) <= 1e-3, f"bg budget blown at {t}"
+    # easier thresholds need no more planes than harder ones
+    planes = {t: r * b for t, (r, b) in plans.items()}
+    assert planes[0.95] <= planes[0.9] <= planes[0.8]
+    # the near-dup regime achieves the recall target uncapped
+    r, b = plans[0.9]
+    p1 = (1 - math.acos(0.9) / math.pi) ** r
+    assert 1 - (1 - p1) ** b >= 0.9
+
+
+def test_embedding_lsh_recall_on_planted_near_dups(spark):
+    """The property the whole LSH dedup path exists for: on a corpus
+    with PLANTED near-duplicates (cos >= ~0.95) over a random
+    background, the geometry-planned banding at threshold 0.9 must
+    recover >= 90% of the planted pairs with candidates that are a tiny
+    fraction of all pairs — the pre-r4 fixed (8,8) banding admitted ~3%
+    of ALL pairs (quadratic verify at scale), and the pre-fix identical
+    hyperplanes degenerated to two buckets."""
+    import random
+
+    from poormans_kube_etl_spark.operators.similarity import (
+        embedding_lsh_candidate_pairs,
+        embedding_near_pairs_lsh,
+        srp_banding,
+    )
+
+    rng = random.Random(5)
+    dim, n_bg, n_planted = 32, 400, 40
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n_bg)]
+    planted = []
+    for j in range(n_planted):
+        base = rows[j][1]
+        noisy = [x + rng.gauss(0, 0.08) for x in base]  # cos ~ 0.97
+        rows.append((1000 + j, noisy))
+        planted.append((rows[j][0], 1000 + j))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r.a, r.b)
+        for r in embedding_near_pairs_lsh(emb, threshold=0.9, dim=dim).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found >= 0.9 * n_planted, f"recall {found}/{n_planted}"
+
+    ppb, bands = srp_banding(0.9)
+    n_cand = embedding_lsh_candidate_pairs(emb, bands, ppb, dim=dim).count()
+    total_pairs = (n_bg + n_planted) * (n_bg + n_planted - 1) // 2
+    assert n_cand <= 0.02 * total_pairs, (
+        f"candidates {n_cand} not a tiny fraction of {total_pairs}"
+    )

@@ -302,14 +302,13 @@ def test_run_stream_hundred_folder_fanout(orch, tmp_path):
 
     # every folder processed exactly once, oldest first
     assert processed == folders
-    # one folder per micro-batch: each manifest carries exactly 2 file
-    # records, so every data batch reports exactly 2 input ROWS (one
-    # manifest file — maxFilesPerTrigger=1), and there are n of them
+    # one folder per micro-batch: each single-line manifest is one text
+    # ROW (maxFilesPerTrigger=1 -> one manifest file per batch), n of them
     progress = q.recentProgress
     assert progress, "stream reported no progress"
     data_batches = [p for p in progress if int(p["numInputRows"]) > 0]
     assert len(data_batches) == n
-    assert all(int(p["numInputRows"]) == 2 for p in data_batches)
+    assert all(int(p["numInputRows"]) == 1 for p in data_batches)
     # prefix-scoped listings only: no un-scoped (whole landing dir)
     # listing ever happens in streaming mode, and the count stays O(n)
     # (marker probe + ingest_files per folder), not O(n^2)
@@ -369,3 +368,38 @@ def test_preempt_stale_cancels_running_job_group(orch):
     t.join(60)
     assert not t.is_alive(), "stale job still running after preemption"
     assert errs, "cancelled job must surface an error to its owner"
+
+
+def test_run_stream_picks_up_folder_whose_marker_arrives_late(orch, tmp_path):
+    """Self-review r4: the single-file (manifest-only) trigger consumed
+    the manifest even when the marker was not yet visible — the file
+    source never re-emits a committed file, so the folder was dropped
+    FOREVER (run_once re-polls instead). With both readiness files
+    subscribed, the late marker's own arrival triggers the ingest."""
+    folder = make_ingest_folder(orch.landing_dir, "1538055240", None)  # no marker yet
+    ckpt = str(tmp_path / "ckpt")
+    q = orch.run_stream(ckpt, available_now=True)
+    q.awaitTermination(180)
+    # manifest consumed, folder skipped but INTACT, nothing committed
+    assert os.path.exists(folder)
+    assert not os.path.exists(os.path.join(orch.output_dir, "ingest_metrics"))
+
+    # producer finishes late: marker lands after the manifest was consumed
+    open(os.path.join(folder, "bulk.txt"), "w").write("")
+    q2 = orch.run_stream(ckpt, available_now=True)
+    q2.awaitTermination(180)
+    m = {r.ingest: r.type for r in orch.metrics().collect()}
+    assert m == {"1538055240": "bulk"}
+    assert not os.path.exists(folder)  # consumed and deleted
+
+
+def test_run_stream_empty_marker_and_manifest_files_still_trigger(orch, tmp_path):
+    """Self-review r4: row-based stream sources (json/text) emit ZERO
+    rows for an empty file, checkpointing the arrival without ever
+    calling process(). Marker files are empty by design — binaryFile
+    must surface them as one row each so the folder is ingested."""
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+    q = orch.run_stream(str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+    m = {r.ingest: r.type for r in orch.metrics().collect()}
+    assert m == {"1538055240": "bulk"}

@@ -133,3 +133,42 @@ def test_load_table_cache_sees_directory_rewrites(spark, tmp_path):
     again = load_table(spark, sf_dir, "documents")
     assert again is not first
     assert again.count() == 9
+
+
+def test_list_prefix_base_dir_containing_prefix_segment(spark, tmp_path):
+    """Self-review r4: keys were derived from the FIRST occurrence of
+    '/{prefix}/' in the absolute path — a base dir that itself contains
+    a segment equal to the prefix (here '.../pending/land') matched at
+    the base, yielding garbage keys and silently filtering every folder
+    as noise. Keys must be relative to the BASE regardless of its name."""
+    import os
+
+    from poormans_kube_etl_spark.sources.ingest import list_prefix
+
+    base = str(tmp_path / "pending" / "land")
+    os.makedirs(os.path.join(base, "pending", "1538050000"))
+    open(os.path.join(base, "pending", "1538050000", "bulk.txt"), "w").write("")
+    keys = list_prefix(spark, base, "pending")
+    assert keys == ["pending/1538050000/bulk.txt"]
+
+
+def test_short_header_sidecar_fails_with_named_mismatch(spark, tmp_path):
+    """Self-review r4: a sidecar with fewer names than data columns used
+    to crash with an opaque toDF arity error; it must name the sidecar
+    and both column counts."""
+    import gzip
+    import os
+
+    import pytest
+
+    from poormans_kube_etl_spark.sources.ingest import (
+        read_csv_gz_with_header_sidecar,
+    )
+
+    data = str(tmp_path / "d.csv.gz")
+    with gzip.open(data, "wt") as f:
+        f.write("1,2,3,4,5\n")
+    headers = str(tmp_path / "h.csv")
+    open(headers, "w").write("a,b,c\n")
+    with pytest.raises(ValueError, match="names 3 column\\(s\\) but the data files have 5"):
+        read_csv_gz_with_header_sidecar(spark, [data], headers)

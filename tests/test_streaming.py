@@ -106,9 +106,7 @@ def test_foreach_batch_pipeline_appends_parquet(spark, tmp_path):
     write_events_files(src)
 
     def transform(df, batch_id):
-        return df.withColumn("batch_id", F.lit(batch_id)).where(
-            F.col("event_type") == "click"
-        )
+        return df.where(F.col("event_type") == "click")
 
     stream = stream_events(spark, src, max_files_per_trigger=1)
     q = (
@@ -119,8 +117,35 @@ def test_foreach_batch_pipeline_appends_parquet(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(sink)
     assert out.count() == 3  # three click events
-    # maxFilesPerTrigger=1 → one micro-batch per file
+    # maxFilesPerTrigger=1 → one micro-batch per file; each batch lands
+    # in its own batch_id=N partition dir (the idempotent-write key)
     assert out.select("batch_id").distinct().count() == 2
+
+
+def test_foreach_batch_pipeline_replay_is_idempotent(spark, tmp_path):
+    """Self-review r4: foreachBatch is at-least-once — a crash between
+    sink write and checkpoint commit REPLAYS the batch. The blind
+    mode('append') write duplicated every replayed row; the per-batch
+    overwrite partition must absorb the replay. Simulated by running the
+    same source through a FRESH checkpoint (all batches redelivered with
+    the same ids) into the same sink."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    write_events_files(src)
+
+    def transform(df, batch_id):
+        return df.where(F.col("event_type") == "click")
+
+    for ckpt in ("ckpt1", "ckpt2"):  # second run = full replay
+        stream = stream_events(spark, src, max_files_per_trigger=1)
+        q = (
+            foreach_batch_pipeline(stream, transform, sink, str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == 3  # replay overwrote, not duplicated
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
