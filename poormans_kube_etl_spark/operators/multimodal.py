@@ -53,6 +53,20 @@ def fake_decode_image(data: bytes) -> tuple[int, int, int, float]:
     return width, height, 3, mean_byte
 
 
+def _check_no_null_payload(pdf, binary_col: str, id_col: str) -> None:
+    """Fail the task NAMING the offending ids (checked_double_vec
+    discipline) instead of an opaque TypeError from bytes(None) deep in
+    a batch loop — and instead of silently diverging from the SQL
+    oracles, which would emit a NULL-featured row."""
+    nulls = pdf[pdf[binary_col].isna()]
+    if len(nulls):
+        ids = nulls[id_col].tolist()[:5]
+        raise ValueError(
+            f"multimodal: NULL {binary_col!r} payload for {id_col}={ids}"
+            f"{' …' if len(nulls) > 5 else ''}; decode inputs must be non-null"
+        )
+
+
 def decode_image_features(df: DataFrame, binary_col: str = "content", id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode: DataFrame[id, binary] → typed metadata rows.
 
@@ -62,6 +76,7 @@ def decode_image_features(df: DataFrame, binary_col: str = "content", id_col: st
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            _check_no_null_payload(pdf, binary_col, id_col)
             datas = pdf[binary_col]
             rows = {
                 "doc_id": pdf[id_col].astype("int64"),
@@ -115,6 +130,7 @@ def resize_images(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            _check_no_null_payload(pdf, binary_col, id_col)
             out = [fake_resize_image(bytes(d), max_w, max_h) for d in pdf[binary_col]]
             yield pd.DataFrame(
                 {
@@ -149,6 +165,7 @@ def sample_frames(
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            _check_no_null_payload(pdf, binary_col, id_col)
             ids, idxs, sizes, hashes = [], [], [], []
             for did, data in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(data)

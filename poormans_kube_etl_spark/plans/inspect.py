@@ -88,8 +88,20 @@ def sort_merge_join_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) boundaries in the physical plan."""
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", simple_plan(df)))
+    """Number of exchange (shuffle) boundaries in the physical plan.
+
+    Counts EVERY Exchange flavor (self-review r4): the original
+    hash/range-only pattern was blind to ``Exchange SinglePartition``
+    and ``Exchange RoundRobinPartitioning`` — a regression from the
+    two-pass global-order operator back to a bare
+    ``Window.orderBy(...)`` (the one-task 100 TB sort this test surface
+    exists to catch) reported shuffle_count == 0 and sailed through the
+    budgets. Broadcast exchanges are NOT shuffles and stay excluded."""
+    plan = simple_plan(df)
+    # \bExchange does not match inside the single token BroadcastExchange
+    return len(re.findall(r"\bExchange \w+", plan)) - len(
+        re.findall(r"\bExchange SinglePartition, EXECUTOR_BROADCAST", plan)
+    )
 
 
 def codegen_stage_count(df: DataFrame) -> int:

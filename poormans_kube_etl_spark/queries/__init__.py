@@ -94,6 +94,10 @@ _PRIORITY = [
     # (b) kmeans rework in r04 (final assignments now consistent with
     # returned centroids — output may differ from the r03 rows)
     "sim_kmeans_clusters",
+    # (b) the as-of operator was merged into one _asof_join in r04 and
+    # the session-window oracle gained its tie-break — both re-swept
+    "sess_asof_last_signup",
+    "sess_session_window_30m",
     # (c) rows-only dedup trio (kept in-window per r03 brief)
     "dedup_simhash_pairs",
     "dedup_minhash_lsh_pairs",

@@ -232,8 +232,12 @@ def clean_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition: 1 − distinct/total word-3-grams — the
     looped-text / boilerplate signal (Gopher-style repetition filter);
     pure array expressions, map-only."""
+    from poormans_kube_etl_spark.operators.text import normalize_text, tokens
+
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.regexp_replace("text", "\\s+", " "))), " ")
+    # the shared canonical normalization — not an inline copy, so a
+    # change to the normalizer reaches this query too (self-review r4)
+    toks = tokens(normalize_text("text"))
     toked = docs.select("doc_id", toks.alias("toks"))
     win = F.sequence(F.lit(0), F.size("toks") - 3)
     grams = F.when(

@@ -229,10 +229,14 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eb.v").alias("_vb"),
         (F.col("ea.n") * F.col("eb.n")).alias("_nn"),
     )
-    sim = _dot_expr("_va", "_vb", 64) / F.col("_nn")
+    # nullif + NaN drop, same policy as every sibling scoring site
+    # (self-review r4): a zero-norm vector would die as ANSI 0/0 and a
+    # NaN element would compare GREATER than the threshold in Spark SQL,
+    # emitting bogus pairs against every other vector
+    sim = _dot_expr("_va", "_vb", 64) / F.nullif(F.col("_nn"), F.lit(0.0))
     return (
         joined.select("a", "b", sim.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.4)
+        .where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim") & (F.col("cos_sim") >= 0.4))
         .orderBy("a", "b")
     )
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.functions import money
+from poormans_kube_etl_spark.functions import hash_safe, money
 from poormans_kube_etl_spark.operators.multimodal import sample_frames
 from poormans_kube_etl_spark.operators.similarity import ivf_topk
 from poormans_kube_etl_spark.queries import register
@@ -50,9 +50,7 @@ def join_left_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .cast("double")
+            hash_safe(F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)")))
             .alias("total_spent"),
         )
         .orderBy("c_custkey")
@@ -82,12 +80,12 @@ def join_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFram
     cust = (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.sum(money("c_acctbal")).cast("decimal(38,2)").cast("double").alias("cust_bal"))
+        .agg(hash_safe(F.sum(money("c_acctbal"))).alias("cust_bal"))
     )
     supp = (
         _t(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("nationkey"))
-        .agg(F.sum(money("s_acctbal")).cast("decimal(38,2)").cast("double").alias("supp_bal"))
+        .agg(hash_safe(F.sum(money("s_acctbal"))).alias("supp_bal"))
     )
     c, s = cust.alias("c"), supp.alias("s")
     return (
@@ -130,7 +128,7 @@ def groupingsets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-            F.sum(money("o_totalprice")).cast("decimal(38,2)").cast("double").alias("revenue"),
+            hash_safe(F.sum(money("o_totalprice"))).alias("revenue"),
         )
         .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
     )
@@ -159,7 +157,7 @@ def pivot_status_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum(money("o_totalprice")).cast("decimal(38,2)").cast("double"))
+        .agg(hash_safe(F.sum(money("o_totalprice"))))
         .orderBy("o_orderpriority")
     )
 
@@ -316,9 +314,7 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
-            F.sum(F.when(F.col("l_tax") == 0, money("l_extendedprice")))
-            .cast("decimal(38,2)")
-            .cast("double")
+            hash_safe(F.sum(F.when(F.col("l_tax") == 0, money("l_extendedprice"))))
             .alias("tax_free_price"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )

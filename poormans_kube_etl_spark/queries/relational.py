@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.functions import money
+from poormans_kube_etl_spark.functions import hash_safe, money
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table
@@ -69,15 +69,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
-            F.sum(price * (one - disc))
-            .cast("decimal(38,4)")
-            .cast("double")
+            hash_safe(F.sum(money("l_quantity"))).alias("sum_qty"),
+            hash_safe(F.sum(price)).alias("sum_base_price"),
+            hash_safe(F.sum(price * (one - disc)), 4)
             .alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax))
-            .cast("decimal(38,6)")
-            .cast("double")
+            hash_safe(F.sum(price * (one - disc) * (one + tax)), 6)
             .alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -118,7 +114,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(money("o_totalprice")).cast("decimal(38,2)").cast("double").alias("revenue"),
+            hash_safe(F.sum(money("o_totalprice"))).alias("revenue"),
             F.count(F.lit(1)).alias("order_cnt"),
         )
         .orderBy("r_name", "n_name")
@@ -194,7 +190,7 @@ def join_lineitem_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
-            F.sum(money("l_quantity")).cast("decimal(38,2)").cast("double").alias("qty"),
+            hash_safe(F.sum(money("l_quantity"))).alias("qty"),
             F.count(F.lit(1)).alias("line_cnt"),
         )
         .orderBy("p_brand", "s_name")
@@ -287,10 +283,8 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(money("o_totalprice"))
-        .over(w)
-        .cast("decimal(38,2)")
-        .cast("double")
+        hash_safe(F.sum(money("o_totalprice"))
+        .over(w))
         .alias("running_revenue"),
     ).orderBy("o_custkey", "o_orderkey")
 
@@ -346,7 +340,7 @@ def rollup_acctbal_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.sum(money("c_acctbal")).cast("decimal(38,2)").cast("double").alias("acctbal_sum"),
+            hash_safe(F.sum(money("c_acctbal"))).alias("acctbal_sum"),
             F.count(F.lit(1)).alias("cust_cnt"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.functions import money
+from poormans_kube_etl_spark.functions import hash_safe, money
 from poormans_kube_etl_spark.operators.asof import asof_join_backward
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
@@ -41,7 +41,7 @@ def sess_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(money("value")).cast("decimal(38,2)").cast("double").alias("val_sum"),
+            hash_safe(F.sum(money("value"))).alias("val_sum"),
         )
         .orderBy("win_start", "event_type")
     )
@@ -72,7 +72,7 @@ def sess_hopping_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("win"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(money("value")).cast("decimal(38,2)").cast("double").alias("val_sum"),
+            hash_safe(F.sum(money("value"))).alias("val_sum"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -88,7 +88,7 @@ def sess_hopping_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sess_session_window_30m",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        < INTERVAL 30 MINUTE
                   THEN 0 ELSE 1 END AS new_sess
@@ -96,7 +96,9 @@ def sess_hopping_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tagged AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             -- event_id tiebreak matches the lag pass: a ROWS frame
+             -- over tied timestamps is otherwise engine-order-dependent
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_no
       FROM ordered
     )
@@ -221,9 +223,7 @@ def sess_range_self_join_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a.event_id")
         .agg(
             F.count("b.b_event_id").alias("neighbor_cnt"),
-            F.coalesce(F.sum(money("b_value")), F.lit(0).cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .cast("double")
+            hash_safe(F.coalesce(F.sum(money("b_value")), F.lit(0).cast("decimal(18,2)")))
             .alias("neighbor_val"),
         )
         .orderBy("event_id")

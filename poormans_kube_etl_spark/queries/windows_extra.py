@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.functions import money
+from poormans_kube_etl_spark.functions import hash_safe, money
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table
@@ -47,7 +47,7 @@ def window_sliding_3row_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.avg(money("o_totalprice")).over(w).cast("decimal(38,6)").cast("double").alias("avg3"),
+        hash_safe(F.avg(money("o_totalprice")).over(w), 6).alias("avg3"),
     ).orderBy("o_custkey", "o_orderkey")
 
 

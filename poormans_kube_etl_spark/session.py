@@ -41,7 +41,16 @@ def default_parallelism() -> int:
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply SET-able confs to an existing session (driver-owned or ours)."""
+    """Apply SET-able confs to an existing session (driver-owned or ours).
+
+    Idempotent per SparkContext (self-review r4): this sits on the hot
+    query-build path (every load_table call), and each conf.set is a
+    py4j round trip — ~24 redundant trips per 4-table build once the
+    confs are already applied. The flag lives on the context, like
+    ``_pke_pkg_shipped``, so a session restart re-applies."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pke_confs_applied", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -49,6 +58,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Some confs may be static on exotic builds; never fail a query
             # over a tuning knob.
             pass
+    sc._pke_confs_applied = True
     _ship_package(spark)
     return spark
 
@@ -65,13 +75,22 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_pke_pkg_shipped", False):
         return
+    import atexit
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     repo_root = os.path.dirname(pkg_dir)
-    fd, zip_path = tempfile.mkstemp(prefix="pke_spark_", suffix=".zip")
-    os.close(fd)
+    # ONE stable path per process, not mkstemp-per-attempt: executors
+    # fetch the zip from the driver's file server BY THIS PATH at task
+    # time, so it cannot be unlinked while the context lives — but the
+    # per-attempt mkstemp leaked a fresh zip on every session (re)start
+    # and every failed-addPyFile retry. A fixed name overwrites in
+    # place and atexit reaps the single leftover.
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"pke_spark_pkg_{os.getpid()}.zip"
+    )
+    atexit.register(lambda: os.path.exists(zip_path) and os.unlink(zip_path))
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:

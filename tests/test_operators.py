@@ -842,3 +842,18 @@ def test_embedding_lsh_recall_on_planted_near_dups(spark):
     assert n_cand <= 0.02 * total_pairs, (
         f"candidates {n_cand} not a tiny fraction of {total_pairs}"
     )
+
+
+def test_multimodal_decode_rejects_null_payload_naming_ids(spark):
+    """Self-review r4: a NULL binary payload crashed the batch loop with
+    an opaque TypeError (and diverged from the SQL oracle, which emits a
+    NULL-featured row). Must fail naming the offending ids."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.multimodal import decode_image_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ok")), (2, None)], "doc_id long, content binary"
+    )
+    with pytest.raises(Exception, match="NULL 'content' payload for doc_id=\\[2\\]"):
+        decode_image_features(df).collect()

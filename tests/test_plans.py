@@ -238,3 +238,24 @@ def test_no_sort_merge_for_dim_joins(q):
     df = q("rollup_acctbal_by_region_nation")
     assert broadcast_join_count(df) >= 2
     assert sort_merge_join_count(df) == 0
+
+
+def test_shuffle_count_sees_every_exchange_flavor(spark):
+    """Self-review r4: shuffle_count matched only hash/range partitioning,
+    so the exact single-partition funnel this surface exists to catch
+    (a bare global-sort window) reported ZERO shuffles. Every Exchange
+    flavor must count; broadcast exchanges must not."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.plans.inspect import shuffle_count
+
+    df = spark.range(100).toDF("id")
+    global_sort = df.withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    assert shuffle_count(global_sort) >= 1  # Exchange SinglePartition
+    assert shuffle_count(df.repartition(7)) >= 1  # RoundRobinPartitioning
+    small = spark.range(5).toDF("id")
+    joined = df.join(F.broadcast(small), "id")
+    assert shuffle_count(joined) == 0  # BroadcastExchange is not a shuffle
