@@ -139,8 +139,12 @@ def main() -> None:
     spark = get_spark(app_name="pke-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    names = [n for n in HEADLINE if n in qs]
-    # also include any query tagged for bench via naming convention later
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        # a silently-shrunken headline set fakes a perf improvement and
+        # corrupts round-over-round attribution — fail loudly instead
+        raise SystemExit(f"bench: HEADLINE names not registered: {missing}")
+    names = list(HEADLINE)
 
     # Warmup: JVM, codegen, and one full scan of every table so
     # per-query timings attribute COMPUTE, not whichever query happens

@@ -32,8 +32,11 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output", required=True, help="dir for graph/index/metrics sinks")
         sp.add_argument("--poll-interval", type=float, default=60.0)
         sp.add_argument("--no-verify-manifest", action="store_true")
-        sp.add_argument("--stream", action="store_true", help="manifest-arrival streaming mode (watch only)")
-        sp.add_argument("--checkpoint", help="checkpoint dir for --stream")
+    # streaming flags on WATCH only (self-review r4): run-once used to
+    # accept --stream/--checkpoint and silently run a plain poll cycle —
+    # the user believed the checkpointed streaming path had run
+    watch.add_argument("--stream", action="store_true", help="manifest-arrival streaming mode")
+    watch.add_argument("--checkpoint", help="checkpoint dir for --stream")
 
     q = sub.add_parser("query", help="run a registered query")
     q.add_argument("name")

@@ -88,9 +88,22 @@ def _canon_value(v) -> str:
 
 
 def canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
-    """Columns sorted by name, every cell canonicalized, rows sorted."""
+    """Columns sorted by name, every cell canonicalized, rows sorted.
+
+    Canonicalization is PER COLUMN (self-review r4): ``iterrows`` builds
+    a per-row Series whose dtype is the common upcast of the row — an
+    all-numeric frame with mixed int64/float64 columns upcast every int
+    cell to float64, so an int-vs-double schema drift between Spark and
+    the oracle canonicalized identically and the driver-strict type
+    distinction this module exists for was silently lost (confirmed by
+    repro). ``Series.tolist()`` per column preserves each column's own
+    cell types."""
     cols = sorted(df.columns)
-    out = [tuple(_canon_value(row[c]) for c in cols) for _, row in df[cols].iterrows()]
+    col_values = [df[c].tolist() for c in cols]
+    out = [
+        tuple(_canon_value(col_values[j][i]) for j in range(len(cols)))
+        for i in range(len(df))
+    ]
     out.sort()
     return out
 

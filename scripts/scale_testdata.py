@@ -74,9 +74,15 @@ def scale_table(df: DataFrame, name: str, factor: int) -> DataFrame:
     if name == "embeddings":
         dim = 64
         v = F.col("embedding")
+        # roll by _rep MOD dim: a raw _rep above dim made the first
+        # slice length negative and crashed mid-generation for any
+        # factor > 65 (self-review r4); the mod keeps rolls valid at any
+        # factor and the per-(replica, dim) sign flips below keep
+        # same-roll replicas decorrelated from each other
+        shift = F.pmod(F.col("_rep"), F.lit(dim))
         rolled = F.concat(
-            F.slice(v, F.col("_rep") + 1, F.lit(dim) - F.col("_rep")),
-            F.slice(v, 1, F.col("_rep")),
+            F.slice(v, shift + 1, F.lit(dim) - shift),
+            F.slice(v, 1, shift),
         )
         remixed = F.transform(
             rolled,

@@ -197,3 +197,87 @@ def test_two_stage_topk_equals_window_topk(spark, rows, k):
     assert sorted(((r.query_id, r.rank, r.nn_id, r.sim) for r in naive)) == sorted(
         ((r.query_id, r.rank, r.nn_id, r.sim) for r in fast)
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE model test (r4): upsert.merge_into vs an independent dict model
+# over randomized bases/deltas, including NULL keys, NULL partition
+# values, and keys colliding across partitions — generalizing the fixed
+# crash-matrix cases after this round's namespace/two-phase/NULL work.
+# ---------------------------------------------------------------------------
+_merge_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # day
+        st.integers(min_value=0, max_value=999),  # value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _dedupe_by_key(rows):
+    """Keep the FIRST row per key — merge semantics assume unique keys
+    per side; the generator may repeat them."""
+    seen, out = set(), []
+    for k, d, v in rows:
+        if k not in seen:
+            seen.add(k)
+            out.append((k, d, v))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(base=_merge_rows, delta=_merge_rows)
+def test_merge_into_matches_dict_model(spark, tmp_path_factory, base, delta):
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    base = _dedupe_by_key(base)
+    delta = _dedupe_by_key(delta)
+    base_day = {k: d for k, d, _ in base}
+    # partition-scoped merges require a key's partition value to stay
+    # stable; the UNPARTITIONED leg has no such contract (day is just a
+    # value column the update overwrites), so only the 'p' leg remaps —
+    # the 'u' leg keeps raw deltas and so exercises day-changing updates
+    delta_p = [(k, base_day.get(k, d), v) for k, d, v in delta]
+
+    def expected_for(rows):
+        model = {k: (d, v) for k, d, v in base}
+        model.update({k: (d, v) for k, d, v in rows})
+        return sorted(
+            ((k, d, v) for k, (d, v) in model.items()),
+            key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+        )
+
+    schema = "k long, day long, v long"
+    tmp = tmp_path_factory.mktemp("merge_model")
+
+    for tag, partition_cols, d_rows in (
+        ("u", None, delta),
+        ("p", ["day"], delta_p),
+    ):
+        path = str(tmp / tag)
+        if base:
+            w = spark.createDataFrame(base, schema).write
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.parquet(path)
+        elif not delta:
+            continue  # nothing on either side: no table to create
+        delta_df = (
+            spark.createDataFrame(d_rows, schema)
+            if d_rows
+            else spark.createDataFrame([], schema)
+        )
+        merge_into(
+            spark, path, delta_df, keys=["k"], partition_cols=partition_cols
+        )
+        got = sorted(
+            ((r.k, r.day, r.v) for r in spark.read.parquet(path).collect()),
+            key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
+        )
+        assert got == expected_for(d_rows), f"{tag}: {got}"

@@ -102,3 +102,22 @@ def test_corpus_is_printable_ascii():
         ).fetchone()
         assert bad == 0, f"sf{sf}: {bad} docs with non-printable-ASCII text"
         assert nulls == 0, f"sf{sf}: {nulls} NULL texts"
+
+
+def test_canon_rows_is_per_column_typed():
+    """Self-review r4: iterrows built a per-row Series whose dtype was
+    the row's common upcast — an all-numeric frame with mixed
+    int64/float64 columns canonicalized int cells as floats, silently
+    passing the exact int-vs-double drift this harness exists to catch."""
+    import pandas as pd
+
+    from poormans_kube_etl_spark.oracle import compare_frames
+
+    spark_like = pd.DataFrame(
+        {"k": pd.Series([3], dtype="int64"), "v": pd.Series([1.5], dtype="float64")}
+    )
+    oracle_like = pd.DataFrame(
+        {"k": pd.Series([3.0], dtype="float64"), "v": pd.Series([1.5], dtype="float64")}
+    )
+    assert not compare_frames("drift", spark_like, oracle_like).ok
+    assert compare_frames("same", spark_like.copy(), spark_like.copy()).ok
