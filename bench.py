@@ -202,7 +202,7 @@ def main() -> None:
         # (fresh checkout) COUNTS AGAINST the same cap, so the whole
         # sf1 section is bounded by budget + one query's overshoot —
         # generation alone cannot push the bench past a harness timeout
-        # by more than its ~60-90 s deterministic cost, and the section
+        # by more than its measured ~15 s deterministic cost, and the section
         # degrades to fewer queries rather than the bench dying
         sf1_timings: dict[str, float] = {}
         sf1_start = time.perf_counter() - (sf1_generated_s or 0.0)
