@@ -4,15 +4,30 @@ expressed in pure DataFrame ops.
 
 Per iteration: assign each vector to its nearest centroid (broadcast
 centroids — k×dim doubles), recompute centroids as per-dimension means
-of the assignment (posexplode → groupBy(cluster, dim) → avg → collect).
+of the assignment (posexplode → groupBy(cluster, dim) → mean → collect).
 Each iteration is two narrow shuffles; lineage never grows because the
 centroids pass between iterations as a PLAIN PYTHON list (k×dim
 numbers through the driver — the classic small-model/big-data split;
 the data DataFrame is only ever scanned, never iterated on).
 
-Determinism: init = the k lowest-id vectors; centroid components are
-rounded to 9 dp each iteration so double-summation partial order (which
-varies with partitioning) cannot leak into assignments across reruns.
+Determinism and CROSS-ENGINE exactness (r4): every float operation is
+chosen so an independent SQL engine replays the fit bit-for-bit,
+which upgraded the registry query from rows-only to a full DuckDB
+oracle:
+
+- init = the k lowest-id vectors (no randomness);
+- centroid means are INTEGER nano-unit sums divided in a fixed IEEE
+  order — ``(sum(round(x·1e9)::bigint)::double / count) / 1e9`` —
+  order-independent across partitionings AND engines (the previous
+  ``round(avg(x), 9)`` depended on double partial-sum order below the
+  rounding, and a foreign engine's ``avg`` could land on the other
+  side of a 0.5e-9 boundary);
+- distances use the dot-product identity ``|v|² − 2·v·c + |c|²`` with
+  every dot as a left-to-right chain (``_dot_cols_sql``), the same
+  accumulation order as DuckDB's ``list_dot_product`` (parity proven
+  by the raw-double-compared sim_topk_bruteforce oracle) — a
+  ``(x−y)²`` sum over an unordered GROUP BY could never match;
+- ties (equal distance) go to the lowest cluster id on both sides.
 """
 
 from __future__ import annotations
@@ -20,15 +35,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.operators.similarity import to_double_vec
+from poormans_kube_etl_spark.operators.similarity import dot, to_double_vec
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right float dot — the list_dot_product accumulation
+    order, in Python (used for the |c|² constants)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
 
 
 def _assign(vectors: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
-    """(id, vec, cluster): nearest centroid by squared L2 (ties → lowest
-    cluster id). Distances come from ONE runtime-looped transform over a
-    k×dim centroid literal — unrolling k wide distance expressions costs
-    seconds of codegen compile per iteration (each iteration is a fresh
-    plan), the loop form compiles once and small."""
+    """(id, v, cluster): nearest centroid by the dot-identity squared
+    L2 — ``(v·v − 2·v·c) + c·c`` — ties → lowest cluster id.
+
+    Distances come from ONE runtime-looped transform over a k×dim
+    centroid literal and the ``dot()`` FOLD (zip_with + aggregate):
+    the fold accumulates strictly left-to-right, the same order as
+    DuckDB's ``list_dot_product``, so the oracle replays the values
+    bit-for-bit — while the plan compiles once and small. (An unrolled
+    per-centroid arithmetic chain was bit-identical but paid ~4 s of
+    generated-code compilation PER ITERATION, since every iteration's
+    centroid literals make a fresh plan — measured 16-18 s per fit,
+    r4.)"""
     cents = F.array(
         *[F.array(*[F.lit(c) for c in centroid]) for centroid in centroids]
     )
@@ -36,11 +67,8 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], id_col: str, vec_c
     with_v = vectors.select(F.col(id_col), v.alias("v"))
     dists = F.transform(
         cents,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ),
+        lambda c: (dot(F.col("v"), F.col("v")) - F.lit(2.0) * dot(F.col("v"), c))
+        + dot(c, c),
     )
     with_d = with_v.select(id_col, "v", dists.alias("dists"))
     best = F.array_position(F.col("dists"), F.array_min("dists")) - 1
@@ -70,14 +98,24 @@ def kmeans_fit(
         .select(to_double_vec(vec_col).alias("v"))
         .collect()
     )
-    centroids = [[round(float(x), 9) for x in r.v] for r in seed_rows]
+    centroids = [[float(x) for x in r.v] for r in seed_rows]
     assigned = None
     for _ in range(max_iter):
         assigned = _assign(embeddings, centroids, id_col, vec_col)
+        # integer nano-unit mean, same fixed IEEE division order as the
+        # SQL oracle: (sum::double / count) / 1e9
         per_dim = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("x"), 9).alias("c"))
+            .agg(
+                (
+                    (
+                        F.sum(F.round(F.col("x") * 1e9).cast("bigint")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    / 1e9
+                ).alias("c")
+            )
         )
         rows = (
             per_dim.groupBy("cluster")

@@ -602,16 +602,31 @@ def label_centroids(
 ) -> DataFrame:
     """Element-wise mean vector per cell — the IVF coarse quantizer.
 
-    posexplode → avg by (cell, dim) → re-assemble ordered by dim: the
+    posexplode → mean by (cell, dim) → re-assemble ordered by dim: the
     per-dimension aggregation is a narrow shuffle of (cells × dims)
     rows, never materializing per-cell vector lists. At 100 TB the cells
     come from a k-means fit; here the table's ``label`` column stands in
     as the trained assignment (same plumbing, zero-training determinism).
-    """
+
+    The mean is computed over INTEGER nano-units (r4, the
+    ``sim_label_centroids`` pattern): a raw ``F.avg`` over doubles sums
+    in partition order, so the centroid — and with it IVF's probe
+    ranking — was reproducible only per-partitioning. Integer sums are
+    order-independent, and the scaled form is exactly replicable by a
+    SQL oracle (BIGINT sum, then two IEEE divisions in a fixed order).
+    The ~1e-9 quantization is noise against centroid geometry."""
     ex = embeddings.select(
         cell_col, F.posexplode(to_double_vec(vec_col)).alias("dim", "x")
     )
-    per_dim = ex.groupBy(cell_col, "dim").agg(F.avg("x").alias("c"))
+    per_dim = ex.groupBy(cell_col, "dim").agg(
+        (
+            (
+                F.sum(F.round(F.col("x") * 1e9).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            )
+            / 1e9
+        ).alias("c")
+    )
     return (
         per_dim.groupBy(cell_col)
         .agg(

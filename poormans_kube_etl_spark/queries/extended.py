@@ -396,10 +396,65 @@ def sim_label_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_spectral_stats(emb).orderBy("label")
 
 
-@register("sim_ivf_topk")  # rows-only: nested rank-over-centroid not SQL-worthwhile
+@register(
+    "sim_ivf_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cents_dim AS (
+      SELECT label, pos,
+             (CAST(SUM(comp_scaled) AS DOUBLE) / COUNT(*)) / 1e9 AS c
+      FROM (
+        SELECT label,
+               UNNEST(generate_series(1, len(v))) AS pos,
+               CAST(ROUND(UNNEST(v) * 1e9) AS BIGINT) AS comp_scaled
+        FROM e
+      )
+      GROUP BY label, pos
+    ),
+    cents AS (SELECT label, list(c ORDER BY pos) AS cv FROM cents_dim GROUP BY label),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.label
+               ) AS pr
+        FROM q CROSS JOIN cents c
+      ) WHERE pr <= 2
+    ),
+    cands AS (
+      SELECT p.query_id, e.vec_id AS nn_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS s
+      FROM probes p
+      JOIN e ON e.label = p.label
+      JOIN q ON q.query_id = p.query_id
+      WHERE e.vec_id <> p.query_id
+    )
+    SELECT query_id, nn_id, ROUND(s, 6) AS sim, rank FROM (
+      SELECT query_id, nn_id, s,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY s DESC, nn_id) AS INT) AS rank
+      FROM cands
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label-cell centroids as the coarse quantizer,
-    n_probe=2 cells exact-reranked per query. Deterministic."""
+    n_probe=2 cells exact-reranked per query. Deterministic.
+
+    Oracle (r4, was rows-only "not SQL-worthwhile"): every stage is
+    exactly replicable once centroids are integer-nano-unit means
+    (order-independent sums + a fixed IEEE division sequence — see
+    label_centroids), the probe rank ties on the cell id, and the pair
+    dot is bit-identical to list_dot_product (proven by the green
+    sim_topk_bruteforce, which compares RAW doubles)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"

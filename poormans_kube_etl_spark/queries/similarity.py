@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.operators.kmeans import _seq_dot
 from poormans_kube_etl_spark.operators.similarity import (
     brute_force_topk,
     l2_norm,
@@ -134,13 +135,134 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_kmeans_clusters")  # rows-only: iterative algorithm class
+@register(
+    "sim_kmeans_clusters",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv
+      FROM e ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY (list_dot_product(e.v, e.v)
+                           - 2 * list_dot_product(e.v, c.cv)
+                           + list_dot_product(c.cv, c.cv)),
+                          c.cluster
+               ) AS rn
+        FROM e CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    c1_d AS (
+      SELECT cluster, pos,
+             (CAST(SUM(comp_scaled) AS DOUBLE) / COUNT(*)) / 1e9 AS c
+      FROM (
+        SELECT cluster,
+               UNNEST(generate_series(1, len(v))) AS pos,
+               CAST(ROUND(UNNEST(v) * 1e9) AS BIGINT) AS comp_scaled
+        FROM a1
+      ) GROUP BY cluster, pos
+    ),
+    c1_n AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM c1_d GROUP BY cluster),
+    c1 AS (
+      SELECT p.cluster, COALESCE(n.cv, p.cv) AS cv
+      FROM c0 p LEFT JOIN c1_n n USING (cluster)
+    ),
+    a2 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY (list_dot_product(e.v, e.v)
+                           - 2 * list_dot_product(e.v, c.cv)
+                           + list_dot_product(c.cv, c.cv)),
+                          c.cluster
+               ) AS rn
+        FROM e CROSS JOIN c1 c
+      ) WHERE rn = 1
+    ),
+    c2_d AS (
+      SELECT cluster, pos,
+             (CAST(SUM(comp_scaled) AS DOUBLE) / COUNT(*)) / 1e9 AS c
+      FROM (
+        SELECT cluster,
+               UNNEST(generate_series(1, len(v))) AS pos,
+               CAST(ROUND(UNNEST(v) * 1e9) AS BIGINT) AS comp_scaled
+        FROM a2
+      ) GROUP BY cluster, pos
+    ),
+    c2_n AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM c2_d GROUP BY cluster),
+    c2 AS (
+      SELECT p.cluster, COALESCE(n.cv, p.cv) AS cv
+      FROM c1 p LEFT JOIN c2_n n USING (cluster)
+    ),
+    a3 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY (list_dot_product(e.v, e.v)
+                           - 2 * list_dot_product(e.v, c.cv)
+                           + list_dot_product(c.cv, c.cv)),
+                          c.cluster
+               ) AS rn
+        FROM e CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    c3_d AS (
+      SELECT cluster, pos,
+             (CAST(SUM(comp_scaled) AS DOUBLE) / COUNT(*)) / 1e9 AS c
+      FROM (
+        SELECT cluster,
+               UNNEST(generate_series(1, len(v))) AS pos,
+               CAST(ROUND(UNNEST(v) * 1e9) AS BIGINT) AS comp_scaled
+        FROM a3
+      ) GROUP BY cluster, pos
+    ),
+    c3_n AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM c3_d GROUP BY cluster),
+    c3 AS (
+      SELECT p.cluster, COALESCE(n.cv, p.cv) AS cv
+      FROM c2 p LEFT JOIN c3_n n USING (cluster)
+    ),
+    af AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY (list_dot_product(e.v, e.v)
+                           - 2 * list_dot_product(e.v, c.cv)
+                           + list_dot_product(c.cv, c.cv)),
+                          c.cluster
+               ) AS rn
+        FROM e CROSS JOIN c3 c
+      ) WHERE rn = 1
+    )
+    SELECT af.cluster,
+           COUNT(*) AS n_vectors,
+           ROUND(sqrt(list_dot_product(c3.cv, c3.cv)), 6) AS centroid_norm
+    FROM af JOIN c3 ON c3.cluster = af.cluster
+    GROUP BY af.cluster, c3.cv
+    ORDER BY af.cluster
+    """,
+)
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embeddings (operators/kmeans.py):
-    deterministic lowest-id init, 3 refinement iterations, per-iteration
-    centroid rounding so float partial-sum order can't flip boundary
-    assignments between runs. Output: per-cluster sizes + rounded
-    centroid norm — stable under repeated rows-only checks."""
+    deterministic lowest-id init, 3 refinement iterations. Output:
+    per-cluster sizes + rounded centroid norm.
+
+    Oracle (r4, was rows-only "iterative algorithm class"): the fit is
+    engine-replicable — nano-unit integer centroid means, dot-identity
+    distances in list_dot_product accumulation order, lowest-cluster
+    ties (see operators/kmeans.py) — so the oracle UNROLLS the three
+    Lloyd iterations as chained CTEs. Early convergence needs no
+    special casing: update∘assign is idempotent at a fixed point, so
+    running all three iterations lands on the same model Spark stopped
+    at. Norms via math.sqrt == SQL sqrt (IEEE, correctly rounded)."""
+    import math
+
     from poormans_kube_etl_spark.operators.kmeans import kmeans_fit
 
     apply_runtime_confs(spark)
@@ -148,7 +270,10 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, assigned = kmeans_fit(emb, k=8, max_iter=3)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
     norms = spark.createDataFrame(
-        [(i, round(sum(x * x for x in c) ** 0.5, 6)) for i, c in enumerate(centroids)],
+        [
+            (i, round(math.sqrt(_seq_dot(c, c)), 6))
+            for i, c in enumerate(centroids)
+        ],
         "cluster int, centroid_norm double",
     )
     return sizes.join(norms, "cluster").orderBy("cluster")
