@@ -34,3 +34,22 @@ def test_cli_run_once(spark, tmp_path, capsys):
     make_ingest_folder(landing, "1538055240", "bulk.txt")
     assert main(["run-once", "--landing", landing, "--output", out_dir]) == 0
     assert "1538055240" in capsys.readouterr().out
+
+
+def test_run_once_rejects_stream_flags():
+    """Self-review r4: run-once used to accept --stream/--checkpoint and
+    silently run a plain poll cycle; argparse must reject the misuse."""
+    import pytest
+
+    from poormans_kube_etl_spark.__main__ import _build_parser
+
+    p = _build_parser()
+    with pytest.raises(SystemExit):
+        p.parse_args(
+            ["run-once", "--landing", "x", "--output", "y", "--stream"]
+        )
+    # watch still accepts them
+    args = p.parse_args(
+        ["watch", "--landing", "x", "--output", "y", "--stream", "--checkpoint", "c"]
+    )
+    assert args.stream and args.checkpoint == "c"

@@ -281,3 +281,87 @@ def test_merge_into_matches_dict_model(spark, tmp_path_factory, base, delta):
             key=lambda t: (t[0] is None, t[0], t[1] is None, t[1]),
         )
         assert got == expected_for(d_rows), f"{tag}: {got}"
+
+
+# ---------------------------------------------------------------------------
+# As-of join model test (r4): the merged _asof_join implementation vs
+# pandas.merge_asof as an independent model, randomized keys/timestamps
+# (including exact ts ties between left and right — the inclusive
+# boundary both directions must honor).
+# ---------------------------------------------------------------------------
+_asof_left = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=50),  # ts (seconds)
+    ),
+    min_size=1,
+    max_size=15,
+)
+_asof_right = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=0, max_value=999),  # payload
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_asof_left, right=_asof_right)
+def test_asof_join_matches_pandas_model(spark, left, right):
+    import pandas as pd
+
+    from poormans_kube_etl_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    # pandas merge_asof needs unique (key, ts) on the right — matching
+    # the operator's own contract (latest/earliest right row per ts)
+    seen = set()
+    right = [r for r in right if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+    left = [(i, k, t) for i, (k, t) in enumerate(left)]
+
+    base = "2024-01-01 00:00:"
+    ldf = spark.createDataFrame(
+        [(i, k, f"2024-01-01 00:00:{t:02d}" if t < 60 else None) for i, k, t in left],
+        "lid long, k long, lts string",
+    ).selectExpr("lid", "k", "cast(lts as timestamp) as lts")
+    rdf = spark.createDataFrame(
+        [(k, f"2024-01-01 00:00:{t:02d}", v) for k, t, v in right],
+        "k long, rts string, payload long",
+    ).selectExpr("k", "cast(rts as timestamp) as rts", "payload")
+
+    lp = pd.DataFrame(
+        {"lid": [i for i, _, _ in left], "k": [k for _, k, _ in left],
+         "lts": pd.to_datetime([f"2024-01-01 00:00:{t:02d}" for _, _, t in left])}
+    ).sort_values("lts", kind="stable")
+    rp = pd.DataFrame(
+        {"k": [k for k, _, _ in right],
+         "rts": pd.to_datetime([f"2024-01-01 00:00:{t:02d}" for _, t, _ in right]),
+         "payload": [v for _, _, v in right]}
+    ).sort_values("rts", kind="stable")
+
+    for direction, fn in (("backward", asof_join_backward), ("forward", asof_join_forward)):
+        got = {
+            r.lid: r.payload
+            for r in fn(ldf, rdf, ["k"], "lts", "rts", ["payload"]).collect()
+        }
+        if len(rp):
+            model_df = pd.merge_asof(
+                lp, rp, left_on="lts", right_on="rts", by="k",
+                direction=direction, allow_exact_matches=True,
+            )
+            model = {
+                int(row.lid): (None if pd.isna(row.payload) else int(row.payload))
+                for row in model_df.itertuples()
+            }
+        else:
+            model = {int(i): None for i, _, _ in left}
+        assert got == model, f"{direction}: {got} != {model}"
