@@ -175,9 +175,8 @@ def main() -> None:
     # decorrelated replicas), run every headline query there once.
     # Single-shot, not min-of-2: the point is the SHAPE (sublinear
     # growth ⇒ per-action constants amortize), not a tight headline.
-    sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR", os.path.join(REPO_ROOT, ".benchdata", "sf1")
-    )
+    sf1_default = os.path.join(REPO_ROOT, ".benchdata", "sf1")
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", sf1_default)
     sf1_budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "150"))
     sf1_section = None
     sf1_generated_s = None
@@ -187,6 +186,9 @@ def main() -> None:
     # SPARK_GRAFT_SF1_GEN=0 to skip. Paid once; later runs see the dir.
     if (
         not os.path.isdir(sf1_dir)
+        and sf1_dir == sf1_default  # never write sf1-scale data into a
+        # USER-pointed dir (a custom SPARK_GRAFT_SF1_DIR names a
+        # user-managed dataset of unknown scale; absent -> skip section)
         and sf1_budget_s > 0
         and os.environ.get("SPARK_GRAFT_SF1_GEN", "1") != "0"
         and os.path.isdir("/root/testdata/sf0.1")

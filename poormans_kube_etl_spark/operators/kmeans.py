@@ -61,14 +61,27 @@ def _assign(vectors: DataFrame, centroids: list[list[float]], id_col: str, vec_c
     centroid literals make a fresh plan — measured 16-18 s per fit,
     r4.)"""
     cents = F.array(
-        *[F.array(*[F.lit(c) for c in centroid]) for centroid in centroids]
+        *[
+            F.struct(
+                F.array(*[F.lit(c) for c in centroid]).alias("c"),
+                # |c|^2 precomputed on the DRIVER in the same
+                # left-to-right order the in-plan fold would use
+                F.lit(_seq_dot(centroid, centroid)).alias("sc"),
+            )
+            for centroid in centroids
+        ]
     )
     v = to_double_vec(vec_col)
-    with_v = vectors.select(F.col(id_col), v.alias("v"))
+    # v·v hoisted to a projected column: referenced inside the
+    # transform it would re-fold per centroid (k redundant dim-length
+    # folds per row on the hot full-corpus scan — self-review r4)
+    with_v = vectors.select(
+        F.col(id_col), v.alias("v")
+    ).withColumn("_sv", dot(F.col("v"), F.col("v")))
     dists = F.transform(
         cents,
-        lambda c: (dot(F.col("v"), F.col("v")) - F.lit(2.0) * dot(F.col("v"), c))
-        + dot(c, c),
+        lambda e: (F.col("_sv") - F.lit(2.0) * dot(F.col("v"), e.getField("c")))
+        + e.getField("sc"),
     )
     with_d = with_v.select(id_col, "v", dists.alias("dists"))
     best = F.array_position(F.col("dists"), F.array_min("dists")) - 1

@@ -314,10 +314,11 @@ def random_hyperplane_buckets(
 ) -> DataFrame:
     """Sign-random-projection LSH bucket per vector (SimHash for vectors).
 
-    Hyperplanes are pseudo-random but fully deterministic: component j of
-    plane p = (pmod(xxhash64(p, j), 1001) - 500) / 500 (see ``_hyperplanes``).
-    Vectors in the same bucket are cosine-close candidates; join buckets
-    instead of all pairs.
+    Hyperplanes are deterministic GAUSSIAN planes (SplitMix64 +
+    Box-Muller, see ``_hyperplanes``) — rotation-invariant, so the
+    collision law p(s) = 1 - arccos(s)/pi that ``srp_banding`` plans
+    with holds exactly. Vectors in the same bucket are cosine-close
+    candidates; join buckets instead of all pairs.
 
     Same Arrow/numpy GEMM shape as ``embedding_lsh_candidate_pairs``
     (dense matrix product — the anti-expression case): one map-only
@@ -326,8 +327,7 @@ def random_hyperplane_buckets(
 
     Determinism caveat (ADVICE r03): the projection runs through the
     local BLAS, whose summation order is implementation-defined — a dot
-    landing within accumulation error of 0 (≲1e-13·dim for these
-    ±1/500-granular planes) could flip sign on a different BLAS build.
+    landing within accumulation error of 0 (≲1e-13·dim) could flip sign on a different BLAS build.
     Buckets are therefore bit-stable per machine (what the rows-only
     rerun gate checks), not contractually identical across BLAS
     implementations; the exact-verify stages downstream never consume
@@ -541,13 +541,20 @@ def embedding_near_pairs_lsh(
     unique pair instead of once per colliding band.
     """
     dim = resolve_dim(embeddings, vec_col, dim)
-    if bands is None or planes_per_band is None:
+    if (bands is None) != (planes_per_band is None):
+        # the pair is only meaningful PLANNED TOGETHER: mixing one
+        # explicit value with one auto value silently lands far off the
+        # planned recall (e.g. bands=12 with auto 16-bit bands sized
+        # for 27 drops ~90% recall to ~65%) — self-review r4
+        raise ValueError(
+            "pass BOTH bands and planes_per_band or NEITHER; the pair "
+            "is planned jointly from the threshold (srp_banding)"
+        )
+    if bands is None:
         # banding derived from the threshold's collision geometry
         # (see srp_banding) — fixed constants either flood the verify
         # join with background collisions or silently give up recall
-        auto_ppb, auto_bands = srp_banding(threshold)
-        planes_per_band = planes_per_band or auto_ppb
-        bands = bands or auto_bands
+        planes_per_band, bands = srp_banding(threshold)
     cands = embedding_lsh_candidate_pairs(
         embeddings, bands, planes_per_band, id_col, vec_col, dim, max_bucket
     )

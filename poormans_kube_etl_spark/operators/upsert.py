@@ -67,6 +67,11 @@ def _merge_frames(target: DataFrame, updates: DataFrame, keys: list[str]) -> Dat
 # presumed debris); (b) Hadoop/Spark listings skip dot-prefixed names,
 # so during the crash window the parked old data is invisible to
 # readers instead of surfacing as a bogus partition value.
+# Migration note: crash debris left by the PRE-r4 suffix naming
+# (``<dir>__old`` / ``<path>__merging``) is intentionally NOT healed —
+# auto-matching those names is the data-loss bug the namespace change
+# fixed (a real partition value may end in "__old"); restore such
+# debris by hand. No live deployment predates the rename.
 _ASIDE_TAG = ".__merge_aside"
 _STAGING_TAG = ".__merge_staging"
 

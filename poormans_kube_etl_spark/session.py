@@ -43,14 +43,19 @@ def default_parallelism() -> int:
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply SET-able confs to an existing session (driver-owned or ours).
 
-    Idempotent per SparkContext (self-review r4): this sits on the hot
-    query-build path (every load_table call), and each conf.set is a
-    py4j round trip — ~24 redundant trips per 4-table build once the
-    confs are already applied. The flag lives on the context, like
-    ``_pke_pkg_shipped``, so a session restart re-applies."""
-    sc = spark.sparkContext
-    if getattr(sc, "_pke_confs_applied", False):
-        return spark
+    Idempotent per SESSION (self-review r4, twice): this sits on the
+    hot query-build path (every load_table call), and each conf.set is
+    a py4j round trip — ~24 redundant trips per 4-table build once the
+    confs are applied. The guard is a SESSION-scoped marker conf (one
+    read round trip), NOT a SparkContext attribute: RUNTIME_CONFS are
+    session-scoped, so a context-level flag made ``spark.newSession()``
+    (or any second session over the same context) silently skip UTC
+    timestamps, nanosAsLong, Arrow and AQE."""
+    try:
+        if spark.conf.get("spark.pke.confs.applied", None) == "true":
+            return spark
+    except Exception:
+        pass
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -58,9 +63,15 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Some confs may be static on exotic builds; never fail a query
             # over a tuning knob.
             pass
-    sc._pke_confs_applied = True
+    try:
+        spark.conf.set("spark.pke.confs.applied", "true")
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
+
+
+_PKG_TMPDIR: str | None = None
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -85,12 +96,21 @@ def _ship_package(spark: SparkSession) -> None:
     # fetch the zip from the driver's file server BY THIS PATH at task
     # time, so it cannot be unlinked while the context lives — but the
     # per-attempt mkstemp leaked a fresh zip on every session (re)start
-    # and every failed-addPyFile retry. A fixed name overwrites in
-    # place and atexit reaps the single leftover.
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"pke_spark_pkg_{os.getpid()}.zip"
-    )
-    atexit.register(lambda: os.path.exists(zip_path) and os.unlink(zip_path))
+    # and every failed-addPyFile retry. The zip lives inside a PRIVATE
+    # mkdtemp dir (0700, O_EXCL) — a bare predictable /tmp name would
+    # be the classic symlink-planting hazard on shared hosts — and
+    # atexit reaps the whole dir.
+    global _PKG_TMPDIR
+    if _PKG_TMPDIR is None:
+        _PKG_TMPDIR = tempfile.mkdtemp(prefix="pke_spark_pkg_")
+
+        def _reap(d=_PKG_TMPDIR):
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+
+        atexit.register(_reap)
+    zip_path = os.path.join(_PKG_TMPDIR, "pkg.zip")
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:

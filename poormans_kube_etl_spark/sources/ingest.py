@@ -104,14 +104,16 @@ def read_csv_gz_with_header_sidecar(
         header_cols = spark.read.csv(header_path).first()
         names = [c for c in header_cols if c is not None]
         df = spark.read.option("header", False).csv(data_paths)
-        if len(names) < len(df.columns):
+        if len(names) != len(df.columns):
             # a short sidecar used to surface as an opaque toDF arity
-            # error deep in the pipeline (self-review r4); name the
-            # mismatch and where it came from instead
+            # error deep in the pipeline, and a LONG one was silently
+            # truncated (self-review r4, both directions) — either way
+            # the sidecar contract is broken; name the mismatch and
+            # where it came from
             raise ValueError(
                 f"header sidecar {header_path!r} names {len(names)} "
                 f"column(s) but the data files have {len(df.columns)}; "
-                "the sidecar is incomplete"
+                "the sidecar does not match the data"
             )
-        return df.toDF(*names[: len(df.columns)])
+        return df.toDF(*names)
     return spark.read.option("header", True).csv(data_paths)

@@ -49,12 +49,23 @@ _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame, tuple]] 
 
 
 def _dir_version(path: str) -> tuple | None:
-    """(mtime_ns, inode) of a LOCAL dir; None = unversionable (remote
-    URI or missing path) — callers skip the cache then. A parquet
+    """(mtime_ns, inode) of a LOCAL flat parquet dir; None =
+    unversionable — callers skip the cache then. Unversionable means:
+    remote URI, missing path, or a dir containing SUBDIRECTORIES
+    (hive-partitioned layout): a leaf-partition swap or in-place
+    append mutates grandchildren without touching the top dir's
+    (mtime, inode), so partitioned tables cannot be cheaply versioned
+    and are served uncached (self-review r4 — the first version of
+    this guard stat'ed only the top dir and claimed otherwise). For
+    the flat star-schema dirs this cache exists for, a parquet
     overwrite recreates the dir (new inode) or changes its entry list
     (new mtime), so either field moving invalidates."""
     try:
         st = os.stat(path)
+        with os.scandir(path) as it:
+            for entry in it:
+                if entry.is_dir(follow_symlinks=False):
+                    return None
     except (OSError, ValueError):
         return None
     return (st.st_mtime_ns, st.st_ino)

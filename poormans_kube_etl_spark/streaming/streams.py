@@ -133,7 +133,11 @@ def foreach_batch_pipeline(
     replayed batch. The write is made idempotent by landing each batch
     in its own hive partition dir (``batch_id=N``) with overwrite: the
     replay rewrites the same directory instead of appending a second
-    copy. Readers see the sink as one partitioned parquet table."""
+    copy. Readers see the sink as one partitioned parquet table (with a
+    ``batch_id`` partition column). Migration note: a sink written by
+    the pre-r4 FLAT append layout cannot be resumed in place — mixed
+    depths break partition discovery; compact the old files into a
+    ``batch_id=-1`` subdir first (no live deployment predates this)."""
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df, batch_id)
