@@ -316,6 +316,7 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     running all three iterations lands on the same model Spark stopped
     at. Norms via math.sqrt == SQL sqrt (IEEE, correctly rounded)."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     from poormans_kube_etl_spark.operators.kmeans import kmeans_fit
 
@@ -323,9 +324,20 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     centroids, assigned = kmeans_fit(emb, k=8, max_iter=3)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    # Half-UP to 6 decimals (advice r4): SQL ROUND is half-away-from-zero
+    # while Python round() is banker's — a norm landing exactly on a tie
+    # would diverge from the DuckDB oracle. Decimal sees the exact binary
+    # double, so the quantize matches DuckDB's ROUND on doubles.
     norms = spark.createDataFrame(
         [
-            (i, round(math.sqrt(_seq_dot(c, c)), 6))
+            (
+                i,
+                float(
+                    Decimal(math.sqrt(_seq_dot(c, c))).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                ),
+            )
             for i, c in enumerate(centroids)
         ],
         "cluster int, centroid_norm double",

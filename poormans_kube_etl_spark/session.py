@@ -63,11 +63,16 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Some confs may be static on exotic builds; never fail a query
             # over a tuning knob.
             pass
+    # Ship BEFORE setting the marker (advice r4): if addPyFile fails
+    # once (transient FS/JVM error) the exception propagates, the marker
+    # stays unset, and the next call retries shipping — marker-first
+    # left the session permanently unable to import the package on
+    # executors after a single transient failure.
+    _ship_package(spark)
     try:
         spark.conf.set("spark.pke.confs.applied", "true")
     except Exception:
         pass
-    _ship_package(spark)
     return spark
 
 

@@ -15,12 +15,29 @@ Maps SURVEY.md §2a sources onto Spark readers:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _resolve_relative(path: str) -> str:
+    """Anchor a scheme-less relative path on the PYTHON process cwd.
+
+    Hadoop resolves relative paths against the JVM's working directory,
+    which is frozen at JVM launch — a user passing ``--landing
+    landing_dir`` after a chdir (or from a different cwd than the JVM's)
+    would silently target the wrong directory (advice r4: list_prefix
+    returned [] for relative bases). URIs with a scheme pass through.
+    """
+    if "://" not in path and not os.path.isabs(path):
+        return os.path.abspath(path)
+    return path
+
+
 def hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for any Hadoop-visible URI."""
+    path = _resolve_relative(path)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -49,9 +66,12 @@ def list_prefix(spark: SparkSession, base: str, prefix: str) -> list[str]:
     # search for the prefix (self-review r4): a base dir containing a
     # segment equal to the prefix (e.g. base='/srv/pending/land',
     # prefix='pending') made find('/pending/') match inside the base,
-    # yielding garbage keys that silently filtered every folder as noise
+    # yielding garbage keys that silently filtered every folder as noise.
+    # The base must be QUALIFIED (advice r4): listed statuses carry
+    # absolute paths, so a relative base (``--landing landing_dir``)
+    # never prefixes them and every key would be silently dropped.
     fs_base, jbase = hadoop_fs(spark, base)
-    base_path = jbase.toUri().getPath().rstrip("/")
+    base_path = fs_base.makeQualified(jbase).toUri().getPath().rstrip("/")
     keys = []
     it = fs.listFiles(jpath, True)  # recursive
     while it.hasNext():

@@ -152,6 +152,51 @@ def test_list_prefix_base_dir_containing_prefix_segment(spark, tmp_path):
     assert keys == ["pending/1538050000/bulk.txt"]
 
 
+def test_list_prefix_relative_base(spark, tmp_path, monkeypatch):
+    """Advice r4: the base-anchored key derivation compared the base's
+    UNQUALIFIED path against absolute listed paths, so a relative base
+    (``--landing landing_dir``) never prefixed anything and list_prefix
+    silently returned [] — the orchestrator then treated every folder as
+    not-ready. The base must be qualified before comparing."""
+    import os
+
+    from poormans_kube_etl_spark.sources.ingest import list_prefix
+
+    land = tmp_path / "land"
+    os.makedirs(land / "pending" / "1538050000")
+    (land / "pending" / "1538050000" / "bulk.txt").write_text("")
+    monkeypatch.chdir(tmp_path)
+    keys = list_prefix(spark, "land", "pending")
+    assert keys == ["pending/1538050000/bulk.txt"]
+
+
+def test_runtime_confs_marker_set_only_after_ship(spark, monkeypatch):
+    """Advice r4: the 'spark.pke.confs.applied' marker was set BEFORE
+    _ship_package; one transient addPyFile failure left the marker set,
+    so every later apply_runtime_confs early-returned and executors
+    could never import the package. The marker must only persist once
+    shipping succeeded, so the next call retries."""
+    import pytest
+
+    from poormans_kube_etl_spark import session as sess_mod
+
+    fresh = spark.newSession()  # session-scoped confs, unset marker
+    calls = {"n": 0}
+
+    def flaky_ship(s):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient addPyFile failure")
+
+    monkeypatch.setattr(sess_mod, "_ship_package", flaky_ship)
+    with pytest.raises(RuntimeError):
+        sess_mod.apply_runtime_confs(fresh)
+    assert fresh.conf.get("spark.pke.confs.applied", None) != "true"
+    sess_mod.apply_runtime_confs(fresh)  # retry ships and sets marker
+    assert calls["n"] == 2
+    assert fresh.conf.get("spark.pke.confs.applied", None) == "true"
+
+
 def test_short_header_sidecar_fails_with_named_mismatch(spark, tmp_path):
     """Self-review r4: a sidecar with fewer names than data columns used
     to crash with an opaque toDF arity error; it must name the sidecar
