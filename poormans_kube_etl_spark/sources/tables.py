@@ -49,19 +49,33 @@ _TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame, tuple]] 
 
 
 def _dir_version(path: str) -> tuple | None:
-    """(mtime_ns, inode) of a LOCAL flat parquet dir; None =
-    unversionable — callers skip the cache then. Unversionable means:
-    remote URI, missing path, or a dir containing SUBDIRECTORIES
-    (hive-partitioned layout): a leaf-partition swap or in-place
-    append mutates grandchildren without touching the top dir's
-    (mtime, inode), so partitioned tables cannot be cheaply versioned
-    and are served uncached (self-review r4 — the first version of
-    this guard stat'ed only the top dir and claimed otherwise). For
-    the flat star-schema dirs this cache exists for, a parquet
-    overwrite recreates the dir (new inode) or changes its entry list
-    (new mtime), so either field moving invalidates."""
+    """Version token of a LOCAL parquet table (single file or flat
+    dir); None = unversionable — callers skip the cache then.
+
+    A SINGLE parquet file (the driver testdata layout:
+    ``{sf}/table.parquet`` is a regular file, not a directory) versions
+    as (mtime_ns, inode, size) — a rewrite moves at least one of them.
+    Found in r5: the first version of this probe scandir'ed the path
+    unconditionally, so every single-file table raised
+    NotADirectoryError → None → the cache NEVER hit on exactly the
+    tables it was built for, and every query build re-paid the parquet
+    footer/schema round trips the cache was measured to remove.
+
+    Unversionable means: remote URI, missing path, or a dir containing
+    SUBDIRECTORIES (hive-partitioned layout): a leaf-partition swap or
+    in-place append mutates grandchildren without touching the top
+    dir's (mtime, inode), so partitioned tables cannot be cheaply
+    versioned and are served uncached (self-review r4 — the first
+    version of this guard stat'ed only the top dir and claimed
+    otherwise). For flat dirs, a parquet overwrite recreates the dir
+    (new inode) or changes its entry list (new mtime), so either field
+    moving invalidates."""
+    import stat as stat_mod
+
     try:
         st = os.stat(path)
+        if stat_mod.S_ISREG(st.st_mode):
+            return (st.st_mtime_ns, st.st_ino, st.st_size)
         with os.scandir(path) as it:
             for entry in it:
                 if entry.is_dir(follow_symlinks=False):

@@ -197,6 +197,33 @@ def test_runtime_confs_marker_set_only_after_ship(spark, monkeypatch):
     assert fresh.conf.get("spark.pke.confs.applied", None) == "true"
 
 
+def test_table_cache_hits_single_file_parquet(spark, tmp_path, monkeypatch):
+    """r5: the driver testdata's tables are single parquet FILES, but the
+    cache-version probe scandir'ed the path, so single-file tables were
+    always 'unversionable' and the cache never hit on exactly the layout
+    it was built for. A repeat load must return the SAME plan handle; a
+    rewrite must miss."""
+    import os
+    import shutil
+    import time
+
+    from poormans_kube_etl_spark.sources import tables as T
+
+    sf_dir = str(tmp_path)
+    src = "/root/testdata/sf0.001/region.parquet"
+    dst = os.path.join(sf_dir, "region.parquet")
+    shutil.copyfile(src, dst)
+    a = T.load_table(spark, sf_dir, "region")
+    b = T.load_table(spark, sf_dir, "region")
+    assert a is b, "single-file parquet table must be served from cache"
+    # rewrite → new version → miss (mtime_ns granularity is ns on linux,
+    # but belt-and-braces bump it explicitly for exotic filesystems)
+    shutil.copyfile(src, dst)
+    os.utime(dst, ns=(time.time_ns(), time.time_ns()))
+    c = T.load_table(spark, sf_dir, "region")
+    assert c is not a, "rewritten single-file table must be a cache miss"
+
+
 def test_short_header_sidecar_fails_with_named_mismatch(spark, tmp_path):
     """Self-review r4: a sidecar with fewer names than data columns used
     to crash with an opaque toDF arity error; it must name the sidecar
