@@ -64,83 +64,77 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-4 rotation (VERDICT r03 #1):
-# (a) dedup_ngram_jaccard_pairs — its oracle tokenization changed in
-# r03 (commit 8ab7b9f) AFTER its only green row (r01), so the recorded
-# green predates current code; (b) every query whose implementation
-# changed in r04 (similarity dim-guard + bounded top-k rewrite,
-# quantized-verify plumbing, simhash packed-word aggregate) plus
-# sim_ivf_topk (r03 bench regression under attribution); (c) the
-# rows-only dedup trio stays in-window per the r03 brief; (d) the
-# rotating refresh band: every r01-green query never re-checked since
-# (36 queries) so no driver row is more than two rounds stale.
-# Everything checked green in r02/r03 rotates out — rows on record.
+# ``queries()`` iteration order. Round-5 rotation (VERDICT r03 #1's
+# standing rule: changed queries stay in the window; stalest rows
+# refresh first): (a) every query whose implementation or oracle
+# changed in r05; (b) the rows-only dedup trio stays in-window per the
+# r03 brief; (c) the refresh band = all 43 queries whose LATEST driver
+# row is r02 (two rounds stale — everything r01-stale was refreshed in
+# r04). Beyond this list, ``_ordered`` fills remaining sweep slots
+# stalest-first from the recorded sweep history, so the window degrades
+# gracefully if the driver checks more than len(_PRIORITY).
 _PRIORITY = [
-    # (a) stale green — oracle changed after the row was recorded
-    "dedup_ngram_jaccard_pairs",
-    # (b) implementation changed in r04 (similarity module rework:
-    # schema-derived dim + per-row size guard, spillable stage-1 top-k,
-    # session-scoped expr cache) + the r03 bench-regression query
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "dedup_embedding_lsh_pairs",
-    "dedup_embedding_near_pairs",
-    # (b) oracles ADDED in r04 (was rows-only): stub-codec decode and
-    # frame-md5 replayed in SQL via the printable-ASCII corpus premise
-    # (pinned by test_corpus_is_printable_ascii) — first hash rows ever
-    "mm_decode_features",
-    "mm_frame_sample_hashes",
-    # (b) kmeans rework in r04 (final assignments now consistent with
-    # returned centroids — output may differ from the r03 rows)
+    # (a) changed in r05: centroid-norm rounding switched from banker's
+    # to half-up for SQL ROUND parity (ADVICE r4) — same values except
+    # on exact 6th-decimal ties, but the row must postdate the change
     "sim_kmeans_clusters",
-    # (b) the as-of operator was merged into one _asof_join in r04 and
-    # the session-window oracle gained its tie-break — both re-swept
-    "sess_asof_last_signup",
-    "sess_session_window_30m",
-    # (c) rows-only dedup trio (kept in-window per r03 brief)
+    # (b) rows-only dedup trio (kept in-window per r03 brief)
     "dedup_simhash_pairs",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
-    # (d) r01-green refresh band — relational set/window spine
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "window_lag_order_gap_days",
-    "cube_orders_status_priority",
-    "set_intersect_active_custkeys",
-    "set_except_inactive_custkeys",
-    "set_union_all_keys",
-    "distinct_order_priorities",
-    # (d) reference-operator surface (r01 rows)
-    "ref_p1_p2_path_segments",
-    "ref_f1_timestamp_folders",
-    "ref_f2_any_timestamp",
-    "ref_f3_marker_rows",
-    "ref_o1_oldest_ingest",
-    "ref_f7_ingest_file_set",
-    "ref_s2_manifest_gate",
-    "ref_f4_f5_f6_job_filters",
-    "ref_e1_token_intersection",
-    "ref_a3_duration_format",
-    "ref_a4_run_metrics",
-    "ref_p6_json_props",
-    "ref_p7_array_struct_probe",
-    "ref_f8_temporal_filter",
-    "ref_dt1_epoch_roundtrip",
-    "ref_manifest_integrity_join",
-    "ref_folder_lifecycle_summary",
-    # (d) text-analysis family (r01 rows)
-    "text_token_stats",
-    "text_term_frequencies",
-    "text_lang_stats",
-    "text_quality_scores",
-    "text_langid_heuristic",
-    "text_fingerprints",
-    "text_langid_confusion",
-    # (d) dedup/similarity exact anchors (r01 rows)
-    "dedup_exact_stats",
-    "dedup_keep_first_by_prefix",
-    "sim_embedding_norms",
+    # (c) r02-stale refresh band: relational/TPC-H spine
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "join_left_customer_order_stats",
+    "join_full_outer_nation_balance",
+    "top10_orders_by_price",
+    "groupingsets_order_revenue",
+    "rollup_acctbal_by_region_nation",
+    "pivot_status_revenue_by_priority",
+    "orders_pareto_revenue_share",
+    # (c) aggregate/stats family
+    "agg_boolean_family",
+    "agg_filtered_conditional",
+    "agg_histogram_quantity",
+    "agg_min_by_max_by",
+    "agg_mode_by_group",
+    "agg_string_concat_ordered",
+    "percentile_quantity_by_flag",
+    "stats_price_quantity_corr",
+    "stats_regression_by_type",
+    # (c) scalar-function suites
+    "fn_datetime_suite",
+    "fn_json_construct_extract",
+    "fn_null_semantics",
+    "fn_string_suite",
+    "scalar_string_date_math",
+    # (c) windows
+    "window_first_last_value",
+    "window_rank_family",
+    "window_running_revenue",
+    "window_sliding_3row_avg",
+    "window_top3_orders_per_customer",
+    # (c) subqueries
+    "subq_correlated_scalar_max_item",
+    "subq_exists_high_value_customers",
+    "subq_scalar_above_avg_orders",
+    # (c) sessions/events
+    "sess_debounce_10s",
+    "sess_hopping_2h_1h",
+    "sess_tumbling_hourly",
+    "events_hourly_seasonality",
+    # (c) multimodal (static-plan members; decode/frame-hash twins were
+    # re-oracled and swept in r04)
+    "mm_binary_stats",
+    "mm_frame_sample_plan",
+    "mm_props_typed",
+    # (c) training / cleanup / data-quality
+    "train_bpe_ish_token_counts",
+    "train_split_by_hash",
+    "clean_scrub_pii",
+    "dq_null_and_blank_rates",
+    # (c) similarity centroid anchor
+    "sim_label_centroids",
 ]
 
 
@@ -307,15 +301,80 @@ _R03_GREEN = frozenset(
     }
 )
 
-_DRIVER_GREEN = _R01_GREEN | _R02_GREEN | _R03_GREEN
+# CORRECTNESS_r04 sweep (50 rows: 45 hash-green + the 5 by-design
+# rows-only queries). For ordering, "has a current row" is what counts;
+# the class (hash vs rows-only) is the driver's concern.
+_R04_SWEPT = frozenset(
+    {
+        "cube_orders_status_priority",
+        "dedup_embedding_lsh_pairs",
+        "dedup_embedding_near_pairs",
+        "dedup_exact_stats",
+        "dedup_keep_first_by_prefix",
+        "dedup_minhash_clusters",
+        "dedup_minhash_lsh_pairs",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_simhash_pairs",
+        "distinct_order_priorities",
+        "join_anti_customers_without_orders",
+        "join_semi_customers_with_orders",
+        "mm_decode_features",
+        "mm_frame_sample_hashes",
+        "ref_a3_duration_format",
+        "ref_a4_run_metrics",
+        "ref_dt1_epoch_roundtrip",
+        "ref_e1_token_intersection",
+        "ref_f1_timestamp_folders",
+        "ref_f2_any_timestamp",
+        "ref_f3_marker_rows",
+        "ref_f4_f5_f6_job_filters",
+        "ref_f7_ingest_file_set",
+        "ref_f8_temporal_filter",
+        "ref_folder_lifecycle_summary",
+        "ref_manifest_integrity_join",
+        "ref_o1_oldest_ingest",
+        "ref_p1_p2_path_segments",
+        "ref_p6_json_props",
+        "ref_p7_array_struct_probe",
+        "ref_s2_manifest_gate",
+        "sess_asof_last_signup",
+        "sess_session_window_30m",
+        "set_except_inactive_custkeys",
+        "set_intersect_active_custkeys",
+        "set_union_all_keys",
+        "sim_embedding_norms",
+        "sim_ivf_topk",
+        "sim_kmeans_clusters",
+        "sim_label_spectral_stats",
+        "sim_lsh_topk",
+        "sim_topk_bruteforce",
+        "text_fingerprints",
+        "text_lang_stats",
+        "text_langid_confusion",
+        "text_langid_heuristic",
+        "text_quality_scores",
+        "text_term_frequencies",
+        "text_token_stats",
+        "window_lag_order_gap_days",
+    }
+)
+
+# name -> round of its LATEST driver row (later sets win); unknown
+# names (newly added queries) default to 0 = never checked.
+_LATEST_ROW: dict[str, int] = {}
+for _rnd, _names in enumerate(
+    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT), start=1
+):
+    for _n in _names:
+        _LATEST_ROW[_n] = _rnd
 
 
 def _ordered(mapping: dict) -> dict:
     head = {n: mapping[n] for n in _PRIORITY if n in mapping}
     rest = [n for n in mapping if n not in head]
-    # never-driver-checked first, driver-green last (registration order
-    # within each class)
-    tail = sorted(rest, key=lambda n: n in _DRIVER_GREEN)
+    # stalest-first: never-driver-checked, then oldest latest-row round;
+    # registration order breaks ties (sorted() is stable)
+    tail = sorted(rest, key=lambda n: _LATEST_ROW.get(n, 0))
     return {**head, **{n: mapping[n] for n in tail}}
 
 
