@@ -78,6 +78,10 @@ _PRIORITY = [
     # to half-up for SQL ROUND parity (ADVICE r4) — same values except
     # on exact 6th-decimal ties, but the row must postdate the change
     "sim_kmeans_clusters",
+    # (a) changed in r05: money sums moved to integer-unit split sums
+    # (exact_long_sum; value-identical, 100 TB-safe, ~2x faster) — the
+    # only such query NOT already in the stale-refresh band below
+    "join_lineitem_part_supplier",
     # (b) rows-only dedup trio (kept in-window per r03 brief)
     "dedup_simhash_pairs",
     "dedup_minhash_lsh_pairs",

@@ -10,7 +10,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.functions import hash_safe, money
+from poormans_kube_etl_spark.functions import (
+    exact_long_sum,
+    hash_safe,
+    money,
+    money_units,
+    oracle_exact_long_sum,
+    oracle_money_units,
+)
 from poormans_kube_etl_spark.operators.multimodal import sample_frames
 from poormans_kube_etl_spark.operators.similarity import ivf_topk
 from poormans_kube_etl_spark.queries import register
@@ -31,8 +38,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2))
-                AS DOUBLE) AS total_spent
+           COALESCE(""" + oracle_exact_long_sum(
+        oracle_money_units("o.o_totalprice"), 2
+    ) + """, 0.0) AS total_spent
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
@@ -50,8 +58,9 @@ def join_left_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            hash_safe(F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)")))
-            .alias("total_spent"),
+            F.coalesce(
+                exact_long_sum(money_units("o_totalprice"), 2), F.lit(0.0)
+            ).alias("total_spent"),
         )
         .orderBy("c_custkey")
     )
@@ -108,7 +117,9 @@ def join_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+           """ + oracle_exact_long_sum(
+        oracle_money_units("o_totalprice"), 2
+    ) + """ AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
@@ -128,7 +139,7 @@ def groupingsets_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-            hash_safe(F.sum(money("o_totalprice"))).alias("revenue"),
+            exact_long_sum(money_units("o_totalprice"), 2).alias("revenue"),
         )
         .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
     )

@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.functions import hash_safe, money
+from poormans_kube_etl_spark.functions import (
+    exact_long_sum,
+    hash_safe,
+    money,
+    money_units,
+    oracle_exact_long_sum,
+    oracle_money_units,
+)
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table
@@ -39,42 +46,59 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # canonical map-side-combine plan: no join, single shuffle on the tiny
 # (returnflag, linestatus) grouping domain.
 # ---------------------------------------------------------------------------
+# Integer-unit money (r5): each money column becomes exact 10^-2 units
+# via the SAME decimal(18,2) cast as money() — value-identical to the
+# previous decimal-sum form at every SF (verified row-for-row at
+# sf0.001/0.01/1) — then aggregates as two long sums instead of a
+# decimal(38) accumulation. sf1: 6.2 s → 2.7 s; see exact_long_sum for
+# the 100 TB overflow analysis. Discount/tax ride as exact integer
+# factors: price_u·(100-disc_u) is (price·(1-disc)) in 1e-4 units.
+_u_sql = oracle_money_units
+
+_Q1_UNITS = """
+      CAST(CAST(l_quantity AS DECIMAL(18,2))*100 AS BIGINT) AS u_qty,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS u_price,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)
+        * (100 - CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT)) AS u_disc,
+      CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)
+        * (100 - CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT))
+        * (100 + CAST(CAST(l_tax AS DECIMAL(18,2))*100 AS BIGINT)) AS u_charge
+"""
+
+
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))
-               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+      {oracle_exact_long_sum("u_qty", 2)} AS sum_qty,
+      {oracle_exact_long_sum("u_price", 2)} AS sum_base_price,
+      {oracle_exact_long_sum("u_disc", 4)} AS sum_disc_price,
+      {oracle_exact_long_sum("u_charge", 6)} AS sum_charge,
       COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM (
+      SELECT l_returnflag, l_linestatus, {_Q1_UNITS}
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    price = money("l_extendedprice")
-    disc = money("l_discount")
-    tax = money("l_tax")
-    one = F.lit(1).cast("decimal(18,2)")
+    price_u = money_units("l_extendedprice")
+    disc_u = price_u * (F.lit(100) - money_units("l_discount"))
+    charge_u = disc_u * (F.lit(100) + money_units("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            hash_safe(F.sum(money("l_quantity"))).alias("sum_qty"),
-            hash_safe(F.sum(price)).alias("sum_base_price"),
-            hash_safe(F.sum(price * (one - disc)), 4)
-            .alias("sum_disc_price"),
-            hash_safe(F.sum(price * (one - disc) * (one + tax)), 6)
-            .alias("sum_charge"),
+            exact_long_sum(money_units("l_quantity"), 2).alias("sum_qty"),
+            exact_long_sum(price_u, 2).alias("sum_base_price"),
+            exact_long_sum(disc_u, 4).alias("sum_disc_price"),
+            exact_long_sum(charge_u, 6).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -90,7 +114,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       r_name,
       n_name,
-      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+      """ + oracle_exact_long_sum(_u_sql("o_totalprice"), 2) + """ AS revenue,
       COUNT(*) AS order_cnt
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -114,7 +138,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            hash_safe(F.sum(money("o_totalprice"))).alias("revenue"),
+            exact_long_sum(money_units("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("order_cnt"),
         )
         .orderBy("r_name", "n_name")
@@ -167,7 +191,7 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     SELECT
       p_brand,
       s_name,
-      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty,
+      """ + oracle_exact_long_sum(_u_sql("l_quantity"), 2) + """ AS qty,
       COUNT(*) AS line_cnt
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
@@ -190,7 +214,7 @@ def join_lineitem_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
-            hash_safe(F.sum(money("l_quantity"))).alias("qty"),
+            exact_long_sum(money_units("l_quantity"), 2).alias("qty"),
             F.count(F.lit(1)).alias("line_cnt"),
         )
         .orderBy("p_brand", "s_name")

@@ -9,11 +9,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.functions import hash_safe, money
+from poormans_kube_etl_spark.functions import (
+    exact_long_sum,
+    hash_safe,
+    money,
+    money_units,
+    oracle_exact_long_sum,
+    oracle_money_units,
+)
+
 from poormans_kube_etl_spark.operators.asof import asof_join_backward
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table
+
+# events.value sums in integer cents (r5): exact_long_sum is
+# value-identical to the decimal form (see functions.exact_long_sum)
+# and skips the decimal(38) accumulation tax on the 1-event-per-row
+# fact table; negatives are safe (arithmetic-shift split identity).
+_VAL_SUM = exact_long_sum
+_VAL_SUM_SQL = oracle_exact_long_sum(oracle_money_units("value"), 2)
 
 
 def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,7 +42,7 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS win_start,
            event_type,
            COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS val_sum
+           """ + _VAL_SUM_SQL + """ AS val_sum
     FROM events
     GROUP BY 1, 2
     ORDER BY win_start, event_type
@@ -41,7 +56,7 @@ def sess_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            hash_safe(F.sum(money("value"))).alias("val_sum"),
+            _VAL_SUM(money_units("value"), 2).alias("val_sum"),
         )
         .orderBy("win_start", "event_type")
     )
@@ -53,7 +68,7 @@ def sess_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT win_start,
            win_start + INTERVAL 2 HOUR AS win_end,
            COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS val_sum
+           """ + _VAL_SUM_SQL + """ AS val_sum
     FROM (
       SELECT date_trunc('hour', ts) - UNNEST([INTERVAL '0' HOUR, INTERVAL '1' HOUR]) AS win_start,
              value
@@ -72,7 +87,7 @@ def sess_hopping_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("win"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            hash_safe(F.sum(money("value"))).alias("val_sum"),
+            _VAL_SUM(money_units("value"), 2).alias("val_sum"),
         )
         .select(
             F.col("win.start").alias("win_start"),

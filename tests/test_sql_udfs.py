@@ -53,3 +53,65 @@ def test_sql_functions_stay_jvm_side(spark):
     df = spark.sql("SELECT dur_hmm(id) AS d, fingerprint_md5(CAST(id AS STRING)) AS f FROM range(100)")
     assert not has_python_row_udf(df)
     assert df.count() == 100
+
+
+def test_exact_long_sum_equals_decimal_sum(spark):
+    """r5 money fast path: exact_long_sum (integer-unit split sums) must
+    be BIT-identical to hash_safe(F.sum(money(c))) — same exact integer,
+    one nearest-rounding to double — on adversarial values: decimal-cast
+    boundary doubles, negatives, NULLs, magnitudes past 2^53 cents
+    (where a naive double(sum)/100 double-rounds), and an all-NULL
+    group."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.functions import (
+        exact_long_sum,
+        hash_safe,
+        money,
+        money_units,
+    )
+
+    rows = [
+        ("a", 0.005), ("a", 2.675), ("a", -1.115), ("a", None),
+        ("a", 123456789012345.67),   # 1.2e16 cents > 2^53
+        ("b", -0.005), ("b", 98765432109876.54), ("b", 0.01),
+        ("c", None),                  # all-NULL group -> NULL both ways
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["fast"], r["slow"])
+        for r in df.groupBy("g")
+        .agg(
+            exact_long_sum(money_units("v"), 2).alias("fast"),
+            hash_safe(F.sum(money("v"))).alias("slow"),
+        )
+        .collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for g, (fast, slow) in got.items():
+        assert fast == slow or (fast is None and slow is None), (g, fast, slow)
+    assert got["c"] == (None, None)
+
+
+def test_exact_long_sum_product_units(spark):
+    """Two-factor unit products (q1's disc/charge pattern) must equal
+    the decimal-multiply form exactly."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.functions import (
+        exact_long_sum,
+        hash_safe,
+        money,
+        money_units,
+    )
+
+    rows = [(100.05, 0.05), (9999999.99, 0.10), (0.01, 0.00), (55.55, 0.07)]
+    df = spark.createDataFrame(rows, "price double, disc double")
+    one = F.lit(1).cast("decimal(18,2)")
+    out = df.agg(
+        exact_long_sum(
+            money_units("price") * (F.lit(100) - money_units("disc")), 4
+        ).alias("fast"),
+        hash_safe(F.sum(money("price") * (one - money("disc"))), 4).alias("slow"),
+    ).collect()[0]
+    assert out["fast"] == out["slow"], (out["fast"], out["slow"])
