@@ -63,7 +63,7 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     upstream cumulative time, so deltas ≈ the stage's own cost."""
     from poormans_kube_etl_spark.operators.minhash import (
         exact_jaccard,
-        exploded_shingles,
+        exploded_shingle_hashes,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -82,7 +82,7 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         return time.perf_counter() - t0
 
     signed = minhash_signatures(
-        exploded_shingles(docs, "doc_id", "text", 3), "doc_id", 32
+        exploded_shingle_hashes(docs, "doc_id", "text", 3), "doc_id", 32
     )
     t_sig = timed(signed)
     cands = lsh_candidate_pairs(signed, "doc_id", 8, 4)

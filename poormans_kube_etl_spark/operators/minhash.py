@@ -59,6 +59,47 @@ def exploded_shingles(
     )
 
 
+def exploded_shingle_hashes(
+    docs: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    """(id, h0) rows: one 64-bit fingerprint per distinct word shingle,
+    computed from PER-TOKEN hashes — the shingle string is never built.
+
+    Why (r5, sf1 stage attribution): the string path's per-shingle
+    ``slice + array_join`` dominated minhash signatures end to end
+    (3.3 s of the 3.5 s aggregate at sf1; the k=32 hash-mins were
+    ~0.2 s). Here each token is hashed once and each shingle hash is
+    one fixed-width ``xxhash64(h_i, …, h_{i+n-1})`` over longs — no
+    string allocation per shingle, same row shape out.
+
+    Parity with ``exploded_shingles → xxhash64(shingle)``: h0 is a
+    DIFFERENT uniform 64-bit fingerprint of the same shingle, so every
+    downstream property the pipeline uses is preserved — min-wise
+    uniformity for signatures, set cardinalities for exact Jaccard,
+    distinctness up to 2^-64 collisions. Short docs (< n tokens)
+    degrade to one whole-document shingle, exactly like word_shingles.
+    """
+    toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
+    th = toked.select(
+        id_col,
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
+        F.size("toks").alias("n_toks"),
+    )
+    win_starts = F.sequence(F.lit(0), F.col("n_toks") - shingle_len)
+    grams = F.transform(
+        win_starts,
+        lambda i: F.xxhash64(*[F.get("th", i + j) for j in range(shingle_len)]),
+    )
+    shingle_hashes = F.array_distinct(
+        F.when(F.col("n_toks") >= shingle_len, grams).otherwise(
+            # whole-doc degenerate shingle: hash the token-hash array's
+            # single rolled value (fixed-width fold over the few tokens)
+            F.array(F.xxhash64("th"))
+        )
+    )
+    return th.select(id_col, F.explode(shingle_hashes).alias("h0"))
+
+
 def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     """k MinHash values per doc from (id, shingle) rows: for seed i,
     min over shingles of xxhash64(i, shingle).
@@ -72,12 +113,16 @@ def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> Dat
     — and breaks down on giant documents; rows scale out, arrays don't.)
     Docs with zero shingles don't exist (see word_shingles).
     """
-    # The shingle STRING is hashed exactly once (h0); the k seeded
-    # minhash values re-hash the 8-byte h0, not the multi-word string —
+    # The shingle is hashed exactly once (h0); the k seeded minhash
+    # values re-hash the 8-byte h0, not the multi-word string —
     # xxhash64(seed, long) is a fixed-width mix vs k full passes over
     # the string bytes (the signature aggregate's hottest loop, k× per
     # shingle row). xxhash64(i, h0) is still a uniform min-wise family.
-    hashed = exploded.select(id_col, F.xxhash64("shingle").alias("h0"))
+    # Inputs from exploded_shingle_hashes arrive pre-fingerprinted.
+    if "h0" in exploded.columns:
+        hashed = exploded.select(id_col, "h0")
+    else:
+        hashed = exploded.select(id_col, F.xxhash64("shingle").alias("h0"))
     mins = [
         F.min(F.xxhash64(F.lit(i), "h0")).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -245,7 +290,7 @@ def minhash_near_duplicates(
     pipelining into the consumers. Turn on when the upstream is pricier
     than the cache write — e.g. shingling multi-KB documents."""
     assert num_hashes % bands == 0
-    ex = exploded_shingles(docs, id_col, text_col, shingle_len)
+    ex = exploded_shingle_hashes(docs, id_col, text_col, shingle_len)
     signed = minhash_signatures(ex, id_col, num_hashes)
     if cache:
         from pyspark import StorageLevel

@@ -857,3 +857,45 @@ def test_multimodal_decode_rejects_null_payload_naming_ids(spark):
     )
     with pytest.raises(Exception, match="NULL 'content' payload for doc_id=\\[2\\]"):
         decode_image_features(df).collect()
+
+
+def test_exploded_shingle_hashes_matches_string_shingles(spark):
+    """r5 fast path: hashed shingles must agree with the string-shingle
+    path on everything the pipeline consumes — per-doc distinct-shingle
+    counts (exact-Jaccard inputs), including the short-doc degenerate
+    whole-document shingle, and set equality/difference STRUCTURE across
+    docs (shared shingles hash equal, distinct shingles hash distinct on
+    this corpus)."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.minhash import (
+        exploded_shingle_hashes,
+        exploded_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over a lazy dog"),  # near-dup of 1
+            (3, "completely different text entirely here now"),
+            (4, "tiny doc"),          # < n tokens -> whole-doc shingle
+            (5, "tiny doc"),          # exact dup of 4
+        ],
+        "doc_id int, text string",
+    )
+    s_str = exploded_shingles(docs, "doc_id", "text", 3)
+    s_hash = exploded_shingle_hashes(docs, "doc_id", "text", 3)
+    cnt_str = {r["doc_id"]: r["n"] for r in
+               s_str.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n")).collect()}
+    cnt_hash = {r["doc_id"]: r["n"] for r in
+                s_hash.groupBy("doc_id").agg(F.countDistinct("h0").alias("n")).collect()}
+    assert cnt_str == cnt_hash, (cnt_str, cnt_hash)
+    # pairwise intersection sizes must match: shared string shingles
+    # must map to shared hashes (Jaccard preservation)
+    def inters(df, col):
+        a = df.select(F.col("doc_id").alias("a"), F.col(col).alias("v"))
+        b = df.select(F.col("doc_id").alias("b"), F.col(col).alias("v"))
+        return {(r["a"], r["b"]): r["n"] for r in
+                a.join(b, "v").where("a < b").groupBy("a", "b")
+                 .agg(F.countDistinct("v").alias("n")).collect()}
+    assert inters(s_str, "shingle") == inters(s_hash, "h0")
