@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.text import normalize_text, tokens, word_shingles
+from poormans_kube_etl_spark.sources import spread_small_scan
 
 
 def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_len: int) -> DataFrame:
@@ -35,6 +36,7 @@ def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_len: int) 
     # per-shingle slice lambda and gets re-evaluated once per shingle
     # (measured 6x slower). Catalyst keeps the boundary because the
     # expression is non-cheap and multiply referenced.
+    docs = spread_small_scan(docs)  # shingling amplifies ~50x per row
     toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
     return toked.select(
         id_col, word_shingles(F.col("toks"), shingle_len).alias("shingles")
@@ -53,6 +55,7 @@ def exploded_shingles(
     row (measured ~8x the runtime of this form). word_shingles can
     never yield an empty/null array, so that filter is pure waste.
     """
+    docs = spread_small_scan(docs)  # shingling amplifies ~50x per row
     toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
     return toked.select(
         id_col, F.explode(word_shingles(F.col("toks"), shingle_len)).alias("shingle")
@@ -79,6 +82,7 @@ def exploded_shingle_hashes(
     distinctness up to 2^-64 collisions. Short docs (< n tokens)
     degrade to one whole-document shingle, exactly like word_shingles.
     """
+    docs = spread_small_scan(docs)  # shingling amplifies ~50x per row
     toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
     th = toked.select(
         id_col,

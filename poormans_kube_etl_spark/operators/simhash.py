@@ -44,10 +44,13 @@ def simhash_bits_df(
     explode(tokens) → groupBy(id) with 64 partial-aggregated bit sums;
     ties (sum == 0, incl. empty docs) resolve to bit 0.
     """
+    from poormans_kube_etl_spark.sources import spread_small_scan
+
     toks = tokens(normalize_text(F.col(text_col)))
     # hash in its own projection: 64 aggregate update expressions each
     # reference h — materializing it guarantees one string hash per
     # token instead of relying on CSE inside the aggregate
+    docs = spread_small_scan(docs)  # token explode + 64 bit-sums per row
     ex = docs.select(id_col, F.explode(toks).alias("tok")).select(
         id_col, F.xxhash64("tok").alias("h")
     )

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.sources import spread_small_scan
+
 
 def to_double_vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -169,7 +171,9 @@ def brute_force_topk(
     ``dim`` fail the task loudly instead of silently NULLing sims
     (``checked_double_vec``)."""
     dim = resolve_dim(embeddings, vec_col, dim)
-    corpus = embeddings.select(
+    # N-row scan fans out to N*Q scored pairs: spread a single-row-group
+    # scan across task slots before the amplification (no-op at scale)
+    corpus = spread_small_scan(embeddings).select(
         F.col(id_col).alias("nn_id"), checked_double_vec(vec_col, dim).alias("nn_vec")
     ).withColumn("_nn", _norm_expr("nn_vec", dim))
     qs = queries.select(
@@ -350,7 +354,7 @@ def random_hyperplane_buckets(
             pdf["bucket"] = (bits * msb_first).sum(axis=1).astype(np.int64)
             yield pdf
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    return spread_small_scan(embeddings.select(id_col, vec_col)).mapInPandas(
         bucketize,
         schema=f"{id_col} {schema[id_col]}, {vec_col} {schema[vec_col]}, bucket bigint",
     )
@@ -472,7 +476,9 @@ def embedding_lsh_candidate_pairs(
                 }
             )
 
-    sigs = embeddings.select(id_col, vec_col).mapInPandas(
+    # the GEMM is the whole map side here — single-row-group inputs
+    # would run it one-task (measured 3.4 s serial at sf1)
+    sigs = spread_small_scan(embeddings.select(id_col, vec_col)).mapInPandas(
         band_sigs, schema=f"vid {id_type}, band_id int, bucket bigint"
     )
     buckets = (
@@ -664,6 +670,8 @@ def ivf_topk(
     the corpus instead of all of it. Recall < 1 when the true neighbor
     lives in an unprobed cell — the exact path is brute_force_topk."""
     dim = resolve_dim(embeddings, vec_col, dim)
+    embeddings = spread_small_scan(embeddings)  # feeds centroid
+    # posexplode (64x) AND the probed-cell rerank scoring
     cents = label_centroids(embeddings, cell_col, id_col, vec_col)
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),

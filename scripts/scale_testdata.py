@@ -114,6 +114,13 @@ def generate(spark, factor: int, src: str, dst: str, verbose: bool = True) -> No
     for name in TABLES:
         df = spark.read.parquet(f"{src}/{name}.parquet")
         scaled = scale_table(df, name, factor)
+        # Write MULTI-FILE tables (r5): the source testdata is one file
+        # with ONE row group per table, and a row group is the atomic
+        # parquet scan unit — a single-row-group replica made every sf1
+        # scan single-task, serializing the whole map side of each
+        # query on one core and invalidating the linearity readings.
+        # Real lakes arrive in many files; mirror that.
+        scaled = scaled.repartition(spark.sparkContext.defaultParallelism)
         scaled.write.mode("overwrite").parquet(f"{tmp}/{name}.parquet")
         if verbose:
             print(name, spark.read.parquet(f"{tmp}/{name}.parquet").count())

@@ -134,3 +134,23 @@ def test_salted_join_rejects_right_outer(spark, skewed):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(left, right, ["k"], n_salt=4, how=how)
+
+
+def test_spread_small_scan_thresholds(spark):
+    """r5: spread must SKIP tiny inputs (barrier costs more than the
+    serial map — the unconditional form regressed the sf0.1 bench), fire
+    on mid-band inputs (single-row-group parquet serializes amplified
+    map work), and stay inert when plan stats are unavailable."""
+    from poormans_kube_etl_spark.sources import load_table, spread_small_scan
+
+    # tiny (0.6 MB): pass-through, SAME plan handle
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    assert spread_small_scan(docs) is docs
+    # mid-band: a range plan big enough to clear the 2 MB floor
+    big = spark.range(0, 1_000_000)  # 8 B/row -> ~8 MB stats
+    spread = spread_small_scan(big)
+    assert spread is not big
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
