@@ -99,6 +99,21 @@ def scale_table(df: DataFrame, name: str, factor: int) -> DataFrame:
     return out.drop("_rep").select(*df.columns)
 
 
+# Natural clustering key per table — what a real lake's layout would
+# approximate (logs time-ordered, facts key-ordered).
+_NATURAL_KEY = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "events": "ts",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    # region/nation: 5/25 rows, keep round-robin
+}
+
+
 def generate(spark, factor: int, src: str, dst: str, verbose: bool = True) -> None:
     """Write the scaled replica set to ``dst``, atomically: tables land
     in ``dst + '.tmp'`` and the directory is renamed into place only
@@ -119,8 +134,17 @@ def generate(spark, factor: int, src: str, dst: str, verbose: bool = True) -> No
         # parquet scan unit — a single-row-group replica made every sf1
         # scan single-task, serializing the whole map side of each
         # query on one core and invalidating the linearity readings.
-        # Real lakes arrive in many files; mirror that.
-        scaled = scaled.repartition(spark.sparkContext.defaultParallelism)
+        # Real lakes arrive in many files; mirror that. Range-partition
+        # + sort on the table's natural key rather than round-robin:
+        # a round-robin write randomizes row order, which is NOT how
+        # lakes look (logs arrive roughly time-ordered, facts roughly
+        # key-ordered) and quadrupled the session-window sort at sf1.
+        key = _NATURAL_KEY.get(name)
+        n_out = spark.sparkContext.defaultParallelism
+        if key:
+            scaled = scaled.repartitionByRange(n_out, key).sortWithinPartitions(key)
+        else:
+            scaled = scaled.repartition(n_out)
         scaled.write.mode("overwrite").parquet(f"{tmp}/{name}.parquet")
         if verbose:
             print(name, spark.read.parquet(f"{tmp}/{name}.parquet").count())
