@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
-from poormans_kube_etl_spark.sources import load_table
+from poormans_kube_etl_spark.sources import load_table, spread_small_scan
 
 # ASCII character classes only: Java util.regex and RE2 agree on these
 _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -20,7 +20,10 @@ _IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    return load_table(spark, sf_dir, "documents")
+    # consumers explode tokens/sentences/shingles (high per-row
+    # amplification): spread single-row-group scans first (inert for
+    # tiny and at-scale inputs — see sources.spread_small_scan)
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -29,7 +29,7 @@ from poormans_kube_etl_spark.operators.text import (
 )
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
-from poormans_kube_etl_spark.sources import load_table
+from poormans_kube_etl_spark.sources import load_table, spread_small_scan
 
 # Caps keep the O(pairs) oracle affordable at sf0.1; Spark side uses the
 # same caps so both engines see identical inputs. The uncapped scale
@@ -42,7 +42,10 @@ _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    return load_table(spark, sf_dir, "documents")
+    # consumers explode tokens/sentences/shingles (high per-row
+    # amplification): spread single-row-group scans first (inert for
+    # tiny and at-scale inputs — see sources.spread_small_scan)
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 @register(

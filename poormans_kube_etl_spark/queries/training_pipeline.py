@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from poormans_kube_etl_spark.operators.text import normalize_text, tokens
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
-from poormans_kube_etl_spark.sources import load_table
+from poormans_kube_etl_spark.sources import load_table, spread_small_scan
 
 # words | numbers | any single non-space symbol — a GPT-2-style
 # pre-tokenizer simplified to the ASCII classes both regex engines
@@ -27,7 +27,10 @@ _BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    return load_table(spark, sf_dir, "documents")
+    # consumers explode tokens/sentences/shingles (high per-row
+    # amplification): spread single-row-group scans first (inert for
+    # tiny and at-scale inputs — see sources.spread_small_scan)
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 def hash_bucket(col, buckets: int = 100):
