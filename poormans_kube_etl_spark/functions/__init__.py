@@ -73,7 +73,7 @@ def exact_long_sum(u: Column, unit_scale: int) -> Column:
     tick = F.lit("0." + "0" * (unit_scale - 1) + "1").cast(
         f"decimal({unit_scale},{unit_scale})"
     )
-    return (combined.cast("decimal(32,0)") * tick).cast("double")
+    return (combined * tick).cast("double")
 
 
 def oracle_money_units(col: str, scale: int = 2) -> str:

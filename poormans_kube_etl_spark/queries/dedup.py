@@ -42,10 +42,13 @@ _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    # consumers explode tokens/sentences/shingles (high per-row
-    # amplification): spread single-row-group scans first (inert for
-    # tiny and at-scale inputs — see sources.spread_small_scan)
-    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # NO spread here (r5 review): every amplified consumer in this
+    # module routes through minhash/simhash/shingle OPERATORS, which
+    # spread their own input — spreading at both altitudes paid a
+    # second plan-stats probe per build. Spread lives at exactly one
+    # altitude: the operator when one exists, the query otherwise
+    # (see dedup_winnowing_pairs).
+    return load_table(spark, sf_dir, "documents")
 
 
 @register(
@@ -339,7 +342,8 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from poormans_kube_etl_spark.operators.text import rolling_window_hashes, token_hash
 
     apply_runtime_confs(spark)
-    docs = load_table(spark, sf_dir, "documents")
+    # rolling hashes amplify per row and no operator spreads upstream
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     hashed = docs.select(
         "doc_id", F.transform(tokens(normalize_text("text")), token_hash).alias("hs")
     )

@@ -53,8 +53,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # decimal(38) accumulation. sf1: 6.2 s → 2.7 s; see exact_long_sum for
 # the 100 TB overflow analysis. Discount/tax ride as exact integer
 # factors: price_u·(100-disc_u) is (price·(1-disc)) in 1e-4 units.
-_u_sql = oracle_money_units
-
 _Q1_UNITS = """
       CAST(CAST(l_quantity AS DECIMAL(18,2))*100 AS BIGINT) AS u_qty,
       CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS u_price,
@@ -114,7 +112,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       r_name,
       n_name,
-      """ + oracle_exact_long_sum(_u_sql("o_totalprice"), 2) + """ AS revenue,
+      """ + oracle_exact_long_sum(oracle_money_units("o_totalprice"), 2) + """ AS revenue,
       COUNT(*) AS order_cnt
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -191,7 +189,7 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     SELECT
       p_brand,
       s_name,
-      """ + oracle_exact_long_sum(_u_sql("l_quantity"), 2) + """ AS qty,
+      """ + oracle_exact_long_sum(oracle_money_units("l_quantity"), 2) + """ AS qty,
       COUNT(*) AS line_cnt
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey

@@ -27,7 +27,6 @@ from poormans_kube_etl_spark.sources import load_table
 # value-identical to the decimal form (see functions.exact_long_sum)
 # and skips the decimal(38) accumulation tax on the 1-event-per-row
 # fact table; negatives are safe (arithmetic-shift split identity).
-_VAL_SUM = exact_long_sum
 _VAL_SUM_SQL = oracle_exact_long_sum(oracle_money_units("value"), 2)
 
 
@@ -56,7 +55,7 @@ def sess_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            _VAL_SUM(money_units("value"), 2).alias("val_sum"),
+            exact_long_sum(money_units("value"), 2).alias("val_sum"),
         )
         .orderBy("win_start", "event_type")
     )
@@ -87,7 +86,7 @@ def sess_hopping_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("win"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            _VAL_SUM(money_units("value"), 2).alias("val_sum"),
+            exact_long_sum(money_units("value"), 2).alias("val_sum"),
         )
         .select(
             F.col("win.start").alias("win_start"),

@@ -324,20 +324,20 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     centroids, assigned = kmeans_fit(emb, k=8, max_iter=3)
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
-    # Half-UP to 6 decimals (advice r4): SQL ROUND is half-away-from-zero
-    # while Python round() is banker's — a norm landing exactly on a tie
-    # would diverge from the DuckDB oracle. Decimal sees the exact binary
-    # double, so the quantize matches DuckDB's ROUND on doubles.
+    # Replicate DuckDB's ROUND(x, 6) EXACTLY (advice r4, tightened r5
+    # review): DuckDB computes std::round(x*1e6)/1e6 in DOUBLE — so the
+    # driver multiplies first (same one IEEE product), takes the exact
+    # half-away-from-zero nearest integer of that double (Decimal sees
+    # the exact binary value; ≡ std::round for x >= 0), and divides
+    # back in double. Python round() was banker's; quantizing x itself
+    # (pre-multiply) could still differ by one ulp when x*1e6 lands
+    # exactly on a .5 boundary that x's own expansion sits below.
+    def _round6(x: float) -> float:
+        return float(Decimal(x * 1e6).quantize(Decimal(1), ROUND_HALF_UP)) / 1e6
+
     norms = spark.createDataFrame(
         [
-            (
-                i,
-                float(
-                    Decimal(math.sqrt(_seq_dot(c, c))).quantize(
-                        Decimal("0.000001"), rounding=ROUND_HALF_UP
-                    )
-                ),
-            )
+            (i, _round6(math.sqrt(_seq_dot(c, c))))
             for i, c in enumerate(centroids)
         ],
         "cluster int, centroid_norm double",

@@ -53,6 +53,14 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     timestamps, nanosAsLong, Arrow and AQE."""
     try:
         if spark.conf.get("spark.pke.confs.applied", None) == "true":
+            # Confs are done, but shipping may still be pending: a
+            # transient addPyFile failure must not be latched by the
+            # conf marker (advice r4 + r5 review: _ship_package
+            # swallows failures for sessions that forbid addPyFile, so
+            # sequencing it "before the marker" alone retried nothing).
+            # The call is a no-op once shipped (sc-level guard) and
+            # attempt-capped when shipping keeps failing.
+            _ship_package(spark)
             return spark
     except Exception:
         pass
@@ -63,11 +71,6 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Some confs may be static on exotic builds; never fail a query
             # over a tuning knob.
             pass
-    # Ship BEFORE setting the marker (advice r4): if addPyFile fails
-    # once (transient FS/JVM error) the exception propagates, the marker
-    # stays unset, and the next call retries shipping — marker-first
-    # left the session permanently unable to import the package on
-    # executors after a single transient failure.
     _ship_package(spark)
     try:
         spark.conf.set("spark.pke.confs.applied", "true")
@@ -91,6 +94,14 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_pke_pkg_shipped", False):
         return
+    # Attempt cap (r5): transient failures are retried on later calls
+    # (apply_runtime_confs re-enters here even after its conf marker is
+    # set), but a session that FORBIDS addPyFile must not pay a re-zip
+    # + failed JVM call on every query build forever.
+    attempts = getattr(sc, "_pke_pkg_ship_attempts", 0)
+    if attempts >= 3:
+        return
+    sc._pke_pkg_ship_attempts = attempts + 1
     import atexit
     import tempfile
     import zipfile

@@ -121,8 +121,16 @@ class Orchestrator:
         settle_delay_s: float = 0.0,
     ):
         self.spark = apply_runtime_confs(spark)
-        self.landing_dir = landing_dir.rstrip("/")
-        self.output_dir = output_dir.rstrip("/")
+        # Resolve RELATIVE dirs against the Python cwd ONCE, up front
+        # (r5 review): hadoop_fs-based ops resolve them per-call, but
+        # spark.read/readStream consumers (read_manifest, binaryFile,
+        # the manifest stream) hand raw paths to the JVM, which anchors
+        # them on its LAUNCH cwd — a relative --landing would gate on
+        # one directory and read payloads from another.
+        self.landing_dir = ingest_sources._resolve_relative(
+            landing_dir
+        ).rstrip("/")
+        self.output_dir = ingest_sources._resolve_relative(output_dir).rstrip("/")
         self.poll_interval_s = poll_interval_s
         self.strict_manifest = strict_manifest
         # X6 tail (reference src/ingestor.js:259 sleeps one poll cycle

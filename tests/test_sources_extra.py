@@ -170,31 +170,52 @@ def test_list_prefix_relative_base(spark, tmp_path, monkeypatch):
     assert keys == ["pending/1538050000/bulk.txt"]
 
 
-def test_runtime_confs_marker_set_only_after_ship(spark, monkeypatch):
-    """Advice r4: the 'spark.pke.confs.applied' marker was set BEFORE
-    _ship_package; one transient addPyFile failure left the marker set,
-    so every later apply_runtime_confs early-returned and executors
-    could never import the package. The marker must only persist once
-    shipping succeeded, so the next call retries."""
-    import pytest
-
+def test_ship_retries_after_transient_addpyfile_failure(spark, monkeypatch):
+    """Advice r4 + r5 review: _ship_package SWALLOWS addPyFile failures
+    (sessions may forbid it), so ordering it before the conf marker
+    retried nothing — the marker latched and executors could never
+    import the package after one transient failure. The real contract:
+    apply_runtime_confs re-enters shipping even once the conf marker is
+    set, the retry succeeds when the transient clears, and repeated
+    failures stop after the attempt cap (no per-build re-zip forever).
+    Exercised through the REAL _ship_package with a flaky addPyFile."""
     from poormans_kube_etl_spark import session as sess_mod
 
     fresh = spark.newSession()  # session-scoped confs, unset marker
+    sc = fresh.sparkContext
+    monkeypatch.setattr(sc, "_pke_pkg_shipped", False, raising=False)
+    monkeypatch.setattr(sc, "_pke_pkg_ship_attempts", 0, raising=False)
+    real_add = sc.addPyFile
     calls = {"n": 0}
 
-    def flaky_ship(s):
+    def flaky_add(path):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("transient addPyFile failure")
+        return real_add(path)
 
-    monkeypatch.setattr(sess_mod, "_ship_package", flaky_ship)
-    with pytest.raises(RuntimeError):
-        sess_mod.apply_runtime_confs(fresh)
-    assert fresh.conf.get("spark.pke.confs.applied", None) != "true"
-    sess_mod.apply_runtime_confs(fresh)  # retry ships and sets marker
-    assert calls["n"] == 2
+    monkeypatch.setattr(sc, "addPyFile", flaky_add)
+    sess_mod.apply_runtime_confs(fresh)  # first ship attempt fails, swallowed
     assert fresh.conf.get("spark.pke.confs.applied", None) == "true"
+    assert not sc._pke_pkg_shipped
+    sess_mod.apply_runtime_confs(fresh)  # marker set, but shipping retries
+    assert calls["n"] == 2
+    assert sc._pke_pkg_shipped
+    # attempt cap: a permanently-failing session stops paying
+    always = fresh.newSession()
+    sc2 = always.sparkContext  # same context object in local mode
+    monkeypatch.setattr(sc2, "_pke_pkg_shipped", False, raising=False)
+    monkeypatch.setattr(sc2, "_pke_pkg_ship_attempts", 0, raising=False)
+    fails = {"n": 0}
+
+    def always_fail(path):
+        fails["n"] += 1
+        raise RuntimeError("forbidden")
+
+    monkeypatch.setattr(sc2, "addPyFile", always_fail)
+    for _ in range(6):
+        sess_mod.apply_runtime_confs(always)
+    assert fails["n"] == 3, fails["n"]
 
 
 def test_table_cache_hits_single_file_parquet(spark, tmp_path, monkeypatch):
