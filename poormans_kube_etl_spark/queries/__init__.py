@@ -64,81 +64,82 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-5 rotation (VERDICT r03 #1's
-# standing rule: changed queries stay in the window; stalest rows
-# refresh first): (a) every query whose implementation or oracle
-# changed in r05; (b) the rows-only dedup trio stays in-window per the
-# r03 brief; (c) the refresh band = all 43 queries whose LATEST driver
-# row is r02 (two rounds stale — everything r01-stale was refreshed in
-# r04). Beyond this list, ``_ordered`` fills remaining sweep slots
-# stalest-first from the recorded sweep history, so the window degrades
-# gracefully if the driver checks more than len(_PRIORITY).
+# ``queries()`` iteration order. Round-5 rotation, rebuilt LATE in the
+# round after the perf work touched ~40 queries (standing rule: changed
+# queries stay in the window; stalest rows refresh first):
+# (a) VALUE-affecting changes — integer-unit money sums (value-identical
+#     by construction, but implementation AND oracle changed), the
+#     kmeans rounding-tie fix, and the minhash hash-family change
+#     (rows-only values shifted);
+# (b) PLAN-changed queries (spread_small_scan in operators/loaders) —
+#     results are partitioning-invariant and all verified locally, but
+#     their recorded rows predate the plans;
+# (c) r02-stale fill up to the window. 22 unchanged r02-stale queries
+#     (mm_*/window_*/subq_*/stats_* spine) did not fit and keep their
+#     r02 rows — they are the head of the stalest-first overflow order
+#     below and MUST lead the r6 band.
 _PRIORITY = [
-    # (a) changed in r05: centroid-norm rounding switched from banker's
-    # to half-up for SQL ROUND parity (ADVICE r4) — same values except
-    # on exact 6th-decimal ties, but the row must postdate the change
+    # (a) value-affecting
     "sim_kmeans_clusters",
-    # (a) changed in r05: money sums moved to integer-unit split sums
-    # (exact_long_sum; value-identical, 100 TB-safe, ~2x faster) — the
-    # only such query NOT already in the stale-refresh band below
-    "join_lineitem_part_supplier",
-    # (b) rows-only dedup trio (kept in-window per r03 brief)
-    "dedup_simhash_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_clusters",
-    # (c) r02-stale refresh band: relational/TPC-H spine
     "q1_pricing_summary",
     "join_revenue_by_nation",
+    "join_lineitem_part_supplier",
     "join_left_customer_order_stats",
-    "join_full_outer_nation_balance",
-    "top10_orders_by_price",
     "groupingsets_order_revenue",
-    "rollup_acctbal_by_region_nation",
-    "pivot_status_revenue_by_priority",
-    "orders_pareto_revenue_share",
-    # (c) aggregate/stats family
+    "sess_tumbling_hourly",
+    "sess_hopping_2h_1h",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    # (b) plan-changed: rows-only family
+    "dedup_simhash_pairs",
+    "dedup_embedding_lsh_pairs",
+    # (b) similarity operators
+    "sim_topk_bruteforce",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "dedup_embedding_near_pairs",
+    # (b) dedup module
+    "dedup_ngram_jaccard_pairs",
+    "dedup_winnowing_pairs",
+    # (b) text-analysis loader
+    "text_token_stats",
+    "text_term_frequencies",
+    "text_lang_stats",
+    "text_quality_scores",
+    "text_langid_heuristic",
+    "text_fingerprints",
+    "text_langid_confusion",
+    "text_rolling_fingerprints",
+    # (b) analytics loader (documents consumers)
+    "text_tfidf_top_terms",
+    "text_bigram_pmi",
+    # (b) corpus-cleanup loader
+    "clean_scrub_pii",
+    "clean_sentence_split",
+    "clean_sentence_dedup",
+    "clean_repetition_ratio",
+    "clean_quality_rules",
+    # (b) training-pipeline loader
+    "train_bpe_ish_token_counts",
+    "train_chunk_documents",
+    "train_split_by_hash",
+    "train_stratified_sample",
+    "train_deterministic_shuffle",
+    "train_decontaminate_ngram",
+    "train_pack_shards",
+    # (c) r02-stale fill
     "agg_boolean_family",
     "agg_filtered_conditional",
     "agg_histogram_quantity",
     "agg_min_by_max_by",
     "agg_mode_by_group",
     "agg_string_concat_ordered",
-    "percentile_quantity_by_flag",
-    "stats_price_quantity_corr",
-    "stats_regression_by_type",
-    # (c) scalar-function suites
+    "dq_null_and_blank_rates",
+    "events_hourly_seasonality",
     "fn_datetime_suite",
     "fn_json_construct_extract",
     "fn_null_semantics",
     "fn_string_suite",
-    "scalar_string_date_math",
-    # (c) windows
-    "window_first_last_value",
-    "window_rank_family",
-    "window_running_revenue",
-    "window_sliding_3row_avg",
-    "window_top3_orders_per_customer",
-    # (c) subqueries
-    "subq_correlated_scalar_max_item",
-    "subq_exists_high_value_customers",
-    "subq_scalar_above_avg_orders",
-    # (c) sessions/events
-    "sess_debounce_10s",
-    "sess_hopping_2h_1h",
-    "sess_tumbling_hourly",
-    "events_hourly_seasonality",
-    # (c) multimodal (static-plan members; decode/frame-hash twins were
-    # re-oracled and swept in r04)
-    "mm_binary_stats",
-    "mm_frame_sample_plan",
-    "mm_props_typed",
-    # (c) training / cleanup / data-quality
-    "train_bpe_ish_token_counts",
-    "train_split_by_hash",
-    "clean_scrub_pii",
-    "dq_null_and_blank_rates",
-    # (c) similarity centroid anchor
-    "sim_label_centroids",
 ]
 
 
@@ -205,8 +206,8 @@ _R01_GREEN = frozenset(
     }
 )
 
-# CORRECTNESS_r02 green rows (48 of 50 checked; the 2 errors are in
-# _PRIORITY slot (a) above).
+# CORRECTNESS_r02 green rows (48 of 50 checked; the 2 then-errors were
+# re-swept green in r04).
 _R02_GREEN = frozenset(
     {
         "q1_pricing_summary",
