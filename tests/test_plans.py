@@ -259,3 +259,14 @@ def test_shuffle_count_sees_every_exchange_flavor(spark):
     small = spark.range(5).toDF("id")
     joined = df.join(F.broadcast(small), "id")
     assert shuffle_count(joined) == 0  # BroadcastExchange is not a shuffle
+
+
+def test_q1_money_sums_stay_on_long_accumulators(q):
+    """r5: the integer-unit money path must actually engage — no
+    decimal(38,_) accumulation anywhere in the flagship's physical plan
+    (the 128-bit decimal Sum path measured 7x the cost of long sums),
+    and the partial sums must be shiftright/bitwise splits over longs."""
+    df = q("q1_pricing_summary")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "decimal(38" not in plan, "decimal(38) accumulation crept back into q1"
+    assert "shiftright" in plan, "split-sum high word missing from q1 aggregates"

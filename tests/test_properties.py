@@ -365,3 +365,55 @@ def test_asof_join_matches_pandas_model(spark, left, right):
         else:
             model = {int(i): None for i, _, _ in left}
         assert got == model, f"{direction}: {got} != {model}"
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e13,
+                max_value=1e13,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_exact_long_sum_model(spark, values):
+    """r5 money fast path, property form: for ANY mix of doubles and
+    NULLs the split-sum must equal (a) the decimal-sum form bit-exactly
+    and (b) an independent Python-Decimal model of 'sum of exact
+    decimal(18,2) cents, then one nearest-rounding to double'."""
+    import decimal
+
+    from poormans_kube_etl_spark.functions import (
+        exact_long_sum,
+        hash_safe,
+        money,
+        money_units,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = df.agg(
+        exact_long_sum(money_units("v"), 2).alias("fast"),
+        hash_safe(F.sum(money("v"))).alias("slow"),
+    ).collect()[0]
+    assert row["fast"] == row["slow"] or (
+        row["fast"] is None and row["slow"] is None
+    ), (row["fast"], row["slow"], values)
+    # independent model: exact decimal cents, summed exactly in Python
+    cents = [
+        decimal.Decimal(v).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+        for v in values
+        if v is not None
+    ]
+    if cents:
+        assert row["fast"] == float(sum(cents)), (row["fast"], sum(cents))
+    else:
+        assert row["fast"] is None
