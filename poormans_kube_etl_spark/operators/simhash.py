@@ -44,6 +44,7 @@ def simhash_bits_df(
     explode(tokens) → groupBy(id) with 64 partial-aggregated bit sums;
     ties (sum == 0, incl. empty docs) resolve to bit 0.
     """
+    from poormans_kube_etl_spark.operators.exprcache import cached_expr
     from poormans_kube_etl_spark.sources import spread_small_scan
 
     toks = tokens(normalize_text(F.col(text_col)))
@@ -57,14 +58,18 @@ def simhash_bits_df(
     # sign(sum(bit*2-1)) == (2*ones > n): accumulate the raw bit counts
     # plus one token count instead of 64 sign terms — drops a multiply
     # and subtract from every (token, bit) aggregate update, the hottest
-    # loop of the signature stage
-    sums = [F.sum(F.getbit(F.col("h"), F.lit(b))).alias(f"b{b}") for b in range(_BITS)]
+    # loop of the signature stage.
+    # Built as PARSED SQL strings through the session expr cache (r5):
+    # the Column-by-Column form was ~8,300 py4j round trips per build —
+    # 0.9 s of pure driver latency, half this query's bench number at
+    # sf0.1 — vs 65 cache lookups here. Semantics identical: same
+    # getbit/sum and CASE the Column chain produced.
+    sums = [cached_expr(f"sum(getbit(h, {b})) AS b{b}") for b in range(_BITS)]
     agg = ex.groupBy(id_col).agg(*sums, F.count(F.lit(1)).alias("__n"))
-    bits = F.array(
-        *[
-            F.when(F.col(f"b{b}") * 2 > F.col("__n"), F.lit(1)).otherwise(F.lit(0))
-            for b in range(_BITS)
-        ]
+    bits = cached_expr(
+        "array("
+        + ", ".join(f"case when b{b}*2 > __n then 1 else 0 end" for b in range(_BITS))
+        + ")"
     )
     return agg.select(id_col, bits.alias("bits"))
 
@@ -169,57 +174,66 @@ def simhash_near_duplicates(
             f"max_hamming={max_hamming} >= {_BITS}-bit fingerprint width — "
             "every pair matches; blocking is meaningless"
         )
+    from poormans_kube_etl_spark.operators.exprcache import cached_expr
+
     n_blocks = max(_N_BLOCKS, max_hamming + 1)
     fps = simhash_bits_df(docs, id_col, text_col).withColumnRenamed(id_col, "doc")
     # bits are packed to 4×16-bit words BEFORE the shuffle: the bucket
     # aggregation then moves 4 ints per doc instead of a 64-int array
     # (16× narrower exchange), and in-bucket Hamming is popcount(xor)
     # per word instead of a 64-element fold (measured 4.05s → sub-second
-    # pair stage at sf0.1 with 9-block banding)
+    # pair stage at sf0.1 with 9-block banding).
+    # All generated expressions below are PARSED SQL through the session
+    # expr cache (r5) — the lambda-HOF Column forms cost hundreds of
+    # py4j round trips per build; semantics are identical term-for-term.
+    def _span_sql(start: int, length: int) -> str:
+        return (
+            f"aggregate(slice(bits, {start + 1}, {length}), 0, "
+            "(acc, x) -> acc*2 + x)"
+        )
+
+    pk_sql = (
+        "array("
+        + ", ".join(_span_sql(s, l) for s, l in _block_spans(_N_BLOCKS))
+        + ")"
+    )
+    blocks_sql = (
+        "explode(array("
+        + ", ".join(
+            f"struct({i} as block_id, {_span_sql(s, l)} as block_val)"
+            for i, (s, l) in enumerate(_block_spans(n_blocks))
+        )
+        + "))"
+    )
     banded = fps.select(
         "doc",
-        _pack_words(F.col("bits")).alias("pk"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_id"),
-                        _pack_span(F.col("bits"), start, length).alias("block_val"),
-                    )
-                    for i, (start, length) in enumerate(_block_spans(n_blocks))
-                ]
-            )
-        ).alias("blk"),
+        cached_expr(pk_sql).alias("pk"),
+        cached_expr(blocks_sql).alias("blk"),
     ).select("doc", "pk", "blk.block_id", "blk.block_val")
     buckets = (
         banded.groupBy("block_id", "block_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc", "pk"))).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "ds",
-            lambda a, i: F.transform(
-                F.slice("ds", i + 2, F.size("ds")),
-                lambda b: F.struct(
-                    a.getField("doc").alias("a"),
-                    b.getField("doc").alias("b"),
-                    hamming_distance_packed(a.getField("pk"), b.getField("pk")).alias(
-                        "hamming"
-                    ),
-                ),
-            ),
-        )
+    _ham = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)), 0, "
+        "(acc, v) -> acc + cast(v as int))"
     )
-    # threshold filter INSIDE the array, before the explode: hamming is a
-    # pure function of (a, b), so filtering early changes nothing
-    # semantically but the Generate now emits only true near-dups and the
-    # distinct below shuffles matching pairs instead of every candidate
-    # pair a bucket produced
-    matching = F.filter(pair_structs, lambda p: p.getField("hamming") <= max_hamming)
+    # in-bucket pair expansion with the threshold filter INSIDE the
+    # array, before the explode: hamming is a pure function of (a, b),
+    # so filtering early changes nothing semantically but the Generate
+    # emits only true near-dups and the distinct below shuffles matching
+    # pairs instead of every candidate pair a bucket produced
+    matching_sql = (
+        "filter(flatten(transform(ds, (va, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), vb -> "
+        "struct(va.doc as a, vb.doc as b, "
+        + _ham.format(a="va.pk", b="vb.pk")
+        + f" as hamming)))), p -> p.hamming <= {max_hamming})"
+    )
     all_pairs = (
         buckets.where(F.size("ds") <= max_bucket)
-        .select(F.explode(matching).alias("p"))
+        .select(F.explode(cached_expr(matching_sql)).alias("p"))
         .select("p.a", "p.b", "p.hamming")
     )
     # The representative and the sliced remainder are materialized in
@@ -237,7 +251,7 @@ def simhash_near_duplicates(
         .select(
             F.col("r.doc").alias("a"),
             F.col("m.doc").alias("b"),
-            hamming_distance_packed(F.col("r.pk"), F.col("m.pk")).alias("hamming"),
+            cached_expr(_ham.format(a="r.pk", b="m.pk")).alias("hamming"),
         )
     )
     star_pairs = star_pairs.where(F.col("hamming") <= max_hamming)

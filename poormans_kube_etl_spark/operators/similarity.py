@@ -254,36 +254,9 @@ def _dot_cols_sql(a: str, b: str, dim: int, elem_cast: str | None = None) -> str
     return f"(0D+{terms})"
 
 
-_EXPR_CACHE: dict[str, Column] = {}
-_EXPR_CACHE_CTX = None  # STRONG reference to the owning SparkContext
-
-
-def _cached_expr(sql: str) -> Column:
-    """Parse-once cache for the wide dot/norm SQL strings, scoped to the
-    ACTIVE SparkContext (ADVICE r03): a plain ``lru_cache`` would keep
-    serving Column wrappers whose py4j expression handles die with the
-    gateway, so a session restart in a long-lived process turned every
-    later query build into an obscure Py4JError. The cache empties
-    itself whenever the active context changes; within one context a
-    single ANTLR parse still serves every build (the repeat parse was
-    measurable in min-of-2 bench loops).
-
-    The owning context is held STRONGLY and compared with ``is`` — an
-    ``id()`` key without a reference lets CPython hand a new context
-    the dead one's address, which would serve stale handles on exactly
-    the restart path this cache exists to survive (same discipline as
-    ``sources/tables._TABLE_CACHE``)."""
-    global _EXPR_CACHE_CTX
-    from pyspark import SparkContext
-
-    sc = getattr(SparkContext, "_active_spark_context", None)
-    if sc is not _EXPR_CACHE_CTX:
-        _EXPR_CACHE.clear()
-        _EXPR_CACHE_CTX = sc
-    col = _EXPR_CACHE.get(sql)
-    if col is None:
-        col = _EXPR_CACHE[sql] = F.expr(sql)
-    return col
+# moved to operators/exprcache.py in r5 (simhash needed it too);
+# the local name is kept for the existing call sites and tests
+from poormans_kube_etl_spark.operators.exprcache import cached_expr as _cached_expr
 
 
 def _dot_expr(a: str, b: str, dim: int, elem_cast: str | None = None) -> Column:

@@ -403,3 +403,21 @@ def test_run_stream_empty_marker_and_manifest_files_still_trigger(orch, tmp_path
     q.awaitTermination(180)
     m = {r.ingest: r.type for r in orch.metrics().collect()}
     assert m == {"1538055240": "bulk"}
+
+
+def test_relative_dirs_resolved_at_construction(spark, tmp_path, monkeypatch):
+    """r5 review: hadoop_fs ops resolved relative paths per-call, but
+    spark.read/readStream consumers handed raw relative paths to the
+    JVM (anchored on its LAUNCH cwd) — a relative --landing gated on
+    one directory and read payloads from another. Both dirs must be
+    absolute the moment the orchestrator is constructed."""
+    import os
+
+    (tmp_path / "land").mkdir()
+    (tmp_path / "out").mkdir()
+    monkeypatch.chdir(tmp_path)
+    orch = Orchestrator(spark, "land", "out", poll_interval_s=0.01)
+    assert os.path.isabs(orch.landing_dir), orch.landing_dir
+    assert os.path.isabs(orch.output_dir), orch.output_dir
+    assert orch.landing_dir == str(tmp_path / "land")
+    assert orch.output_dir == str(tmp_path / "out")
