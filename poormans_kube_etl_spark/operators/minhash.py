@@ -117,18 +117,22 @@ def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> Dat
     — and breaks down on giant documents; rows scale out, arrays don't.)
     Docs with zero shingles don't exist (see word_shingles).
     """
+    from poormans_kube_etl_spark.operators.exprcache import cached_expr
+
     # The shingle is hashed exactly once (h0); the k seeded minhash
     # values re-hash the 8-byte h0, not the multi-word string —
     # xxhash64(seed, long) is a fixed-width mix vs k full passes over
     # the string bytes (the signature aggregate's hottest loop, k× per
     # shingle row). xxhash64(i, h0) is still a uniform min-wise family.
     # Inputs from exploded_shingle_hashes arrive pre-fingerprinted.
+    # Parsed-SQL aggregates via the session expr cache (r5, same as
+    # simhash): the Column chain cost ~6 py4j trips per seed per build.
     if "h0" in exploded.columns:
         hashed = exploded.select(id_col, "h0")
     else:
         hashed = exploded.select(id_col, F.xxhash64("shingle").alias("h0"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), "h0")).alias(f"h{i}") for i in range(num_hashes)
+        cached_expr(f"min(xxhash64({i}, h0)) AS h{i}") for i in range(num_hashes)
     ]
     # collect_set rides the same aggregate, so downstream consumers that
     # need both the signature AND the shingle set (the exact-Jaccard
