@@ -585,43 +585,46 @@ def label_centroids(
     cell_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Element-wise mean vector per cell — the IVF coarse quantizer.
 
-    posexplode → mean by (cell, dim) → re-assemble ordered by dim: the
-    per-dimension aggregation is a narrow shuffle of (cells × dims)
-    rows, never materializing per-cell vector lists. At 100 TB the cells
-    come from a k-means fit; here the table's ``label`` column stands in
-    as the trained assignment (same plumbing, zero-training determinism).
+    ONE wide aggregate — ``dim`` per-dimension sums as parallel
+    aggregate columns over the array elements (r5; was posexplode →
+    per-(cell, dim) agg → re-assemble, which exploded N×dims rows and
+    paid TWO shuffles — measured as most of IVF's fixed cost at small
+    SF). The single groupBy(cell) shuffles (cells × dims) aggregate
+    state map-side-combined — strictly narrower than the exploded-row
+    exchange — and the centroid array assembles in the same projection.
+    At 100 TB the cells come from a k-means fit; here the table's
+    ``label`` column stands in as the trained assignment (same
+    plumbing, zero-training determinism).
 
     The mean is computed over INTEGER nano-units (r4, the
     ``sim_label_centroids`` pattern): a raw ``F.avg`` over doubles sums
     in partition order, so the centroid — and with it IVF's probe
     ranking — was reproducible only per-partitioning. Integer sums are
     order-independent, and the scaled form is exactly replicable by a
-    SQL oracle (BIGINT sum, then two IEEE divisions in a fixed order).
-    The ~1e-9 quantization is noise against centroid geometry."""
-    ex = embeddings.select(
-        cell_col, F.posexplode(to_double_vec(vec_col)).alias("dim", "x")
-    )
-    per_dim = ex.groupBy(cell_col, "dim").agg(
-        (
-            (
-                F.sum(F.round(F.col("x") * 1e9).cast("bigint")).cast("double")
-                / F.count(F.lit(1))
-            )
-            / 1e9
-        ).alias("c")
-    )
-    return (
-        per_dim.groupBy(cell_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))),
-                lambda s: s.getField("c"),
-            ).alias("centroid")
+    SQL oracle (BIGINT sum, then two IEEE divisions in a fixed order —
+    the expression chain here is value-identical to the r4 posexplode
+    form). ``dim`` defaults to the corpus width via ``resolve_dim``."""
+    from poormans_kube_etl_spark.operators.exprcache import cached_expr
+
+    dim = resolve_dim(embeddings, vec_col, dim)
+    src = embeddings.select(cell_col, to_double_vec(vec_col).alias("_v"))
+    sums = [
+        cached_expr(
+            f"sum(cast(round(_v[{j}] * 1000000000.0) as bigint)) AS s{j}"
         )
+        for j in range(dim)
+    ]
+    agg = src.groupBy(cell_col).agg(*sums, F.count(F.lit(1)).alias("_n"))
+    centroid = cached_expr(
+        "array("
+        + ", ".join(f"(cast(s{j} as double) / _n) / 1000000000.0" for j in range(dim))
+        + ")"
     )
+    return agg.select(cell_col, centroid.alias("centroid"))
 
 
 def ivf_topk(
@@ -643,9 +646,9 @@ def ivf_topk(
     the corpus instead of all of it. Recall < 1 when the true neighbor
     lives in an unprobed cell — the exact path is brute_force_topk."""
     dim = resolve_dim(embeddings, vec_col, dim)
-    embeddings = spread_small_scan(embeddings)  # feeds centroid
-    # posexplode (64x) AND the probed-cell rerank scoring
-    cents = label_centroids(embeddings, cell_col, id_col, vec_col)
+    embeddings = spread_small_scan(embeddings)  # feeds the centroid
+    # aggregate AND the probed-cell rerank scoring
+    cents = label_centroids(embeddings, cell_col, id_col, vec_col, dim)
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),
         checked_double_vec(vec_col, dim).alias("q_vec"),
