@@ -265,3 +265,21 @@ def test_short_header_sidecar_fails_with_named_mismatch(spark, tmp_path):
     open(headers, "w").write("a,b,c\n")
     with pytest.raises(ValueError, match="names 3 column\\(s\\) but the data files have 5"):
         read_csv_gz_with_header_sidecar(spark, [data], headers)
+
+
+def test_expr_cache_scoped_to_context(spark):
+    """ADVICE r03 lineage, re-pinned after the r5 extraction to
+    operators/exprcache: one parse serves repeat builds within a
+    context, and a context change empties the cache instead of serving
+    Column handles bound to a dead gateway."""
+    from poormans_kube_etl_spark.operators import exprcache as ec
+
+    a = ec.cached_expr("1 + 1")
+    b = ec.cached_expr("1 + 1")
+    assert a is b, "repeat SQL must be served from the cache"
+    # simulate a context swap: the guard compares identity, so any
+    # foreign sentinel forces the clear path on the next call
+    ec._EXPR_CACHE_CTX = object()
+    c = ec.cached_expr("1 + 1")
+    assert c is not a, "a context change must invalidate cached handles"
+    assert ec.cached_expr("1 + 1") is c, "new context re-caches"
