@@ -90,14 +90,6 @@ def _block_spans(n_blocks: int) -> list[tuple[int, int]]:
     return spans
 
 
-def _pack_span(bits: Column, start: int, length: int) -> Column:
-    """Pack bits[start:start+length] into an int (length <= 30 always
-    holds: n_blocks >= 4 → spans <= 16 bits)."""
-    return F.aggregate(
-        F.slice(bits, start + 1, length), F.lit(0), lambda acc, x: acc * 2 + x
-    )
-
-
 def _hex_from_bits(bits: Column) -> Column:
     """Display form: 16 hex chars (4 packed 16-bit blocks, MSB first)."""
     parts = [
@@ -115,22 +107,10 @@ def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
     )
 
 
-def _pack_words(bits: Column) -> Column:
-    """bits[64] → 4 packed 16-bit ints — the shuffle/compare form."""
-    return F.array(
-        *[_pack_span(bits, start, length) for start, length in _block_spans(_N_BLOCKS)]
-    )
-
-
-def hamming_distance_packed(pk_a: Column, pk_b: Column) -> Column:
-    """Hamming distance on the packed form: popcount of XOR per word.
-    16× fewer element comparisons than the bit-array fold — this is the
-    pair-expansion hot loop."""
-    return F.aggregate(
-        F.zip_with(pk_a, pk_b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, v: acc + v.cast("int"),
-    )
+# The bit-packing (_span_sql) and packed Hamming (_ham) used by
+# simhash_near_duplicates live THERE as parsed SQL strings (r5: the
+# Column-lambda twins of the same logic were deleted after the parsed
+# migration — two parallel implementations invited silent drift).
 
 
 def simhash_fingerprints(

@@ -611,7 +611,16 @@ def label_centroids(
     from poormans_kube_etl_spark.operators.exprcache import cached_expr
 
     dim = resolve_dim(embeddings, vec_col, dim)
-    src = embeddings.select(cell_col, to_double_vec(vec_col).alias("_v"))
+    # NULL vectors are EXCLUDED before aggregating (r5 review): the
+    # posexplode form emitted no rows for them, so they contributed to
+    # neither sums nor counts — without this filter count(*) still
+    # counted them and every centroid silently shrank toward zero.
+    # checked_double_vec keeps the module's loud ragged-width contract:
+    # positional _v[j] indexing would otherwise ANSI-crash on a short
+    # vector with no named diagnostic (or silently truncate long ones).
+    src = embeddings.where(F.col(vec_col).isNotNull()).select(
+        cell_col, checked_double_vec(vec_col, dim).alias("_v")
+    )
     sums = [
         cached_expr(
             f"sum(cast(round(_v[{j}] * 1000000000.0) as bigint)) AS s{j}"

@@ -76,8 +76,11 @@ _loaded = False
 #     their recorded rows predate the plans;
 # (c) r02-stale fill up to the window. 22 unchanged r02-stale queries
 #     (mm_*/window_*/subq_*/stats_* spine) did not fit and keep their
-#     r02 rows — they are the head of the stalest-first overflow order
-#     below and MUST lead the r6 band.
+#     r02 rows; in the stalest-first overflow order below, the two
+#     never-hash-checked sketches (approx_distinct_users_by_type,
+#     approx_percentile_quantity — rows-only class, latest-row 0) sort
+#     ahead of them. The r6 band should lead with those two plus the
+#     22 r02-stale names.
 _PRIORITY = [
     # (a) value-affecting
     "sim_kmeans_clusters",

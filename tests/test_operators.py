@@ -899,3 +899,29 @@ def test_exploded_shingle_hashes_matches_string_shingles(spark):
                 a.join(b, "v").where("a < b").groupBy("a", "b")
                  .agg(F.countDistinct("v").alias("n")).collect()}
     assert inters(s_str, "shingle") == inters(s_hash, "h0")
+
+
+def test_label_centroids_null_and_ragged_vectors(spark):
+    """r5 review: the wide-aggregate rewrite initially divided by
+    count(*) of ALL rows, so NULL embedding vectors silently shrank
+    every centroid toward zero (the posexplode form excluded them), and
+    ragged vectors ANSI-crashed with a bare INVALID_ARRAY_INDEX. NULLs
+    must be excluded from both sums and counts; ragged widths must fail
+    loudly with the module's named width error."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", None), ("b", [4.0, 6.0])],
+        "label string, embedding array<double>",
+    )
+    got = {r["label"]: r["centroid"] for r in label_centroids(df).collect()}
+    assert got["a"] == [1.0, 2.0], got["a"]  # NULL row contributes nothing
+    assert got["b"] == [4.0, 6.0]
+    ragged = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0])],
+        "label string, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="expected 2-dim vector"):
+        label_centroids(ragged).collect()

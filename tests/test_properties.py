@@ -405,9 +405,14 @@ def test_exact_long_sum_model(spark, values):
     assert row["fast"] == row["slow"] or (
         row["fast"] is None and row["slow"] is None
     ), (row["fast"], row["slow"], values)
-    # independent model: exact decimal cents, summed exactly in Python
+    # independent model: Spark casts double→decimal via the SHORTEST
+    # decimal repr (BigDecimal.valueOf / Double.toString), so the model
+    # must start from repr(v), not Decimal(v)'s exact binary expansion —
+    # they disagree exactly on repr-boundary values like 1.005 (repr
+    # "1.005" → 1.01 half-up, exact binary 1.00499… → 1.00). r5 review,
+    # verified against Spark 4.1.2.
     cents = [
-        decimal.Decimal(v).quantize(
+        decimal.Decimal(repr(v)).quantize(
             decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
         )
         for v in values
