@@ -206,19 +206,34 @@ def main() -> None:
         # generation alone cannot push the bench past a harness timeout
         # by more than its measured ~15 s deterministic cost, and the section
         # degrades to fewer queries rather than the bench dying
+        # min-of-2 (r5): a single cold pass measured plan construction
+        # + JIT warmup as much as the query (e.g. IVF 4.1 s cold vs
+        # 2.1 s warm); the second pass reports steady-state and the
+        # budget cap still bounds the whole section — it degrades to
+        # one pass (then fewer queries) rather than overrunning.
         sf1_timings: dict[str, float] = {}
+        sf1_passes = 0
         sf1_start = time.perf_counter() - (sf1_generated_s or 0.0)
         truncated = False
         for name in names:
             if time.perf_counter() - sf1_start > sf1_budget_s:
                 truncated = True
                 break
-            t0 = time.perf_counter()
-            _execute(qs[name](spark, sf1_dir))
-            sf1_timings[name] = round(time.perf_counter() - t0, 4)
+            best = None
+            for _pass in range(2):
+                if best is not None and (
+                    time.perf_counter() - sf1_start > sf1_budget_s
+                ):
+                    break
+                t0 = time.perf_counter()
+                _execute(qs[name](spark, sf1_dir))
+                took = time.perf_counter() - t0
+                best = took if best is None else min(best, took)
+                sf1_passes = max(sf1_passes, _pass + 1)
+            sf1_timings[name] = round(best, 4)
         sf1_section = {
             "sf": 1.0,
-            "passes": 1,
+            "passes": sf1_passes,
             "value": round(sum(sf1_timings.values()), 4),
             "queries": sf1_timings,
         }
