@@ -156,9 +156,21 @@ def get_spark(
     shrink an intentionally-high initial partition count instead.
     """
     cpus = default_parallelism()
+    # Local mode runs driver + all executor threads in ONE JVM, and
+    # Spark's default spark.driver.memory is 1g — so every parallel
+    # stage (N concurrent sort/write/agg tasks) shared ~366 MB of
+    # execution memory across 32 threads. Measured consequences: the
+    # sf1 replica generation (32 range-sorted parquet writers, each
+    # buffering a row group) OOM-killed bench.py on a fresh checkout,
+    # and passing runs spent whole seconds in GCLocker retries. Size
+    # the heap for the box (this container: 128 GiB); overridable for
+    # smaller hosts. Cluster deployments set driver/executor memory in
+    # submit config and ignore this local-mode default.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
