@@ -116,10 +116,12 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     from poormans_kube_etl_spark.operators.similarity import srp_banding
     from poormans_kube_etl_spark.queries.dedup import _with_planted_near_dups
 
-    # mirror the headline query exactly: geometry-planned banding at the
-    # near-dup design point over the planted-near-dup corpus
-    e_ppb, e_bands = srp_banding(0.9)
+    # mirror the headline query exactly: geometry- AND corpus-size-
+    # planned banding at the near-dup design point over the planted-
+    # near-dup corpus (r5: threshold-only banding let background
+    # candidates grow quadratically in N)
     aug = _with_planted_near_dups(emb)
+    e_ppb, e_bands = srp_banding(0.9, n_vectors=aug.count(), max_planes=1024)
     ecands = embedding_lsh_candidate_pairs(aug, e_bands, e_ppb, dim=64)
     t_ecand = timed(ecands)
     epairs = embedding_near_pairs_lsh(aug, threshold=0.9, dim=64)

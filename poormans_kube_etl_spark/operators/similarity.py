@@ -339,6 +339,8 @@ def srp_banding(
     bg_sim: float = 0.0,
     max_bg_rate: float = 1e-3,
     max_planes: int = 512,
+    n_vectors: int | None = None,
+    bg_per_vec: float = 2.0,
 ) -> tuple[int, int]:
     """Plan (planes_per_band, bands) for banded SRP-LSH from the
     collision geometry instead of folklore constants.
@@ -363,14 +365,38 @@ def srp_banding(
     banding benchmarked "fast" only because a lambda-capture bug made
     every hyperplane identical — with real planes it admitted ~3% of
     ALL pairs as candidates (quadratic verify: 52 s at sf1 vs 3 s at
-    sf0.1 for 10x the data). Deriving the banding from the geometry is
-    what makes the candidate volume an engineering choice instead of an
+    sf0.1 for 10x the data).
+
+    ``n_vectors`` makes the plan CORPUS-SIZE-AWARE (r5, found by an
+    sf10 measurement): ``max_bg_rate`` alone bounds the background
+    collision probability PER PAIR, and pairs grow as N² — the same
+    (16, 27) plan that yields ~8e4 background candidates at 20k
+    vectors yields ~8e6 at 200k (measured 128 s, 27× the sf1 time for
+    10× the data) and ~2e14 at a billion. With ``n_vectors`` the cap
+    becomes ``bg_per_vec / (n_vectors - 1)`` — expected background
+    candidates per VECTOR stay ≤ ``bg_per_vec``, so candidate volume
+    (and the verify join behind it) scales linearly in N by
+    construction. Planes per band therefore grow ~log2(N); this is
+    SRP's structural tax (its per-plane background agreement is 1/2,
+    where MinHash's per-hash background collision is the near-zero
+    background Jaccard), and it is why the recall a capped plane
+    budget can afford SHRINKS as N grows. Pairs near the threshold
+    lose recall first; far-above-threshold near-dups (0.97+) keep
+    per-band match rates high enough to survive (pinned by the
+    planted-dup recall test). When the capped recall is not enough at
+    billion scale, raise ``max_planes`` (GEMM width and bucket rows
+    both scale linearly with it) or use the IVF path.
+
+    Deriving the banding from the geometry AND the corpus size is what
+    makes the candidate volume an engineering choice instead of an
     accident."""
     import math
 
+    if n_vectors is not None and n_vectors > 1:
+        max_bg_rate = min(max_bg_rate, bg_per_vec / (n_vectors - 1))
     p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     p2 = 1.0 - math.acos(max(-1.0, min(1.0, bg_sim))) / math.pi
-    for r in range(4, 33):
+    for r in range(4, 65):
         pb1, pb2 = p1**r, p2**r
         bands = (
             1
@@ -382,7 +408,11 @@ def srp_banding(
         bg_rate = 1.0 - (1.0 - pb2) ** bands
         if bg_rate <= max_bg_rate:
             return r, bands
-    return 32, max(1, max_planes // 32)
+    # No r in range satisfied the bg cap under the plane budget (huge
+    # N with a small budget): take the widest band the budget allows —
+    # max precision available; recall is whatever it affords.
+    r = max(4, min(64, max_planes))
+    return r, max(1, max_planes // r)
 
 
 def embedding_lsh_candidate_pairs(
@@ -530,10 +560,21 @@ def embedding_near_pairs_lsh(
             "is planned jointly from the threshold (srp_banding)"
         )
     if bands is None:
-        # banding derived from the threshold's collision geometry
-        # (see srp_banding) — fixed constants either flood the verify
-        # join with background collisions or silently give up recall
-        planes_per_band, bands = srp_banding(threshold)
+        # banding derived from the threshold's collision geometry AND
+        # the corpus size (see srp_banding) — fixed constants either
+        # flood the verify join with background collisions (threshold-
+        # only planning left their count growing as N²; measured 27×
+        # runtime for 10× vectors at sf10) or silently give up recall.
+        # The count() is this index's one plan-time action — the
+        # standard ANN build cost, a metadata-cheap job (parquet
+        # footer counts where the input is a bare scan), paid once per
+        # build, never per row. max_planes=1024 here: the auto path is
+        # the scale path, and a 1024-wide GEMM is still one cheap
+        # numpy call per Arrow batch while buying back the recall the
+        # size-aware bg cap costs at large N.
+        planes_per_band, bands = srp_banding(
+            threshold, n_vectors=embeddings.count(), max_planes=1024
+        )
     cands = embedding_lsh_candidate_pairs(
         embeddings, bands, planes_per_band, id_col, vec_col, dim, max_bucket
     )

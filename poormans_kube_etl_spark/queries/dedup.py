@@ -278,9 +278,12 @@ def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:
 @register("dedup_embedding_lsh_pairs")  # rows-only: SRP-LSH is approximate by design
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via banded sign-random-projection LSH at
-    its DESIGN point: threshold 0.9 with geometry-planned banding
-    (srp_banding -> 16-bit bands sized for 90% recall and <=1e-3
-    background collisions), over the corpus plus a deterministic
+    its DESIGN point: threshold 0.9 with geometry- and corpus-size-
+    planned banding (srp_banding: bands sized for recall at the
+    threshold, planes per band sized so expected background candidates
+    stay ~2 per VECTOR at the measured corpus size — a rate-only cap
+    let candidates grow quadratically in N), over the corpus plus a
+    deterministic
     planted-near-dup slice (the raw corpus has no pairs above ~0.46;
     running LSH down there either floods the verify join with
     background candidates — the r03 config admitted ~3% of ALL pairs,

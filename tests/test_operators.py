@@ -802,6 +802,39 @@ def test_srp_banding_planner_properties():
     assert 1 - (1 - p1) ** b >= 0.9
 
 
+def test_srp_banding_is_corpus_size_aware():
+    """The r5 scale fix: with ``n_vectors``, expected BACKGROUND
+    candidates per vector must stay bounded (~bg_per_vec) at every
+    corpus size — the rate-only plan held the per-PAIR rate constant,
+    so candidates grew as N² (measured: 8e6 background pairs and 27×
+    the sf1 runtime at 200k vectors). Planes per band must grow with
+    log2(N); small corpora must keep the legacy plan unchanged."""
+    import math
+
+    from poormans_kube_etl_spark.operators.similarity import srp_banding
+
+    def bg_per_vec(r, b, n):
+        return (1 - (1 - 0.5**r) ** b) * (n - 1)
+
+    prev_r = 0
+    for n in (2_050, 20_500, 200_050, 2_000_000, 1_000_000_000):
+        r, b = srp_banding(0.9, n_vectors=n, max_planes=1024)
+        assert r * b <= 1024, f"plane budget blown at N={n}: {r}x{b}"
+        # slack 1.5x: the planner quantizes r to integers
+        assert bg_per_vec(r, b, n) <= 2.0 * 1.5, f"bg/vec blown at N={n}"
+        assert r >= prev_r, f"planes-per-band must not shrink as N grows"
+        prev_r = r
+        # far-above-threshold near-dups survive even the capped plans:
+        # the planted-dup regime (cos ~0.999) keeps per-band match
+        # rates high where threshold-level recall degrades
+        p_dup = (1 - math.acos(0.999) / math.pi) ** r
+        assert 1 - (1 - p_dup) ** b >= 0.99, f"planted recall lost at N={n}"
+    # a corpus small enough that the per-vector cap is looser than the
+    # default rate cap plans EXACTLY like the legacy call — the
+    # correctness sweep's sf0.01/sf0.1 pair sets must not move
+    assert srp_banding(0.9, n_vectors=2_050, max_planes=1024) == srp_banding(0.9)
+
+
 def test_embedding_lsh_recall_on_planted_near_dups(spark):
     """The property the whole LSH dedup path exists for: on a corpus
     with PLANTED near-duplicates (cos >= ~0.95) over a random
