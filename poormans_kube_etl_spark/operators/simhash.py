@@ -113,6 +113,75 @@ def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
 # migration — two parallel implementations invited silent drift).
 
 
+def plan_blocking(
+    n_docs: int,
+    max_hamming: int,
+    total_bits: int = _BITS,
+    budget_per_doc: float = 2.0,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(m, t) combinatorial blocking plan: split the fingerprint into
+    ``m`` near-even spans and key candidates on every ``t``-subset of
+    them (C(m, t) tables). Pigeonhole guarantee: a pair within Hamming
+    ``h`` mismatches at most h spans, so it MATCHES ≥ m−h — with
+    t ≤ m−h at least one chosen t-subset lies entirely inside the
+    matching spans, so every true pair shares ≥ 1 bucket for ANY valid
+    (m, t). The output pair set is therefore blocking-invariant;
+    (m, t) only moves cost.
+
+    Why corpus-size-aware (r5, the same lesson as srp_banding): the
+    legacy single-span scheme (m = h+1, t = 1) keys on ~16 bits, and
+    background collisions per doc grow as N·2^-key_bits — measured
+    47/doc at 5k docs and 81/doc at 500k (40.5M candidate pairs, with
+    975-doc hot buckets tripping the star guard). This is the
+    multi-index idea from Manku et al.'s simhash paper (WWW'07): more
+    tables buy WIDER keys, and key width is the only lever against
+    N-linear per-doc collision growth. The planner picks the cheapest
+    table count whose UNIFORM-model background rate
+    (C(m,t) · N · 2^-key_bits) fits ``budget_per_doc``; real
+    fingerprints cluster (common tokens correlate sign bits), so the
+    uniform model undercounts by a data-dependent constant — the
+    budget buys the growth LAW, not an exact count. Small corpora keep
+    the legacy plan (the h=3 bound holds to ~32k docs), so driver-SF
+    outputs and plans are unchanged.
+
+    Key width uses the t NARROWEST spans (worst case over combos);
+    t·ceil(64/m) stays ≤ 63 for every plan this emits, so a combo key
+    packs into one bigint. When even the widest affordable key cannot
+    meet the budget (colossal N under a small ``max_tables``), the
+    plan with the lowest background rate wins — honest degradation,
+    like srp_banding under its plane cap."""
+    import math
+
+    h = max_hamming
+    legacy = (max(_N_BLOCKS, h + 1), 1)
+    if n_docs <= 1:
+        return legacy
+    best = None  # (tables, m, t); fallback: lowest bg under the caps
+    best_bg = None
+    for m in range(max(4, h + 1), 17):
+        widths = sorted(l for _, l in _block_spans(m))
+        for t in range(1, m - h + 1):
+            tables = math.comb(m, t)
+            if tables > max_tables:
+                continue
+            if sum(widths[-t:]) > 63:
+                # the widest combo key must pack into one SIGNED bigint;
+                # a 64-bit key (e.g. t == m == 4) overflows under ANSI
+                continue
+            key_bits = sum(widths[:t])
+            bg = tables * (n_docs - 1) * 2.0 ** (-key_bits)
+            if best_bg is None or bg < best_bg[0]:
+                best_bg = (bg, tables, m, t)
+            if bg <= budget_per_doc and (best is None or (tables, m) < best[:2]):
+                best = (tables, m, t)
+    if best is not None:
+        return best[1], best[2]
+    if best_bg is not None:
+        return best_bg[2], best_bg[3]
+    return legacy  # h + 1 > 16: only the legacy split covers the radius
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -131,32 +200,54 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 256,
+    blocking: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a, b, hamming) with Hamming distance <= max_hamming.
 
-    Blocking: ``n_blocks = max(4, max_hamming + 1)`` near-even bit spans —
-    by pigeonhole, any pair within Hamming distance ``max_hamming``
-    agrees on at least one span (block count is DERIVED from the radius,
-    so the guarantee always covers the request — a fixed 4-block scheme
-    silently lost pairs for max_hamming >= 4). Candidates come only from
-    equal blocks (n_blocks bucket rows per doc). Pairs are expanded
-    inside each bucket after a single groupBy — one narrow shuffle, no
+    Blocking: ``plan_blocking`` picks an (m, t) combinatorial scheme
+    from the radius AND the corpus size — near-even spans, candidates
+    keyed on every t-subset of them. By pigeonhole any pair within the
+    radius agrees on ≥ m−h spans, which (t ≤ m−h) contain at least one
+    chosen t-subset in full — every true pair shares a bucket, so the
+    OUTPUT pair set is identical for every valid plan; corpus size
+    only moves the cost curve (key width grows with log2(N), keeping
+    background candidates per doc bounded instead of N-linear — the
+    r5 sf10 measurement showed the fixed 16-bit single-span keys at
+    40.5M candidate pairs for 500k docs). ``blocking`` forces a plan
+    (tests pin the invariance with it). One plan-time ``count()`` on
+    the input sizes the plan — the same index-build cost as the
+    embedding-LSH path. Candidates are expanded inside each (table,
+    key) bucket after a single groupBy — one narrow shuffle, no
     self-join that would recompute the fingerprint subtree on both
-    sides; linear in corpus size.
+    sides; linear in corpus size at any fixed plan.
 
     Hot-bucket guard (VERDICT r01 #5): buckets larger than ``max_bucket``
     switch from O(n²) all-pairs to O(n) star linking against the bucket's
     smallest doc id (see minhash.lsh_candidate_pairs — same trade-off,
     and here each collected element also carries a 64-int bit vector, so
-    unguarded buckets blow up even faster)."""
+    unguarded buckets blow up even faster). Wider keys shrink hot
+    buckets too: the sf10 975-doc bucket under 16-bit keys is ~1 doc
+    expected under the 25-bit (5, 2) plan."""
     if max_hamming >= _BITS:
         raise ValueError(
             f"max_hamming={max_hamming} >= {_BITS}-bit fingerprint width — "
             "every pair matches; blocking is meaningless"
         )
+    from itertools import combinations
+
     from poormans_kube_etl_spark.operators.exprcache import cached_expr
 
-    n_blocks = max(_N_BLOCKS, max_hamming + 1)
+    if blocking is None:
+        m, t = plan_blocking(docs.count(), max_hamming)
+    else:
+        m, t = blocking
+        if t > m - max_hamming:
+            raise ValueError(
+                f"blocking={blocking}: t must be <= m - max_hamming "
+                f"({m - max_hamming}) or pairs at the radius are lost"
+            )
+    spans = _block_spans(m)
+    combos = list(combinations(range(m), t))
     fps = simhash_bits_df(docs, id_col, text_col).withColumnRenamed(id_col, "doc")
     # bits are packed to 4×16-bit words BEFORE the shuffle: the bucket
     # aggregation then moves 4 ints per doc instead of a 64-int array
@@ -177,19 +268,35 @@ def simhash_near_duplicates(
         + ", ".join(_span_sql(s, l) for s, l in _block_spans(_N_BLOCKS))
         + ")"
     )
+    # span values materialize ONCE per doc (array sv); each combo key
+    # then shift-packs its t spans from sv into one bigint — without
+    # the sv projection every span aggregate would re-inline once per
+    # combo that references it (t·C(m,t)/m times instead of once)
+    sv_sql = "array(" + ", ".join(_span_sql(s, l) for s, l in spans) + ")"
+
+    def _key_sql(combo: tuple[int, ...]) -> str:
+        expr = f"cast(sv[{combo[0]}] as bigint)"
+        for idx in combo[1:]:
+            expr = f"({expr} * {1 << spans[idx][1]} + sv[{idx}])"
+        return expr
+
     blocks_sql = (
         "explode(array("
         + ", ".join(
-            f"struct({i} as block_id, {_span_sql(s, l)} as block_val)"
-            for i, (s, l) in enumerate(_block_spans(n_blocks))
+            f"struct({cid} as block_id, {_key_sql(c)} as block_val)"
+            for cid, c in enumerate(combos)
         )
         + "))"
     )
-    banded = fps.select(
-        "doc",
-        cached_expr(pk_sql).alias("pk"),
-        cached_expr(blocks_sql).alias("blk"),
-    ).select("doc", "pk", "blk.block_id", "blk.block_val")
+    banded = (
+        fps.select(
+            "doc",
+            cached_expr(pk_sql).alias("pk"),
+            cached_expr(sv_sql).alias("sv"),
+        )
+        .select("doc", "pk", cached_expr(blocks_sql).alias("blk"))
+        .select("doc", "pk", "blk.block_id", "blk.block_val")
+    )
     buckets = (
         banded.groupBy("block_id", "block_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc", "pk"))).alias("ds"))

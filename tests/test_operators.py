@@ -165,6 +165,71 @@ def test_simhash_blocking_covers_requested_radius(spark):
         assert [(p.a, p.b, p.hamming) for p in pairs] == [(1, 2, d)]
 
 
+def test_simhash_blocking_planner_properties():
+    """The r5 scale fix, simhash edition: background candidates per doc
+    must stay bounded as N grows (the legacy 16-bit single-span keys
+    measured 81 candidates/doc and 40.5M pairs at 500k docs), key
+    width must grow with log2(N), every plan must keep the pigeonhole
+    guarantee (t <= m - h), combo keys must pack into one bigint, and
+    small corpora must keep the legacy plan so driver-SF behavior is
+    unchanged."""
+    import math
+
+    from poormans_kube_etl_spark.operators.simhash import _block_spans, plan_blocking
+
+    prev_bits = 0
+    for n in (5_000, 50_000, 500_000, 5_000_000, 100_000_000, 10_000_000_000):
+        m, t = plan_blocking(n, 3)
+        assert t <= m - 3, f"guarantee broken at N={n}: ({m}, {t})"
+        widths = sorted(length for _, length in _block_spans(m))
+        key_bits = sum(widths[:t])
+        max_key_bits = sum(sorted((length for _, length in _block_spans(m)))[-t:])
+        assert max_key_bits <= 63, f"key overflows a bigint at N={n}"
+        tables = math.comb(m, t)
+        assert tables <= 64, f"table budget blown at N={n}: {tables}"
+        # uniform-model background candidates per doc stay bounded
+        assert tables * (n - 1) * 2.0 ** (-key_bits) <= 2.0, f"bg/doc at N={n}"
+        assert key_bits >= prev_bits, "key width must not shrink as N grows"
+        prev_bits = key_bits
+    # small corpora: exactly the legacy radius-derived plan
+    assert plan_blocking(5_000, 3) == (4, 1)
+    # wider radii still cover the radius (t <= m - h) at any size
+    m5, t5 = plan_blocking(500, 5)
+    assert t5 <= m5 - 5
+
+
+def test_simhash_pairs_invariant_to_blocking(spark):
+    """The pigeonhole guarantee makes the OUTPUT blocking-invariant:
+    every valid (m, t) must yield the identical pair set — blocking
+    moves cost, never results. Pinned across the legacy plan, two
+    combinatorial plans, and the auto (size-planned) path; an invalid
+    plan (t > m - h) must be rejected loudly."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.simhash import simhash_near_duplicates
+
+    base = " ".join(f"tok{k}" for k in range(60))
+    rows = [(i, f"{base} filler{i} noise{i * 7} pad{i * 13}") for i in range(40)]
+    # planted dups: identical copies (hamming 0 guaranteed) and a
+    # one-token append over a 60-token base (small hamming, usually <= 3)
+    rows += [(100 + j, base) for j in range(3)]
+    rows += [(200 + j, base + f" tweak{j}") for j in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pair_set(**kw):
+        return {
+            (r.a, r.b, r.hamming)
+            for r in simhash_near_duplicates(docs, max_hamming=3, **kw).collect()
+        }
+
+    auto = pair_set()
+    assert auto, "corpus must produce at least one near-dup pair"
+    for plan in ((4, 1), (5, 2), (6, 3)):
+        assert pair_set(blocking=plan) == auto, f"pairs moved under {plan}"
+    with pytest.raises(ValueError, match="blocking"):
+        simhash_near_duplicates(docs, max_hamming=3, blocking=(4, 2))
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     from poormans_kube_etl_spark.operators.simhash import (
         simhash_fingerprints,
