@@ -95,12 +95,16 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         "verify_delta": round(t_ver - t_cand, 4),
     }
 
-    fps = simhash_bits_df(docs)
+    # token_hash="md5" matches the HEADLINE query's config (r5: the
+    # registered query moved to the cross-engine md5 bits so its oracle
+    # can recompute the pipeline; stage attribution must price the same
+    # digest)
+    fps = simhash_bits_df(docs, token_hash="md5")
     t_fp = timed(fps)
     # max_hamming=3 matches the HEADLINE query's config (r02 split used
     # radius 8 — a different blocking scheme whose pair-stage cost does
     # not attribute the headline number)
-    pairs = simhash_near_duplicates(docs, max_hamming=3)
+    pairs = simhash_near_duplicates(docs, max_hamming=3, token_hash="md5")
     t_pairs = timed(pairs)
     out["dedup_simhash_pairs"] = {
         "fingerprints": round(t_fp, 4),

@@ -1,9 +1,10 @@
 """SimHash (64-bit) near-duplicate fingerprints — pure DataFrame ops.
 
-Classic Charikar construction: hash each token to 64 bits (xxhash64);
-for each bit position accumulate +1/-1 across tokens; the sign vector
-is the fingerprint. Near-dups are pairs within a small Hamming
-distance.
+Classic Charikar construction: hash each token to 64 bits (xxhash64,
+or two md5 halves when a second engine must recompute the result —
+see ``simhash_bits_df``); for each bit position accumulate +1/-1
+across tokens; the sign vector is the fingerprint. Near-dups are pairs
+within a small Hamming distance.
 
 Shape: tokens are EXPLODED to rows and the 64 per-bit sums are a single
 hash-aggregate (64 ``sum`` columns) — each token is hashed once inside
@@ -20,8 +21,9 @@ literal shift counts, and packing bit 63 would overflow a long under
 ANSI mode. Blocks for the pigeonhole candidate step are packed 16 bits
 at a time (acc*2+bit, max 65535 — safe), which is all the pairing needs.
 
-Deterministic across runs (fixed xxhash64), as the driver's repeated
-rows-only checks require.
+Deterministic across runs under either hash family (fixed xxhash64 /
+md5 — no seeds, no RNG), and with ``token_hash="md5"`` independently
+recomputable by DuckDB for full value-hash oracle checks.
 """
 
 from __future__ import annotations
@@ -37,12 +39,30 @@ _N_BLOCKS = _BITS // _BLOCK_BITS
 
 
 def simhash_bits_df(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """DataFrame[id, bits: array<int>] — one 64-bit sign vector per doc.
 
     explode(tokens) → groupBy(id) with 64 partial-aggregated bit sums;
     ties (sum == 0, incl. empty docs) resolve to bit 0.
+
+    ``token_hash`` picks the per-token 64-bit source:
+
+    - ``"xxhash64"`` (default): Spark's native seed-0 xxhash64 — the
+      fastest JVM path, but no second engine implements it, so results
+      are only rerun-checkable.
+    - ``"md5"``: two 60-bit halves of the md5 hex digest
+      (``conv(substring(md5(tok), 1|16, 15), 16, 10)``), bit b drawn
+      from half b//60. md5 exists verbatim in DuckDB, which makes the
+      WHOLE simhash pipeline independently recomputable by a second
+      engine — the same cross-engine discipline as
+      ``text.token_hash`` (rolling fingerprints). ~Same plan shape:
+      one digest per token materialized in its own projection, 64
+      getbit sums; md5 costs ~2-3× xxhash64 per token, which the
+      signature stage absorbs (bit-sum aggregation dominates).
     """
     from poormans_kube_etl_spark.operators.exprcache import cached_expr
     from poormans_kube_etl_spark.sources import spread_small_scan
@@ -52,9 +72,33 @@ def simhash_bits_df(
     # reference h — materializing it guarantees one string hash per
     # token instead of relying on CSE inside the aggregate
     docs = spread_small_scan(docs)  # token explode + 64 bit-sums per row
-    ex = docs.select(id_col, F.explode(toks).alias("tok")).select(
-        id_col, F.xxhash64("tok").alias("h")
-    )
+    ex = docs.select(id_col, F.explode(toks).alias("tok"))
+    if token_hash == "xxhash64":
+        ex = ex.select(id_col, F.xxhash64("tok").alias("h"))
+
+        def _bit(b: int) -> str:
+            return f"getbit(h, {b})"
+
+    elif token_hash == "md5":
+        # 15 hex chars = 60 bits < 2^63: conv's unsigned decimal string
+        # casts to bigint without ANSI overflow; a full-16-char slice
+        # would not (values >= 2^63). Bits 60-63 come from the second
+        # independent half, so all 64 bit decisions stay hash-driven.
+        ex = ex.select(
+            id_col,
+            cached_expr(
+                "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+            ).alias("h1"),
+            cached_expr(
+                "cast(conv(substring(md5(tok), 16, 15), 16, 10) as bigint)"
+            ).alias("h2"),
+        )
+
+        def _bit(b: int) -> str:
+            return f"getbit(h1, {b})" if b < 60 else f"getbit(h2, {b - 60})"
+
+    else:
+        raise ValueError(f"token_hash={token_hash!r}: expected 'xxhash64' or 'md5'")
     # sign(sum(bit*2-1)) == (2*ones > n): accumulate the raw bit counts
     # plus one token count instead of 64 sign terms — drops a multiply
     # and subtract from every (token, bit) aggregate update, the hottest
@@ -64,7 +108,7 @@ def simhash_bits_df(
     # 0.9 s of pure driver latency, half this query's bench number at
     # sf0.1 — vs 65 cache lookups here. Semantics identical: same
     # getbit/sum and CASE the Column chain produced.
-    sums = [cached_expr(f"sum(getbit(h, {b})) AS b{b}") for b in range(_BITS)]
+    sums = [cached_expr(f"sum({_bit(b)}) AS b{b}") for b in range(_BITS)]
     agg = ex.groupBy(id_col).agg(*sums, F.count(F.lit(1)).alias("__n"))
     bits = cached_expr(
         "array("
@@ -183,10 +227,13 @@ def plan_blocking(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """DataFrame[id, simhash_bits: array<int>, simhash: hex string]."""
-    fps = simhash_bits_df(docs, id_col, text_col)
+    fps = simhash_bits_df(docs, id_col, text_col, token_hash=token_hash)
     return fps.select(
         id_col,
         F.col("bits").alias("simhash_bits"),
@@ -201,6 +248,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     max_bucket: int = 256,
     blocking: tuple[int, int] | None = None,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs (a, b, hamming) with Hamming distance <= max_hamming.
 
@@ -248,7 +296,9 @@ def simhash_near_duplicates(
             )
     spans = _block_spans(m)
     combos = list(combinations(range(m), t))
-    fps = simhash_bits_df(docs, id_col, text_col).withColumnRenamed(id_col, "doc")
+    fps = simhash_bits_df(docs, id_col, text_col, token_hash=token_hash).withColumnRenamed(
+        id_col, "doc"
+    )
     # bits are packed to 4×16-bit words BEFORE the shuffle: the bucket
     # aggregation then moves 4 ints per doc instead of a 64-int array
     # (16× narrower exchange), and in-bucket Hamming is popcount(xor)

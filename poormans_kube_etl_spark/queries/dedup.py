@@ -1,8 +1,10 @@
 """Deduplication queries over ``documents``/``embeddings`` (SURVEY.md §2b).
 
-Exact dedup and n-gram Jaccard are oracle-checked. MinHash-LSH and
-SimHash use Spark-only 64-bit hashing (xxhash64) with no DuckDB
-equivalent → rows-only checks, but both are fully deterministic.
+Exact dedup, n-gram Jaccard, and SimHash are oracle-checked (SimHash
+since r5: md5-derived token bits + pigeonhole-complete blocking make
+the blocked output equal the SQL all-pairs result). MinHash-LSH keeps
+Spark-only xxhash64 — its banded candidate set is probabilistic, so no
+SQL oracle can reproduce it → rows-only, but fully deterministic.
 
 Scale design lives in operators/{minhash,simhash}.py: banding/blocking
 keeps candidate generation linear in corpus size; the exact verify
@@ -185,18 +187,73 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("doc")
 
 
-@register("dedup_simhash_pairs")  # rows-only: xxhash64 has no DuckDB twin
+def _simhash_oracle_sql(max_hamming: int) -> str:
+    """Full-pipeline DuckDB twin of ``simhash_near_duplicates(token_hash=
+    "md5")``: recompute every fingerprint from scratch (same md5-derived
+    token bits, same 2·ones>n majority rule) and take ALL-PAIRS Hamming
+    <= radius. Exactness of the comparison rests on the pigeonhole
+    guarantee: the Spark side's multi-index blocking provably emits the
+    SAME pair set as all-pairs (blocking-invariance is test-pinned by
+    tests/test_operators.py::test_simhash_pairs_invariant_to_blocking
+    and the radius-coverage pigeonhole test above it), so the oracle
+    need not model the blocking at
+    all — N² only on the oracle side, at oracle SFs."""
+    # bit b of a token = bit b%60 of the b//60-th 60-bit md5 half —
+    # mirrors operators/simhash.simhash_bits_df exactly
+    def bit(b: int) -> str:
+        half, sh = ("h1", b) if b < 60 else ("h2", b - 60)
+        return f"SUM(({half} >> {sh}) & 1)"
+
+    sums = ", ".join(f"{bit(b)} AS b{b}" for b in range(64))
+    # majority bits packed 60+4 into two bigints so pair Hamming is two
+    # bit_count(xor(...)) calls instead of a 64-term sum per pair
+    f1 = " + ".join(
+        f"((CASE WHEN 2*b{b} > n THEN 1 ELSE 0 END)::BIGINT << {b})" for b in range(60)
+    )
+    f2 = " + ".join(
+        f"((CASE WHEN 2*b{b} > n THEN 1 ELSE 0 END)::BIGINT << {b - 60})"
+        for b in range(60, 64)
+    )
+    ham = "bit_count(xor(a.f1, b.f1)) + bit_count(xor(a.f2, b.f2))"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(tok), 16, 15))::BIGINT AS h2
+      FROM tok
+    ),
+    s AS (SELECT doc_id, COUNT(*) AS n, {sums} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {f1} AS f1, {f2} AS f2 FROM s)
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST({ham} AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
+    ORDER BY a, b
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_oracle_sql(3))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the FULL corpus: 64-bit fingerprints,
-    16-bit-block pigeonhole candidates, Hamming <= 3 — the published
-    standard radius for 64-bit SimHash web dedup (Manku et al., WWW'07):
-    4×16-bit blocking gives 2^-16 per-block selectivity, so buckets stay
-    tiny. Wider radii derive more blocks (simhash_near_duplicates), but
+    pigeonhole multi-index candidates, Hamming <= 3 — the published
+    standard radius for 64-bit SimHash web dedup (Manku et al., WWW'07).
+    Wider radii derive more blocks (simhash_near_duplicates), but
     at radius 8 the 7-bit blocks only filter 1/128 — candidate volume
-    approaches N²/128, which is the wrong tool past radius ~4."""
+    approaches N²/128, which is the wrong tool past radius ~4.
+
+    Hash-checked since r5: ``token_hash="md5"`` draws token bits from
+    the md5 digest both engines share, and blocking-invariance
+    (pigeonhole completeness) makes the blocked output equal all-pairs
+    — so the DuckDB oracle recomputes the entire pipeline exactly,
+    upgrading this family from rows-only to full value-hash parity.
+    The xxhash64 default remains for throughput-first callers."""
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).orderBy("a", "b")
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=3, token_hash="md5"
+    ).orderBy("a", "b")
 
 
 @register(
