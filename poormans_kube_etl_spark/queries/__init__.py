@@ -69,8 +69,10 @@ _loaded = False
 # queries stay in the window; stalest rows refresh first):
 # (a) VALUE-affecting changes — integer-unit money sums (value-identical
 #     by construction, but implementation AND oracle changed), the
-#     kmeans rounding-tie fix, and the minhash hash-family change
-#     (rows-only values shifted);
+#     kmeans rounding-tie fix, the minhash hash-family change
+#     (rows-only values shifted), and the simhash md5 token-bit change
+#     (values shifted AND the query gained a full oracle — first
+#     hash-checkable driver row);
 # (b) PLAN-changed queries (spread_small_scan in operators/loaders) —
 #     results are partitioning-invariant and all verified locally, but
 #     their recorded rows predate the plans;
