@@ -230,6 +230,47 @@ def test_simhash_pairs_invariant_to_blocking(spark):
         simhash_near_duplicates(docs, max_hamming=3, blocking=(4, 2))
 
 
+def test_simhash_md5_bits_match_reference_digest(spark):
+    """The token_hash="md5" variant's bit derivation is a cross-engine
+    CONTRACT (the DuckDB oracle re-derives it): bit b of a token must be
+    bit b%60 of the (b//60)-th 60-bit half of the md5 hex digest. Pin it
+    against hashlib directly, independent of either SQL engine, so a
+    slice/endianness regression on the Spark side fails here and not
+    only in the full oracle sweep."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.simhash import simhash_bits_df
+
+    toks = ["alpha", "beta", "", "x", "longer-token-string-42"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, text string"
+    )
+    # a one-token doc's majority vote IS that token's bit vector
+    got = {
+        r.doc_id: r.bits
+        for r in simhash_bits_df(docs, token_hash="md5").collect()
+    }
+    for i, t in enumerate(toks):
+        hexd = hashlib.md5(t.encode()).hexdigest()
+        h1, h2 = int(hexd[0:15], 16), int(hexd[15:30], 16)
+        want = [(h1 >> b) & 1 for b in range(60)] + [(h2 >> b) & 1 for b in range(4)]
+        assert got[i] == want, f"bit derivation drifted for token {t!r}"
+    # and the xxhash64 default still matches Spark's own digest
+    xx = {
+        r.doc_id: r.bits for r in simhash_bits_df(docs).collect()
+    }
+    ref = {
+        r.doc_id: [(r.h >> b) & 1 for b in range(64)]
+        for r in docs.select("doc_id", F.xxhash64(F.col("text")).alias("h")).collect()
+    }
+    # python ints are arbitrary-precision two's-complement on >>, which
+    # matches Spark's signed-long getbit for b < 64
+    for i in range(len(toks)):
+        assert xx[i] == ref[i]
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     from poormans_kube_etl_spark.operators.simhash import (
         simhash_fingerprints,
