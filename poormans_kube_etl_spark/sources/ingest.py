@@ -11,6 +11,9 @@ Maps SURVEY.md §2a sources onto Spark readers:
 - S5/D6 CSVs      → ``read_csv_gz_with_header_sidecar`` (gzipped entity
   CSVs whose column names ship in a separate ``*_headers.csv.gz``,
   reference src/__mocks__/s3-client.js:42-55)
+- JSONL corpora   → ``read_jsonl`` + ``split_quarantine`` (extension
+  surface: schema-contract reader with corrupt-line quarantine for
+  raw training-data interchange files)
 """
 
 from __future__ import annotations
@@ -110,6 +113,89 @@ def read_binary_with_sha(
             F.regexp_extract("path", rel_pattern, 1).alias("file_name"),
             F.lower(F.sha2("content", 256)).alias("actual_sha256"),
         )
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines reader with an EXPLICIT schema contract (extension
+    surface beside the reference's CSV.gz + manifest sources: JSONL is
+    the raw interchange format of large text/training-data corpora).
+
+    - ``schema`` is REQUIRED (DDL string or StructType), never inferred:
+      at 100 TB inference costs a full extra pass over the data and can
+      silently drift run-to-run (it samples whichever files it reads
+      first) — the caller states the contract, the scan reads exactly
+      the stated columns (unreferenced JSON keys are never parsed).
+    - ``mode="PERMISSIVE"`` (default) lands each malformed line intact
+      in ``corrupt_col`` with every data column null — split it out
+      with ``split_quarantine`` below. ``FAILFAST`` raises on the first
+      bad line (ingest gates), ``DROPMALFORMED`` discards silently
+      (only for corpora where loss is acceptable and counted).
+
+    Parsing is ``text`` scan + ``from_json``, NOT ``spark.read.json``:
+    the built-in JSON source forbids any plan whose referenced columns
+    reduce to the corrupt column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    — so ``quarantine.count()`` or writing just the bad lines explodes,
+    and the documented workaround is caching the corpus, a non-starter
+    at 100 TB). With ``from_json`` the corrupt column is an ordinary
+    computed column: every action is legal, Catalyst prunes normally,
+    and per-line Jackson parse cost is the same either way.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    mode = mode.upper()
+    if mode not in ("PERMISSIVE", "FAILFAST", "DROPMALFORMED"):
+        raise ValueError(f"mode={mode!r}: expected PERMISSIVE, FAILFAST or DROPMALFORMED")
+    reserved = {corrupt_col, "__raw", "__j"} & set(schema.fieldNames())
+    if reserved:
+        raise ValueError(f"schema field(s) {sorted(reserved)} collide with reader internals")
+    raw = spark.read.text(paths).withColumnRenamed("value", "__raw")
+    if mode == "FAILFAST":
+        j = F.from_json("__raw", schema, {"mode": "FAILFAST"})
+        return raw.select(j.alias("__j")).select("__j.*")
+    # from_json only supports PERMISSIVE/FAILFAST; DROPMALFORMED is
+    # PERMISSIVE + a filter (identical semantics to the JSON source's).
+    # Built WITHOUT StructType.add — add() mutates the caller's schema
+    # in place (the corrupt field would leak into the data projection)
+    from pyspark.sql.types import StructField
+
+    parse_schema = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    j = F.from_json(
+        "__raw", parse_schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
+    )
+    parsed = raw.select("__raw", j.alias("__j"))
+    data = [F.col("__j").getField(f).alias(f) for f in schema.fieldNames()]
+    # from_json yields a NULL struct (not a populated corrupt field) for
+    # inputs it cannot even begin to parse (e.g. blank lines) — those
+    # are malformed under the contract too, so fall back to the raw line
+    bad_line = F.when(F.col("__j").isNull(), F.col("__raw")).otherwise(
+        F.col("__j").getField(corrupt_col)
+    )
+    df = parsed.select(*data, bad_line.alias(corrupt_col))
+    if mode == "DROPMALFORMED":
+        return df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    return df
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid rows without ``corrupt_col``, quarantined raw lines).
+    Plain column filters — ``read_jsonl`` computes the corrupt column
+    with ``from_json``, so unlike the built-in JSON source there is no
+    corrupt-column-only restriction: counting or persisting either side
+    works without caching."""
+    return (
+        df.where(F.col(corrupt_col).isNull()).drop(corrupt_col),
+        df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col),
     )
 
 

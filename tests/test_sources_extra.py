@@ -283,3 +283,48 @@ def test_expr_cache_scoped_to_context(spark):
     c = ec.cached_expr("1 + 1")
     assert c is not a, "a context change must invalidate cached handles"
     assert ec.cached_expr("1 + 1") is c, "new context re-caches"
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """The JSONL schema-contract reader: valid rows parse to the stated
+    schema, malformed lines survive INTACT in the quarantine side (the
+    all-null data columns keep the scan legal under Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN rule), and unreferenced JSON keys
+    are simply never parsed."""
+    from poormans_kube_etl_spark.sources.ingest import read_jsonl, split_quarantine
+
+    p = str(tmp_path / "corpus.jsonl")
+    open(p, "w").write(
+        '{"doc_id": 1, "text": "ok", "extra_key": "ignored"}\n'
+        "{this is not json\n"
+        '{"doc_id": 2, "text": "fine"}\n'
+        '{"doc_id": "not-a-number", "text": "type drift"}\n'
+    )
+    df = read_jsonl(spark, p, "doc_id bigint, text string")
+    valid, bad = split_quarantine(df)
+    assert valid.columns == ["doc_id", "text"]
+    got = {(r.doc_id, r.text) for r in valid.collect()}
+    assert got == {(1, "ok"), (2, "fine")}
+    # count() on the quarantine side is the exact action the built-in
+    # JSON source forbids (QUERY_ONLY_CORRUPT_RECORD_COLUMN, found by a
+    # driver-style verify run) — it must just work here
+    assert bad.count() == 2
+    bad_lines = [r["_corrupt_record"] for r in bad.collect()]
+    assert "{this is not json" in bad_lines
+    assert any("not-a-number" in line for line in bad_lines), (
+        "a type-drifted line is malformed under the contract and must "
+        "be quarantined, not silently nulled"
+    )
+
+
+def test_read_jsonl_failfast_and_drop_modes(spark, tmp_path):
+    import pytest
+
+    from poormans_kube_etl_spark.sources.ingest import read_jsonl
+
+    p = str(tmp_path / "corpus.jsonl")
+    open(p, "w").write('{"doc_id": 1}\n{bad\n{"doc_id": 2}\n')
+    with pytest.raises(Exception, match="MALFORMED_RECORD|FAILFAST"):
+        read_jsonl(spark, p, "doc_id bigint", mode="FAILFAST").collect()
+    dropped = read_jsonl(spark, p, "doc_id bigint", mode="DROPMALFORMED")
+    assert sorted(r.doc_id for r in dropped.collect()) == [1, 2]
