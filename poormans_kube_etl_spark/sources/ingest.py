@@ -147,7 +147,38 @@ def read_jsonl(
     computed column: every action is legal, Catalyst prunes normally,
     and per-line Jackson parse cost is the same either way.
     """
-    from pyspark.sql.types import StringType, StructType
+    return _jsonl_parse(spark.read.text(paths), schema, mode, corrupt_col)
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str = "_corrupt_record",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl``: ``readStream.text`` over a
+    landing directory + the same ``from_json`` schema contract, so a
+    continuously-arriving corpus gets identical parse/quarantine
+    semantics to the batch path (one parser, no drift).
+    ``max_files_per_trigger`` bounds each micro-batch — at landing-zone
+    scale an unbounded first batch reads the whole backlog in one go.
+    Splitting valid/quarantine into two sinks: prefer ``foreachBatch``
+    with ``split_quarantine`` inside the batch function (one source
+    scan per trigger); two separate ``writeStream``s would each
+    maintain their own file-source progress and read every file twice.
+    """
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _jsonl_parse(reader.text(path), schema, mode, corrupt_col)
+
+
+def _jsonl_parse(raw: DataFrame, schema, mode: str, corrupt_col: str) -> DataFrame:
+    """Shared batch/streaming JSONL parse: ``raw`` is a text scan
+    (single ``value`` column); returns the schema-contract DataFrame."""
+    from pyspark.sql.types import StringType, StructField, StructType
 
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
@@ -157,7 +188,7 @@ def read_jsonl(
     reserved = {corrupt_col, "__raw", "__j"} & set(schema.fieldNames())
     if reserved:
         raise ValueError(f"schema field(s) {sorted(reserved)} collide with reader internals")
-    raw = spark.read.text(paths).withColumnRenamed("value", "__raw")
+    raw = raw.withColumnRenamed("value", "__raw")
     if mode == "FAILFAST":
         j = F.from_json("__raw", schema, {"mode": "FAILFAST"})
         return raw.select(j.alias("__j")).select("__j.*")
@@ -165,8 +196,6 @@ def read_jsonl(
     # PERMISSIVE + a filter (identical semantics to the JSON source's).
     # Built WITHOUT StructType.add — add() mutates the caller's schema
     # in place (the corrupt field would leak into the data projection)
-    from pyspark.sql.types import StructField
-
     parse_schema = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
     j = F.from_json(
         "__raw", parse_schema, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}

@@ -328,3 +328,44 @@ def test_read_jsonl_failfast_and_drop_modes(spark, tmp_path):
         read_jsonl(spark, p, "doc_id bigint", mode="FAILFAST").collect()
     dropped = read_jsonl(spark, p, "doc_id bigint", mode="DROPMALFORMED")
     assert sorted(r.doc_id for r in dropped.collect()) == [1, 2]
+
+
+def test_read_jsonl_stream_quarantines_like_batch(spark, tmp_path):
+    """The streaming twin shares the batch parser, so a landing dir with
+    malformed lines must produce the same valid/quarantine split the
+    batch reader computes, via one foreachBatch source scan."""
+    import os
+
+    from poormans_kube_etl_spark.sources.ingest import (
+        read_jsonl,
+        read_jsonl_stream,
+        split_quarantine,
+    )
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    open(os.path.join(src, "a.jsonl"), "w").write(
+        '{"doc_id": 1, "text": "ok"}\n{broken\n'
+    )
+    open(os.path.join(src, "b.jsonl"), "w").write('{"doc_id": 2, "text": "also"}\n')
+
+    stream = read_jsonl_stream(spark, src, "doc_id bigint, text string",
+                               max_files_per_trigger=1)
+    assert stream.isStreaming
+    got = {"valid": [], "bad": []}
+
+    def split_batch(batch_df, _epoch):
+        v, b = split_quarantine(batch_df)
+        got["valid"] += [(r.doc_id, r.text) for r in v.collect()]
+        got["bad"] += [r["_corrupt_record"] for r in b.collect()]
+
+    q = stream.writeStream.foreachBatch(split_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(got["valid"]) == [(1, "ok"), (2, "also")]
+    assert got["bad"] == ["{broken"]
+    # parity with the batch reader over the same directory
+    bv, bb = split_quarantine(
+        read_jsonl(spark, src, "doc_id bigint, text string")
+    )
+    assert sorted((r.doc_id, r.text) for r in bv.collect()) == sorted(got["valid"])
+    assert [r["_corrupt_record"] for r in bb.collect()] == got["bad"]
