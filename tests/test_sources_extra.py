@@ -317,6 +317,21 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     )
 
 
+def test_read_jsonl_reads_gzipped_files(spark, tmp_path):
+    """Wire-format corpora ship as *.jsonl.gz; the text scan must
+    decompress transparently through the Hadoop codec chain."""
+    import gzip
+
+    from poormans_kube_etl_spark.sources.ingest import read_jsonl, split_quarantine
+
+    p = str(tmp_path / "c.jsonl.gz")
+    with gzip.open(p, "wt") as f:
+        f.write('{"doc_id": 7, "text": "zipped"}\n{bad\n')
+    valid, bad = split_quarantine(read_jsonl(spark, p, "doc_id bigint, text string"))
+    assert [(r.doc_id, r.text) for r in valid.collect()] == [(7, "zipped")]
+    assert bad.count() == 1
+
+
 def test_read_jsonl_failfast_and_drop_modes(spark, tmp_path):
     import pytest
 
