@@ -146,6 +146,14 @@ def read_jsonl(
     at 100 TB). With ``from_json`` the corrupt column is an ordinary
     computed column: every action is legal, Catalyst prunes normally,
     and per-line Jackson parse cost is the same either way.
+
+    Compressed inputs decompress through the Hadoop codec chain
+    (``*.jsonl.gz`` works transparently), but gzip is NOT splittable —
+    one .gz file = one task no matter its size, so a 10 GB archive
+    serializes onto a single core. At corpus scale ship MANY files of
+    ~100-500 MB each (the shard-packing op's output discipline) or a
+    splittable codec; this reader deliberately does not hide that
+    trade.
     """
     return _jsonl_parse(spark.read.text(paths), schema, mode, corrupt_col)
 
