@@ -84,14 +84,13 @@ def simhash_bits_df(
         # casts to bigint without ANSI overflow; a full-16-char slice
         # would not (values >= 2^63). Bits 60-63 come from the second
         # independent half, so all 64 bit decisions stay hash-driven.
-        ex = ex.select(
+        # The digest gets ITS OWN projection (same discipline as h
+        # below): both conv halves reference it, and materializing it
+        # guarantees one md5 per token instead of trusting CSE.
+        ex = ex.select(id_col, F.md5("tok").alias("m")).select(
             id_col,
-            cached_expr(
-                "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
-            ).alias("h1"),
-            cached_expr(
-                "cast(conv(substring(md5(tok), 16, 15), 16, 10) as bigint)"
-            ).alias("h2"),
+            cached_expr("cast(conv(substring(m, 1, 15), 16, 10) as bigint)").alias("h1"),
+            cached_expr("cast(conv(substring(m, 16, 15), 16, 10) as bigint)").alias("h2"),
         )
 
         def _bit(b: int) -> str:
