@@ -159,7 +159,6 @@ def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
 def plan_blocking(
     n_docs: int,
     max_hamming: int,
-    total_bits: int = _BITS,
     budget_per_doc: float = 2.0,
     max_tables: int = 64,
 ) -> tuple[int, int]:
@@ -240,41 +239,23 @@ def simhash_fingerprints(
     )
 
 
-def simhash_near_duplicates(
+def simhash_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    max_bucket: int = 256,
     blocking: tuple[int, int] | None = None,
     token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs (a, b, hamming) with Hamming distance <= max_hamming.
-
-    Blocking: ``plan_blocking`` picks an (m, t) combinatorial scheme
-    from the radius AND the corpus size — near-even spans, candidates
-    keyed on every t-subset of them. By pigeonhole any pair within the
-    radius agrees on ≥ m−h spans, which (t ≤ m−h) contain at least one
-    chosen t-subset in full — every true pair shares a bucket, so the
-    OUTPUT pair set is identical for every valid plan; corpus size
-    only moves the cost curve (key width grows with log2(N), keeping
-    background candidates per doc bounded instead of N-linear — the
-    r5 sf10 measurement showed the fixed 16-bit single-span keys at
-    40.5M candidate pairs for 500k docs). ``blocking`` forces a plan
-    (tests pin the invariance with it). One plan-time ``count()`` on
-    the input sizes the plan — the same index-build cost as the
-    embedding-LSH path. Candidates are expanded inside each (table,
-    key) bucket after a single groupBy — one narrow shuffle, no
-    self-join that would recompute the fingerprint subtree on both
-    sides; linear in corpus size at any fixed plan.
-
-    Hot-bucket guard (VERDICT r01 #5): buckets larger than ``max_bucket``
-    switch from O(n²) all-pairs to O(n) star linking against the bucket's
-    smallest doc id (see minhash.lsh_candidate_pairs — same trade-off,
-    and here each collected element also carries a 64-int bit vector, so
-    unguarded buckets blow up even faster). Wider keys shrink hot
-    buckets too: the sf10 975-doc bucket under 16-bit keys is ~1 doc
-    expected under the 25-bit (5, 2) plan."""
+    """Collision buckets for the multi-index blocking scheme:
+    DataFrame[block_id, block_val, ds: array<struct<doc, pk>>] with only
+    multi-doc buckets kept (``pk`` = the fingerprint packed to 4×16-bit
+    words). Exposed separately from ``simhash_near_duplicates`` so the
+    star-guard precondition is directly observable: the all-pairs oracle
+    for the registered query is exact only while every bucket stays
+    within ``max_bucket`` (see queries/dedup._simhash_oracle_sql), and
+    the checked-SF assertion test measures ``size(ds)`` here instead of
+    re-deriving the banding logic."""
     if max_hamming >= _BITS:
         raise ValueError(
             f"max_hamming={max_hamming} >= {_BITS}-bit fingerprint width — "
@@ -292,6 +273,17 @@ def simhash_near_duplicates(
             raise ValueError(
                 f"blocking={blocking}: t must be <= m - max_hamming "
                 f"({m - max_hamming}) or pairs at the radius are lost"
+            )
+        # mirror plan_blocking's key-pack check (ADVICE r05): the widest
+        # combo key — the t WIDEST spans — must fit a signed bigint, or
+        # e.g. (4, 4) at max_hamming=0 packs 64 bits and overflows under
+        # ANSI at runtime
+        widths = sorted(l for _, l in _block_spans(m))
+        if sum(widths[-t:]) > 63:
+            raise ValueError(
+                f"blocking={blocking}: the {t} widest spans pack "
+                f"{sum(widths[-t:])} bits > 63 — the combo key would "
+                "overflow a signed bigint"
             )
     spans = _block_spans(m)
     combos = list(combinations(range(m), t))
@@ -346,10 +338,57 @@ def simhash_near_duplicates(
         .select("doc", "pk", cached_expr(blocks_sql).alias("blk"))
         .select("doc", "pk", "blk.block_id", "blk.block_val")
     )
-    buckets = (
+    return (
         banded.groupBy("block_id", "block_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc", "pk"))).alias("ds"))
         .where(F.size("ds") > 1)
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+    blocking: tuple[int, int] | None = None,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) with Hamming distance <= max_hamming.
+
+    Blocking: ``plan_blocking`` picks an (m, t) combinatorial scheme
+    from the radius AND the corpus size — near-even spans, candidates
+    keyed on every t-subset of them. By pigeonhole any pair within the
+    radius agrees on ≥ m−h spans, which (t ≤ m−h) contain at least one
+    chosen t-subset in full — every true pair shares a bucket, so the
+    OUTPUT pair set is identical for every valid plan; corpus size
+    only moves the cost curve (key width grows with log2(N), keeping
+    background candidates per doc bounded instead of N-linear — the
+    r5 sf10 measurement showed the fixed 16-bit single-span keys at
+    40.5M candidate pairs for 500k docs). ``blocking`` forces a plan
+    (tests pin the invariance with it). One plan-time ``count()`` on
+    the input sizes the plan — the same index-build cost as the
+    embedding-LSH path. Candidates are expanded inside each (table,
+    key) bucket after a single groupBy — one narrow shuffle, no
+    self-join that would recompute the fingerprint subtree on both
+    sides; linear in corpus size at any fixed plan.
+
+    Hot-bucket guard (VERDICT r01 #5): buckets larger than ``max_bucket``
+    switch from O(n²) all-pairs to O(n) star linking against the bucket's
+    smallest doc id (see minhash.lsh_candidate_pairs — same trade-off,
+    and here each collected element also carries a 64-int bit vector, so
+    unguarded buckets blow up even faster). Wider keys shrink hot
+    buckets too: the sf10 975-doc bucket under 16-bit keys is ~1 doc
+    expected under the 25-bit (5, 2) plan."""
+    from poormans_kube_etl_spark.operators.exprcache import cached_expr
+
+    buckets = simhash_buckets(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        max_hamming=max_hamming,
+        blocking=blocking,
+        token_hash=token_hash,
     )
     _ham = (
         "aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)), 0, "

@@ -396,7 +396,10 @@ def srp_banding(
         max_bg_rate = min(max_bg_rate, bg_per_vec / (n_vectors - 1))
     p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     p2 = 1.0 - math.acos(max(-1.0, min(1.0, bg_sim))) / math.pi
-    for r in range(4, 65):
+    # r itself must fit the plane budget: bands clamps to >= 1, so an
+    # r past max_planes would overspend even with a single band
+    # (ADVICE r05 — the same hole existed in the fallback below)
+    for r in range(4, min(64, max_planes) + 1):
         pb1, pb2 = p1**r, p2**r
         bands = (
             1
@@ -410,8 +413,12 @@ def srp_banding(
             return r, bands
     # No r in range satisfied the bg cap under the plane budget (huge
     # N with a small budget): take the widest band the budget allows —
-    # max precision available; recall is whatever it affords.
-    r = max(4, min(64, max_planes))
+    # max precision available; recall is whatever it affords. A budget
+    # below the 4-plane minimum clamps to the budget itself (ADVICE r05:
+    # max(4, ...) could emit r=4 > max_planes, overspending the cap).
+    r = min(64, max_planes) if max_planes < 4 else max(4, min(64, max_planes))
+    if r < 1:
+        raise ValueError(f"max_planes={max_planes}: need at least 1 plane")
     return r, max(1, max_planes // r)
 
 

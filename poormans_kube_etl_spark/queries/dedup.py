@@ -197,7 +197,18 @@ def _simhash_oracle_sql(max_hamming: int) -> str:
     tests/test_operators.py::test_simhash_pairs_invariant_to_blocking
     and the radius-coverage pigeonhole test above it), so the oracle
     need not model the blocking at
-    all — N² only on the oracle side, at oracle SFs."""
+    all — N² only on the oracle side, at oracle SFs.
+
+    PRECONDITION (ADVICE r05): blocking-invariance holds only while no
+    bucket exceeds ``max_bucket`` (default 256) — past that the Spark
+    side star-links (pairs to the bucket representative only, a strict
+    SUBSET of all-pairs) and this oracle stops modelling it. A checked
+    SF that grows a >256-doc duplicate cluster must therefore fail the
+    BUCKET assertion first, not the oracle hash:
+    tests/test_operators.py::test_simhash_checked_sf_buckets_under_star_guard
+    pins max bucket size << max_bucket at the oracle SFs, so a future
+    violation surfaces as a plan/test problem with a precise message
+    rather than a mysterious sweep mismatch."""
     # bit b of a token = bit b%60 of the b//60-th 60-bit md5 half —
     # mirrors operators/simhash.simhash_bits_df exactly
     def bit(b: int) -> str:

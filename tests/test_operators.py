@@ -228,6 +228,51 @@ def test_simhash_pairs_invariant_to_blocking(spark):
         assert pair_set(blocking=plan) == auto, f"pairs moved under {plan}"
     with pytest.raises(ValueError, match="blocking"):
         simhash_near_duplicates(docs, max_hamming=3, blocking=(4, 2))
+    # ADVICE r05: a forced plan must also pass the key-pack check —
+    # (4, 4) at radius 0 satisfies t <= m - h but packs 64 bits, which
+    # overflows a signed bigint at runtime under ANSI
+    with pytest.raises(ValueError, match="bigint"):
+        simhash_near_duplicates(docs, max_hamming=0, blocking=(4, 4))
+
+
+def test_simhash_checked_sf_buckets_under_star_guard(spark, sf_dir):
+    """Oracle-exactness precondition (ADVICE r05): the all-pairs DuckDB
+    twin of dedup_simhash_pairs is exact only while NO bucket exceeds
+    max_bucket=256 — past that the Spark side star-links (a strict
+    subset of all-pairs). Pin the precondition at the checked SF with
+    the registered query's exact config, so a future corpus change that
+    grows a hot duplicate cluster fails HERE with a precise message
+    instead of surfacing as a mysterious sweep hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.simhash import simhash_buckets
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = simhash_buckets(docs, max_hamming=3, token_hash="md5")
+    biggest = buckets.agg(F.max(F.size("ds")).alias("mx")).collect()[0].mx
+    assert biggest is None or biggest <= 256, (
+        f"a {biggest}-doc bucket exceeds max_bucket=256: the star guard "
+        "now engages and the all-pairs oracle for dedup_simhash_pairs "
+        "no longer models the output — re-plan blocking or re-derive "
+        "the oracle before trusting the sweep"
+    )
+
+
+def test_srp_banding_respects_tiny_plane_budget():
+    """ADVICE r05: the no-plan fallback used max(4, ...) and could
+    overspend a sub-4 plane budget (max_planes=2 -> r=4 > budget).
+    The fallback must clamp to the budget; a zero budget is an error."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.similarity import srp_banding
+
+    for budget in (1, 2, 3):
+        # threshold near bg with huge N forces the fallback path
+        r, bands = srp_banding(0.4, n_vectors=10**9, max_planes=budget)
+        assert r * bands <= budget, f"{(r, bands)} overspends budget {budget}"
+    with pytest.raises(ValueError, match="max_planes"):
+        srp_banding(0.4, n_vectors=10**9, max_planes=0)
 
 
 def test_simhash_md5_bits_match_reference_digest(spark):
