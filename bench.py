@@ -165,17 +165,28 @@ def main() -> None:
         _execute(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
     _execute(qs["q1_pricing_summary"](spark, sf_dir))
 
-    # min-of-2 per query: single-shot timings swing ±15% on this box
-    # (JIT, GC); the min is the steady-state compute cost and makes
-    # round-over-round regressions attributable to code, not noise.
-    # Each timing includes a fresh plan BUILD (the driver-side py4j
-    # cost a user pays per query); the separate ``builds`` section
+    # Protocol (r6): ONE untimed warm pass, then min-of-2 timed. The
+    # warm pass absorbs first-execution janino/JIT compilation of the
+    # query's own generated code — r5's "sim_ivf_topk +24% regression"
+    # turned out to be exactly this lottery: under min-of-2 the second
+    # pass is often still compiling (measured series at sf0.1:
+    # 7.8, 2.5, 2.2, 2.2, 2.0 s converging to an interleaved steady
+    # state of 1.78 s, BELOW the r4 number), so which pass the C2
+    # compiler lands on decided ±0.5 s of a 1.8 s query. The bench's
+    # stated purpose is steady-state compute attribution — compile cost
+    # is a session constant, not a property of the query plan — so the
+    # warm pass makes round-over-round deltas mean code again. The
+    # ``protocol`` field in the payload records this so cross-round
+    # comparisons against r01-r05 numbers (cold min-of-2) are explicit.
+    # Each timed pass still includes a fresh plan BUILD (the driver-side
+    # py4j cost a user pays per query); the ``builds`` section
     # attributes that component explicitly — r5 found it was HALF of
     # some bench numbers (simhash: 1.04 s of 2.1) before the parsed-SQL
     # expression cache work.
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     for name in names:
+        _execute(qs[name](spark, sf_dir))  # untimed warm pass
         best = float("inf")
         build_best = float("inf")
         for _ in range(2):
@@ -239,6 +250,7 @@ def main() -> None:
             if time.perf_counter() - sf1_start > sf1_budget_s:
                 truncated = True
                 break
+            _execute(qs[name](spark, sf1_dir))  # untimed warm pass (r6)
             best = None
             for _pass in range(2):
                 if best is not None and (
@@ -271,6 +283,7 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "protocol": "warm1+min2",  # r6: see the timing-loop comment
         "queries": timings,
         "stages": stages,
         "builds": builds,
