@@ -44,6 +44,7 @@ _MODULES = (
     "corpus_cleanup",
     "analytics",
     "data_quality",
+    "jsonl_source",
 )
 
 
@@ -112,7 +113,6 @@ _PRIORITY = [
     "text_lang_stats",
     "text_quality_scores",
     "text_langid_heuristic",
-    "text_fingerprints",
     "text_langid_confusion",
     "text_rolling_fingerprints",
     # (b) analytics loader (documents consumers)

@@ -187,29 +187,6 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_fingerprints",
-    oracle="""
-    SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
-           md5(array_to_string(list_slice(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), 1, 5), ' ')) AS fp_prefix5
-    FROM documents
-    ORDER BY doc_id
-    """,
-)
-def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: full-text md5 (exact-dup key) + first-5-
-    token md5 (near-dup blocking key)."""
-    docs = _docs(spark, sf_dir)
-    from poormans_kube_etl_spark.operators.text import normalize_text
-
-    return docs.select(
-        "doc_id",
-        fingerprint_md5("text").alias("fp_md5"),
-        prefix_fingerprint(tokens(normalize_text("text")), 5).alias("fp_prefix5"),
-    ).orderBy("doc_id")
-
-
-@register(
     "text_langid_confusion",
     oracle=f"""
     WITH pred AS (
@@ -272,25 +249,38 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE [] END AS wh
       FROM h
     )
-    SELECT doc_id,
+    SELECT w.doc_id,
+           md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g')))) AS fp_md5,
+           md5(array_to_string(list_slice(string_split(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))), ' '), 1, 5), ' ')) AS fp_prefix5,
            CAST(len(wh) AS INT) AS n_windows,
            CAST(len(list_filter(wh, x -> x % 16 = 0)) AS INT) AS n_fp,
            CASE WHEN len(list_filter(wh, x -> x % 16 = 0)) = 0 THEN NULL
                 ELSE md5(array_to_string(list_filter(wh, x -> x % 16 = 0), '-')) END
              AS fp_digest
-    FROM w
-    ORDER BY doc_id
+    FROM w JOIN documents d ON d.doc_id = w.doc_id
+    ORDER BY w.doc_id
     """,
 )
 def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (Karp-Rabin over 4-token
-    windows, mod-16 sampled — the winnowing/MOSS family): near-dup docs
-    share most sampled window hashes even when content shifts position,
-    which prefix/md5 fingerprints cannot survive. fp_digest compresses
-    the sampled set for exact-compare; join on exploded sampled hashes
-    for overlap scoring. Map-only: the token-hash array is materialized
-    in its own projection (array-reevaluation trap, operators/text.py),
-    then windows, sampling, and digest are pure array expressions."""
+    """Document fingerprinting, one pass, all three families (r6: the
+    former ``text_fingerprints`` query folded in — its full-text md5
+    exact-dup key and first-5-token near-dup blocking key were a strict
+    subset of this scan's work, and the freed registry slot funds the
+    JSONL source's oracle query):
+
+    - fp_md5: whole-normalized-text md5 — exact-dup key;
+    - fp_prefix5: md5 of the first 5 tokens — positional blocking key;
+    - rolling Karp-Rabin over 4-token windows, mod-16 sampled (the
+      winnowing/MOSS family): near-dup docs share most sampled window
+      hashes even when content shifts position, which the two static
+      fingerprints cannot survive. fp_digest compresses the sampled set
+      for exact-compare; join on exploded sampled hashes for overlap
+      scoring.
+
+    Map-only: the token-hash array is materialized in its own
+    projection (array-reevaluation trap, operators/text.py), then
+    windows, sampling, digest, and the static fingerprints are pure
+    per-row expressions."""
     from poormans_kube_etl_spark.operators.text import (
         rolling_window_hashes,
         token_hash,
@@ -298,12 +288,19 @@ def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     hashed = docs.select(
-        "doc_id", F.transform(tokens(normalize_text("text")), token_hash).alias("hs")
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        prefix_fingerprint(tokens(normalize_text("text")), 5).alias("fp_prefix5"),
+        F.transform(tokens(normalize_text("text")), token_hash).alias("hs"),
     )
-    windowed = hashed.select("doc_id", rolling_window_hashes(F.col("hs")).alias("wh"))
+    windowed = hashed.select(
+        "doc_id", "fp_md5", "fp_prefix5", rolling_window_hashes(F.col("hs")).alias("wh")
+    )
     sampled = F.filter("wh", lambda x: x % 16 == 0)
     return windowed.select(
         "doc_id",
+        "fp_md5",
+        "fp_prefix5",
         F.size("wh").cast("int").alias("n_windows"),
         F.size(sampled).cast("int").alias("n_fp"),
         F.when(

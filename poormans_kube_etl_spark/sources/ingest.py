@@ -85,6 +85,26 @@ def list_prefix(spark: SparkSession, base: str, prefix: str) -> list[str]:
     return sorted(keys)
 
 
+def read_small_text(spark: SparkSession, path: str) -> str:
+    """Whole small control-plane file as a string via the Hadoop FS API
+    (same cost class as ``read_manifest``/``path_exists`` — driver
+    metadata, never payload bytes). Used for the JSONL entity schema
+    sidecar ``<entity>_schema.txt``: a one-line DDL contract file, the
+    JSONL twin of the CSV header sidecar (S5)."""
+    fs, jpath = hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # commons-io ships with Spark; a Python-side read loop can't
+        # work over py4j (byte[] args are copied by value, so the
+        # buffer never comes back)
+        jvm = spark.sparkContext._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def read_manifest(spark: SparkSession, folder: str) -> DataFrame:
     """DataFrame[file_name, expected_sha256] from the folder's
     ``manifest.json`` (multiLine JSON array, data model D2)."""

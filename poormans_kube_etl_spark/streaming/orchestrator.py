@@ -194,10 +194,15 @@ class Orchestrator:
         )
 
     def ingest_files(self, params: IngestParams) -> list[str]:
-        """F7: keys belonging to this ingest (payload csv.gz only) —
-        listed under the ingest's own prefix, not the whole landing dir."""
+        """F7: keys belonging to this ingest (payload files only —
+        csv.gz entities plus jsonl.gz entities, r6; landing payloads are
+        gzipped in BOTH families so one ``*.gz`` verify glob covers the
+        whole manifest) — listed under the ingest's own prefix, not the
+        whole landing dir."""
         return [
-            k for k in self.list_keys(params.ingest_name) if k.endswith(".csv.gz")
+            k
+            for k in self.list_keys(params.ingest_name)
+            if k.endswith((".csv.gz", ".jsonl.gz"))
         ]
 
     # ---- manifest verification (the implied join, upgraded to real) ----
@@ -212,8 +217,14 @@ class Orchestrator:
         """
         folder = f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
         manifest = ingest_sources.read_manifest(self.spark, folder)
+        # glob "*.gz" covers BOTH payload families (csv.gz and jsonl.gz,
+        # r6); control files (markers, manifest, schema sidecars) stay
+        # outside it, so they surface as neither missing nor unlisted
         actual = ingest_sources.read_binary_with_sha(
-            self.spark, folder, f"{PENDING_PREFIX}/{params.ingest_name}/(.+)$"
+            self.spark,
+            folder,
+            f"{PENDING_PREFIX}/{params.ingest_name}/(.+)$",
+            glob="*.gz",
         )
         joined = manifest.join(actual, "file_name", "full_outer")
         return joined.select(
@@ -232,8 +243,23 @@ class Orchestrator:
     # ---- the two store pipelines (stand-ins for the external Jobs) ----
 
     def _read_entities(self, params: IngestParams) -> dict[str, DataFrame]:
-        """Read each entity's gzipped CSVs with the schema shipped in its
-        ``*_headers.csv.gz`` sidecar (data model D6)."""
+        """Read each entity's payload files into a DataFrame.
+
+        Two entity families, dispatched per folder on the payload
+        extension (r6 adds the second):
+
+        - ``*.csv.gz`` with the schema shipped in the entity's
+          ``*_headers.csv.gz`` sidecar (data model D6);
+        - ``*.jsonl.gz`` with the schema shipped in the entity's
+          ``<entity>_schema.txt`` sidecar (a one-line DDL string — the
+          JSONL twin of the header sidecar; ``read_jsonl`` requires an
+          explicit contract, never inference). Malformed lines are NOT
+          an entity's problem: the VALID side flows to the pipelines,
+          and ``_quarantine_jsonl`` persists the raw bad lines under
+          ``{output}/quarantine/``. A MISSING sidecar raises — same X7
+          halt class as a failed pipeline, because silently inferring a
+          schema is exactly what the reader's contract forbids.
+        """
         folder = f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
         entities: dict[str, list[str]] = {}
         for key in self.ingest_files(params):
@@ -243,6 +269,13 @@ class Orchestrator:
             entities.setdefault(parts[2], []).append(key)
         out = {}
         for entity, keys in entities.items():
+            jsonl = [k for k in keys if k.endswith(".jsonl.gz")]
+            if jsonl:
+                valid, _ = ingest_sources.split_quarantine(
+                    self._parse_jsonl_entity(folder, entity, jsonl)
+                )
+                out[entity] = valid
+                continue
             headers = [k for k in keys if k.endswith("_headers.csv.gz")]
             data = [k for k in keys if not k.endswith("_headers.csv.gz")]
             if not data:
@@ -253,6 +286,45 @@ class Orchestrator:
                 f"{self.landing_dir}/{headers[0]}" if headers else None,
             )
         return out
+
+    def _parse_jsonl_entity(
+        self, folder: str, entity: str, keys: list[str]
+    ) -> DataFrame:
+        """PERMISSIVE schema-contract parse of one JSONL entity (corrupt
+        column still attached — callers split)."""
+        ddl = ingest_sources.read_small_text(
+            self.spark, f"{folder}/{entity}/{entity}_schema.txt"
+        ).strip()
+        return ingest_sources.read_jsonl(
+            self.spark, [f"{self.landing_dir}/{k}" for k in keys], ddl
+        )
+
+    def _quarantine_jsonl(self, params: IngestParams) -> None:
+        """Persist every JSONL entity's malformed raw lines to
+        ``{output}/quarantine/{ingest}/{entity}`` (overwrite — idempotent
+        under X5 relaunch, like the store sinks). Runs BEFORE the store
+        pipelines so a quarantine-sink failure halts the ingest rather
+        than stranding bad lines after the stores already loaded.
+
+        Reuses the caller's F7 listing (``timer.ingest_files``, set by
+        both lifecycles right before ``run_ingest``) instead of
+        re-listing the folder — the hundred-folder fan-out gate pins
+        listings at O(2 per folder), and a third per-folder scan of an
+        object store is real money at fleet scale."""
+        folder = f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
+        files = self.timer.ingest_files or self.ingest_files(params)
+        entities: dict[str, list[str]] = {}
+        for key in files:
+            parts = key.split("/")
+            if len(parts) >= 4 and key.endswith(".jsonl.gz"):
+                entities.setdefault(parts[2], []).append(key)
+        for entity, keys in entities.items():
+            _, quarantined = ingest_sources.split_quarantine(
+                self._parse_jsonl_entity(folder, entity, keys)
+            )
+            quarantined.write.mode("overwrite").parquet(
+                f"{self.output_dir}/quarantine/{params.ingest_name}/{entity}"
+            )
 
     def _graph_pipeline(self, params: IngestParams) -> None:
         """neo4j stand-in: nodes + foreign-key edges, parquet sinks.
@@ -325,8 +397,10 @@ class Orchestrator:
     # ---- lifecycle ----
 
     def run_ingest(self, params: IngestParams) -> None:
-        """X3/X4: bulk → parallel, delta → serial (graph first)."""
+        """X3/X4: bulk → parallel, delta → serial (graph first). JSONL
+        quarantine persistence runs first either way (r6)."""
         self.preempt_stale(params)
+        self._quarantine_jsonl(params)
 
         def neo():
             self.timer.neo_start = time.time()
@@ -588,6 +662,61 @@ class Orchestrator:
             manifests.writeStream.foreachBatch(process)
             .option("checkpointLocation", checkpoint_dir)
             .queryName("ingest-orchestrator")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{int(self.poll_interval_s)} seconds")
+        return writer.start()
+
+    def stream_jsonl_corpus(
+        self,
+        corpus_dir: str,
+        schema: str,
+        checkpoint_dir: str,
+        available_now: bool = False,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Continuous JSONL corpus ingest (r6, VERDICT r05 #6): the
+        ``read_jsonl_stream`` twin running inside the orchestrator's
+        lifecycle — a landing directory of ``*.jsonl[.gz]`` shards flows
+        through the SAME schema-contract parser as the batch entity path
+        into two parquet sinks under ``output_dir``:
+        ``corpus/valid`` (contract columns) and ``corpus/quarantine``
+        (raw malformed lines).
+
+        foreachBatch + ``split_quarantine`` because a streaming split
+        has exactly one correct shape: two separate ``writeStream``s
+        would each keep their own file-source progress and scan every
+        shard twice, so the batch function persists each micro-batch
+        once and feeds both sinks from it (see read_jsonl_stream's
+        docstring). Checkpointed file-source progress makes each shard
+        parse exactly once across restarts; the parquet appends are
+        at-least-once on a mid-batch crash — dedup downstream by
+        ``input_file`` if the sink must be exact (the batch entity path
+        stays the exactly-once surface)."""
+        parsed = ingest_sources.read_jsonl_stream(
+            self.spark,
+            corpus_dir,
+            schema,
+            max_files_per_trigger=max_files_per_trigger,
+        ).withColumn("input_file", F.input_file_name())
+        valid_path = f"{self.output_dir}/corpus/valid"
+        quarantine_path = f"{self.output_dir}/corpus/quarantine"
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                valid, quarantined = ingest_sources.split_quarantine(batch_df)
+                valid.write.mode("append").parquet(valid_path)
+                quarantined.write.mode("append").parquet(quarantine_path)
+            finally:
+                batch_df.unpersist()
+
+        writer = (
+            parsed.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("jsonl-corpus")
         )
         if available_now:
             writer = writer.trigger(availableNow=True)

@@ -30,6 +30,30 @@ def _gz_csv(rows) -> bytes:
     return gzip.compress(buf.getvalue().encode())
 
 
+EVENT_SCHEMA_DDL = "event_id bigint, person_id bigint, kind string"
+EVENT_VALID = [
+    (501, 1, "login"),
+    (502, 2, "logout"),
+    (503, 3, "login"),
+    (504, 1, "purchase"),
+]
+EVENT_BAD_LINES = ['{"event_id": 505, "kind": "truncated', "not json at all"]
+
+
+def _gz_jsonl(lines) -> bytes:
+    return gzip.compress(("\n".join(lines) + "\n").encode())
+
+
+def _event_jsonl_lines() -> list[str]:
+    lines = [
+        json.dumps({"event_id": e, "person_id": p, "kind": k})
+        for e, p, k in EVENT_VALID
+    ]
+    # malformed lines interleaved, not appended — position must not matter
+    lines[2:2] = EVENT_BAD_LINES
+    return lines
+
+
 def make_ingest_folder(
     landing: str,
     ts: str,
@@ -37,6 +61,8 @@ def make_ingest_folder(
     with_manifest: bool = True,
     corrupt_sha: bool = False,
     manifest_extra_file: bool = False,
+    with_jsonl_entity: bool = False,
+    corrupt_jsonl_sha: bool = False,
 ):
     folder = os.path.join(landing, "pending", ts)
     os.makedirs(os.path.join(folder, "person"), exist_ok=True)
@@ -46,12 +72,21 @@ def make_ingest_folder(
         "person/person_headers.csv.gz": headers,
         "person/person_sample.csv.gz": data,
     }
+    if with_jsonl_entity or corrupt_jsonl_sha:
+        os.makedirs(os.path.join(folder, "event"), exist_ok=True)
+        files["event/event_data.jsonl.gz"] = _gz_jsonl(_event_jsonl_lines())
+        # schema sidecar: control metadata like the marker — outside the
+        # manifest and the *.gz verify glob
+        with open(os.path.join(folder, "event", "event_schema.txt"), "w") as f:
+            f.write(EVENT_SCHEMA_DDL + "\n")
     manifest = []
     for name, content in files.items():
         with open(os.path.join(folder, name), "wb") as f:
             f.write(content)
         sha = hashlib.sha256(content).hexdigest()
         if corrupt_sha and name.endswith("person_sample.csv.gz"):
+            sha = "0" * 64
+        if corrupt_jsonl_sha and name.endswith("event_data.jsonl.gz"):
             sha = "0" * 64
         manifest.append({"FileName": name, "SHA256": sha})
     if manifest_extra_file:
@@ -179,6 +214,129 @@ def test_bulk_ingest_end_to_end(orch):
         assert getattr(row, col).endswith("mins") and "h:" in getattr(row, col)
     # row counts observed during the writes (Observation, no re-scan)
     assert row.neo_rows == len(PERSON_ROWS) and row.elastic_rows == len(PERSON_ROWS)
+
+
+def test_jsonl_entity_flows_verify_pipelines_metrics(orch):
+    """VERDICT r05 #6 (batch half): a JSONL entity (manifest-listed
+    ``.jsonl.gz`` payload + DDL schema sidecar) flows through
+    verify → quarantine split → both store pipelines → metrics,
+    side by side with the CSV entity in the same ingest folder."""
+    make_ingest_folder(
+        orch.landing_dir, "1538055240", "bulk.txt", with_jsonl_entity=True
+    )
+    assert orch.run_once() == IngestParams("1538055240", "bulk")
+    spark = orch.spark
+    # graph store: valid rows only, schema from the sidecar contract
+    nodes = spark.read.parquet(f"{orch.output_dir}/graph/nodes/1538055240/event")
+    assert nodes.count() == len(EVENT_VALID)
+    assert {"event_id", "person_id", "kind"}.issubset(set(nodes.columns))
+    # foreign-key edges derived exactly like a CSV entity's
+    edges = spark.read.parquet(f"{orch.output_dir}/graph/edges/1538055240/event")
+    assert edges.count() == len(EVENT_VALID)
+    assert {r.person_id for r in edges.collect()} == {1, 2, 3}
+    # index store sees the same valid rows
+    docs = spark.read.parquet(f"{orch.output_dir}/index/1538055240/event")
+    assert docs.count() == len(EVENT_VALID)
+    assert "login" in docs.where(F.col("event_id") == "501").first()._search_body
+    # quarantine sink holds the exact malformed raw lines
+    quarantined = spark.read.parquet(
+        f"{orch.output_dir}/quarantine/1538055240/event"
+    )
+    assert sorted(r._corrupt_record for r in quarantined.collect()) == sorted(
+        EVENT_BAD_LINES
+    )
+    # metrics observed BOTH entities' rows during the writes
+    row = orch.metrics().collect()[0]
+    assert row.neo_rows == len(PERSON_ROWS) + len(EVENT_VALID)
+    assert row.elastic_rows == len(PERSON_ROWS) + len(EVENT_VALID)
+    # K2: folder deleted after commit
+    assert not os.path.exists(os.path.join(orch.landing_dir, "pending", "1538055240"))
+
+
+def test_run_stream_ingests_jsonl_entity(orch, tmp_path):
+    """VERDICT r05 #6 (stream half): the same JSONL entity folder flows
+    through run_stream's manifest-driven lifecycle — one contract for
+    poll mode and stream mode."""
+    make_ingest_folder(
+        orch.landing_dir, "1538055240", "bulk.txt", with_jsonl_entity=True
+    )
+    q = orch.run_stream(str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+    row = orch.metrics().collect()[0]
+    assert (row.ingest, row.type) == ("1538055240", "bulk")
+    assert row.neo_rows == len(PERSON_ROWS) + len(EVENT_VALID)
+    nodes = orch.spark.read.parquet(
+        f"{orch.output_dir}/graph/nodes/1538055240/event"
+    )
+    assert nodes.count() == len(EVENT_VALID)
+    quarantined = orch.spark.read.parquet(
+        f"{orch.output_dir}/quarantine/1538055240/event"
+    )
+    assert quarantined.count() == len(EVENT_BAD_LINES)
+
+
+def test_corrupt_jsonl_sha_halts_ingest(orch):
+    """The *.gz verify glob must cover the JSONL payload family: a
+    tampered .jsonl.gz is a manifest mismatch, X7 halt."""
+    make_ingest_folder(
+        orch.landing_dir, "1538055240", "bulk.txt", corrupt_jsonl_sha=True
+    )
+    with pytest.raises(RuntimeError, match="manifest verification failed"):
+        orch.run_once()
+    assert orch.errored is not None
+
+
+def test_missing_jsonl_schema_sidecar_halts(orch):
+    """read_jsonl requires an explicit contract; a JSONL entity without
+    its schema sidecar must halt the ingest (X7), never infer."""
+    make_ingest_folder(
+        orch.landing_dir, "1538055240", "bulk.txt", with_jsonl_entity=True
+    )
+    os.remove(
+        os.path.join(
+            orch.landing_dir, "pending", "1538055240", "event", "event_schema.txt"
+        )
+    )
+    with pytest.raises(Exception):
+        orch.run_once()
+    assert orch.errored is not None
+
+
+def test_stream_jsonl_corpus_lifecycle(orch, tmp_path):
+    """VERDICT r05 #6: read_jsonl_stream inside the orchestrator —
+    shards parse exactly once across restarts (checkpointed file-source
+    progress), valid/quarantine fan out to the two parquet sinks from
+    ONE scan per micro-batch."""
+    corpus = tmp_path / "corpus_landing"
+    corpus.mkdir()
+    ckpt = str(tmp_path / "corpus_ckpt")
+    (corpus / "shard-000.jsonl.gz").write_bytes(
+        _gz_jsonl(['{"doc_id": 1, "text": "alpha"}', '{"doc_id": 2, "text": "beta"}'])
+    )
+    (corpus / "shard-001.jsonl.gz").write_bytes(
+        _gz_jsonl(['{"doc_id": 3, "text": "gamma"}', "broken {line", "also broken"])
+    )
+    q = orch.stream_jsonl_corpus(
+        str(corpus), "doc_id bigint, text string", ckpt, available_now=True
+    )
+    q.awaitTermination(180)
+    spark = orch.spark
+    valid = spark.read.parquet(f"{orch.output_dir}/corpus/valid")
+    assert {r.doc_id for r in valid.collect()} == {1, 2, 3}
+    quarantined = spark.read.parquet(f"{orch.output_dir}/corpus/quarantine")
+    assert quarantined.count() == 2
+    # restart with one NEW shard: old shards must not re-parse (counts
+    # would double), the new one must land in both sinks
+    (corpus / "shard-002.jsonl.gz").write_bytes(
+        _gz_jsonl(['{"doc_id": 4, "text": "delta"}', "still broken"])
+    )
+    q2 = orch.stream_jsonl_corpus(
+        str(corpus), "doc_id bigint, text string", ckpt, available_now=True
+    )
+    q2.awaitTermination(180)
+    valid = spark.read.parquet(f"{orch.output_dir}/corpus/valid")
+    assert sorted(r.doc_id for r in valid.collect()) == [1, 2, 3, 4]
+    assert spark.read.parquet(f"{orch.output_dir}/corpus/quarantine").count() == 3
 
 
 def test_delta_ingest_serial_order(orch):
