@@ -140,6 +140,58 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     return out
 
 
+def _skew_join_stage(spark, sf_dir: str) -> dict[str, float]:
+    """Measured skew path (VERDICT r05 #5): plain shuffle join vs
+    ``salted_join`` on a deliberately skewed fact — ~40% of lineitem
+    rows planted on ONE join key, the rest spread over 9,999 keys; the
+    dim side is 10k generated rows. Broadcast is disabled for the
+    measurement (a 10k-row dim would broadcast and hide the skew — the
+    scenario modeled is the broadcast-INELIGIBLE skewed join, the case
+    AQE's skew splitting also cannot always save: at this scale the hot
+    partition is far below the 256 MB skewedPartitionThreshold, so AQE
+    leaves the straggler alone and the plain join's wall time IS the
+    one hot task). Numbers land in SCALING.md's skew section."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.partitioning import salted_join
+    from poormans_kube_etl_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    hot = F.pmod(F.xxhash64("l_orderkey"), F.lit(10)) < 4
+    k = (
+        F.when(hot, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("l_orderkey", "l_quantity"), F.lit(9999)) + 1)
+        .cast("bigint")
+    )
+    left = li.withColumn("k", k)
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("payload")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    out: dict[str, float] = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        variants = {
+            "plain_sec": lambda: left.join(dim, "k"),
+            "salted_sec": lambda: salted_join(left, dim, ["k"], n_salt=32),
+        }
+        for name, build in variants.items():
+            _execute(build())  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _execute(build())
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    out["n_salt"] = 32
+    out["hot_share"] = 0.4
+    return out
+
+
 def main() -> None:
     from poormans_kube_etl_spark.queries import all_queries
     from poormans_kube_etl_spark.session import get_spark
@@ -200,6 +252,7 @@ def main() -> None:
         builds[name] = round(build_best, 4)
 
     stages = _dedup_stage_split(spark, sf_dir)
+    stages["skew_salted_join"] = _skew_join_stage(spark, sf_dir)
 
     # Linearity section (VERDICT r03 #7): if the locally-generated sf1
     # replica set exists (scripts/scale_testdata.py — 10x sf0.1 with

@@ -49,6 +49,28 @@ def test_salted_join_left_outer(spark, skewed):
     )
 
 
+def test_salted_join_exchange_count_matches_plain(spark, skewed):
+    """Plan gate (VERDICT r05 #5): salting must not ADD an exchange.
+    The left's salt is computed map-side and the right's replication
+    (explode of a literal sequence) sits BELOW that side's one
+    exchange, so the salted plan shuffles exactly as often as the
+    plain shuffle join — 2, one per side. A regression to (say) an
+    extra repartition or a post-join reshuffle turns the skew remedy
+    into a net new scan-sized exchange at 100 TB."""
+    left, right = skewed
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the dim would broadcast (0 shuffles) and hide the comparison;
+        # the subject is the broadcast-INELIGIBLE skewed join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = left.join(right, ["k"])
+        salted = salted_join(left, right, ["k"], n_salt=8)
+        assert shuffle_count(plain) == 2
+        assert shuffle_count(salted) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_salt_spreads_hot_key(spark, skewed):
     left, _ = skewed
     # direct check on the salt expression: hot key 7 lands in >1 salt
