@@ -65,86 +65,77 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-5 rotation, rebuilt LATE in the
-# round after the perf work touched ~40 queries (standing rule: changed
-# queries stay in the window; stalest rows refresh first):
-# (a) VALUE-affecting changes — integer-unit money sums (value-identical
-#     by construction, but implementation AND oracle changed), the
-#     kmeans rounding-tie fix, the minhash hash-family change
-#     (rows-only values shifted), and the simhash md5 token-bit change
-#     (values shifted AND the query gained a full oracle — first
-#     hash-checkable driver row);
-# (b) PLAN-changed queries (spread_small_scan in operators/loaders) —
-#     results are partitioning-invariant and all verified locally, but
-#     their recorded rows predate the plans;
-# (c) r02-stale fill up to the window. 22 unchanged r02-stale queries
-#     (mm_*/window_*/subq_*/stats_* spine) did not fit and keep their
-#     r02 rows; in the stalest-first overflow order below, the two
-#     never-hash-checked sketches (approx_distinct_users_by_type,
-#     approx_percentile_quantity — rows-only class, latest-row 0) sort
-#     ahead of them. The r6 band should lead with those two plus the
-#     22 r02-stale names.
+# ``queries()`` iteration order. Round-6 rotation (VERDICT r05 #1:
+# refresh every pre-r03 driver row; standing rule: queries whose values
+# or oracles changed this round stay in the window):
+# (a) the 24 queries whose latest driver row is r02 — two full rounds
+#     stale, none touched by value-affecting changes since, verified
+#     locally every round but owed a current driver row;
+# (b) never-driver-checked: the two sketches (rows-only class, no row
+#     in any round's window yet) and the NEW jsonl_quarantine_stats
+#     (r6 registry swap — first driver row ever);
+# (c) r6 value-affecting: text_rolling_fingerprints absorbed the former
+#     text_fingerprints' two md5 key columns (schema AND oracle
+#     changed);
+# (d) r03-stale fill up to the 50-query window — 22 of the 23 fit;
+#     window_trailing_1h_count overflows and sits FIRST in the
+#     stalest-first tail, so it is next in line if the sweep runs long.
 _PRIORITY = [
-    # (a) value-affecting
-    "sim_kmeans_clusters",
-    "q1_pricing_summary",
-    "join_revenue_by_nation",
-    "join_lineitem_part_supplier",
-    "join_left_customer_order_stats",
-    "groupingsets_order_revenue",
-    "sess_tumbling_hourly",
-    "sess_hopping_2h_1h",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_clusters",
-    # (b) plan-changed: rows-only family
-    "dedup_simhash_pairs",
-    "dedup_embedding_lsh_pairs",
-    # (b) similarity operators
-    "sim_topk_bruteforce",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "dedup_embedding_near_pairs",
-    # (b) dedup module
-    "dedup_ngram_jaccard_pairs",
-    "dedup_winnowing_pairs",
-    # (b) text-analysis loader
-    "text_token_stats",
-    "text_term_frequencies",
-    "text_lang_stats",
-    "text_quality_scores",
-    "text_langid_heuristic",
-    "text_langid_confusion",
-    "text_rolling_fingerprints",
-    # (b) analytics loader (documents consumers)
-    "text_tfidf_top_terms",
-    "text_bigram_pmi",
-    # (b) corpus-cleanup loader
-    "clean_scrub_pii",
-    "clean_sentence_split",
-    "clean_sentence_dedup",
-    "clean_repetition_ratio",
-    "clean_quality_rules",
-    # (b) training-pipeline loader
-    "train_bpe_ish_token_counts",
-    "train_chunk_documents",
-    "train_split_by_hash",
-    "train_stratified_sample",
-    "train_deterministic_shuffle",
-    "train_decontaminate_ngram",
-    "train_pack_shards",
-    # (c) r02-stale fill
-    "agg_boolean_family",
-    "agg_filtered_conditional",
-    "agg_histogram_quantity",
-    "agg_min_by_max_by",
-    "agg_mode_by_group",
-    "agg_string_concat_ordered",
-    "dq_null_and_blank_rates",
-    "events_hourly_seasonality",
-    "fn_datetime_suite",
-    "fn_json_construct_extract",
+    # (a) r02-stale — the VERDICT r05 list, verbatim
     "fn_null_semantics",
     "fn_string_suite",
+    "join_full_outer_nation_balance",
+    "mm_binary_stats",
+    "mm_frame_sample_plan",
+    "mm_props_typed",
+    "orders_pareto_revenue_share",
+    "percentile_quantity_by_flag",
+    "pivot_status_revenue_by_priority",
+    "rollup_acctbal_by_region_nation",
+    "scalar_string_date_math",
+    "sess_debounce_10s",
+    "sim_label_centroids",
+    "stats_price_quantity_corr",
+    "stats_regression_by_type",
+    "subq_correlated_scalar_max_item",
+    "subq_exists_high_value_customers",
+    "subq_scalar_above_avg_orders",
+    "top10_orders_by_price",
+    "window_first_last_value",
+    "window_rank_family",
+    "window_running_revenue",
+    "window_sliding_3row_avg",
+    "window_top3_orders_per_customer",
+    # (b) never driver-checked
+    "approx_distinct_users_by_type",
+    "approx_percentile_quantity",
+    "jsonl_quarantine_stats",
+    # (c) r6 value-affecting
+    "text_rolling_fingerprints",
+    # (d) r03-stale fill (alphabetical; window_trailing_1h_count
+    #     overflows to the tail head)
+    "array_agg_statuses_per_priority",
+    "clean_quantize_embeddings",
+    "dq_referential_integrity",
+    "dq_value_range_violations",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    "events_zscore_outliers",
+    "fn_array_set_ops",
+    "fn_array_suite",
+    "fn_conditional_suite",
+    "fn_map_entries",
+    "fn_scalar_suite",
+    "fn_variant_props",
+    "join_relational_division",
+    "mm_resize_dims",
+    "reshape_explode_outer_shingles",
+    "reshape_month_spine_gap_fill",
+    "reshape_unpivot_part_metrics",
+    "sess_range_self_join_5m",
+    "subq_not_in_inactive_parts",
+    "window_range_frame_value_band",
 ]
 
 
@@ -369,11 +360,70 @@ _R04_SWEPT = frozenset(
     }
 )
 
+# CORRECTNESS_r05 sweep (50 rows: 47 hash-green + the 3 by-design
+# rows-only queries — zero errors).
+_R05_SWEPT = frozenset(
+    {
+        "agg_boolean_family",
+        "agg_filtered_conditional",
+        "agg_histogram_quantity",
+        "agg_min_by_max_by",
+        "agg_mode_by_group",
+        "agg_string_concat_ordered",
+        "clean_quality_rules",
+        "clean_repetition_ratio",
+        "clean_scrub_pii",
+        "clean_sentence_dedup",
+        "clean_sentence_split",
+        "dedup_embedding_lsh_pairs",
+        "dedup_embedding_near_pairs",
+        "dedup_minhash_clusters",
+        "dedup_minhash_lsh_pairs",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_simhash_pairs",
+        "dedup_winnowing_pairs",
+        "dq_null_and_blank_rates",
+        "events_hourly_seasonality",
+        "fn_datetime_suite",
+        "fn_json_construct_extract",
+        "groupingsets_order_revenue",
+        "join_left_customer_order_stats",
+        "join_lineitem_part_supplier",
+        "join_revenue_by_nation",
+        "q1_pricing_summary",
+        "sess_hopping_2h_1h",
+        "sess_tumbling_hourly",
+        "sim_ivf_topk",
+        "sim_kmeans_clusters",
+        "sim_lsh_topk",
+        "sim_topk_bruteforce",
+        "text_bigram_pmi",
+        "text_lang_stats",
+        "text_langid_confusion",
+        "text_langid_heuristic",
+        "text_quality_scores",
+        "text_rolling_fingerprints",
+        "text_term_frequencies",
+        "text_tfidf_top_terms",
+        "text_token_stats",
+        "train_bpe_ish_token_counts",
+        "train_chunk_documents",
+        "train_decontaminate_ngram",
+        "train_deterministic_shuffle",
+        "train_pack_shards",
+        "train_split_by_hash",
+        "train_stratified_sample",
+        # text_fingerprints was also r05-green; folded into
+        # text_rolling_fingerprints in r6 (registry swap) — omitted here
+        # because _LATEST_ROW only orders REGISTERED names
+    }
+)
+
 # name -> round of its LATEST driver row (later sets win); unknown
 # names (newly added queries) default to 0 = never checked.
 _LATEST_ROW: dict[str, int] = {}
 for _rnd, _names in enumerate(
-    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT), start=1
+    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT), start=1
 ):
     for _n in _names:
         _LATEST_ROW[_n] = _rnd
