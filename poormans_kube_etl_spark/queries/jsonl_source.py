@@ -84,7 +84,10 @@ def ensure_fixture() -> str:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for n, lines in enumerate(_lines()):
         final = os.path.join(FIXTURE_DIR, f"part-{n:03d}.jsonl")
-        tmp = final + ".tmp"
+        # dot-prefixed tmp: invisible to Spark's file sources AND to the
+        # oracle's *.jsonl glob, so a crash between write and rename can
+        # never leave a file either engine would read as data
+        tmp = os.path.join(FIXTURE_DIR, f".part-{n:03d}.jsonl.tmp")
         with open(tmp, "w") as fh:
             fh.write("\n".join(lines) + "\n")
         os.replace(tmp, final)
@@ -150,7 +153,9 @@ def jsonl_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from poormans_kube_etl_spark.sources.ingest import read_jsonl, split_quarantine
 
     apply_runtime_confs(spark)
-    df = read_jsonl(spark, ensure_fixture(), _SCHEMA)
+    # the SAME *.jsonl glob as the oracle — both engines see exactly
+    # the committed part files, whatever else the directory holds
+    df = read_jsonl(spark, f"{ensure_fixture()}/part-*.jsonl", _SCHEMA)
     valid, quarantined = split_quarantine(df)
     v = valid.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
