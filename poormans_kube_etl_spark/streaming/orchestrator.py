@@ -271,6 +271,15 @@ class Orchestrator:
         for entity, keys in entities.items():
             jsonl = [k for k in keys if k.endswith(".jsonl.gz")]
             if jsonl:
+                if any(k.endswith(".csv.gz") for k in keys):
+                    # a mixed folder means the producer is confused;
+                    # silently ignoring one family would be data loss —
+                    # same X7 halt class as a failed pipeline
+                    raise ValueError(
+                        f"entity {entity!r} in {params.ingest_name} mixes "
+                        "csv.gz and jsonl.gz payloads — one family per "
+                        "entity folder"
+                    )
                 valid, _ = ingest_sources.split_quarantine(
                     self._parse_jsonl_entity(folder, entity, jsonl)
                 )

@@ -286,6 +286,33 @@ def test_corrupt_jsonl_sha_halts_ingest(orch):
     assert orch.errored is not None
 
 
+def test_mixed_payload_entity_folder_halts(orch):
+    """One payload family per entity folder: a producer shipping BOTH
+    csv.gz and jsonl.gz for one entity is confused, and silently
+    ignoring either family is data loss — halt loudly (X7)."""
+    make_ingest_folder(
+        orch.landing_dir, "1538055240", "bulk.txt", with_jsonl_entity=True
+    )
+    folder = os.path.join(orch.landing_dir, "pending", "1538055240", "event")
+    with open(os.path.join(folder, "event_extra.csv.gz"), "wb") as f:
+        f.write(_gz_csv([["event_id"], ["999"]]))
+    # keep the manifest consistent so the MIXED check is what fires
+    mpath = os.path.join(orch.landing_dir, "pending", "1538055240", "manifest.json")
+    manifest = json.load(open(mpath))
+    manifest.append(
+        {
+            "FileName": "event/event_extra.csv.gz",
+            "SHA256": hashlib.sha256(
+                open(os.path.join(folder, "event_extra.csv.gz"), "rb").read()
+            ).hexdigest(),
+        }
+    )
+    json.dump(manifest, open(mpath, "w"))
+    with pytest.raises(ValueError, match="mixes"):
+        orch.run_once()
+    assert orch.errored is not None
+
+
 def test_missing_jsonl_schema_sidecar_halts(orch):
     """read_jsonl requires an explicit contract; a JSONL entity without
     its schema sidecar must halt the ingest (X7), never infer."""
