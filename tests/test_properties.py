@@ -422,3 +422,48 @@ def test_exact_long_sum_model(spark, values):
         assert row["fast"] == float(sum(cents)), (row["fast"], sum(cents))
     else:
         assert row["fast"] is None
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(
+                st.none(),
+                st.text(
+                    # printable sans backslash/quote so json.dumps output is
+                    # byte-predictable; escape handling has its own example
+                    alphabet=st.characters(
+                        min_codepoint=32, max_codepoint=126, exclude_characters='\\"'
+                    ),
+                    max_size=40,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_read_jsonl_roundtrip_model(spark, tmp_path_factory, rows):
+    """Roundtrip property for the schema-contract reader: any list of
+    (bigint, nullable string) records serialized with json.dumps must
+    come back EXACTLY through read_jsonl, with zero quarantined lines —
+    the parse side of the contract modeled independently of the writer.
+    One adversarial malformed line is appended and must be the ONLY
+    quarantine row, intact."""
+    import json as _json
+
+    from poormans_kube_etl_spark.sources.ingest import read_jsonl, split_quarantine
+
+    d = tmp_path_factory.mktemp("jsonl_prop")
+    bad = '{"id": 1, "text": "never closed'
+    lines = [_json.dumps({"id": i, "text": t}) for i, t in rows] + [bad]
+    (d / "data.jsonl").write_text("\n".join(lines) + "\n")
+    df = read_jsonl(spark, str(d), "id bigint, text string")
+    valid, quarantined = split_quarantine(df)
+    got = sorted((r.id, r.text) for r in valid.collect())
+    # escapes: json round-trips the text exactly (the strategy excludes
+    # backslash/quote only to keep the WRITER predictable, not the reader)
+    assert got == sorted(rows)
+    assert [r._corrupt_record for r in quarantined.collect()] == [bad]
