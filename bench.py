@@ -192,6 +192,68 @@ def _skew_join_stage(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _bucketed_join_stage(spark, sf_dir: str) -> dict[str, float]:
+    """Measured bucketing path (completes VERDICT r05 #5's 'library-only'
+    pair): fact⋈fact join on o_orderkey, plain shuffle join vs the same
+    join over two tables bucketed on the key at write time
+    (``write_bucketed``, 16 buckets). Broadcast disabled — orders at
+    small SF would broadcast and measure nothing. Reports the one-time
+    bucketed-write cost alongside, so the crossover (#joins after which
+    the write pays for itself) can be computed: it is the whole point
+    of bucketing that the shuffle is paid once at ingest."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.partitioning import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from poormans_kube_etl_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    tmp = tempfile.mkdtemp(prefix="pke_bucket_bench_")
+    out: dict[str, float] = {}
+
+    def timed(build) -> float:
+        _execute(build())  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _execute(build())
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out["plain_sec"] = timed(lambda: li.join(orders, "o_orderkey"))
+        t0 = time.perf_counter()
+        write_bucketed(li, "bench_li_bucketed", f"{tmp}/li", ["o_orderkey"], 16)
+        write_bucketed(
+            orders, "bench_orders_bucketed", f"{tmp}/orders", ["o_orderkey"], 16
+        )
+        out["bucket_write_sec"] = round(time.perf_counter() - t0, 4)
+        out["bucketed_sec"] = timed(
+            lambda: bucketed_join(
+                spark, "bench_li_bucketed", "bench_orders_bucketed", ["o_orderkey"]
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bench_li_bucketed", "bench_orders_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    out["n_buckets"] = 16
+    return out
+
+
 def main() -> None:
     from poormans_kube_etl_spark.queries import all_queries
     from poormans_kube_etl_spark.session import get_spark
@@ -253,6 +315,7 @@ def main() -> None:
 
     stages = _dedup_stage_split(spark, sf_dir)
     stages["skew_salted_join"] = _skew_join_stage(spark, sf_dir)
+    stages["bucketed_join"] = _bucketed_join_stage(spark, sf_dir)
 
     # Linearity section (VERDICT r03 #7): if the locally-generated sf1
     # replica set exists (scripts/scale_testdata.py — 10x sf0.1 with
