@@ -1,0 +1,100 @@
+"""Repeatable 100×-scale validation sweep (first used r5, scripted r6).
+
+Runs EVERY registered query once, cold, against a replica set (default
+the sf10 set under .benchdata/), then re-times the slowest eight warm
+(min-of-2) at both sf10 and sf1 and prints their ratios — the growth-law
+check that caught the two r5 scale-killers (quadratic SRP-LSH candidate
+volume, N-linear simhash block collisions). Zero errors + every ratio
+≲ 10× for 10× the data is the pass condition; anything super-linear is
+a planner bug, not a tuning problem.
+
+Usage (48 GiB heap required for sf10 — see SCALING.md):
+
+    SPARK_GRAFT_DRIVER_MEM=48g python scripts/sf10_sweep.py
+
+Generate the replica sets first if absent:
+
+    python scripts/scale_testdata.py 10  /root/testdata/sf0.1 .benchdata/sf1
+    python scripts/scale_testdata.py 100 /root/testdata/sf0.1 .benchdata/sf10
+
+Caveat (measured r6): take warm numbers from a LONG session with a
+grain of salt — one allocation-heavy query read ~9× its fresh-process
+cost ten minutes into a session. Cross-check any suspicious number in a
+fresh process before acting on it (SCALING.md records the incident).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    from poormans_kube_etl_spark.queries import all_queries
+    from poormans_kube_etl_spark.session import get_spark
+
+    sf10 = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR", os.path.join(REPO_ROOT, ".benchdata", "sf10")
+    )
+    sf1 = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(REPO_ROOT, ".benchdata", "sf1")
+    )
+    for d in (sf10, sf1):
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"{d} missing — generate it with scripts/scale_testdata.py first"
+            )
+    spark = get_spark(app_name="sf10-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    def ex(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    t_all = time.perf_counter()
+    cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            ex(fn(spark, sf10))
+            cold[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # noqa: BLE001 - full-registry census, report all
+            errors[name] = str(e)[:200]
+    print(
+        json.dumps(
+            {
+                "total_cold_s": round(time.perf_counter() - t_all, 1),
+                "n_ok": len(cold),
+                "errors": errors,
+            }
+        )
+    )
+
+    slowest = sorted(cold.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    warm: dict[str, dict[str, float]] = {}
+    for name, _ in slowest:
+        row: dict[str, float] = {}
+        for label, sf in (("sf10", sf10), ("sf1", sf1)):
+            ex(qs[name](spark, sf))  # warm pass
+            best = float("inf")
+            for _p in range(2):
+                t0 = time.perf_counter()
+                ex(qs[name](spark, sf))
+                best = min(best, time.perf_counter() - t0)
+            row[label] = round(best, 2)
+        row["ratio"] = round(row["sf10"] / row["sf1"], 1)
+        warm[name] = row
+        print(name, row)
+    print(json.dumps({"warm_slowest8": warm}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
