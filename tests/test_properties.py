@@ -467,3 +467,22 @@ def test_read_jsonl_roundtrip_model(spark, tmp_path_factory, rows):
     # backslash/quote only to keep the WRITER predictable, not the reader)
     assert got == sorted(rows)
     assert [r._corrupt_record for r in quarantined.collect()] == [bad]
+
+
+@SETTINGS
+@given(
+    st.floats(min_value=0.05, max_value=0.99),
+    st.integers(min_value=1, max_value=4096),
+    st.one_of(st.none(), st.integers(min_value=2, max_value=10**12)),
+)
+def test_srp_banding_never_overspends_budget(threshold, max_planes, n_vectors):
+    """Generalizes the ADVICE r05 fix: for ANY (threshold, budget, N)
+    the planner must return a plan within the plane budget — both the
+    search loop and the no-plan fallback had paths that overspent a
+    small budget before r6. The budget is GEMM width and bucket-exchange
+    rows, so overspending it is a silent memory/shuffle blowup at scale."""
+    from poormans_kube_etl_spark.operators.similarity import srp_banding
+
+    r, bands = srp_banding(threshold, n_vectors=n_vectors, max_planes=max_planes)
+    assert r >= 1 and bands >= 1
+    assert r * bands <= max_planes, (threshold, max_planes, n_vectors, r, bands)
