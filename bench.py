@@ -1,10 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a
-SHORT headline JSON line first ({"metric", "value", "unit", "sf",
-"n_queries"}) followed by the full detail JSON line
-({"queries": {name: sec, ...}, "stages": ..., "builds": ..., "sf1": ...});
-the full detail is also written whole to BENCH_DETAIL.json (atomic
-rename) so a bounded stdout capture can never lose the record.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full detail JSON line ({"queries": {name: sec, ...}, "stages": ...,
+"builds": ..., "sf1": ...}) followed by a SHORT headline JSON line LAST
+({"metric", "value", "unit", "sf", "n_queries"}) — last because the
+driver keeps a bounded TAIL of stdout, so the tail always ends with a
+complete, parseable record; the full detail is also written whole to
+BENCH_DETAIL.json (atomic rename) so a bounded stdout capture can never
+lose the record.
 
 Each query is fully executed through the ``noop`` write sink — every
 output column materializes on executors, nothing transfers to the
@@ -407,31 +409,40 @@ def main() -> None:
     }
     if sf1_section is not None:
         payload["sf1"] = sf1_section
-    # Truncation-proof output (VERDICT r05 #3: the driver captures a
-    # bounded tail of stdout and BENCH_r05 arrived mid-JSON with
-    # parsed: null). Three redundant records, any one of which suffices:
-    #   1. a SHORT headline line FIRST — always parseable on its own,
-    #   2. the full detail as the second line,
-    #   3. the full detail written to BENCH_DETAIL.json at the repo root
-    #      (atomic tmp+rename) so a truncated capture can be recovered
-    #      from the file whole.
+    emit_results(payload)
+    spark.stop()
+
+
+def emit_results(payload: dict, repo_root: str = REPO_ROOT) -> None:
+    """Print the bench record truncation-proof and persist the detail.
+
+    VERDICT r05 #3 + r06 #1: the driver keeps a bounded TAIL of stdout,
+    so the short headline line must be the LAST thing printed — r5 put
+    it first, which is exactly what a tail capture cuts. Three redundant
+    records, any one of which suffices:
+      1. the full detail line first,
+      2. a SHORT headline line LAST — a tail capture always ends with a
+         complete, parseable JSON line,
+      3. the full detail written to BENCH_DETAIL.json at the repo root
+         (atomic tmp+rename) so a truncated capture can be recovered
+         from the file whole.
+    """
     headline = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
         "sf": payload["sf"],
-        "n_queries": len(timings),
+        "n_queries": len(payload["queries"]),
         "detail": "BENCH_DETAIL.json",
     }
-    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    detail_path = os.path.join(repo_root, "BENCH_DETAIL.json")
     tmp_path = detail_path + ".tmp"
     with open(tmp_path, "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
     os.replace(tmp_path, detail_path)
-    print(json.dumps(headline), flush=True)
     print(json.dumps(payload), flush=True)
-    spark.stop()
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
