@@ -29,7 +29,9 @@ edges):
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,9 +39,6 @@ from pyspark.sql import functions as F
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
 
-# Content version in the path: edits to the generator must change the
-# name so a stale fixture from an earlier code state can never be read.
-FIXTURE_DIR = "/tmp/pke_jsonl_fixture_v1"
 _SCHEMA = "id bigint, lang string, text string"
 _LANGS = ("en", "de", "fr", None)
 
@@ -70,6 +69,27 @@ def _lines() -> list[list[str]]:
     for k, q in enumerate(quarantine):
         files[k % 2].append(q)
     return files
+
+
+def _fixture_dir() -> str:
+    """Per-user, content-addressed fixture path (ADVICE r06): the suffix
+    is a hash of the generated lines, so a generator edit changes the
+    path automatically (a stale fixture can never be read), and the
+    user component keeps a multi-user host from colliding on a
+    world-shared /tmp directory another user may own."""
+    digest = hashlib.md5(
+        "\x1e".join("\n".join(f) for f in _lines()).encode()
+    ).hexdigest()[:12]
+    try:
+        import getpass
+
+        user = getpass.getuser()
+    except Exception:
+        user = f"uid{os.getuid()}"
+    return os.path.join(tempfile.gettempdir(), f"pke_jsonl_{user}_{digest}")
+
+
+FIXTURE_DIR = _fixture_dir()
 
 
 def ensure_fixture() -> str:
@@ -171,11 +191,20 @@ def jsonl_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_id",
         F.lit(None).cast("string").alias("digest"),
     )
+    # collect_list into one md5 is licensed ONLY by the fixture: a fixed
+    # 66-line corpus, not SF-scaled — do not migrate this pattern to a
+    # corpus-scale query (it funnels every row into one aggregate task).
+    # The empty-set guard keeps both engines agreed should the fixture
+    # ever ship zero quarantine lines: DuckDB's string_agg over zero
+    # rows is NULL, Spark's array_join over an empty array is '' — so
+    # emit NULL explicitly when n = 0 (ADVICE r06).
     q = quarantined.agg(
         F.count(F.lit(1)).alias("n"),
-        F.md5(
-            F.array_join(F.array_sort(F.collect_list("_corrupt_record")), "\n")
-        ).alias("digest"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.md5(F.array_join(F.array_sort(F.collect_list("_corrupt_record")), "\n"))
+        )
+        .alias("digest"),
     ).select(
         F.lit("quarantine").alias("status"),
         F.lit(None).cast("string").alias("lang"),

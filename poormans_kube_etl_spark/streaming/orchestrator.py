@@ -92,6 +92,11 @@ class Times:
     neo_rows: int = 0
     elastic_rows: int = 0
     ingest_files: list[str] = field(default_factory=list)
+    # which ingest the cached listing belongs to — consumers must check
+    # this before trusting ingest_files (ADVICE r06: a direct run_ingest
+    # after a prior un-finalized failure would otherwise pair the stale
+    # folder's keys with the new params)
+    ingest_files_name: str | None = None
 
     def is_complete(self) -> bool:  # A5 completion conjunction
         return self.neo_end is not None and self.elastic_end is not None
@@ -101,6 +106,7 @@ class Times:
         self.elastic_start = self.elastic_end = None
         self.neo_rows = self.elastic_rows = 0
         self.ingest_files = []
+        self.ingest_files_name = None
 
 
 class Orchestrator:
@@ -319,9 +325,16 @@ class Orchestrator:
         both lifecycles right before ``run_ingest``) instead of
         re-listing the folder — the hundred-folder fan-out gate pins
         listings at O(2 per folder), and a third per-folder scan of an
-        object store is real money at fleet scale."""
+        object store is real money at fleet scale. The cache is keyed to
+        the ingest name (ADVICE r06): a direct ``run_ingest`` call after
+        a prior ingest failed un-finalized must not pair the stale
+        folder's keys with this params' schema sidecars, so a name
+        mismatch falls back to a fresh listing."""
         folder = f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
-        files = self.timer.ingest_files or self.ingest_files(params)
+        if self.timer.ingest_files_name == params.ingest_name:
+            files = self.timer.ingest_files
+        else:
+            files = self.ingest_files(params)
         entities: dict[str, list[str]] = {}
         for key in files:
             parts = key.split("/")
@@ -534,6 +547,7 @@ class Orchestrator:
         self.scan_failures = 0
         try:
             self.timer.ingest_files = files
+            self.timer.ingest_files_name = params.ingest_name
             self._verify_or_raise(params)
             self.run_ingest(params)
             self.finalize(params)
@@ -598,6 +612,7 @@ class Orchestrator:
                 continue
             params = IngestParams(folder, marker.replace(".txt", ""))
             self.timer.ingest_files = self.ingest_files(params)
+            self.timer.ingest_files_name = params.ingest_name
             self._verify_or_raise(params)
             self.run_ingest(params)
             self.finalize(params)

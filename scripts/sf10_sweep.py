@@ -81,6 +81,7 @@ def main() -> None:
     warm: dict[str, dict[str, float]] = {}
     for name, _ in slowest:
         row: dict[str, float] = {}
+        raw: dict[str, float] = {}
         for label, sf in (("sf10", sf10), ("sf1", sf1)):
             ex(qs[name](spark, sf))  # warm pass
             best = float("inf")
@@ -88,8 +89,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 ex(qs[name](spark, sf))
                 best = min(best, time.perf_counter() - t0)
+            raw[label] = best
             row[label] = round(best, 2)
-        row["ratio"] = round(row["sf10"] / row["sf1"], 1)
+        # ratio from UNROUNDED times with a floored denominator: a
+        # sub-5-ms sf1 best would round to 0.0 and a plain division
+        # would crash the sweep after all the measurement work
+        row["ratio"] = round(raw["sf10"] / max(raw["sf1"], 1e-3), 1)
         warm[name] = row
         print(name, row)
     print(json.dumps({"warm_slowest8": warm}))

@@ -275,6 +275,26 @@ def test_run_stream_ingests_jsonl_entity(orch, tmp_path):
     assert quarantined.count() == len(EVENT_BAD_LINES)
 
 
+def test_quarantine_ignores_stale_listing_from_other_ingest(orch):
+    """ADVICE r06: a direct run_ingest after a prior ingest died
+    un-finalized must not pair the STALE folder's cached listing with
+    the new params — the cache is keyed by ingest name and a mismatch
+    falls back to a fresh listing."""
+    make_ingest_folder(
+        orch.landing_dir, "1538055240", "bulk.txt", with_jsonl_entity=True
+    )
+    # simulate the leftover state of a prior ingest that never finalized
+    orch.timer.ingest_files = ["pending/1111111111/event/event_data.jsonl.gz"]
+    orch.timer.ingest_files_name = "1111111111"
+    orch.run_ingest(IngestParams("1538055240", "bulk"))
+    quarantined = orch.spark.read.parquet(
+        f"{orch.output_dir}/quarantine/1538055240/event"
+    )
+    assert sorted(r._corrupt_record for r in quarantined.collect()) == sorted(
+        EVENT_BAD_LINES
+    )
+
+
 def test_corrupt_jsonl_sha_halts_ingest(orch):
     """The *.gz verify glob must cover the JSONL payload family: a
     tampered .jsonl.gz is a manifest mismatch, X7 halt."""
