@@ -65,77 +65,73 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-6 rotation (VERDICT r05 #1:
-# refresh every pre-r03 driver row; standing rule: queries whose values
-# or oracles changed this round stay in the window):
-# (a) the 24 queries whose latest driver row is r02 — two full rounds
-#     stale, none touched by value-affecting changes since, verified
-#     locally every round but owed a current driver row;
-# (b) never-driver-checked: the two sketches (rows-only class, no row
-#     in any round's window yet) and the NEW jsonl_quarantine_stats
-#     (r6 registry swap — first driver row ever);
-# (c) r6 value-affecting: text_rolling_fingerprints absorbed the former
-#     text_fingerprints' two md5 key columns (schema AND oracle
-#     changed);
-# (d) r03-stale fill up to the 50-query window — 22 of the 23 fit;
-#     window_trailing_1h_count overflows and sits FIRST in the
-#     stalest-first tail, so it is next in line if the sweep runs long.
+# ``queries()`` iteration order. Round-7 rotation (VERDICT r06 #3:
+# refresh window_trailing_1h_count, the sole r03-latest row, and keep
+# the stalest-first discipline; standing rule: queries whose values or
+# oracles changed this round stay in the window):
+# (a) window_trailing_1h_count — overflowed the r6 window, pre-announced
+#     as the r7 head;
+# (b) the 33 queries whose latest driver row is r04;
+# (c) fill to the 50-query window with the alphabetically-first 16 of
+#     the 49 r05-latest queries (all equally stale; the remaining 33
+#     follow in the stalest-first tail via _LATEST_ROW and head the r8
+#     window). jsonl_quarantine_stats' r7 digest-guard edit is
+#     value-preserving (the fixture always has quarantine lines), so it
+#     keeps its r06-green row and waits its turn.
 _PRIORITY = [
-    # (a) r02-stale — the VERDICT r05 list, verbatim
-    "fn_null_semantics",
-    "fn_string_suite",
-    "join_full_outer_nation_balance",
-    "mm_binary_stats",
-    "mm_frame_sample_plan",
-    "mm_props_typed",
-    "orders_pareto_revenue_share",
-    "percentile_quantity_by_flag",
-    "pivot_status_revenue_by_priority",
-    "rollup_acctbal_by_region_nation",
-    "scalar_string_date_math",
-    "sess_debounce_10s",
-    "sim_label_centroids",
-    "stats_price_quantity_corr",
-    "stats_regression_by_type",
-    "subq_correlated_scalar_max_item",
-    "subq_exists_high_value_customers",
-    "subq_scalar_above_avg_orders",
-    "top10_orders_by_price",
-    "window_first_last_value",
-    "window_rank_family",
-    "window_running_revenue",
-    "window_sliding_3row_avg",
-    "window_top3_orders_per_customer",
-    # (b) never driver-checked
-    "approx_distinct_users_by_type",
-    "approx_percentile_quantity",
-    "jsonl_quarantine_stats",
-    # (c) r6 value-affecting
-    "text_rolling_fingerprints",
-    # (d) r03-stale fill (alphabetical; window_trailing_1h_count
-    #     overflows to the tail head)
-    "array_agg_statuses_per_priority",
-    "clean_quantize_embeddings",
-    "dq_referential_integrity",
-    "dq_value_range_violations",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_transition_matrix",
-    "events_zscore_outliers",
-    "fn_array_set_ops",
-    "fn_array_suite",
-    "fn_conditional_suite",
-    "fn_map_entries",
-    "fn_scalar_suite",
-    "fn_variant_props",
-    "join_relational_division",
-    "mm_resize_dims",
-    "reshape_explode_outer_shingles",
-    "reshape_month_spine_gap_fill",
-    "reshape_unpivot_part_metrics",
-    "sess_range_self_join_5m",
-    "subq_not_in_inactive_parts",
-    "window_range_frame_value_band",
+    # (a) the r03 remnant
+    "window_trailing_1h_count",
+    # (b) r04-latest (alphabetical)
+    "cube_orders_status_priority",
+    "dedup_exact_stats",
+    "dedup_keep_first_by_prefix",
+    "distinct_order_priorities",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "mm_decode_features",
+    "mm_frame_sample_hashes",
+    "ref_a3_duration_format",
+    "ref_a4_run_metrics",
+    "ref_dt1_epoch_roundtrip",
+    "ref_e1_token_intersection",
+    "ref_f1_timestamp_folders",
+    "ref_f2_any_timestamp",
+    "ref_f3_marker_rows",
+    "ref_f4_f5_f6_job_filters",
+    "ref_f7_ingest_file_set",
+    "ref_f8_temporal_filter",
+    "ref_folder_lifecycle_summary",
+    "ref_manifest_integrity_join",
+    "ref_o1_oldest_ingest",
+    "ref_p1_p2_path_segments",
+    "ref_p6_json_props",
+    "ref_p7_array_struct_probe",
+    "ref_s2_manifest_gate",
+    "sess_asof_last_signup",
+    "sess_session_window_30m",
+    "set_except_inactive_custkeys",
+    "set_intersect_active_custkeys",
+    "set_union_all_keys",
+    "sim_embedding_norms",
+    "sim_label_spectral_stats",
+    "window_lag_order_gap_days",
+    # (c) r05-latest fill (alphabetical first 16)
+    "agg_boolean_family",
+    "agg_filtered_conditional",
+    "agg_histogram_quantity",
+    "agg_min_by_max_by",
+    "agg_mode_by_group",
+    "agg_string_concat_ordered",
+    "clean_quality_rules",
+    "clean_repetition_ratio",
+    "clean_scrub_pii",
+    "clean_sentence_dedup",
+    "clean_sentence_split",
+    "dedup_embedding_lsh_pairs",
+    "dedup_embedding_near_pairs",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
 ]
 
 
@@ -419,11 +415,69 @@ _R05_SWEPT = frozenset(
     }
 )
 
+# CORRECTNESS_r06: all 50 swept rows (48 hash-green + the 2 sketch
+# rows-only entries).
+_R06_SWEPT = frozenset(
+    {
+        "approx_distinct_users_by_type",
+        "approx_percentile_quantity",
+        "array_agg_statuses_per_priority",
+        "clean_quantize_embeddings",
+        "dq_referential_integrity",
+        "dq_value_range_violations",
+        "events_cohort_retention",
+        "events_funnel_conversion",
+        "events_transition_matrix",
+        "events_zscore_outliers",
+        "fn_array_set_ops",
+        "fn_array_suite",
+        "fn_conditional_suite",
+        "fn_map_entries",
+        "fn_null_semantics",
+        "fn_scalar_suite",
+        "fn_string_suite",
+        "fn_variant_props",
+        "join_full_outer_nation_balance",
+        "join_relational_division",
+        "jsonl_quarantine_stats",
+        "mm_binary_stats",
+        "mm_frame_sample_plan",
+        "mm_props_typed",
+        "mm_resize_dims",
+        "orders_pareto_revenue_share",
+        "percentile_quantity_by_flag",
+        "pivot_status_revenue_by_priority",
+        "reshape_explode_outer_shingles",
+        "reshape_month_spine_gap_fill",
+        "reshape_unpivot_part_metrics",
+        "rollup_acctbal_by_region_nation",
+        "scalar_string_date_math",
+        "sess_debounce_10s",
+        "sess_range_self_join_5m",
+        "sim_label_centroids",
+        "stats_price_quantity_corr",
+        "stats_regression_by_type",
+        "subq_correlated_scalar_max_item",
+        "subq_exists_high_value_customers",
+        "subq_not_in_inactive_parts",
+        "subq_scalar_above_avg_orders",
+        "text_rolling_fingerprints",
+        "top10_orders_by_price",
+        "window_first_last_value",
+        "window_range_frame_value_band",
+        "window_rank_family",
+        "window_running_revenue",
+        "window_sliding_3row_avg",
+        "window_top3_orders_per_customer",
+    }
+)
+
 # name -> round of its LATEST driver row (later sets win); unknown
 # names (newly added queries) default to 0 = never checked.
 _LATEST_ROW: dict[str, int] = {}
 for _rnd, _names in enumerate(
-    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT), start=1
+    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT, _R06_SWEPT),
+    start=1,
 ):
     for _n in _names:
         _LATEST_ROW[_n] = _rnd
