@@ -178,6 +178,13 @@ def _skew_join_stage(spark, sf_dir: str) -> dict[str, float]:
         variants = {
             "plain_sec": lambda: left.join(dim, "k"),
             "salted_sec": lambda: salted_join(left, dim, ["k"], n_salt=32),
+            # r7: the planner-driven mode — stats x hot_share decide
+            # salt/no-salt per the measured crossover, so at sf0.1 this
+            # should track plain_sec (don't-salt regime) and in the gap
+            # band track salted_sec
+            "auto_sec": lambda: salted_join(
+                left, dim, ["k"], hot_share=0.4
+            ),
         }
         for name, build in variants.items():
             _execute(build())  # warm

@@ -12,19 +12,133 @@ every query pays the same exchange otherwise).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Measured regime bounds (SCALING.md "Measured skew crossover", r6):
+# below ~tens of MB of hot partition the straggler is cheaper than the
+# dim-replication tax (sf0.1: plain 0.66 s vs salted 0.74 s), so the
+# planner declines. Within the salting band, size chunks so the split
+# hot partition lands near ordinary-partition weight.
+_SALT_MIN_HOT_BYTES = 32 << 20
+_SALT_CHUNK_BYTES = 32 << 20
+_SALT_MAX = 64
+_AQE_SKEW_THRESHOLD_DEFAULT = 256 << 20
+# Optimizer sizeInBytes (parquet-stats-derived, column-pruned) runs a
+# consistent ~5x BELOW the shuffle-row bytes the regime thresholds are
+# measured in: the r6 skew-stage left side reads 1.4 MB stats vs ~7 MB
+# shuffled at sf0.1, 12.7 vs ~70 at sf1, 127 vs ~700 at sf10 (unsafe-row
+# overhead vs encoded columnar estimate, linear in rows so stable across
+# SF). Auto mode converts stats into threshold units with this factor;
+# caller-supplied hot_bytes are taken verbatim as shuffle bytes.
+_SHUFFLE_PER_STATS_BYTE = 5.0
+
+
+def plan_salt(
+    hot_bytes: int,
+    aqe_skew_threshold: int | None,
+    parallelism: int,
+) -> int | None:
+    """Pure three-regime salt planner (SCALING.md's measured crossover,
+    encoded per VERDICT r06 #4 — the same corpus-size-aware treatment
+    ``plan_blocking``/``srp_banding`` got).
+
+    ``hot_bytes`` is the estimated size of the hottest join partition;
+    ``aqe_skew_threshold`` is AQE's
+    ``skewedPartitionThresholdInBytes`` when skew-join handling is
+    enabled, None when it is off. Returns the salt fan-out, or None for
+    "don't salt":
+
+    - hot partition below ``_SALT_MIN_HOT_BYTES``: the straggler is
+      cheaper than replicating the dim — None.
+    - hot partition above the AQE skew threshold (and AQE skew-join
+      on): the runtime split fixes the sort-merge straggler for free
+      (sf10: 10.07 s → 4.73 s plain, salting adds nothing) — None.
+      Callers AQE never covers (skewed aggregations, pre-AQE shuffle
+      plans) pass ``aqe_skew_threshold=None`` to keep the salt band
+      open upward.
+    - the gap between them (big enough to straggle, too small for
+      AQE's trigger — sf1 measured 1.6× win): salt, fan-out sized so
+      each chunk is ~``_SALT_CHUNK_BYTES``, clamped to
+      [2, max(parallelism, _SALT_MAX)].
+    """
+    if hot_bytes < _SALT_MIN_HOT_BYTES:
+        return None
+    if aqe_skew_threshold is not None and hot_bytes > aqe_skew_threshold:
+        return None
+    n = math.ceil(hot_bytes / _SALT_CHUNK_BYTES)
+    return max(2, min(n, max(parallelism, _SALT_MAX)))
+
+
+def _auto_salt(left: DataFrame, hot_share: float, hot_bytes: int | None) -> int | None:
+    """Derive the salt decision for ``salted_join(n_salt='auto')``.
+
+    Hot-partition size comes from a caller estimate (``hot_bytes``) or
+    optimizer size statistics × ``hot_share`` — plan analysis only
+    (~8 ms), the same source ``spread_small_scan`` reads; a physical
+    probe (``rdd.getNumPartitions``) costs ~0.9 s per build. Stats
+    unavailable → None (plain join — declining to salt is always
+    semantically safe)."""
+    if hot_bytes is None:
+        try:
+            size = int(
+                str(left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            return None
+        hot_bytes = int(size * hot_share * _SHUFFLE_PER_STATS_BYTE)
+    spark = left.sparkSession
+    threshold: int | None = _AQE_SKEW_THRESHOLD_DEFAULT
+    try:
+        if spark.conf.get("spark.sql.adaptive.enabled", "true") != "true" or (
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") != "true"
+        ):
+            threshold = None
+        else:
+            raw = spark.conf.get(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                None,
+            )
+            if raw is not None:
+                threshold = _parse_bytes(raw)
+    except Exception:
+        pass
+    return plan_salt(
+        hot_bytes, threshold, spark.sparkContext.defaultParallelism
+    )
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-conf strings: '268435456', '256m', '1g', '512k', '64b'."""
+    v = v.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
 
 
 def salted_join(
     left: DataFrame,
     right: DataFrame,
     on: list[str],
-    n_salt: int = 8,
+    n_salt: int | str = "auto",
     how: str = "inner",
+    hot_share: float = 1.0,
+    hot_bytes: int | None = None,
 ) -> DataFrame:
     """Equi-join with the left side's hot keys spread over ``n_salt``
     shuffle partitions.
+
+    ``n_salt='auto'`` (default since r7, VERDICT r06 #4) makes the call
+    planner-driven: the measured three-regime crossover decides salt vs
+    plain from the hot-partition estimate (optimizer stats ×
+    ``hot_share``, or a caller-supplied ``hot_bytes``), so a small-SF
+    caller can't pay the replication tax where plain wins and an
+    AQE-covered caller doesn't duplicate the runtime skew split. An
+    explicit integer ``n_salt`` forces salting unconditionally (the
+    pre-r7 behavior).
 
     Left rows get a deterministic salt (xxhash64 of the whole row, mod
     n_salt) so a key carrying 30% of the table fans out across n_salt
@@ -43,6 +157,13 @@ def salted_join(
             "right/full outer semantics (unmatched right rows emitted "
             f"n_salt times); use one of {sorted(safe)} or salt the other side"
         )
+    if n_salt == "auto":
+        planned = _auto_salt(left, hot_share, hot_bytes)
+        if planned is None:
+            return left.join(right, on, how)
+        n_salt = planned
+    elif not isinstance(n_salt, int):
+        raise ValueError(f"n_salt must be an int or 'auto', got {n_salt!r}")
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt)
     ).cast("int")

@@ -7,7 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.partitioning import (
+    _AQE_SKEW_THRESHOLD_DEFAULT,
+    _SALT_MIN_HOT_BYTES,
     bucketed_join,
+    plan_salt,
     salted_join,
     write_bucketed,
 )
@@ -47,6 +50,64 @@ def test_salted_join_left_outer(spark, skewed):
         salted.where(F.col("payload").isNull()).count()
         == plain.where(F.col("payload").isNull()).count()
     )
+
+
+def test_plan_salt_three_regimes():
+    """VERDICT r06 #4: the measured crossover (SCALING.md skew table)
+    encoded as a pure planner — don't-salt below the hot-bytes floor,
+    salt in the gap, defer to AQE's runtime split above its trigger."""
+    aqe = _AQE_SKEW_THRESHOLD_DEFAULT
+    # sf0.1 regime: ~7 MB hot partition — salting measured a LOSS
+    assert plan_salt(7 << 20, aqe, parallelism=32) is None
+    # sf1 regime: ~70 MB hot — inside the gap, measured 1.6x win
+    n = plan_salt(70 << 20, aqe, parallelism=32)
+    assert n is not None and 2 <= n <= 32
+    # sf10 regime: ~700 MB hot — AQE's skew split handles SMJ for free
+    assert plan_salt(700 << 20, aqe, parallelism=32) is None
+    # ...but with AQE skew handling OFF (or a non-SMJ/aggregation
+    # caller) the salt band stays open upward
+    assert plan_salt(700 << 20, None, parallelism=32) >= 2
+    # boundary: exactly the floor salts, one byte below does not
+    assert plan_salt(_SALT_MIN_HOT_BYTES, aqe, parallelism=32) == 2
+    assert plan_salt(_SALT_MIN_HOT_BYTES - 1, aqe, parallelism=32) is None
+
+
+def test_salted_join_auto_declines_below_crossover(spark, skewed):
+    """auto mode on a tiny input must be a PLAIN join — no salt column,
+    no right-side replication (the sf0.1-regime caller can't pay the
+    replication tax for nothing)."""
+    left, right = skewed
+    auto = salted_join(left, right, ["k"])  # n_salt defaults to 'auto'
+    plain = left.join(right, ["k"])
+    assert "xxhash64" not in simple_plan(auto)
+    assert auto.exceptAll(plain).count() == 0
+    assert plain.exceptAll(auto).count() == 0
+
+
+def test_salted_join_auto_salts_in_gap_regime(spark, skewed):
+    """A caller-supplied hot-partition estimate inside the gap band
+    turns auto mode into a real salted join (exchange count still
+    matches plain: the existing gate's invariant)."""
+    left, right = skewed
+    auto = salted_join(left, right, ["k"], hot_bytes=70 << 20)
+    assert "xxhash64" in simple_plan(auto)
+    plain = left.join(right, ["k"])
+    assert auto.exceptAll(plain).count() == 0
+    assert plain.exceptAll(auto).count() == 0
+
+
+def test_salted_join_auto_defers_to_aqe_above_threshold(spark, skewed):
+    """Above AQE's skewedPartitionThresholdInBytes the runtime split
+    owns the problem: auto mode plans a plain join."""
+    left, right = skewed
+    auto = salted_join(left, right, ["k"], hot_bytes=700 << 20)
+    assert "xxhash64" not in simple_plan(auto)
+
+
+def test_salted_join_rejects_bad_n_salt(spark, skewed):
+    left, right = skewed
+    with pytest.raises(ValueError, match="n_salt"):
+        salted_join(left, right, ["k"], n_salt="many")
 
 
 def test_salted_join_exchange_count_matches_plain(spark, skewed):
