@@ -32,6 +32,12 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--output", required=True, help="dir for graph/index/metrics sinks")
         sp.add_argument("--poll-interval", type=float, default=60.0)
         sp.add_argument("--no-verify-manifest", action="store_true")
+        sp.add_argument(
+            "--bucket-buckets",
+            type=int,
+            default=0,
+            help="bucket the graph store on its stable keys (0 = plain parquet)",
+        )
     # streaming flags on WATCH only (self-review r4): run-once used to
     # accept --stream/--checkpoint and silently run a plain poll cycle —
     # the user believed the checkpointed streaming path had run
@@ -77,6 +83,7 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             poll_interval_s=args.poll_interval,
             strict_manifest=not args.no_verify_manifest,
+            bucket_buckets=args.bucket_buckets,
         )
         if args.cmd == "watch":
             if args.stream:

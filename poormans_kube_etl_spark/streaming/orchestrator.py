@@ -125,6 +125,7 @@ class Orchestrator:
         poll_interval_s: float = 60.0,
         strict_manifest: bool = True,
         settle_delay_s: float = 0.0,
+        bucket_buckets: int = 0,
     ):
         self.spark = apply_runtime_confs(spark)
         # Resolve RELATIVE dirs against the Python cwd ONCE, up front
@@ -146,6 +147,14 @@ class Orchestrator:
         # (e.g. an external index refreshing). Default 0: no analogue
         # needed for parquet sinks (SURVEY §2a X6 decision).
         self.settle_delay_s = settle_delay_s
+        # r7 (VERDICT r06 #5): >0 makes the graph store land BUCKETED on
+        # its stable workload keys — nodes by the entity id, edges by
+        # src, same bucket count — so every downstream nodes⋈edges /
+        # edge-traversal join on those keys is exchange-free. The shuffle
+        # is paid once at ingest; the measured crossover (SCALING.md,
+        # bucketed_join bench stage) repays the write after ~10 joins and
+        # falls as data grows. 0 (default) keeps plain parquet sinks.
+        self.bucket_buckets = bucket_buckets
         self.timer = Times()
         self.errored: str | None = None  # X7 error state
         # consecutive transient scan failures (listing/gating); reset on
@@ -348,8 +357,34 @@ class Orchestrator:
                 f"{self.output_dir}/quarantine/{params.ingest_name}/{entity}"
             )
 
+    def _write_graph_sink(
+        self, df: DataFrame, kind: str, params: IngestParams, entity: str,
+        bucket_col: str | None,
+    ) -> None:
+        """One graph-store sink write: plain parquet, or — when
+        ``bucket_buckets`` is set and the frame has a key — a bucketed
+        catalog table at the SAME path (``saveAsTable`` with an explicit
+        path = external table; overwrite stays idempotent under X5
+        relaunch). Bucketed-and-sorted on the key, so downstream joins
+        on it need neither exchange nor sort."""
+        path = f"{self.output_dir}/graph/{kind}/{params.ingest_name}/{entity}"
+        if self.bucket_buckets and bucket_col is not None:
+            from poormans_kube_etl_spark.operators.partitioning import write_bucketed
+
+            write_bucketed(
+                df,
+                f"graph_{kind}_{params.ingest_name}_{entity}",
+                path,
+                [bucket_col],
+                self.bucket_buckets,
+                sort_cols=[bucket_col],
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
+
     def _graph_pipeline(self, params: IngestParams) -> None:
-        """neo4j stand-in: nodes + foreign-key edges, parquet sinks.
+        """neo4j stand-in: nodes + foreign-key edges, parquet sinks
+        (bucketed on the stable keys when ``bucket_buckets`` > 0).
 
         Overwrite by ingest folder = idempotent re-run (X5 preemption
         becomes safe relaunch)."""
@@ -363,10 +398,12 @@ class Orchestrator:
                 )
                 # Observation: count rows DURING the write (no re-scan)
                 obs = Observation()
-                nodes.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-                    "overwrite"
-                ).parquet(
-                    f"{self.output_dir}/graph/nodes/{params.ingest_name}/{entity}"
+                self._write_graph_sink(
+                    nodes.observe(obs, F.count(F.lit(1)).alias("n")),
+                    "nodes",
+                    params,
+                    entity,
+                    id_cols[0] if id_cols else None,
                 )
                 self.timer.neo_rows += int(obs.get["n"])
                 fk_cols = [
@@ -378,9 +415,7 @@ class Orchestrator:
                         F.lit(entity).alias("src_entity"),
                         *[F.col(c) for c in fk_cols],
                     )
-                    edges.write.mode("overwrite").parquet(
-                        f"{self.output_dir}/graph/edges/{params.ingest_name}/{entity}"
-                    )
+                    self._write_graph_sink(edges, "edges", params, entity, "src")
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
 

@@ -275,6 +275,49 @@ def test_run_stream_ingests_jsonl_entity(orch, tmp_path):
     assert quarantined.count() == len(EVENT_BAD_LINES)
 
 
+def test_bucketed_ingest_lands_exchange_free_joins(spark, tmp_path):
+    """VERDICT r06 #5: with ``bucket_buckets`` set, an ingested entity's
+    graph store lands BUCKETED on its stable keys — nodes by the entity
+    id, edges by src — and the canonical downstream traversal join
+    (edges.src ⋈ nodes.id) plans with ZERO exchanges, cashing the
+    measured ~10-join write crossover where the lifecycle actually
+    writes data."""
+    from poormans_kube_etl_spark.plans.inspect import shuffle_count
+
+    landing = str(tmp_path / "landing")
+    output = str(tmp_path / "out")
+    os.makedirs(os.path.join(landing, "pending"), exist_ok=True)
+    orch = Orchestrator(
+        spark, landing, output, poll_interval_s=0.01, bucket_buckets=4
+    )
+    make_ingest_folder(landing, "1538055240", "bulk.txt", with_jsonl_entity=True)
+    try:
+        assert orch.run_once() == IngestParams("1538055240", "bulk")
+        nodes = spark.table("graph_nodes_1538055240_event")
+        edges = spark.table("graph_edges_1538055240_event")
+        assert nodes.count() == len(EVENT_VALID)
+        assert edges.count() == len(EVENT_VALID)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = edges.join(nodes, edges.src == nodes.event_id)
+            assert joined.count() == len(EVENT_VALID)
+            assert shuffle_count(joined) == 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # the bucketed table is an EXTERNAL table at the same path the
+        # plain sink uses — path readers keep working unchanged
+        by_path = spark.read.parquet(f"{output}/graph/nodes/1538055240/event")
+        assert by_path.count() == len(EVENT_VALID)
+    finally:
+        for t in (
+            "graph_nodes_1538055240_event",
+            "graph_edges_1538055240_event",
+            "graph_nodes_1538055240_person",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_quarantine_ignores_stale_listing_from_other_ingest(orch):
     """ADVICE r06: a direct run_ingest after a prior ingest died
     un-finalized must not pair the STALE folder's cached listing with
