@@ -144,6 +144,23 @@ def _ship_package(spark: SparkSession) -> None:
         pass
 
 
+def submitted_master() -> str | None:
+    """The master an enclosing ``spark-submit`` provided, if any.
+
+    spark-submit launches the PySpark gateway with its arguments in
+    ``PYSPARK_SUBMIT_ARGS`` — when a ``--master`` is in there (e.g.
+    ``k8s://https://...`` from the deploy manifests), ``get_spark``
+    must NOT stamp its local[N] default over it, and cluster-owned
+    knobs (driver memory, shuffle partitions, the UI) belong to the
+    submit config, not this builder."""
+    args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    toks = args.split()
+    for i, tok in enumerate(toks):
+        if tok == "--master" and i + 1 < len(toks):
+            return toks[i + 1]
+    return None
+
+
 def get_spark(
     app_name: str = "poormans-kube-etl-spark",
     master: str | None = None,
@@ -154,29 +171,40 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count — right for
     local[N] test scale. On a real cluster, leave AQE's coalescing to
     shrink an intentionally-high initial partition count instead.
+
+    Under ``spark-submit --master k8s://...`` (the deploy manifests),
+    the submit owns master, driver memory, shuffle partitions and the
+    UI; this builder adds only the engine's semantic confs.
     """
     cpus = default_parallelism()
-    # Local mode runs driver + all executor threads in ONE JVM, and
-    # Spark's default spark.driver.memory is 1g — so every parallel
-    # stage (N concurrent sort/write/agg tasks) shared ~366 MB of
-    # execution memory across 32 threads. Measured consequences: the
-    # sf1 replica generation (32 range-sorted parquet writers, each
-    # buffering a row group) OOM-killed bench.py on a fresh checkout,
-    # and passing runs spent whole seconds in GCLocker retries. Size
-    # the heap for the box (this container: 128 GiB); overridable for
-    # smaller hosts. Cluster deployments set driver/executor memory in
-    # submit config and ignore this local-mode default.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    cluster = master is None and submitted_master() is not None
+    builder = SparkSession.builder.appName(app_name)
+    if not cluster:
+        # Local mode runs driver + all executor threads in ONE JVM, and
+        # Spark's default spark.driver.memory is 1g — so every parallel
+        # stage (N concurrent sort/write/agg tasks) shared ~366 MB of
+        # execution memory across 32 threads. Measured consequences: the
+        # sf1 replica generation (32 range-sorted parquet writers, each
+        # buffering a row group) OOM-killed bench.py on a fresh
+        # checkout, and passing runs spent whole seconds in GCLocker
+        # retries. Size the heap for the box (this container: 128 GiB);
+        # overridable for smaller hosts.
+        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        builder = (
+            builder.master(master or f"local[{cpus}]")
+            .config("spark.driver.memory", driver_mem)
+            .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+            .config("spark.ui.showConsoleProgress", "false")
+            .config("spark.ui.enabled", "false")
+        )
+    elif shuffle_partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.driver.memory", driver_mem)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.parquet.filterPushdown", "true")
+        builder.config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

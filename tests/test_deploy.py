@@ -1,0 +1,170 @@
+"""Deployment-surface tests (VERDICT r06 #2): the Dockerfile/manifest/
+submit-script trio must stay wired to the real CLI — the manifests'
+command path exists, the launcher assembles a valid spark-submit, and
+the argv it hands the entrypoint parses and runs ``run-once`` against a
+local fixture.
+
+Reference parity: Dockerfile ↔ reference Dockerfile:1-19, the watch
+Deployment ↔ reference README.md:66-125, the run-once CronJob ↔
+reference cronjob.example.yml.
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+import subprocess
+import sys
+
+import yaml
+
+from poormans_kube_etl_spark.__main__ import main
+from poormans_kube_etl_spark.session import submitted_master
+from tests.test_orchestrator import make_ingest_folder
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SUBMIT_SH = os.path.join(REPO, "deploy", "submit.sh")
+
+BASE_ENV = {
+    "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+    "BUCKET": "my-landing-bucket",
+    "OUTPUT_BUCKET": "my-output-bucket",
+    "S3_ACCESS_KEY": "AKIATEST",
+    "S3_SECRET_KEY": "secret",
+    "DRY_RUN": "1",
+}
+
+
+def _dry_run(mode: str, env_extra: dict | None = None) -> str:
+    env = {**BASE_ENV, **(env_extra or {})}
+    out = subprocess.run(
+        ["sh", SUBMIT_SH, mode], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    return out.stdout.strip()
+
+
+def test_submitted_master_parsing(monkeypatch):
+    monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+    assert submitted_master() is None
+    monkeypatch.setenv(
+        "PYSPARK_SUBMIT_ARGS",
+        "--master k8s://https://kubernetes.default.svc --deploy-mode client pyspark-shell",
+    )
+    assert submitted_master() == "k8s://https://kubernetes.default.svc"
+    # a local pyspark-shell launch has no --master: the local[N] default applies
+    monkeypatch.setenv("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+    assert submitted_master() is None
+
+
+def test_submit_sh_assembles_k8s_submit():
+    cmd = _dry_run("watch")
+    toks = shlex.split(cmd)
+    assert toks[0] == "spark-submit"
+    assert toks[toks.index("--master") + 1] == "k8s://https://kubernetes.default.svc"
+    assert "--conf" in toks and "spark.executor.instances=2" in toks
+    assert "spark.hadoop.fs.s3a.access.key=AKIATEST" in toks
+    # set HIGH, AQE coalesces down — the 100 TB default, not local 32
+    assert "spark.sql.shuffle.partitions=2000" in toks
+    entry = toks.index("/opt/pke/deploy/submit_entry.py")
+    assert toks[entry + 1 :][:5] == [
+        "watch",
+        "--landing",
+        "s3a://my-landing-bucket",
+        "--output",
+        "s3a://my-output-bucket",
+    ]
+
+
+def test_submit_sh_requires_buckets():
+    env = {k: v for k, v in BASE_ENV.items() if k != "BUCKET"}
+    out = subprocess.run(
+        ["sh", SUBMIT_SH, "watch"], env=env, capture_output=True, text=True
+    )
+    assert out.returncode != 0
+    assert "BUCKET" in out.stderr
+
+
+def test_submit_sh_iam_mode_omits_keys():
+    env = {k: v for k, v in BASE_ENV.items() if not k.startswith("S3_")}
+    out = subprocess.run(
+        ["sh", SUBMIT_SH, "run-once"], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    assert "access.key" not in out.stdout  # IRSA/IAM identity instead
+
+
+def _manifest(name: str) -> dict:
+    with open(os.path.join(REPO, "deploy", name)) as fh:
+        return yaml.safe_load(fh)
+
+
+def _container(manifest: dict) -> dict:
+    tpl = manifest["spec"]
+    # Deployment: spec.template; CronJob: spec.jobTemplate.spec.template
+    tpl = tpl.get("template") or tpl["jobTemplate"]["spec"]["template"]
+    return tpl["spec"]["containers"][0]
+
+
+def test_manifests_point_at_the_launcher():
+    dep = _manifest("deployment.example.yml")
+    cron = _manifest("cronjob.example.yml")
+    assert dep["kind"] == "Deployment" and cron["kind"] == "CronJob"
+    # one poller only: the lifecycle deletes folders after commit
+    assert dep["spec"]["replicas"] == 1
+    assert cron["spec"]["jobTemplate"]["spec"]["template"]["spec"]["restartPolicy"] == "OnFailure"
+    for manifest, mode in ((dep, "watch"), (cron, "run-once")):
+        c = _container(manifest)
+        assert c["command"] == ["/opt/pke/deploy/submit.sh", mode]
+        env_names = {e["name"] for e in c["env"]}
+        # the reference's Secret-delivered S3 contract (README.md:66-125)
+        assert {"BUCKET", "OUTPUT_BUCKET", "S3_ACCESS_KEY", "S3_SECRET_KEY"} <= env_names
+        secret_backed = {
+            e["name"] for e in c["env"] if "valueFrom" in e and "secretKeyRef" in e["valueFrom"]
+        }
+        assert {"BUCKET", "S3_ACCESS_KEY", "S3_SECRET_KEY"} <= secret_backed
+
+
+def test_manifest_argv_runs_run_once_on_local_fixture(spark, tmp_path):
+    """The CLI argv the launcher assembles (post-entrypoint) must parse
+    and process a real ingest — with s3a:// URIs swapped for local dirs,
+    this IS the manifests' invocation end to end."""
+    cmd = _dry_run("run-once", {"BUCKET_BUCKETS": "2", "POLL_INTERVAL": "1"})
+    toks = shlex.split(cmd)
+    argv = toks[toks.index("/opt/pke/deploy/submit_entry.py") + 1 :]
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(os.path.join(landing, "pending"), exist_ok=True)
+    make_ingest_folder(landing, "1538055240", "bulk.txt")
+    argv[argv.index("s3a://my-landing-bucket")] = landing
+    argv[argv.index("s3a://my-output-bucket")] = out_dir
+    try:
+        assert main(argv) == 0
+        metrics = spark.read.parquet(f"{out_dir}/ingest_metrics")
+        assert metrics.count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS graph_nodes_1538055240_person")
+
+
+def test_submit_entry_forwards_argv():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "deploy", "submit_entry.py"), "list"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "* q1_pricing_summary" in out.stdout
+
+
+def test_dockerfile_ships_the_launcher_paths():
+    with open(os.path.join(REPO, "Dockerfile")) as fh:
+        df = fh.read()
+    assert "COPY poormans_kube_etl_spark /opt/pke/poormans_kube_etl_spark" in df
+    assert "COPY deploy /opt/pke/deploy" in df
+    assert "PYTHONPATH=/opt/pke" in df
+    # executor pods need the base image's entrypoint intact: no
+    # ENTRYPOINT directive (mentions in comments are fine)
+    assert not any(
+        line.strip().startswith("ENTRYPOINT") for line in df.splitlines()
+    )
