@@ -38,6 +38,8 @@ scans, never the driver.
 
 from __future__ import annotations
 
+import hashlib
+import re
 import threading
 import time
 from dataclasses import dataclass, field
@@ -357,6 +359,26 @@ class Orchestrator:
                 f"{self.output_dir}/quarantine/{params.ingest_name}/{entity}"
             )
 
+    @staticmethod
+    def _table_ident(*parts: str) -> str:
+        """Join name parts into a valid unquoted Spark table identifier.
+
+        Ingest names are epoch-digit folders in the reference layout,
+        but ENTITY names are user-controlled folder segments — a
+        hyphen/dot there is fine for the parquet paths yet illegal in
+        an unquoted ``saveAsTable`` identifier, and letting it through
+        would halt a valid ingest at the sink. Sanitize to
+        ``[A-Za-z0-9_]`` and, when anything changed, suffix a short
+        content hash of the original so ``a-b`` and ``a_b`` cannot
+        collide on the same table."""
+        out = []
+        for p in parts:
+            clean = re.sub(r"[^A-Za-z0-9_]", "_", p)
+            if clean != p:
+                clean += "_" + hashlib.md5(p.encode()).hexdigest()[:6]
+            out.append(clean)
+        return "_".join(out)
+
     def _write_graph_sink(
         self, df: DataFrame, kind: str, params: IngestParams, entity: str,
         bucket_col: str | None,
@@ -373,7 +395,7 @@ class Orchestrator:
 
             write_bucketed(
                 df,
-                f"graph_{kind}_{params.ingest_name}_{entity}",
+                self._table_ident("graph", kind, params.ingest_name, entity),
                 path,
                 [bucket_col],
                 self.bucket_buckets,

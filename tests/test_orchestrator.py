@@ -10,6 +10,7 @@ import hashlib
 import io
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -316,6 +317,45 @@ def test_bucketed_ingest_lands_exchange_free_joins(spark, tmp_path):
             "graph_nodes_1538055240_person",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_table_ident_sanitizes_and_disambiguates():
+    """Entity names are user-controlled folder segments: a hyphen/dot is
+    fine for parquet paths but illegal in an unquoted saveAsTable
+    identifier — sanitize instead of halting a valid ingest, and keep
+    'a-b' vs 'a_b' from colliding on one table."""
+    ident = Orchestrator._table_ident
+    assert ident("graph", "nodes", "1538055240", "event") == (
+        "graph_nodes_1538055240_event"
+    )
+    dirty = ident("graph", "nodes", "1538055240", "my-entity.v2")
+    assert re.fullmatch(r"[A-Za-z0-9_]+", dirty)
+    assert dirty.startswith("graph_nodes_1538055240_my_entity_v2_")
+    assert ident("g", "n", "x", "a-b") != ident("g", "n", "x", "a_b")
+
+
+def test_bucketed_sink_accepts_hyphenated_entity(spark, tmp_path):
+    """_write_graph_sink must survive an entity name that is not a valid
+    table identifier: the bucketed table lands under the sanitized name
+    and the parquet path keeps the ORIGINAL entity segment."""
+    output = str(tmp_path / "out")
+    orch = Orchestrator(
+        spark, str(tmp_path / "landing"), output, bucket_buckets=4
+    )
+    df = spark.range(10).select(
+        F.col("id").alias("event_id"), F.lit("x").alias("payload")
+    )
+    params = IngestParams("1538055240", "bulk")
+    table = Orchestrator._table_ident("graph", "nodes", "1538055240", "my-entity")
+    try:
+        orch._write_graph_sink(df, "nodes", params, "my-entity", "event_id")
+        assert spark.table(table).count() == 10
+        by_path = spark.read.parquet(
+            f"{output}/graph/nodes/1538055240/my-entity"
+        )
+        assert by_path.count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
 def test_quarantine_ignores_stale_listing_from_other_ingest(orch):
