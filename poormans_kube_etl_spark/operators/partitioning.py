@@ -92,8 +92,14 @@ def _auto_salt(left: DataFrame, hot_share: float, hot_bytes: int | None) -> int 
     spark = left.sparkSession
     threshold: int | None = _AQE_SKEW_THRESHOLD_DEFAULT
     try:
-        if spark.conf.get("spark.sql.adaptive.enabled", "true") != "true" or (
-            spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") != "true"
+        # case-insensitive: Spark accepts "True"/"TRUE" for boolean confs
+        if str(
+            spark.conf.get("spark.sql.adaptive.enabled", "true")
+        ).lower() != "true" or (
+            str(
+                spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+            ).lower()
+            != "true"
         ):
             threshold = None
         else:
