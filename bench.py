@@ -416,19 +416,28 @@ def main() -> None:
     }
     if sf1_section is not None:
         payload["sf1"] = sf1_section
-    emit_results(payload)
+    headline_line = emit_results(payload)
     spark.stop()
+    # Re-print the headline AFTER spark.stop(): should shutdown emit any
+    # late log line, the tail still ends with a complete JSON record.
+    print(headline_line, flush=True)
 
 
-def emit_results(payload: dict, repo_root: str = REPO_ROOT) -> None:
-    """Print the bench record truncation-proof and persist the detail.
+def emit_results(payload: dict, repo_root: str = REPO_ROOT) -> str:
+    """Print the bench record truncation-proof and persist the detail;
+    return the headline line so ``main`` can re-print it after Spark
+    shutdown.
 
-    VERDICT r05 #3 + r06 #1: the driver keeps a bounded TAIL of stdout,
-    so the short headline line must be the LAST thing printed — r5 put
-    it first, which is exactly what a tail capture cuts. Three redundant
-    records, any one of which suffices:
+    VERDICT r05 #3 + r06 #1: the driver keeps a bounded TAIL of stdout
+    (observed 2000 bytes), so the headline line must be the LAST thing
+    printed — r5 put it first, which is exactly what a tail capture
+    cuts. The headline carries the driver contract's full field set
+    INCLUDING the per-query seconds map (~830 bytes at the 19-query
+    surface — the size guard below keeps it inside any sane tail);
+    only the stage splits / build times / sf1 section are detail-only.
+    Three redundant records, any one of which suffices:
       1. the full detail line first,
-      2. a SHORT headline line LAST — a tail capture always ends with a
+      2. the headline line LAST — a tail capture always ends with a
          complete, parseable JSON line,
       3. the full detail written to BENCH_DETAIL.json at the repo root
          (atomic tmp+rename) so a truncated capture can be recovered
@@ -439,7 +448,9 @@ def emit_results(payload: dict, repo_root: str = REPO_ROOT) -> None:
         "value": payload["value"],
         "unit": payload["unit"],
         "sf": payload["sf"],
+        "protocol": payload.get("protocol"),
         "n_queries": len(payload["queries"]),
+        "queries": payload["queries"],
         "detail": "BENCH_DETAIL.json",
     }
     detail_path = os.path.join(repo_root, "BENCH_DETAIL.json")
@@ -448,8 +459,16 @@ def emit_results(payload: dict, repo_root: str = REPO_ROOT) -> None:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
     os.replace(tmp_path, detail_path)
+    headline_line = json.dumps(headline)
+    # Guard the tail budget: 2000-byte observed capture, leave half for
+    # any post-JSON shutdown noise. Trip = drop the per-query map rather
+    # than ship an unparseable tail.
+    if len(headline_line) > 1000:
+        headline = {k: v for k, v in headline.items() if k != "queries"}
+        headline_line = json.dumps(headline)
     print(json.dumps(payload), flush=True)
-    print(json.dumps(headline), flush=True)
+    print(headline_line, flush=True)
+    return headline_line
 
 
 if __name__ == "__main__":

@@ -30,23 +30,62 @@ def _sample_payload() -> dict:
 
 
 def test_headline_is_last_stdout_line_and_parses_alone(tmp_path, capsys):
-    bench.emit_results(_sample_payload(), repo_root=str(tmp_path))
+    returned = bench.emit_results(_sample_payload(), repo_root=str(tmp_path))
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert len(lines) == 2
     # A tail capture keeps the END of stdout: the final line must parse
-    # on its own and carry the driver's headline fields.
+    # on its own and carry the driver contract's full field set —
+    # INCLUDING the per-query seconds map (r7; the detail-only parts are
+    # stages/builds/sf1, all recoverable from BENCH_DETAIL.json).
     headline = json.loads(lines[-1])
     assert headline["metric"] == "headline_queries_total_sec"
     assert headline["value"] == 12.34
     assert headline["unit"] == "sec"
     assert headline["sf"] == 0.1
     assert headline["n_queries"] == 2
-    # ...and must be SHORT — short enough that any sane bounded tail
-    # (driver keeps >= ~1 KiB) includes it whole.
-    assert len(lines[-1]) < 512
+    assert headline["queries"] == {"q1_pricing_summary": 1.0, "sim_ivf_topk": 2.0}
+    # ...and must stay inside the driver's observed 2000-byte tail with
+    # slack for post-JSON shutdown noise.
+    assert len(lines[-1]) <= 1000
+    # main() re-prints the RETURNED line after spark.stop() so shutdown
+    # logs can never follow the final record.
+    assert returned == lines[-1]
     # The first line is the full detail record.
     detail = json.loads(lines[0])
     assert detail["queries"] == {"q1_pricing_summary": 1.0, "sim_ivf_topk": 2.0}
+
+
+def test_headline_drops_query_map_rather_than_overflow(tmp_path, capsys):
+    """If the query surface ever grows the headline past the tail
+    budget, the per-query map is dropped — the final line must stay
+    parseable whole, never truncated mid-JSON."""
+    payload = _sample_payload()
+    payload["queries"] = {f"very_long_query_name_number_{i:04d}": 1.0 for i in range(60)}
+    bench.emit_results(payload, repo_root=str(tmp_path))
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    headline = json.loads(lines[-1])
+    assert "queries" not in headline
+    assert headline["n_queries"] == 60
+    assert len(lines[-1]) <= 1000
+
+
+def test_real_headline_surface_fits_tail_budget():
+    """The ACTUAL 19-query headline surface must fit the tail budget
+    with the per-query map intact — if a rename/addition pushes it
+    over, this trips before the driver's record silently loses the
+    map."""
+    names = list(json.load(open(os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")))["queries"])
+    headline = {
+        "metric": "headline_queries_total_sec",
+        "value": 8888.8888,
+        "unit": "sec",
+        "sf": 0.1,
+        "protocol": "warm1+min2",
+        "n_queries": len(names),
+        "queries": {n: 8888.8888 for n in names},
+        "detail": "BENCH_DETAIL.json",
+    }
+    assert len(json.dumps(headline)) <= 1000
 
 
 def test_detail_file_written_atomically(tmp_path, capsys):
