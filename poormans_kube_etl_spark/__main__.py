@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
                 orch.run_forever()
             return 1  # run_forever only returns on error state
         processed = orch.run_once()
+        if orch.errored:
+            # durable X7 halt (prior failure's <output>/_HALT marker):
+            # a CronJob run must not report success while halted
+            print(f"halted: {orch.errored}", file=sys.stderr)
+            return 1
         print(f"processed: {processed}" if processed else "nothing ready")
         return 0
 

@@ -27,13 +27,18 @@ _SALT_CHUNK_BYTES = 32 << 20
 _SALT_MAX = 64
 _AQE_SKEW_THRESHOLD_DEFAULT = 256 << 20
 # Optimizer sizeInBytes (parquet-stats-derived, column-pruned) runs a
-# consistent ~5x BELOW the shuffle-row bytes the regime thresholds are
-# measured in: the r6 skew-stage left side reads 1.4 MB stats vs ~7 MB
-# shuffled at sf0.1, 12.7 vs ~70 at sf1, 127 vs ~700 at sf10 (unsafe-row
-# overhead vs encoded columnar estimate, linear in rows so stable across
-# SF). Auto mode converts stats into threshold units with this factor;
-# caller-supplied hot_bytes are taken verbatim as shuffle bytes.
-_SHUFFLE_PER_STATS_BYTE = 5.0
+# consistent ~12.5x BELOW the WHOLE-SIDE shuffle-row bytes the regime
+# thresholds are measured in (unsafe-row overhead vs encoded columnar
+# estimate, linear in rows so stable across SF). Calibration from the
+# r6 skew stage (SCALING.md table; 40%-hot key): left-side stats
+# 1.4 / 12.7 / 127 MB at sf0.1/1/10 against HOT-partition shuffle
+# sizes ~7 / ~70 / ~700 MB — hot = stats x 12.5 x 0.4 at every SF.
+# The factor converts stats to whole-side shuffle bytes; the caller's
+# hot_share then takes its fraction ONCE (r7 review: a 5x "stats to
+# hot" factor multiplied by hot_share again double-counted the share,
+# declining in the measured sf1 win band and salting in sf10's AQE
+# regime). Caller-supplied hot_bytes are taken verbatim.
+_SHUFFLE_PER_STATS_BYTE = 12.5
 
 
 def plan_salt(
@@ -88,7 +93,7 @@ def _auto_salt(left: DataFrame, hot_share: float, hot_bytes: int | None) -> int 
             )
         except Exception:
             return None
-        hot_bytes = int(size * hot_share * _SHUFFLE_PER_STATS_BYTE)
+        hot_bytes = _hot_bytes_from_stats(size, hot_share)
     spark = left.sparkSession
     threshold: int | None = _AQE_SKEW_THRESHOLD_DEFAULT
     try:
@@ -116,12 +121,22 @@ def _auto_salt(left: DataFrame, hot_share: float, hot_bytes: int | None) -> int 
     )
 
 
+def _hot_bytes_from_stats(stats_bytes: int, hot_share: float) -> int:
+    """Estimated hot-partition shuffle bytes from optimizer stats."""
+    return int(stats_bytes * _SHUFFLE_PER_STATS_BYTE * hot_share)
+
+
 def _parse_bytes(v: str) -> int:
-    """Spark byte-conf strings: '268435456', '256m', '1g', '512k', '64b'."""
+    """Spark byte-conf strings, both suffix spellings Spark accepts:
+    '268435456', '256m', '256mb', '1g', '1gb', '512k', '64b'."""
     v = v.strip().lower()
-    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    if len(v) >= 3 and v.endswith("b") and v[-2] in units:
+        return int(float(v[:-2]) * units[v[-2]])
     if v and v[-1] in units:
         return int(float(v[:-1]) * units[v[-1]])
+    if v.endswith("b"):
+        return int(float(v[:-1]))
     return int(v)
 
 

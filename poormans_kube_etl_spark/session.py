@@ -145,20 +145,37 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def submitted_master() -> str | None:
-    """The master an enclosing ``spark-submit`` provided, if any.
+    """The master a ``PYSPARK_SUBMIT_ARGS``-setting launcher provided.
 
-    spark-submit launches the PySpark gateway with its arguments in
-    ``PYSPARK_SUBMIT_ARGS`` — when a ``--master`` is in there (e.g.
-    ``k8s://https://...`` from the deploy manifests), ``get_spark``
-    must NOT stamp its local[N] default over it, and cluster-owned
-    knobs (driver memory, shuffle partitions, the UI) belong to the
-    submit config, not this builder."""
+    Only the ``pyspark`` interactive-shell wrapper sets this variable;
+    see ``enclosing_submit`` for the signal a real ``spark-submit
+    app.py`` leaves."""
     args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     toks = args.split()
     for i, tok in enumerate(toks):
         if tok == "--master" and i + 1 < len(toks):
             return toks[i + 1]
     return None
+
+
+def enclosing_submit() -> bool:
+    """True when an enclosing launcher (spark-submit / pyspark shell)
+    already owns the JVM and its config.
+
+    Detection is ``PYSPARK_GATEWAY_PORT``: when spark-submit runs a
+    Python app it launches the JVM first and hands the driver Python a
+    ready py4j gateway through this variable (empirically verified on
+    Spark 4.1.2 — ``PYSPARK_SUBMIT_ARGS`` is NOT set for submitted
+    apps, only for the interactive shell wrapper, so keying on it made
+    the k8s deploy path silently run local[N]: the builder's
+    ``.master()`` OVERRIDES the submit-provided master). A
+    self-launched session (plain ``python app.py``) has no gateway
+    port — Python starts the JVM itself. The SUBMIT_ARGS ``--master``
+    parse stays as a secondary signal for shell wrappers."""
+    return (
+        os.environ.get("PYSPARK_GATEWAY_PORT") is not None
+        or submitted_master() is not None
+    )
 
 
 def get_spark(
@@ -177,7 +194,7 @@ def get_spark(
     UI; this builder adds only the engine's semantic confs.
     """
     cpus = default_parallelism()
-    cluster = master is None and submitted_master() is not None
+    cluster = master is None and enclosing_submit()
     builder = SparkSession.builder.appName(app_name)
     if not cluster:
         # Local mode runs driver + all executor threads in ONE JVM, and

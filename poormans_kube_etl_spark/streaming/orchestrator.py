@@ -367,13 +367,17 @@ class Orchestrator:
         but ENTITY names are user-controlled folder segments — a
         hyphen/dot there is fine for the parquet paths yet illegal in
         an unquoted ``saveAsTable`` identifier, and letting it through
-        would halt a valid ingest at the sink. Sanitize to
-        ``[A-Za-z0-9_]`` and, when anything changed, suffix a short
+        would halt a valid ingest at the sink. Sanitize to lowercase
+        ``[a-z0-9_]`` and, when anything changed, suffix a short
         content hash of the original so ``a-b`` and ``a_b`` cannot
-        collide on the same table."""
+        collide on the same table. Lowercasing happens BEFORE the
+        changed-check (r7 review): Spark resolves table identifiers
+        case-insensitively, so entities ``Person`` and ``person``
+        would otherwise map to the SAME catalog table and the second
+        write would silently repoint it at the wrong entity's path."""
         out = []
         for p in parts:
-            clean = re.sub(r"[^A-Za-z0-9_]", "_", p)
+            clean = re.sub(r"[^a-z0-9_]", "_", p.lower())
             if clean != p:
                 clean += "_" + hashlib.md5(p.encode()).hexdigest()[:6]
             out.append(clean)
@@ -571,6 +575,41 @@ class Orchestrator:
                 f"{bad} bad file(s)"
             )
 
+    def _halt_marker_path(self) -> str:
+        return f"{self.output_dir}/_HALT"
+
+    def _write_halt_marker(self, reason: str) -> None:
+        """Durably record the X7 error state (r7 review): under a K8s
+        Deployment the pod restarts with ``restartPolicy: Always`` and
+        a fresh Orchestrator has forgotten ``self.errored`` — without a
+        durable marker, a DETERMINISTIC pipeline failure becomes an
+        infinite crash-loop that re-runs verification and both store
+        pipelines against the same oldest folder forever. The marker
+        turns that into the reference's halt-for-intervention contract
+        (src/ingestor.js:289-292): restarts see the marker, refuse to
+        process, and exit fast; the operator fixes the data and removes
+        ``<output>/_HALT`` to resume."""
+        try:
+            fs, path = ingest_sources.hadoop_fs(self.spark, self._halt_marker_path())
+            out = fs.create(path, True)
+            try:
+                out.write(bytearray(reason.encode("utf-8")))
+            finally:
+                out.close()
+        except Exception as e:  # the halt still holds in-process
+            print(f"orchestrator: could not persist halt marker: {e}")
+
+    def _halted_by_marker(self) -> bool:
+        try:
+            return ingest_sources.path_exists(self.spark, self._halt_marker_path())
+        except Exception:
+            return False
+
+    def clear_halt(self) -> None:
+        """Operator intervention: remove the durable halt marker."""
+        ingest_sources.delete_path(self.spark, self._halt_marker_path())
+        self.errored = None
+
     def run_once(self) -> IngestParams | None:
         """One poll cycle. Returns the processed ingest, or None if the
         cycle found nothing ready (empty/no-marker/manifest-not-ready)
@@ -582,8 +621,17 @@ class Orchestrator:
         pins that the loop survives error → empty → malformed listings).
         The terminal X7 halt is reserved for pipeline/verification
         failures (src/ingestor.js:289-292 enters the error state from
-        job failure, never from a scan error)."""
+        job failure, never from a scan error) — and is durable across
+        process restarts via ``<output>/_HALT`` (see
+        ``_write_halt_marker``)."""
         if self.errored:
+            return None
+        if self._halted_by_marker():
+            self.errored = (
+                f"halted: {self._halt_marker_path()} present from a prior "
+                "failure; fix the data, then remove the marker to resume"
+            )
+            print(f"orchestrator: {self.errored}")
             return None
         try:
             params = self.discover()
@@ -611,6 +659,7 @@ class Orchestrator:
             return params
         except Exception as e:  # X7: halt, require intervention
             self.errored = str(e)
+            self._write_halt_marker(f"{params.ingest_name}: {e}")
             raise
 
     def run_forever(self) -> None:

@@ -19,7 +19,7 @@ import sys
 import yaml
 
 from poormans_kube_etl_spark.__main__ import main
-from poormans_kube_etl_spark.session import submitted_master
+from poormans_kube_etl_spark.session import enclosing_submit, submitted_master
 from tests.test_orchestrator import make_ingest_folder
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -55,6 +55,25 @@ def test_submitted_master_parsing(monkeypatch):
     # a local pyspark-shell launch has no --master: the local[N] default applies
     monkeypatch.setenv("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
     assert submitted_master() is None
+
+
+def test_enclosing_submit_detects_gateway_launch(monkeypatch):
+    """The deploy-critical signal (r7 review): a real ``spark-submit
+    app.py`` does NOT set PYSPARK_SUBMIT_ARGS — it hands the driver a
+    ready JVM via PYSPARK_GATEWAY_PORT (verified empirically on Spark
+    4.1.2). If get_spark missed this, its ``.master(local[N])`` would
+    OVERRIDE the submit's ``--master k8s://...`` and the whole deploy
+    surface would run executor-less inside the driver pod."""
+    monkeypatch.delenv("PYSPARK_SUBMIT_ARGS", raising=False)
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+    assert enclosing_submit() is False
+    # the spark-submit signal: gateway port alone, no SUBMIT_ARGS
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "38273")
+    assert enclosing_submit() is True
+    # the shell-wrapper signal still counts too
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT")
+    monkeypatch.setenv("PYSPARK_SUBMIT_ARGS", "--master k8s://x pyspark-shell")
+    assert enclosing_submit() is True
 
 
 def test_submit_sh_assembles_k8s_submit():

@@ -163,6 +163,54 @@ def test_corrupt_sha_halts_ingest(orch):
     assert orch.run_once() is None  # error state: loop halts (X7)
 
 
+def test_halt_marker_makes_x7_survive_restart(orch, spark, monkeypatch):
+    """r7 review: under a K8s Deployment (restartPolicy Always) a pod
+    restart forgets ``self.errored`` — without a durable marker, a
+    deterministic pipeline failure re-runs verification and both store
+    pipelines against the same oldest folder forever. The X7 failure
+    must write <output>/_HALT, and a FRESH orchestrator over the same
+    dirs must refuse to process — before even scanning."""
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt", corrupt_sha=True)
+    with pytest.raises(RuntimeError, match="manifest verification failed"):
+        orch.run_once()
+    marker = os.path.join(orch.output_dir, "_HALT")
+    assert os.path.exists(marker)
+    with open(marker) as fh:
+        body = fh.read()
+    assert "1538055240" in body and "manifest verification" in body
+    # "pod restart": a fresh Orchestrator with no in-memory error state
+    fresh = Orchestrator(
+        spark, orch.landing_dir, orch.output_dir, poll_interval_s=0.01
+    )
+    def bomb(self):
+        raise AssertionError("halted orchestrator must not scan/reprocess")
+    monkeypatch.setattr(type(fresh), "discover", bomb)
+    assert fresh.run_once() is None
+    assert fresh.errored is not None and "_HALT" in fresh.errored
+    # run_forever exits immediately instead of re-running pipelines
+    fresh.run_forever()
+
+
+def test_clear_halt_resumes_processing(orch, spark):
+    """Operator intervention: fix the data, remove the marker, resume."""
+    bad = make_ingest_folder(
+        orch.landing_dir, "1538055240", "bulk.txt", corrupt_sha=True
+    )
+    with pytest.raises(RuntimeError):
+        orch.run_once()
+    import shutil
+
+    shutil.rmtree(bad)  # the intervention: drop the corrupt folder
+    make_ingest_folder(orch.landing_dir, "1538055999", "bulk.txt")
+    fresh = Orchestrator(
+        spark, orch.landing_dir, orch.output_dir, poll_interval_s=0.01
+    )
+    assert fresh.run_once() is None  # still halted by the marker
+    fresh.clear_halt()
+    assert fresh.run_once() == IngestParams("1538055999", "bulk")
+    assert fresh.errored is None
+
+
 def test_transient_listing_errors_retry_then_succeed(orch, monkeypatch):
     """Reference src/ingestor.js:77-81 retries forever on listing errors;
     src/s3-client.spec.js:8-14 pins that the poll loop survives
@@ -332,6 +380,13 @@ def test_table_ident_sanitizes_and_disambiguates():
     assert re.fullmatch(r"[A-Za-z0-9_]+", dirty)
     assert dirty.startswith("graph_nodes_1538055240_my_entity_v2_")
     assert ident("g", "n", "x", "a-b") != ident("g", "n", "x", "a_b")
+    # r7 review: Spark table identifiers resolve case-insensitively, so
+    # entities differing only in case must get distinct idents — or the
+    # second saveAsTable would silently repoint the first entity's table
+    assert ident("g", "n", "x", "Person") != ident("g", "n", "x", "person")
+    assert ident("g", "n", "x", "Person").lower() != ident(
+        "g", "n", "x", "person"
+    ).lower()
 
 
 def test_bucketed_sink_accepts_hyphenated_entity(spark, tmp_path):

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from poormans_kube_etl_spark.operators.partitioning import (
     _AQE_SKEW_THRESHOLD_DEFAULT,
     _SALT_MIN_HOT_BYTES,
+    _hot_bytes_from_stats,
+    _parse_bytes,
     bucketed_join,
     plan_salt,
     salted_join,
@@ -70,6 +72,42 @@ def test_plan_salt_three_regimes():
     # boundary: exactly the floor salts, one byte below does not
     assert plan_salt(_SALT_MIN_HOT_BYTES, aqe, parallelism=32) == 2
     assert plan_salt(_SALT_MIN_HOT_BYTES - 1, aqe, parallelism=32) is None
+
+
+def test_stats_calibration_lands_each_sf_in_its_measured_regime():
+    """r7 review: the stats-to-shuffle factor converts to WHOLE-SIDE
+    bytes and hot_share is applied once. The SCALING.md skew table's
+    own measurements (left stats 1.4/12.7/127 MB at sf0.1/1/10, 40%-hot
+    key, hot partitions ~7/~70/~700 MB) must land auto mode in the
+    measured regime at every SF — the 5x-then-x-hot_share form
+    double-counted the share, declining at sf1 (the 1.6x win band) and
+    salting at sf10 (AQE's regime)."""
+    aqe = _AQE_SKEW_THRESHOLD_DEFAULT
+    # sf0.1: ~7 MB hot -> below the floor, don't salt
+    sf01 = _hot_bytes_from_stats(int(1.4 * (1 << 20)), 0.4)
+    assert abs(sf01 - (7 << 20)) < (1 << 20)
+    assert plan_salt(sf01, aqe, parallelism=32) is None
+    # sf1: ~63 MB hot -> inside the gap band, salt
+    sf1 = _hot_bytes_from_stats(int(12.7 * (1 << 20)), 0.4)
+    assert (32 << 20) < sf1 < aqe
+    assert plan_salt(sf1, aqe, parallelism=32) is not None
+    # sf10: ~635 MB hot -> above AQE's trigger, defer to the runtime split
+    sf10 = _hot_bytes_from_stats(127 << 20, 0.4)
+    assert sf10 > aqe
+    assert plan_salt(sf10, aqe, parallelism=32) is None
+
+
+def test_parse_bytes_accepts_both_spark_suffix_spellings():
+    """r7 review: Spark accepts '64m' AND '64mb'; rejecting the
+    two-letter form silently reverted the AQE threshold to 256 MB."""
+    assert _parse_bytes("268435456") == 256 << 20
+    assert _parse_bytes("256m") == 256 << 20
+    assert _parse_bytes("256MB") == 256 << 20
+    assert _parse_bytes("64mb") == 64 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("1gb") == 1 << 30
+    assert _parse_bytes("512kb") == 512 << 10
+    assert _parse_bytes("64b") == 64
 
 
 def test_salted_join_auto_declines_below_crossover(spark, skewed):

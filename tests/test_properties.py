@@ -462,10 +462,13 @@ def test_read_jsonl_roundtrip_model(spark, tmp_path_factory, rows):
     (d / "data.jsonl").write_text("\n".join(lines) + "\n")
     df = read_jsonl(spark, str(d), "id bigint, text string")
     valid, quarantined = split_quarantine(df)
-    got = sorted((r.id, r.text) for r in valid.collect())
+    # None-safe sort key: same-id rows with None and '' text are both
+    # legal inputs, and Python tuples can't compare None < str
+    key = lambda t: (t[0], t[1] is not None, t[1] or "")  # noqa: E731
+    got = sorted(((r.id, r.text) for r in valid.collect()), key=key)
     # escapes: json round-trips the text exactly (the strategy excludes
     # backslash/quote only to keep the WRITER predictable, not the reader)
-    assert got == sorted(rows)
+    assert got == sorted(rows, key=key)
     assert [r._corrupt_record for r in quarantined.collect()] == [bad]
 
 
