@@ -719,9 +719,19 @@ class Orchestrator:
             params = IngestParams(folder, marker.replace(".txt", ""))
             self.timer.ingest_files = self.ingest_files(params)
             self.timer.ingest_files_name = params.ingest_name
-            self._verify_or_raise(params)
-            self.run_ingest(params)
-            self.finalize(params)
+            try:
+                self._verify_or_raise(params)
+                self.run_ingest(params)
+                self.finalize(params)
+            except Exception as e:
+                # X7 in stream mode: the failed micro-batch is UNcommitted,
+                # so a checkpoint restart would replay it — a deterministic
+                # pipeline failure crash-loops re-running the pipelines
+                # exactly like the poll path's Deployment restart. Same
+                # durable marker, same intervention contract.
+                self.errored = str(e)
+                self._write_halt_marker(f"{params.ingest_name}: {e}")
+                raise
             if folder in deferred:
                 deferred.discard(folder)
                 self._undefer_folder(folder)
@@ -769,6 +779,11 @@ class Orchestrator:
         say WHICH folders became ready; processing still goes through
         run-ingest → finalize so bulk/delta routing, verification and
         metrics are identical to ``run_once``."""
+        if self._halted_by_marker():
+            raise RuntimeError(
+                f"halted: {self._halt_marker_path()} present from a prior "
+                "failure; fix the data, then remove the marker to resume"
+            )
         manifests = (
             self.spark.readStream.option("maxFilesPerTrigger", 1)  # one folder per micro-batch
             .option("latestFirst", False)  # oldest-first (O1)

@@ -576,11 +576,13 @@ def test_run_stream_processes_manifest_arrivals(orch, tmp_path):
 
 
 def test_run_stream_failed_batch_redelivers_on_restart(orch, tmp_path):
-    """Checkpoint recovery: a batch that fails mid-pipeline commits
-    NOTHING (no metrics row, folder intact), and restarting from the
-    same checkpoint redelivers the manifest so the ingest completes
-    exactly once — the at-least-once-redelivery / exactly-once-commit
-    pair the checkpointing claim actually means."""
+    """Checkpoint recovery under the X7 halt contract: a batch that
+    fails mid-pipeline commits NOTHING (no metrics row, folder intact)
+    and writes the durable halt marker — a restart REFUSES to replay
+    until the operator clears it (r7: same crash-loop guard as the poll
+    path; checkpoint replay would re-run the pipelines forever on a
+    deterministic failure). After clear_halt, the same checkpoint
+    redelivers the manifest so the ingest completes exactly once."""
     make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
     ckpt = str(tmp_path / "ckpt")
     real = orch._graph_pipeline
@@ -595,8 +597,13 @@ def test_run_stream_failed_batch_redelivers_on_restart(orch, tmp_path):
     # nothing half-committed: folder intact, no metrics written
     assert os.path.exists(os.path.join(orch.landing_dir, "pending", "1538055240"))
     assert not os.path.exists(os.path.join(orch.output_dir, "ingest_metrics"))
-
+    # the failure is durable: a restart refuses to start while halted
+    assert os.path.exists(os.path.join(orch.output_dir, "_HALT"))
     orch._graph_pipeline = real
+    with pytest.raises(RuntimeError, match="_HALT"):
+        orch.run_stream(ckpt, available_now=True)
+
+    orch.clear_halt()  # the intervention
     q2 = orch.run_stream(ckpt, available_now=True)
     q2.awaitTermination(180)
     rows = orch.metrics().collect()
