@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.operators.buckets import bucket_member_pairs
 from poormans_kube_etl_spark.operators.text import normalize_text, tokens, word_shingles
 from poormans_kube_etl_spark.sources import spread_small_scan
 
@@ -162,16 +163,34 @@ def _banded(signed: DataFrame, id_col: str, bands: int, rows_per_band: int) -> D
     the banding it claims to observe (self-review r4: the 15-line
     projection was duplicated verbatim in both)."""
     band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+
+    def band_hash(b):
+        chunk = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        # Out-of-range guard (r7 review): the signature width is data,
+        # not schema, so bands x rows_per_band past it used to slice an
+        # EMPTY array whose xxhash64 is one constant — every doc in one
+        # bucket, silently degenerating toward all-pairs. A size check
+        # stays in codegen; raise_error makes the mismatch loud.
+        return F.when(F.size(chunk) == rows_per_band, F.xxhash64(chunk)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"lsh banding out of range: bands={bands} x "
+                        f"rows_per_band={rows_per_band} needs a "
+                        f"{bands * rows_per_band}-wide signature, got "
+                    ),
+                    F.size("sig").cast("string"),
+                )
+            ).cast("long")
+        )
+
     return signed.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.transform(
                 band_ids,
                 lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                        "band_hash"
-                    ),
+                    b.alias("band_id"), band_hash(b).alias("band_hash")
                 ),
             )
         ).alias("band"),
@@ -210,32 +229,7 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
         .where(F.size("docs") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "docs",
-            lambda a, i: F.transform(
-                F.slice("docs", i + 2, F.size("docs")),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
-    all_pairs = (
-        buckets.where(F.size("docs") <= max_bucket)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b")
-    )
-    # rep + remainder projected BEFORE the explode so the generator's
-    # output rows don't each carry the full bucket array (see
-    # simhash.simhash_near_duplicates for the measured failure mode)
-    star_pairs = (
-        buckets.where(F.size("docs") > max_bucket)
-        .select(
-            F.element_at("docs", 1).alias("a"),
-            F.slice("docs", 2, F.size("docs")).alias("rest"),
-        )
-        .select("a", F.explode("rest").alias("b"))
-    )
-    return all_pairs.unionByName(star_pairs).distinct()
+    return bucket_member_pairs(buckets, "docs", max_bucket)
 
 
 def lsh_bucket_stats(
@@ -296,8 +290,19 @@ def minhash_near_duplicates(
     columnar materialization of the shingle sets costs MORE than the
     duplicated signature compute (6.8s vs 5.6s) and it breaks codegen
     pipelining into the consumers. Turn on when the upstream is pricier
-    than the cache write — e.g. shingling multi-KB documents."""
-    assert num_hashes % bands == 0
+    than the cache write — e.g. shingling multi-KB documents. The
+    persisted frame is attached to the result as
+    ``result._persisted_signatures`` so a long-lived session can
+    ``unpersist()`` it after consuming the pairs (r7 review: the
+    persist otherwise pins executor storage for the application
+    lifetime with no release handle)."""
+    if num_hashes % bands != 0:
+        # a real raise, not assert: asserts vanish under python -O, and
+        # the band slice guard downstream would only catch the OVERRUN
+        # case, not a ragged final band
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}"
+        )
     ex = exploded_shingle_hashes(docs, id_col, text_col, shingle_len)
     signed = minhash_signatures(ex, id_col, num_hashes)
     if cache:
@@ -305,4 +310,7 @@ def minhash_near_duplicates(
 
         signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands, max_bucket)
-    return exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)
+    result = exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)
+    if cache:
+        result._persisted_signatures = signed
+    return result

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.operators.buckets import bucket_member_pairs
 from poormans_kube_etl_spark.sources import spread_small_scan
 
 
@@ -275,9 +276,24 @@ def _vec_matrix(pdf, vec_col: str, dim: int):
     silently compute signs against mismatched planes)."""
     import numpy as np
 
-    vecs = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+    def _len(x):
+        return None if x is None else len(x)
+
+    try:
+        vecs = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+        )
+    except (ValueError, TypeError):
+        # numpy >= 1.24 raises on ragged input BEFORE the shape guard
+        # below could run, and a NULL vector raises inside asarray —
+        # either way the caller deserves the named diagnostic, not an
+        # 'inhomogeneous shape' internals message (r7 review)
+        lens = sorted({_len(x) for x in pdf[vec_col]}, key=lambda v: (v is None, v))
+        raise ValueError(
+            f"similarity: expected {dim}-dim vectors, got lengths {lens}"
+        ) from None
     if vecs.ndim != 2 or vecs.shape[1] != dim:
-        lens = sorted({len(x) for x in pdf[vec_col]})
+        lens = sorted({_len(x) for x in pdf[vec_col]}, key=lambda v: (v is None, v))
         raise ValueError(f"similarity: expected {dim}-dim vectors, got lengths {lens}")
     return vecs
 
@@ -309,6 +325,11 @@ def random_hyperplane_buckets(
     rerun gate checks), not contractually identical across BLAS
     implementations; the exact-verify stages downstream never consume
     bucket values, only candidate membership."""
+    if not 1 <= n_planes <= 64:
+        # the bucket is ONE int64 bit-pack; numpy's 1<<64 wraps to 0, so
+        # planes past 64 would silently stop contributing to the bucket
+        # (r7 review) — vectors differing only there would share buckets
+        raise ValueError(f"n_planes={n_planes}: must be in 1..64 (int64 bit-pack)")
     dim = resolve_dim(embeddings, vec_col, dim)
     planes = _hyperplanes(embeddings.sparkSession, n_planes, dim)
     schema = dict((f.name, f.dataType.simpleString()) for f in embeddings.schema.fields)
@@ -392,6 +413,13 @@ def srp_banding(
     accident."""
     import math
 
+    if not 0.0 < target_recall < 1.0:
+        # recall 1.0 needs infinite bands (log1p(-1) is a bare 'math
+        # domain error' otherwise — r7 review); plan for 1-ε instead
+        raise ValueError(
+            f"target_recall={target_recall}: must be in (0, 1) — "
+            "banded LSH recall approaches 1 only asymptotically"
+        )
     if n_vectors is not None and n_vectors > 1:
         max_bg_rate = min(max_bg_rate, bg_per_vec / (n_vectors - 1))
     p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
@@ -413,10 +441,10 @@ def srp_banding(
             return r, bands
     # No r in range satisfied the bg cap under the plane budget (huge
     # N with a small budget): take the widest band the budget allows —
-    # max precision available; recall is whatever it affords. A budget
-    # below the 4-plane minimum clamps to the budget itself (ADVICE r05:
-    # max(4, ...) could emit r=4 > max_planes, overspending the cap).
-    r = min(64, max_planes) if max_planes < 4 else max(4, min(64, max_planes))
+    # max precision available; recall is whatever it affords. min(64,
+    # max_planes) also covers a budget below the 4-plane minimum: the
+    # budget itself wins, never overspent (ADVICE r05).
+    r = min(64, max_planes)
     if r < 1:
         raise ValueError(f"max_planes={max_planes}: need at least 1 plane")
     return r, max(1, max_planes // r)
@@ -457,6 +485,12 @@ def embedding_lsh_candidate_pairs(
     # blocked), output already the narrow (vid, band_id, bucket) rows —
     # the vector never leaves the map side, so the bucket exchange stays
     # id-only (pinned by test_embedding_lsh_bucket_exchange_is_id_only).
+    if not 1 <= planes_per_band <= 64:
+        # each band's bucket is one int64 bit-pack (same wrap hazard as
+        # random_hyperplane_buckets; srp_banding never plans past 64)
+        raise ValueError(
+            f"planes_per_band={planes_per_band}: must be in 1..64 (int64 bit-pack)"
+        )
     dim = resolve_dim(embeddings, vec_col, dim)
     n_planes = bands * planes_per_band
     planes = _hyperplanes(embeddings.sparkSession, n_planes, dim)
@@ -491,33 +525,17 @@ def embedding_lsh_candidate_pairs(
     sigs = spread_small_scan(embeddings.select(id_col, vec_col)).mapInPandas(
         band_sigs, schema=f"vid {id_type}, band_id int, bucket bigint"
     )
+    # collect_set + the shared expansion (r7 review): this block was a
+    # diverged copy of minhash's — collect_list let a duplicated vec_id
+    # emit an (a, a) self-pair, and the star explode referenced the
+    # bucket array in the same select, re-creating the O(n²)-bytes
+    # Generate shape the hot-bucket cap exists to prevent
     buckets = (
         sigs.groupBy("band_id", "bucket")
-        .agg(F.array_sort(F.collect_list("vid")).alias("vids"))
+        .agg(F.array_sort(F.collect_set("vid")).alias("vids"))
         .where(F.size("vids") > 1)
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "vids",
-            lambda a, i: F.transform(
-                F.slice("vids", i + 2, F.size("vids")),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
-    all_pairs = (
-        buckets.where(F.size("vids") <= max_bucket)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b")
-    )
-    star_pairs = (
-        buckets.where(F.size("vids") > max_bucket)
-        .select(
-            F.element_at("vids", 1).alias("a"),
-            F.explode(F.slice("vids", 2, F.size("vids"))).alias("b"),
-        )
-    )
-    return all_pairs.unionByName(star_pairs).distinct()
+    return bucket_member_pairs(buckets, "vids", max_bucket)
 
 
 def embedding_near_pairs_lsh(

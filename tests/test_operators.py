@@ -1109,3 +1109,131 @@ def test_label_centroids_null_and_ragged_vectors(spark):
     )
     with pytest.raises(Exception, match="expected 2-dim vector"):
         label_centroids(ragged).collect()
+
+
+# ---- r7 self-review: LSH hardening (shared bucket expansion + guards) ----
+
+
+def test_lsh_banding_rejects_out_of_range_slice(spark):
+    """r7 review: bands x rows_per_band past the signature width used to
+    slice an EMPTY array whose xxhash64 is one constant — every doc
+    landed in ONE bucket per overrun band, silently degenerating the
+    candidate set toward all-pairs. Must raise, loudly and named."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.minhash import (
+        exploded_shingle_hashes,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "pack my box with five dozen liquor jugs right now")],
+        "doc_id long, text string",
+    )
+    signed = minhash_signatures(
+        exploded_shingle_hashes(docs, "doc_id", "text", 3), "doc_id", 32
+    )
+    # in-range banding still works (8 x 4 = 32)
+    lsh_candidate_pairs(signed, "doc_id", 8, 4).collect()
+    with pytest.raises(Exception, match="lsh banding out of range"):
+        lsh_candidate_pairs(signed, "doc_id", 8, 8).collect()
+
+
+def test_minhash_near_duplicates_rejects_ragged_banding(spark):
+    """The divisibility check is a raise, not an assert (asserts vanish
+    under python -O)."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.minhash import minhash_near_duplicates
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_near_duplicates(docs, num_hashes=32, bands=5)
+
+
+def test_embedding_lsh_duplicate_ids_emit_no_self_pairs(spark):
+    """r7 review: the bucket aggregate used collect_list, so a repeated
+    vec_id (double-loaded partition, upsert artifact) became an (a, a)
+    self-pair — an edge downstream connected-components consumers treat
+    as real. collect_set (shared bucket_member_pairs) defends."""
+    import random
+
+    from poormans_kube_etl_spark.operators.similarity import (
+        embedding_lsh_candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(6)]
+    rows.append((3, [rng.gauss(0, 1) for _ in range(8)]))  # duplicate id
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_lsh_candidate_pairs(
+        emb, bands=4, planes_per_band=2, dim=8
+    ).collect()
+    assert [(r.a, r.b) for r in pairs if r.a == r.b] == []
+
+
+def test_embedding_lsh_star_generate_projects_array_away(spark):
+    """r7 review plan gate: the hot-bucket star path must consume the
+    bucket array in a Generate whose output is the scalar member only —
+    the prior one-select form kept the full array on EVERY generated
+    row (Project[element_at(vids,1)] above the explode), re-creating
+    the O(n^2)-bytes shape the cap exists to prevent (the measured
+    simhash OOM at 10k-member buckets)."""
+    import random
+    import re
+
+    from poormans_kube_etl_spark.operators.similarity import (
+        embedding_lsh_candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_lsh_candidate_pairs(
+        emb, bands=2, planes_per_band=1, dim=8, max_bucket=3
+    )
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    star_gens = [
+        ln for ln in plan.splitlines() if re.search(r"Generate explode\(rest", ln)
+    ]
+    assert star_gens, "star path missing from the plan"
+    assert not any("vids" in ln for ln in star_gens), star_gens
+    # and the trade still holds semantically: no self pairs, a < b
+    rows = pairs.collect()
+    assert all(r.a < r.b for r in rows)
+
+
+def test_plane_count_guards_reject_int64_overflow(spark):
+    """r7 review: numpy's 1<<64 wraps to 0, so planes past 64 silently
+    stopped contributing to the bucket bit-pack — vectors differing
+    only there shared buckets with no error."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.similarity import (
+        embedding_lsh_candidate_pairs,
+        random_hyperplane_buckets,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="1..64"):
+        random_hyperplane_buckets(emb, n_planes=65, dim=8)
+    with pytest.raises(ValueError, match="1..64"):
+        embedding_lsh_candidate_pairs(emb, bands=2, planes_per_band=65, dim=8)
+
+
+def test_srp_banding_rejects_unreachable_recall():
+    """r7 review: target_recall=1.0 crashed with a bare 'math domain
+    error' (log1p(-1)); the planner now names the parameter."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.similarity import srp_banding
+
+    for bad in (1.0, 0.0, 1.5, -0.1):
+        with pytest.raises(ValueError, match="target_recall"):
+            srp_banding(0.9, target_recall=bad)
