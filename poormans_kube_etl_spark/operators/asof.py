@@ -55,6 +55,17 @@ def _asof_join(
     r01). The struct itself is non-null whenever a right row exists, so
     member NULLs survive intact. Right rows sort before left rows at
     equal ts (either direction) → inclusive semantics.
+
+    NULL timestamps follow SQL comparison semantics (r7 review): a
+    NULL-ts right row can satisfy neither ``<=`` nor ``>=``, so it is
+    dropped before the union (it used to sort NULLS-FIRST in the
+    backward direction and act as a −infinity universal match); a
+    NULL-ts left row matches nothing — both sorts place NULLs first,
+    ahead of every right row, so its fill sees an empty frame and
+    yields NULL payload. Tied right rows at identical (keys, ts) pick
+    deterministically — the window tiebreaks on a hash of the payload
+    struct, so reruns and repartitionings agree (which of the tied
+    rows wins is arbitrary but stable).
     """
     keys = list(keys)
     payload = list(payload)
@@ -67,17 +78,19 @@ def _asof_join(
         *[F.col(c) for c in lcols],
         F.lit(None).cast(_payload_struct_type(right, payload)).alias(_PAYLOAD),
     )
-    r = right.select(
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.struct(*[F.col(c) for c in payload]).alias(_PAYLOAD),
     )
-    ts_order = F.col(_TS).desc() if descending else F.col(_TS).asc()
+    ts_order = (
+        F.col(_TS).desc_nulls_first() if descending else F.col(_TS).asc_nulls_first()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col(_SIDE).asc())
+        .orderBy(ts_order, F.col(_SIDE).asc(), F.xxhash64(_PAYLOAD).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l.unionByName(r).select(

@@ -269,6 +269,17 @@ def simhash_buckets(
         m, t = plan_blocking(docs.count(), max_hamming)
     else:
         m, t = blocking
+        # degenerate plans fail NAMED (r7 review): t=0 passed the checks
+        # below, then crashed _key_sql with a bare IndexError on the
+        # empty combo; m > the fingerprint width yields zero-width spans
+        # whose combo keys collapse to constants — every doc in one
+        # bucket with no diagnostic
+        if not 1 <= t <= m <= _BITS:
+            raise ValueError(
+                f"blocking={blocking}: need 1 <= t <= m <= {_BITS} "
+                f"(m blocks over a {_BITS}-bit fingerprint; t >= 1 or "
+                "every doc shares one bucket)"
+            )
         if t > m - max_hamming:
             raise ValueError(
                 f"blocking={blocking}: t must be <= m - max_hamming "

@@ -33,6 +33,30 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _require_unique_keys(updates: DataFrame, keys: list[str]) -> None:
+    """Standard MERGE semantics (r7 review): a source with multiple
+    rows per key is an error, not a fan-out. Without this, a retried
+    batch with a repeated record made the full-outer join emit the key
+    twice — silent duplicate primary keys that COMPOUND on the next
+    merge (2×2=4). One aggregation over the delta (small by definition;
+    pass ``assume_unique_keys=True`` to skip when the delta is already
+    key-deduped upstream)."""
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        vals = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"merge_into: updates contain multiple rows for key {vals}; "
+            "MERGE forbids ambiguous source matches — aggregate or dedupe "
+            "the delta first"
+        )
+
+
 def _merge_frames(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """MATCHED-update / NOT-MATCHED-insert / target-only-keep via one
     full-outer join on the key."""
@@ -101,7 +125,7 @@ def _heal_aside(fs, dst, aside) -> None:
         raise IOError(f"merge_into: failed to restore {aside} to {dst}")
 
 
-def _swap_dir(spark: SparkSession, fs, src, dst, aside) -> None:
+def _swap_dir(fs, src, dst, aside) -> None:
     """Promote ``src`` into ``dst`` with the move-ASIDE-first discipline:
     ``dst`` always holds either the old or the new data, and a failed
     promote rolls the old data back."""
@@ -127,10 +151,22 @@ def merge_into(
     keys: list[str],
     partition_pruning: Column | None = None,
     partition_cols: list[str] | None = None,
+    assume_unique_keys: bool = False,
 ) -> None:
-    """Upsert ``updates`` into the parquet at ``target_path`` by key."""
+    """Upsert ``updates`` into the parquet at ``target_path`` by key.
+
+    ``partition_pruning`` carries the same key-stability contract as
+    ``partition_cols`` (r7 review): every update key's EXISTING target
+    row must satisfy the predicate. A key whose stored row falls
+    outside it is invisible to the merge, classified NOT-MATCHED, and
+    inserted — while the old row survives in the untouched branch:
+    duplicate keys. Validating would require scanning the untouched
+    side, which is exactly what the predicate exists to avoid, so the
+    contract is documented, not enforced."""
     from poormans_kube_etl_spark.sources.ingest import delete_path, hadoop_fs, path_exists
 
+    if not assume_unique_keys:
+        _require_unique_keys(updates, keys)
     if partition_cols:
         _merge_into_partitioned(spark, target_path, updates, keys, partition_cols)
         return
@@ -170,7 +206,7 @@ def merge_into(
     merged.write.mode("overwrite").parquet(staging)
     _, src = hadoop_fs(spark, staging)
     try:
-        _swap_dir(spark, fs0, src, dst0, aside0)
+        _swap_dir(fs0, src, dst0, aside0)
     except Exception:
         # not just IOError: py4j surfaces JVM IOExceptions as
         # Py4JJavaError — the cleanup must run for those too
@@ -282,11 +318,28 @@ def _merge_into_partitioned(
     except Exception:
         # not just IOError: Hadoop FileSystem calls raise JVM
         # IOExceptions through py4j as Py4JJavaError — the rollback
-        # must run for those too, or the target stays mixed-state
+        # must run for those too, or the target stays mixed-state.
+        # Rollback renames are CHECKED (r7 review): a silently-failed
+        # un-promote leaves new data at dst with the old data in its
+        # aside — the next merge's heal would then DELETE the aside
+        # (obsolete-aside branch) and lose the old rows, so an
+        # incomplete rollback must be loud and must preserve staging
+        # for manual repair instead of claiming a clean pre-merge state.
+        incomplete = []
         for src, dst in reversed(promoted):
-            fs.rename(dst, src)
+            if not fs.rename(dst, src):
+                incomplete.append(f"un-promote {dst}")
         for dst, aside in reversed(moved):
-            fs.rename(aside, dst)
+            if not fs.rename(aside, dst):
+                incomplete.append(f"restore {dst} from {aside}")
+        if incomplete:
+            raise IOError(
+                "merge_into: rollback INCOMPLETE after failed promote — "
+                f"target is mixed-state ({'; '.join(incomplete)}); staging "
+                f"kept at {staging} for manual repair. Do NOT re-run the "
+                "merge before restoring: the aside heal would discard the "
+                "parked old data."
+            )
         delete_path(spark, staging)
         raise
     for _dst, aside in moved:

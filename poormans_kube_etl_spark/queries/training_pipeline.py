@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.operators.text import normalize_text, tokens
+from poormans_kube_etl_spark.operators.text import normalize_text, token_count, tokens
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table, spread_small_scan
@@ -62,7 +62,7 @@ def train_bpe_ish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)).alias("n_bpe_tokens"),
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        token_count("text").alias("n_ws_tokens"),
     ).orderBy("doc_id")
 
 
@@ -75,7 +75,10 @@ def train_bpe_ish_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT doc_id, toks,
-             UNNEST(range(0, GREATEST(len(toks) - 32, 0) + 1, 16)) AS chunk_start
+             UNNEST(list_distinct(list_append(
+               range(0, GREATEST(len(toks) - 32, 0) + 1, 16),
+               GREATEST(len(toks) - 32, 0)
+             ))) AS chunk_start
       FROM t
     )
     SELECT doc_id,
@@ -90,12 +93,24 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size token chunks (32 tokens, stride 16 → 50% overlap) —
     the context-window packing primitive. Chunk starts come from a
     per-row sequence + explode: rows scale out, no driver loops; at
-    100 TB this is a map-only stage."""
+    100 TB this is a map-only stage.
+
+    The start grid always includes ``len - size`` (r7 review): the bare
+    stride sequence stops at the last on-grid start, silently dropping
+    up to stride-1 trailing tokens of every document whose length is
+    off the grid (a 40-token doc lost tokens 33-40) — for a training
+    corpus that is systematic tail amnesia. The appended final window
+    overlaps the previous one instead; short docs (< size) keep their
+    single partial chunk."""
     docs = _docs(spark, sf_dir)
     size, stride = 32, 16
     toked = docs.select("doc_id", tokens(normalize_text("text")).alias("toks"))
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("toks") - size, F.lit(0)), F.lit(stride)
+    last_start = F.greatest(F.size("toks") - size, F.lit(0))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(0), last_start, F.lit(stride)),
+            F.array(last_start),
+        )
     )
     # chunks are cut INSIDE the transform, then exploded — exploding the
     # start offsets and slicing `toks` afterwards would carry the full
@@ -227,11 +242,19 @@ def train_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     train docs with overlap counts — the removal step is a left-anti
     join on this result.
 
-    Scale shape: the benchmark side is tiny by construction (an eval
-    set, not a corpus) → its distinct (shingle, bench_id) pairs
-    BROADCAST; the training side streams map-side through the broadcast
-    hash join, so the only shuffle is the final per-doc aggregation of
-    matching shingles — no corpus-vs-corpus self-join."""
+    Scale shape: a REAL eval set is fixed-size tiny, so its distinct
+    (shingle, bench_id) pairs broadcast and the training side streams
+    map-side — no corpus-vs-corpus self-join. But this query's stand-in
+    bench (doc_id % 97) is CORPUS-PROPORTIONAL (~1/97 of all distinct
+    shingles), so a forced F.broadcast would grow linearly with the
+    corpus and OOM the driver at the 100 TB target (r7 review, which
+    caught the docstring claiming 'tiny by construction' for a side
+    that is not). The hint is therefore left to AQE: runtime shuffle
+    stats broadcast the bench side while it fits
+    autoBroadcastJoinThreshold and keep a shuffle join past it —
+    exactly the size-dependent behavior the stand-in needs. Callers
+    with a genuinely bounded eval set can still wrap it in
+    F.broadcast themselves."""
     from poormans_kube_etl_spark.operators.minhash import exploded_shingles
 
     docs = _docs(spark, sf_dir)
@@ -243,7 +266,7 @@ def train_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = ex.where(F.col("doc_id") % 97 != 0)
     return (
-        train.join(F.broadcast(bench), "s")
+        train.join(bench, "s")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("s").alias("n_overlap_ngrams"),

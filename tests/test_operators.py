@@ -1237,3 +1237,120 @@ def test_srp_banding_rejects_unreachable_recall():
     for bad in (1.0, 0.0, 1.5, -0.1):
         with pytest.raises(ValueError, match="target_recall"):
             srp_banding(0.9, target_recall=bad)
+
+
+# ---- r7 self-review: asof NULL/tie semantics, MERGE source keys, ----
+# ---- simhash degenerate blocking, chunk tail coverage             ----
+
+
+def test_asof_null_timestamps_follow_sql_semantics(spark):
+    """r7 review: a NULL-ts right row used to sort NULLS-FIRST in the
+    backward window and act as a -infinity universal match; a NULL-ts
+    left row used to pick up the earliest right row in the forward
+    direction. SQL three-valued logic says NULL satisfies neither
+    <= nor >= — no match, either side, either direction."""
+    from poormans_kube_etl_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:50"), (2, 1, None)],
+        "lid long, k long, lts string",
+    ).selectExpr("lid", "k", "cast(lts as timestamp) as lts")
+    right = spark.createDataFrame(
+        [(1, None, 111), (1, "2024-01-01 00:01:40", 222)],
+        "k long, rts string, payload long",
+    ).selectExpr("k", "cast(rts as timestamp) as rts", "payload")
+
+    back = {r.lid: r.payload for r in
+            asof_join_backward(left, right, ["k"], "lts", "rts", ["payload"]).collect()}
+    # lid 1 at :50 has no right row <= :50 (the NULL-ts row is NOT -inf)
+    assert back == {1: None, 2: None}
+    fwd = {r.lid: r.payload for r in
+           asof_join_forward(left, right, ["k"], "lts", "rts", ["payload"]).collect()}
+    # lid 1 matches :01:40 forward; the NULL-ts LEFT row matches nothing
+    assert fwd == {1: 222, 2: None}
+
+
+def test_asof_tied_right_rows_pick_deterministically(spark):
+    """r7 review: two right rows at identical (key, ts) used to resolve
+    by partition order — the pick is arbitrary but must be STABLE
+    across reruns and repartitionings (the repo determinism gate)."""
+    from poormans_kube_etl_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:01:00")], "lid long, k long, lts string"
+    ).selectExpr("lid", "k", "cast(lts as timestamp) as lts")
+    rows = [(1, "2024-01-01 00:00:30", v) for v in (101, 202, 303)]
+    picks = set()
+    for n_part in (1, 3, 7):
+        right = (
+            spark.createDataFrame(rows, "k long, rts string, payload long")
+            .selectExpr("k", "cast(rts as timestamp) as rts", "payload")
+            .repartition(n_part)
+        )
+        got = asof_join_backward(
+            left, right, ["k"], "lts", "rts", ["payload"]
+        ).collect()
+        picks.add(got[0].payload)
+    assert len(picks) == 1, f"tie pick varies with partitioning: {picks}"
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    """r7 review: MERGE forbids ambiguous source matches — a repeated
+    key in the delta used to fan out through the full-outer join into
+    silent duplicate primary keys that COMPOUND on the next merge."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.upsert import merge_into
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10)], "k long, v long").write.parquet(path)
+    dup = spark.createDataFrame([(1, 11), (1, 12)], "k long, v long")
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        merge_into(spark, path, dup, keys=["k"])
+    # target untouched by the rejected merge
+    assert [(r.k, r.v) for r in spark.read.parquet(path).collect()] == [(1, 10)]
+    # the escape hatch for pre-deduped deltas skips the extra job
+    ok = spark.createDataFrame([(1, 11)], "k long, v long")
+    merge_into(spark, path, ok, keys=["k"], assume_unique_keys=True)
+    assert [(r.k, r.v) for r in spark.read.parquet(path).collect()] == [(1, 11)]
+
+
+def test_simhash_buckets_rejects_degenerate_blocking(spark):
+    """r7 review: blocking=(m, 0) passed validation then crashed with a
+    bare IndexError; m past the fingerprint width made zero-width spans
+    whose combo keys collapse to constants (one global bucket)."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.simhash import simhash_buckets
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="1 <= t <= m"):
+        simhash_buckets(docs, blocking=(5, 0))
+    with pytest.raises(ValueError, match="1 <= t <= m"):
+        simhash_buckets(docs, blocking=(70, 2))
+
+
+def test_train_chunks_cover_every_token(spark, monkeypatch, tmp_path):
+    """r7 review: the bare stride grid dropped up to stride-1 trailing
+    tokens of every off-grid document (a 40-token doc lost tokens
+    33-40) — systematic tail amnesia for a corpus chunker. The final
+    window must always reach the document end."""
+    from poormans_kube_etl_spark.queries.training_pipeline import (
+        train_chunk_documents,
+    )
+
+    text = " ".join(f"tok{i:02d}" for i in range(40))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/documents.parquet")
+    chunks = train_chunk_documents(spark, sf).collect()
+    starts = sorted(c.chunk_start for c in chunks)
+    assert starts == [0, 8]  # grid start + appended tail start (40-32)
+    covered = set()
+    for c in chunks:
+        covered.update(range(c.chunk_start, c.chunk_start + c.chunk_len))
+    assert covered == set(range(40))
+    assert chunks[-1].chunk_text.split(" ")[-1] == "tok39"
