@@ -22,7 +22,7 @@ from poormans_kube_etl_spark.operators.minhash import (
     minhash_near_duplicates,
 )
 from poormans_kube_etl_spark.operators.simhash import simhash_near_duplicates
-from poormans_kube_etl_spark.operators.similarity import to_double_vec
+from poormans_kube_etl_spark.operators.similarity import checked_double_vec
 from poormans_kube_etl_spark.operators.text import (
     fingerprint_md5,
     normalize_text,
@@ -291,8 +291,13 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < _EMB_PAIR_CAP)
     # per-side norms + one codegen'd pair dot — bit-identical to
-    # cosine() (same elementwise order), so the oracle hash holds
-    e = emb.select("vec_id", to_double_vec("embedding").alias("v")).withColumn(
+    # cosine() (same elementwise order), so the oracle hash holds.
+    # checked_double_vec, not to_double_vec (r7 review): the dot/norm
+    # expressions index [0..64) positionally, so a >64-dim vector was
+    # silently truncated to its first 64 components while the oracle's
+    # list_dot_product used the full vector — wrong similarities with
+    # no error; the checked form fails the task naming the bad length
+    e = emb.select("vec_id", checked_double_vec("embedding", 64).alias("v")).withColumn(
         "n", _norm_expr("v", 64)
     )
     a, b = e.alias("ea"), e.alias("eb")

@@ -219,7 +219,21 @@ def _jsonl_parse(raw: DataFrame, schema, mode: str, corrupt_col: str) -> DataFra
     raw = raw.withColumnRenamed("value", "__raw")
     if mode == "FAILFAST":
         j = F.from_json("__raw", schema, {"mode": "FAILFAST"})
-        return raw.select(j.alias("__j")).select("__j.*")
+        # from_json returns a NULL struct (no BadRecordException) for
+        # input it cannot BEGIN to parse — a blank line used to sail
+        # through the fail-fast gate as a phantom all-null row (r7
+        # review; the PERMISSIVE branch already compensates below).
+        # raise_error keeps the check row-level and codegen-friendly.
+        guarded = F.when(
+            j.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("read_jsonl FAILFAST: unparsable line: "),
+                    F.col("__raw"),
+                )
+            ).cast(schema),
+        ).otherwise(j)
+        return raw.select(guarded.alias("__j")).select("__j.*")
     # from_json only supports PERMISSIVE/FAILFAST; DROPMALFORMED is
     # PERMISSIVE + a filter (identical semantics to the JSON source's).
     # Built WITHOUT StructType.add — add() mutates the caller's schema
@@ -265,6 +279,14 @@ def read_csv_gz_with_header_sidecar(
     (data model D6). Without a sidecar, the first row is the header."""
     if header_path:
         header_cols = spark.read.csv(header_path).first()
+        if header_cols is None:
+            # a zero-byte/truncated sidecar (partial upload) used to die
+            # as an opaque "'NoneType' object is not iterable" (r7
+            # review); name the file like the mismatch branch does
+            raise ValueError(
+                f"header sidecar {header_path!r} is empty — "
+                "the sidecar does not match the data"
+            )
         names = [c for c in header_cols if c is not None]
         df = spark.read.option("header", False).csv(data_paths)
         if len(names) != len(df.columns):

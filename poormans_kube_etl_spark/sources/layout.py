@@ -56,15 +56,32 @@ def write_zordered(
     rectangular regions of the column space, so min/max row-group
     pruning works for filters on ANY of the keyed columns, not just a
     lexicographic prefix.
+
+    Degenerate inputs (r7 review): an empty frame or an all-NULL /
+    constant key column has no usable (min, max) span — a scheduled
+    layout job over an empty upstream partition used to die on
+    ``float(None)`` after paying the stats aggregate. Empty output is
+    written as-is; a span-less COLUMN contributes a constant 0 to the
+    Morton key (no pruning power on that column, every other column
+    keeps its bits).
     """
+    if "__zkey" in df.columns:
+        # withColumn would silently REPLACE and then drop a real user
+        # column of this name — refuse, like the JSONL reader does for
+        # its internals
+        raise ValueError("write_zordered: input already has a __zkey column")
     bounds = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in zorder_cols],
         *[F.max(c).alias(f"hi_{c}") for c in zorder_cols],
     ).collect()[0]
-    scaled = [
-        _scaled(F.col(c), float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"]), bits)
-        for c in zorder_cols
-    ]
+
+    def _scaled_or_const(c: str) -> Column:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is None or hi is None:  # empty frame or all-NULL column
+            return F.lit(0).cast("long")
+        return _scaled(F.col(c), float(lo), float(hi), bits)
+
+    scaled = [_scaled_or_const(c) for c in zorder_cols]
     key = zorder_key(scaled, bits)
     (
         df.withColumn("__zkey", key)

@@ -87,8 +87,16 @@ def _dir_version(path: str) -> tuple | None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from poormans_kube_etl_spark.session import apply_runtime_confs
+    from poormans_kube_etl_spark.sources.ingest import _resolve_relative
 
     apply_runtime_confs(spark)
+    # anchor scheme-less relative dirs on the PYTHON cwd before BOTH the
+    # version stat and the Spark read (r7 review): Hadoop resolves
+    # relative paths against the JVM's launch-frozen cwd, so after a
+    # chdir the os.stat staleness probe watched a DIFFERENT directory
+    # than the one Spark read — the cache could serve a frozen file
+    # listing for a table that had been rewritten
+    sf_dir = _resolve_relative(sf_dir)
     key = (id(spark), sf_dir, name)
     version = _dir_version(table_path(sf_dir, name))
     cached = _TABLE_CACHE.get(key)

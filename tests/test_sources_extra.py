@@ -384,3 +384,101 @@ def test_read_jsonl_stream_quarantines_like_batch(spark, tmp_path):
     )
     assert sorted((r.doc_id, r.text) for r in bv.collect()) == sorted(got["valid"])
     assert [r["_corrupt_record"] for r in bb.collect()] == got["bad"]
+
+
+# ---- r7 self-review: source/sink edge hardening ----
+
+
+def test_read_jsonl_failfast_rejects_blank_lines(spark, tmp_path):
+    """r7 review (confirmed live): from_json returns a NULL struct — no
+    BadRecordException — for input it cannot BEGIN to parse, so a blank
+    line used to sail through the fail-fast gate as a phantom all-null
+    row in the validated output."""
+    import pytest
+
+    from poormans_kube_etl_spark.sources.ingest import read_jsonl
+
+    p = str(tmp_path / "corpus.jsonl")
+    open(p, "w").write('{"doc_id": 1}\n\n{"doc_id": 2}\n')
+    with pytest.raises(Exception, match="unparsable line"):
+        read_jsonl(spark, p, "doc_id bigint", mode="FAILFAST").collect()
+    # valid-only input still parses clean through the guard
+    ok = str(tmp_path / "ok.jsonl")
+    open(ok, "w").write('{"doc_id": 1}\n{"doc_id": 2}\n')
+    got = read_jsonl(spark, ok, "doc_id bigint", mode="FAILFAST").collect()
+    assert sorted(r.doc_id for r in got) == [1, 2]
+
+
+def test_empty_header_sidecar_fails_with_named_error(spark, tmp_path):
+    import pytest
+
+    from poormans_kube_etl_spark.sources.ingest import read_csv_gz_with_header_sidecar
+
+    data = str(tmp_path / "data.csv")
+    open(data, "w").write("1,2\n")
+    empty = str(tmp_path / "headers.csv")
+    open(empty, "w").write("")
+    with pytest.raises(ValueError, match="header sidecar .* is empty"):
+        read_csv_gz_with_header_sidecar(spark, [data], empty)
+
+
+def test_compact_heals_prior_crash_window(spark, tmp_path):
+    """r7 review: a crash between compact's two renames leaves the
+    dataset ONLY at the hidden aside — every rerun used to fail at the
+    read until a human found the dot-dir. compact now heals first, like
+    merge_into has since r3."""
+    from poormans_kube_etl_spark.operators.upsert import _hidden_sibling
+    from poormans_kube_etl_spark.sources.ingest import hadoop_fs
+    from poormans_kube_etl_spark.sources.sinks import compact
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+    # simulate the crash window: data moved aside, promote never ran
+    fs, cur = hadoop_fs(spark, path)
+    _, aside = hadoop_fs(spark, _hidden_sibling(path, ".__compact_aside"))
+    assert fs.rename(cur, aside)
+    assert not fs.exists(cur)
+    compact(spark, path, target_partitions=1)
+    got = spark.read.parquet(path)
+    assert got.count() == 100
+    assert not fs.exists(aside)
+
+
+def test_write_zordered_degenerate_inputs(spark, tmp_path):
+    """r7 review: empty input / all-NULL key column died on float(None)
+    after paying the stats job; a pre-existing __zkey column was
+    silently replaced then dropped (data loss)."""
+    import pytest
+
+    from poormans_kube_etl_spark.sources.layout import write_zordered
+
+    empty = spark.range(0).selectExpr("id as x", "id as y")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, ["x", "y"])
+    assert spark.read.parquet(p1).count() == 0
+
+    nullcol = spark.range(10).selectExpr("id as x", "cast(null as long) as y")
+    p2 = str(tmp_path / "nullcol")
+    write_zordered(nullcol, p2, ["x", "y"])
+    got = spark.read.parquet(p2)
+    assert got.count() == 10 and set(got.columns) == {"x", "y"}
+
+    clash = spark.range(5).selectExpr("id as x", "id as __zkey")
+    with pytest.raises(ValueError, match="__zkey"):
+        write_zordered(clash, str(tmp_path / "clash"), ["x"])
+
+
+def test_load_table_relative_sf_dir_uses_python_cwd(spark, tmp_path, monkeypatch):
+    """r7 review: the version stat ran against the Python cwd while
+    spark.read resolved against the JVM's launch-frozen cwd — for a
+    relative sf_dir after a chdir the staleness guard watched the wrong
+    directory. load_table now anchors the dir like list_prefix does."""
+    from poormans_kube_etl_spark.sources import load_table
+
+    spark.range(7).selectExpr("id as r_regionkey").write.parquet(
+        str(tmp_path / "region.parquet")
+    )
+    monkeypatch.chdir(tmp_path)
+    # pre-fix this resolved against the JVM cwd (the repo root) and
+    # failed with PATH_NOT_FOUND
+    assert load_table(spark, ".", "region").count() == 7
