@@ -223,7 +223,21 @@ def sample_frames_jvm(
             ),
         ),
     )
-    framed = df.where(F.octet_length(binary_col) > 0).select(
+    # NULL payloads fail the task with the Python sampler's named error
+    # (r7 review): octet_length(NULL) > 0 is NULL, so the filter used to
+    # silently DROP exactly the input class _check_no_null_payload makes
+    # loud — the "byte-identical twin" claim diverged on NULLs
+    payload_len = F.when(
+        F.col(binary_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"multimodal: NULL {binary_col!r} payload for {id_col}="),
+                F.col(id_col).cast("string"),
+                F.lit("; decode inputs must be non-null"),
+            )
+        ).cast("int"),
+    ).otherwise(F.octet_length(binary_col))
+    framed = df.where(payload_len > 0).select(
         F.col(id_col), F.explode(chunks).alias("f")
     )  # empty payloads yield no frames, matching the Python sampler
     return framed.select(

@@ -175,14 +175,22 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(e.value, 6) AS value,
            ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 6) AS z
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE ABS((e.value - s.mu) / NULLIF(s.sigma, 0)) > 3
+    WHERE ABS(ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 6)) > 3
     ORDER BY e.event_id
     """,
 )
 def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers (|z| > 3): one moment aggregation
     (groups × 2 doubles) broadcast back onto the stream — anomaly
-    flagging without a second full shuffle."""
+    flagging without a second full shuffle.
+
+    The filter compares the ROUNDED z (r7 review): AVG/STDDEV over
+    doubles sum in different orders on Spark (partial aggregation) vs
+    DuckDB (sequential), so a raw-double |z| > 3 predicate let a
+    borderline row flip ROW MEMBERSHIP between engines — a divergence
+    the 6-decimal output canonicalization cannot mask. Filtering on the
+    same rounded value both sides pins membership to the canonical
+    precision."""
     ev = _t(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
@@ -190,7 +198,7 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .where(F.abs(z) > 3)
+        .where(F.abs(F.round(z, 6)) > 3)
         .select(
             "event_id",
             "event_type",

@@ -235,7 +235,7 @@ def stats_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_mode_by_group",
     oracle="""
     WITH c AS (
-      SELECT l_returnflag, CAST(l_quantity AS INT) AS q, COUNT(*) AS n
+      SELECT l_returnflag, CAST(FLOOR(l_quantity) AS INT) AS q, COUNT(*) AS n
       FROM lineitem GROUP BY 1, 2
     ),
     r AS (
@@ -252,10 +252,14 @@ def agg_mode_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mode (most frequent value, smallest-value
     tiebreak). The built-in ``mode`` on BOTH engines picks an arbitrary
     member of a frequency tie — useless against a value-hash gate — so
-    the mode is spelled as count + ranked tiebreak."""
+    the mode is spelled as count + ranked tiebreak. Quantity buckets
+    via FLOOR on both sides (r7 review): a bare double→int CAST
+    truncates toward zero on Spark but rounds-to-nearest on DuckDB, a
+    silent parity break the moment a corpus ships fractional
+    quantities (today's testdata is integral by luck)."""
     li = _t(spark, sf_dir, "lineitem")
     counts = (
-        li.select("l_returnflag", F.col("l_quantity").cast("int").alias("q"))
+        li.select("l_returnflag", F.floor("l_quantity").cast("int").alias("q"))
         .groupBy("l_returnflag", "q")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -640,12 +644,18 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_min_by_max_by",
     oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+             MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+      FROM orders
+    )
     SELECT o_orderpriority,
-           CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
-           CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+           CAST(MIN(CASE WHEN o_totalprice = mn THEN o_orderkey END) AS BIGINT) AS cheapest_order,
+           CAST(MAX(CASE WHEN o_totalprice = mx THEN o_orderkey END) AS BIGINT) AS priciest_order,
            CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
            CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
-    FROM orders
+    FROM w
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
@@ -653,15 +663,25 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-min/arg-max) — the aggregate form of the
     reference's min-by-key selection (O1): carry a different column's
-    value from the extremal row without a join-back. (Tie behavior is
-    value-dependent; o_totalprice is unique per priority group here,
-    keeping both engines deterministic.)"""
+    value from the extremal row without a join-back.
+
+    Ties are broken explicitly (r7 review): ordering on the
+    (o_totalprice, o_orderkey) STRUCT makes min_by pick the smallest
+    key among the min-price rows and max_by the largest key among the
+    max-price rows — the bare-price form left an extremal tie to each
+    engine's arbitrary pick (the old docstring claimed per-group price
+    uniqueness that the data does not guarantee; duplicate
+    (priority, price) pairs exist at sf0.1 and the extremes were
+    collision-free only by luck). The oracle mirrors the same rule via
+    a window + MIN/MAX CASE, since DuckDB's arg_min does not accept
+    struct ordering."""
     orders = _t(spark, sf_dir, "orders")
+    price_key = F.struct("o_totalprice", "o_orderkey")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", price_key).alias("cheapest_order"),
+            F.max_by("o_orderkey", price_key).alias("priciest_order"),
             F.min("o_totalprice").cast("decimal(18,2)").cast("double").alias("min_price"),
             F.max("o_totalprice").cast("decimal(18,2)").cast("double").alias("max_price"),
         )

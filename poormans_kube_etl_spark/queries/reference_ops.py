@@ -487,9 +487,14 @@ def ref_p7_array_struct_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ev.groupBy("user_id").agg(evs.alias("evs"))
     purchases = F.filter(F.col("evs"), lambda x: x["event_type"] == F.lit("purchase"))
+    # try_element_at, not element_at (r7 review): under ANSI (the 4.x
+    # default) element_at RAISES on an empty array, so one user with
+    # zero purchases killed the job instead of taking the advertised
+    # -1.0 default (DuckDB's list[1] yields NULL); passes on shipped
+    # testdata only because every user happens to have a purchase
     return agg.select(
         "user_id",
-        F.coalesce(F.element_at(purchases, 1)["value"], F.lit(-1.0)).alias(
+        F.coalesce(F.try_element_at(purchases, F.lit(1))["value"], F.lit(-1.0)).alias(
             "first_purchase_value"
         ),
         F.size(purchases).cast("int").alias("purchase_cnt"),

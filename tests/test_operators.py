@@ -1354,3 +1354,52 @@ def test_train_chunks_cover_every_token(spark, monkeypatch, tmp_path):
         covered.update(range(c.chunk_start, c.chunk_start + c.chunk_len))
     assert covered == set(range(40))
     assert chunks[-1].chunk_text.split(" ")[-1] == "tok39"
+
+
+def test_jvm_frame_sampler_raises_on_null_payload(spark):
+    """r7 review: octet_length(NULL) > 0 is NULL, so the JVM sampler
+    silently dropped NULL-payload rows while its documented
+    byte-identical Python twin fails the task loudly — the samplers
+    diverged on exactly the input class the null-check exists for."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.multimodal import sample_frames_jvm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, None)], "doc_id long, content binary"
+    )
+    with pytest.raises(Exception, match="NULL 'content' payload"):
+        sample_frames_jvm(df, frame_size=4, every_k=1).collect()
+
+
+def test_ref_p7_defaults_for_user_without_purchases(spark, tmp_path):
+    """r7 review (confirmed live): under ANSI, element_at on the empty
+    filtered array RAISED instead of taking the advertised -1.0
+    default — a single purchase-less user killed the job; shipped
+    testdata passes only because every user has a purchase."""
+    from poormans_kube_etl_spark.queries.reference_ops import (
+        ref_p7_array_struct_probe,
+    )
+
+    spark.createDataFrame(
+        [(1, 10, "purchase", 5.0), (2, 20, "view", 1.0)],
+        "event_id long, user_id long, event_type string, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: (r.first_purchase_value, r.purchase_cnt)
+           for r in ref_p7_array_struct_probe(spark, str(tmp_path)).collect()}
+    assert got == {10: (5.0, 1), 20: (-1.0, 0)}
+
+
+def test_min_by_struct_tiebreak_is_deterministic(spark, tmp_path):
+    """r7 review: extremal (priority, price) ties exist in the data, and
+    bare-price min_by/arg_max left the pick to each engine. The struct
+    ordering pins min-price -> min key and max-price -> max key."""
+    from poormans_kube_etl_spark.queries.extended import agg_min_by_max_by
+
+    spark.createDataFrame(
+        [(1, "1-URGENT", 10.0), (2, "1-URGENT", 10.0),
+         (9, "1-URGENT", 99.0), (7, "1-URGENT", 99.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    row = agg_min_by_max_by(spark, str(tmp_path)).collect()[0]
+    assert (row.cheapest_order, row.priciest_order) == (1, 9)
