@@ -39,13 +39,25 @@ def scan_nodes(plan: str) -> list[dict[str, str]]:
     """Per parquet scan: the table path fragment, PushedFilters and
     ReadSchema as raw strings."""
     scans = []
-    for m in re.finditer(r"\(\d+\) Scan parquet\s*\n(.*?)(?=\n\(\d+\)|\Z)", plan, re.S):
-        body = m.group(1)
+    # ``[^\n]*`` after 'Scan parquet' (r7 review): catalog-table scans
+    # format as 'Scan parquet spark_catalog.default.<table>' — the
+    # newline-anchored form never matched them, so read_columns returned
+    # an empty set and pruning assertions over bucketed/saveAsTable
+    # reads passed VACUOUSLY (the silent-regression class this module
+    # exists to catch)
+    for m in re.finditer(
+        r"\(\d+\) Scan parquet([^\n]*)\n(.*?)(?=\n\(\d+\)|\Z)", plan, re.S
+    ):
+        body = m.group(2)
         def grab(field: str) -> str:
             fm = re.search(rf"{field}: \[?(.*?)\]?\n", body)
             return fm.group(1).strip() if fm else ""
         scans.append(
             {
+                # the catalog identifier from the header line (empty for
+                # path reads) — lets callers match bucketed/saveAsTable
+                # scans by table name, not just path fragment
+                "table": m.group(1).strip(),
                 "location": grab("Location"),
                 "pushed_filters": grab("PushedFilters"),
                 "read_schema": grab("ReadSchema"),
@@ -57,7 +69,9 @@ def scan_nodes(plan: str) -> list[dict[str, str]]:
 def has_pushed_filter(df: DataFrame, table: str, fragment: str) -> bool:
     """True if the scan of ``table`` carries ``fragment`` in PushedFilters."""
     for scan in scan_nodes(formatted_plan(df)):
-        if table in scan["location"] and fragment in scan["pushed_filters"]:
+        if (table in scan["location"] or table in scan["table"]) and (
+            fragment in scan["pushed_filters"]
+        ):
             return True
     return False
 
@@ -66,7 +80,7 @@ def read_columns(df: DataFrame, table: str) -> set[str]:
     """Columns the parquet reader actually materializes for ``table`` —
     the column-pruning check."""
     for scan in scan_nodes(formatted_plan(df)):
-        if table in scan["location"]:
+        if table in scan["location"] or table in scan["table"]:
             return set(re.findall(r"(\w+):", scan["read_schema"]))
     return set()
 
@@ -79,8 +93,12 @@ def broadcast_hint_count(df: DataFrame) -> int:
     """FORCED broadcasts (F.broadcast hints) in the analyzed logical
     plan — distinct from broadcasts AQE chooses at runtime. A hint on an
     unbounded-cardinality side is an OOM at scale even when the measured
-    side happens to fit at test SF."""
-    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    side happens to fit at test SF. Counts BROADCAST hints only (r7
+    review): a bare 'ResolvedHint' count also matched merge/
+    shuffle_hash/shuffle_replicate_nl hints, so a removed broadcast
+    plus an added merge hint kept the guard green."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
 
 
 def sort_merge_join_count(df: DataFrame) -> int:

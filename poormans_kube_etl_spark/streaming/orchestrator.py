@@ -103,10 +103,20 @@ class Times:
     def is_complete(self) -> bool:  # A5 completion conjunction
         return self.neo_end is not None and self.elastic_end is not None
 
-    def reset(self) -> None:
+    def reset_pipeline_state(self) -> None:
+        """Clear the per-run counters and stamps but KEEP the cached
+        listing (validated separately by ingest_files_name). run_ingest
+        calls this on entry (r7 review): a retry after a partial
+        failure in the same process — clear_halt + checkpoint
+        redelivery, or a direct run_ingest — used to ADD the rerun's
+        Observation rows onto the crashed attempt's, doubling
+        neo_rows/elastic_rows in the metrics sink."""
         self.neo_start = self.neo_end = None
         self.elastic_start = self.elastic_end = None
         self.neo_rows = self.elastic_rows = 0
+
+    def reset(self) -> None:
+        self.reset_pipeline_state()
         self.ingest_files = []
         self.ingest_files_name = None
 
@@ -194,7 +204,11 @@ class Orchestrator:
             .where(F.col("file").isin(*MARKER_FILES))  # F3
             .where(F.col("ts").isNotNull())  # F1
         )
-        oldest = marked.orderBy(F.col("ts").asc()).limit(1).collect()  # O1
+        # marker-name tiebreak (r7 review): a folder carrying BOTH
+        # markers used to route bulk-or-delta nondeterministically
+        # (orderBy ts alone, two tied rows); 'bulk.txt' sorts first,
+        # matching _sweep_folders' sorted-keys pick in stream mode
+        oldest = marked.orderBy(F.col("ts").asc(), F.col("file").asc()).limit(1).collect()  # O1
         if not oldest:
             return None
         row = oldest[0]
@@ -278,8 +292,19 @@ class Orchestrator:
           schema is exactly what the reader's contract forbids.
         """
         folder = f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}"
+        # the VERIFIED listing, not a fresh one (r7 review): re-listing
+        # here let files uploaded AFTER manifest verification flow into
+        # the stores sha-unchecked, and the graph and index pipelines —
+        # each listing at its own time — could ingest DIFFERENT file
+        # sets; it also paid 2 extra object-store listings per ingest
+        # against _quarantine_jsonl's own O(2 per folder) rationale.
+        # Same name-keyed cache discipline as _quarantine_jsonl.
+        if self.timer.ingest_files_name == params.ingest_name:
+            files = self.timer.ingest_files
+        else:
+            files = self.ingest_files(params)
         entities: dict[str, list[str]] = {}
-        for key in self.ingest_files(params):
+        for key in files:
             parts = key.split("/")
             if len(parts) < 4:  # pending/<ts>/<entity>/<file>
                 continue
@@ -483,6 +508,7 @@ class Orchestrator:
         """X3/X4: bulk → parallel, delta → serial (graph first). JSONL
         quarantine persistence runs first either way (r6)."""
         self.preempt_stale(params)
+        self.timer.reset_pipeline_state()
         self._quarantine_jsonl(params)
 
         def neo():
@@ -534,7 +560,11 @@ class Orchestrator:
         ):
             raise RuntimeError(f"failed to delete ingest folder {params.ingest_name}")
         t = self.timer
-        end = max(t.neo_end or 0.0, t.elastic_end or 0.0)
+        # ingestEndTime is stamped AFTER the delete completes
+        # (src/ingestor.js:321-334 measures it inside the deleteObjects
+        # callback) — r7 review: max(pipeline ends) excluded the
+        # source-cleanup window from load_date and total_job_duration
+        end = time.time()
         metrics = self.spark.range(1).select(
             F.lit(params.ingest_name).alias("ingest"),
             F.lit(params.ingest_type).alias("type"),
@@ -797,8 +827,15 @@ class Orchestrator:
         self._sweep_folders(deferred, deferred)
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
+            # folder = second-to-last path segment of
+            # .../pending/<folder>/manifest.json (r7 review): splitting
+            # on the FIRST '/pending/' broke for any landing dir that
+            # itself contains a 'pending' segment — the phantom folder
+            # was swept (empty) and the real one dropped FOREVER once
+            # its batch committed (the same substring-match class
+            # list_prefix fixed in r4)
             arrived = {
-                r.manifest_path.split(f"/{PENDING_PREFIX}/")[1].split("/")[0]
+                r.manifest_path.rstrip("/").split("/")[-2]
                 for r in batch_df.select("manifest_path").distinct().collect()
             }
             self._sweep_folders(arrived | deferred, deferred)
@@ -852,8 +889,17 @@ class Orchestrator:
         def process(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.persist()
             try:
-                valid, quarantined = ingest_sources.split_quarantine(batch_df)
+                valid, _ = ingest_sources.split_quarantine(batch_df)
                 valid.write.mode("append").parquet(valid_path)
+                # keep input_file on the quarantine side (r7 review):
+                # split_quarantine projects down to the raw line only,
+                # which made the documented dedup-by-input_file recovery
+                # impossible for exactly the sink that needs auditing —
+                # replayed duplicates were indistinguishable from
+                # genuinely repeated corpus lines
+                quarantined = batch_df.where(
+                    F.col("_corrupt_record").isNotNull()
+                ).select("_corrupt_record", "input_file")
                 quarantined.write.mode("append").parquet(quarantine_path)
             finally:
                 batch_df.unpersist()

@@ -771,3 +771,99 @@ def test_relative_dirs_resolved_at_construction(spark, tmp_path, monkeypatch):
     assert os.path.isabs(orch.output_dir), orch.output_dir
     assert orch.landing_dir == str(tmp_path / "land")
     assert orch.output_dir == str(tmp_path / "out")
+
+
+# ---- r7 self-review: lifecycle correctness pins ----
+
+
+def test_run_stream_survives_pending_segment_in_landing_dir(spark, tmp_path):
+    """r7 review: the folder name was extracted by splitting on the
+    FIRST '/pending/', so a landing dir itself containing a 'pending'
+    segment swept a phantom folder and dropped the real one FOREVER
+    once its micro-batch committed (the same substring-match class
+    list_prefix fixed in r4)."""
+    landing = str(tmp_path / "pending" / "zone")
+    output = str(tmp_path / "out")
+    os.makedirs(os.path.join(landing, "pending"), exist_ok=True)
+    orch = Orchestrator(spark, landing, output, poll_interval_s=0.01)
+    make_ingest_folder(landing, "1538055240", "bulk.txt")
+    q = orch.run_stream(str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(180)
+    assert orch.metrics().count() == 1
+    assert not os.path.exists(os.path.join(landing, "pending", "1538055240"))
+
+
+def test_retry_after_partial_failure_does_not_double_count_rows(orch):
+    """r7 review: a partially-failed bulk ingest left the completed
+    pipeline's Observation rows in the timer; the retry ADDED its own,
+    writing doubled neo/elastic row counts to the metrics sink."""
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+    real = orch._graph_pipeline
+    calls = {"n": 0}
+
+    def flaky(params):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("graph store down")
+        return real(params)
+
+    orch._graph_pipeline = flaky
+    with pytest.raises(RuntimeError, match="graph store down"):
+        orch.run_once()
+    orch.clear_halt()
+    assert orch.run_once() == IngestParams("1538055240", "bulk")
+    row = orch.metrics().collect()[0]
+    assert row.neo_rows == len(PERSON_ROWS)
+    assert row.elastic_rows == len(PERSON_ROWS)  # not 2x
+
+
+def test_discover_picks_bulk_when_both_markers_present(orch):
+    """r7 review: a folder carrying BOTH markers routed bulk-or-delta
+    nondeterministically in poll mode (orderBy ts alone); stream mode's
+    sorted-keys pick always found bulk.txt first. One rule now."""
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+    folder = os.path.join(orch.landing_dir, "pending", "1538055240")
+    open(os.path.join(folder, "incremental.txt"), "w").write("")
+    for _ in range(3):
+        assert orch.discover() == IngestParams("1538055240", "bulk")
+
+
+def test_ingest_lists_folder_exactly_twice(orch, monkeypatch):
+    """r7 review: the pipelines re-listed the folder through
+    _read_entities (once per store), so files uploaded AFTER manifest
+    verification flowed in sha-unchecked and the two stores could
+    ingest different sets — and each ingest paid 2 extra object-store
+    listings. The verified listing is now reused: one discover scan +
+    one ingest_files scan."""
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+    real = type(orch).list_keys
+    calls = {"n": 0}
+
+    def counted(self, folder=None):
+        calls["n"] += 1
+        return real(self, folder)
+
+    monkeypatch.setattr(type(orch), "list_keys", counted)
+    assert orch.run_once() == IngestParams("1538055240", "bulk")
+    assert calls["n"] == 2, f"expected 2 listings, saw {calls['n']}"
+
+
+def test_stream_jsonl_quarantine_carries_input_file(orch, tmp_path):
+    """r7 review: the quarantine sink held only the raw line, so the
+    documented dedup-by-input_file recovery for at-least-once replays
+    was impossible on exactly the sink that needs auditing."""
+    corpus = tmp_path / "corpus_in"
+    corpus.mkdir()
+    (corpus / "shard-000.jsonl.gz").write_bytes(
+        _gz_jsonl(['{"doc_id": 1, "text": "a"}', "broken {line"])
+    )
+    q = orch.stream_jsonl_corpus(
+        str(corpus), "doc_id bigint, text string",
+        str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(180)
+    quarantined = orch.spark.read.parquet(f"{orch.output_dir}/corpus/quarantine")
+    rows = quarantined.collect()
+    assert len(rows) == 1
+    assert rows[0]._corrupt_record == "broken {line"
+    assert rows[0].input_file.endswith("shard-000.jsonl.gz")

@@ -270,3 +270,36 @@ def test_q1_money_sums_stay_on_long_accumulators(q):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "decimal(38" not in plan, "decimal(38) accumulation crept back into q1"
     assert "shiftright" in plan, "split-sum high word missing from q1 aggregates"
+
+
+def test_broadcast_hint_count_ignores_non_broadcast_hints(spark):
+    """r7 review: a bare ResolvedHint count also matched merge/
+    shuffle_hash hints — a removed broadcast plus an added merge hint
+    kept the forced-broadcast guard green."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.plans.inspect import broadcast_hint_count
+
+    a = spark.range(100).selectExpr("id as k", "id*2 as v")
+    b = spark.range(10).selectExpr("id as k", "id+1 as w")
+    assert broadcast_hint_count(a.join(F.broadcast(b), "k")) == 1
+    assert broadcast_hint_count(a.join(b.hint("merge"), "k")) == 0
+    assert broadcast_hint_count(a.join(b.hint("shuffle_hash"), "k")) == 0
+
+
+def test_scan_nodes_sees_catalog_table_scans(spark, tmp_path):
+    """r7 review: 'Scan parquet spark_catalog.default.t' never matched
+    the newline-anchored regex, so pruning assertions over bucketed /
+    saveAsTable reads passed vacuously (read_columns returned set())."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.plans.inspect import has_pushed_filter, read_columns
+
+    df = spark.range(100).selectExpr("id as k", "id*2 as v", "id+1 as w")
+    df.write.option("path", str(tmp_path / "t")).saveAsTable("plans_probe_t")
+    try:
+        q = spark.table("plans_probe_t").select("k").where(F.col("k") > 5)
+        assert read_columns(q, "plans_probe_t") == {"k"}
+        assert has_pushed_filter(q, "plans_probe_t", "GreaterThan(k,5)")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plans_probe_t")
