@@ -133,7 +133,13 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     e_ppb, e_bands = srp_banding(0.9, n_vectors=aug.count(), max_planes=1024)
     ecands = embedding_lsh_candidate_pairs(aug, e_bands, e_ppb, dim=64)
     t_ecand = timed(ecands)
-    epairs = embedding_near_pairs_lsh(aug, threshold=0.9, dim=64)
+    # pass the SAME plan explicitly (r7 review): letting the full
+    # pipeline re-plan internally paid a second aug.count() job per run
+    # and opened a drift window where the two stage timings could
+    # silently measure different bandings
+    epairs = embedding_near_pairs_lsh(
+        aug, threshold=0.9, bands=e_bands, planes_per_band=e_ppb, dim=64
+    )
     t_epairs = timed(epairs)
     out["dedup_embedding_lsh_pairs"] = {
         "candidates": round(t_ecand, 4),

@@ -75,10 +75,17 @@ def with_global_order(
             for vcol in cumsum
         ],
     )
-    # per-partition totals → prefix offsets (tiny frame: n rows)
+    # per-partition totals → prefix offsets (tiny frame: n rows).
+    # Per value column the NON-NULL count rides along (r7 review): SQL
+    # running sums are NULL only until the first non-null value — the
+    # bare offset+local form returned NULL for any row whose LOCAL
+    # prefix was all-NULL even when prior partitions had values,
+    # diverging from the naive Window.orderBy equivalence the docstring
+    # promises.
     stats = ranged.groupBy(_PID).agg(
         F.count(F.lit(1)).alias("__cnt"),
         *[F.sum(vcol).alias(f"__sum_{vcol}") for vcol in cumsum],
+        *[F.count(vcol).alias(f"__nn_{vcol}") for vcol in cumsum],
     )
     w_prefix = (
         Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -92,15 +99,31 @@ def with_global_order(
             )
             for vcol in cumsum
         ],
+        *[
+            F.coalesce(F.sum(f"__nn_{vcol}").over(w_prefix), F.lit(0)).alias(
+                f"__nnoff_{vcol}"
+            )
+            for vcol in cumsum
+        ],
     )
     out = local.join(F.broadcast(offsets), _PID)
     out = out.withColumn(
         rank_col, (F.col("__cnt_off") + F.col(f"{_LOCAL}_rn")).cast("bigint")
     )
     for vcol, ccol in cumsum.items():
+        local_sum = F.col(f"{_LOCAL}_{vcol}")
+        # NULL iff no non-null value exists anywhere before this row —
+        # exactly the naive running sum's three-valued behavior
         out = out.withColumn(
-            ccol, F.col(f"__off_{vcol}") + F.col(f"{_LOCAL}_{vcol}")
+            ccol,
+            F.when(
+                local_sum.isNull() & (F.col(f"__nnoff_{vcol}") == 0),
+                F.lit(None),
+            ).otherwise(
+                F.coalesce(local_sum, F.lit(0)) + F.col(f"__off_{vcol}")
+            ),
         )
     drop = [_PID, "__cnt_off", f"{_LOCAL}_rn"]
     drop += [f"__off_{v}" for v in cumsum] + [f"{_LOCAL}_{v}" for v in cumsum]
+    drop += [f"__nnoff_{v}" for v in cumsum]
     return out.drop(*drop)

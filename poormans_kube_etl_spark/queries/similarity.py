@@ -40,8 +40,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT q.query_id, e.vec_id AS nn_id,
              list_dot_product(q.qv, e.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(q.qv, q.qv))
-                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS sim
+               / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0) AS sim
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> q.query_id
     )
@@ -50,6 +50,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS INT)
                AS rank
       FROM scored
+      -- zero-norm guard mirrored from the Spark side (r7 review): a
+      -- zero vector made DuckDB emit NaN (0/0), which sorts above all
+      -- reals and claimed rank 1 while Spark nullif-drops the row
+      WHERE sim IS NOT NULL AND NOT isnan(sim)
     )
     WHERE rank <= {_K}
     ORDER BY query_id, rank
@@ -153,8 +157,8 @@ def _lsh_planes_sql(n_planes: int = 8, dim: int = 64) -> str:
     cands AS (
       SELECT p.query_id, c.vec_id AS nn_id,
              list_dot_product(p.qv, c.v)
-               / (sqrt(list_dot_product(p.qv, p.qv))
-                  * sqrt(list_dot_product(c.v, c.v))) AS sim
+               / NULLIF(sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(c.v, c.v)), 0) AS sim
       FROM probes p JOIN cb c ON c.bucket = p.bucket
       WHERE c.vec_id <> p.query_id
     )
@@ -162,6 +166,7 @@ def _lsh_planes_sql(n_planes: int = 8, dim: int = 64) -> str:
       SELECT query_id, nn_id, sim,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS INT) AS rank
       FROM cands
+      WHERE sim IS NOT NULL AND NOT isnan(sim)
     ) WHERE rank <= {_K}
     ORDER BY query_id, rank
     """.replace("{pl}", _lsh_planes_sql(8, 64)),

@@ -40,6 +40,14 @@ class PendingInventoryReader(DataSourceReader):
             raise ValueError("pending_inventory requires option 'path'")
 
     def partitions(self):
+        # a typo'd landing path must ERROR, not read as "no pending
+        # work" (r7 review): the reference's listObjectsV2 against a bad
+        # bucket errors too. An existing base WITHOUT pending/ remains
+        # the legitimate empty-landing case.
+        if not os.path.isdir(self.base):
+            raise FileNotFoundError(
+                f"pending_inventory: landing path {self.base!r} does not exist"
+            )
         pending = os.path.join(self.base, PENDING)
         if not os.path.isdir(pending):
             return [FolderPartition(pending)]
@@ -53,14 +61,24 @@ class PendingInventoryReader(DataSourceReader):
         if not os.path.exists(root):
             return
         base_len = len(self.base.rstrip("/")) + 1
+        # the landing dir is LIVE (the orchestrator deletes folders after
+        # commit), so entries can vanish between listing and stat — skip
+        # them like an object-store LIST tolerates concurrent deletes
+        # instead of failing the task (r7 review)
         if os.path.isfile(root):
-            st = os.stat(root)
+            try:
+                st = os.stat(root)
+            except OSError:
+                return
             yield (root[base_len:], st.st_size, st.st_mtime)
             return
         for dirpath, _dirs, files in os.walk(root):
             for name in sorted(files):
                 full = os.path.join(dirpath, name)
-                st = os.stat(full)
+                try:
+                    st = os.stat(full)
+                except OSError:
+                    continue
                 yield (full[base_len:], st.st_size, st.st_mtime)
 
 

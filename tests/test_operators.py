@@ -1403,3 +1403,31 @@ def test_min_by_struct_tiebreak_is_deterministic(spark, tmp_path):
     ).write.parquet(str(tmp_path / "orders.parquet"))
     row = agg_min_by_max_by(spark, str(tmp_path)).collect()[0]
     assert (row.cheapest_order, row.priciest_order) == (1, 9)
+
+
+def test_global_cumsum_matches_naive_window_with_nulls(spark):
+    """r7 review: the two-pass prefix sum returned NULL for any row
+    whose LOCAL range-partition prefix was all-NULL even when earlier
+    partitions carried values — SQL running sums are NULL only until
+    the first non-null value ANYWHERE before."""
+    from pyspark.sql import Window
+
+    from poormans_kube_etl_spark.operators.ordering import with_global_order
+
+    rows = [(1, 10), (2, None), (3, None), (4, 5), (5, None), (6, 1)]
+    # leading NULLs too: rows before any value must stay NULL
+    rows = [(0, None)] + rows
+    df = spark.createDataFrame(rows, "k long, v long")
+    naive = {
+        r.k: r.cum
+        for r in df.select(
+            "k", F.sum("v").over(Window.orderBy("k")).alias("cum")
+        ).collect()
+    }
+    got = {
+        r.k: r.cum
+        for r in with_global_order(
+            df, [F.col("k")], cumsum={"v": "cum"}, num_partitions=4
+        ).collect()
+    }
+    assert got == naive

@@ -482,3 +482,19 @@ def test_load_table_relative_sf_dir_uses_python_cwd(spark, tmp_path, monkeypatch
     # pre-fix this resolved against the JVM cwd (the repo root) and
     # failed with PATH_NOT_FOUND
     assert load_table(spark, ".", "region").count() == 7
+
+
+def test_inventory_source_errors_on_missing_landing_path(spark):
+    """r7 review: a typo'd landing path silently read as 'no pending
+    work' — indistinguishable from an empty landing; the reference's
+    listObjectsV2 against a bad bucket errors."""
+    import pytest
+
+    register_inventory_source(spark)
+    df = (
+        spark.read.format("pending_inventory")
+        .option("path", "/definitely/not/a/landing-dir")
+        .load()
+    )
+    with pytest.raises(Exception, match="does not exist"):
+        df.collect()
