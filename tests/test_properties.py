@@ -489,3 +489,44 @@ def test_srp_banding_never_overspends_budget(threshold, max_planes, n_vectors):
     r, bands = srp_banding(threshold, n_vectors=n_vectors, max_planes=max_planes)
     assert r >= 1 and bands >= 1
     assert r * bands <= max_planes, (threshold, max_planes, n_vectors, r, bands)
+
+
+# ---------------------------------------------------------------------------
+# bucket_member_pairs model test (r7): the shared LSH bucket -> pair
+# expansion vs an independent Python model — all-pairs within the cap,
+# star linking above it, duplicate member ids never self-pairing.
+# ---------------------------------------------------------------------------
+_bucket_lists = st.lists(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=9),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SETTINGS
+@given(buckets=_bucket_lists, max_bucket=st.integers(min_value=2, max_value=6))
+def test_bucket_member_pairs_matches_set_model(spark, buckets, max_bucket):
+    from itertools import combinations
+
+    from poormans_kube_etl_spark.operators.buckets import bucket_member_pairs
+
+    rows = [(i, members) for i, members in enumerate(buckets)]
+    df = (
+        spark.createDataFrame(rows, "bucket_id long, raw array<long>")
+        .select(
+            "bucket_id", F.array_sort(F.array_distinct("raw")).alias("members")
+        )
+        .where(F.size("members") > 1)
+    )
+    expected = set()
+    for members in buckets:
+        m = sorted(set(members))
+        if len(m) <= 1:
+            continue
+        if len(m) <= max_bucket:
+            expected |= set(combinations(m, 2))
+        else:
+            expected |= {(m[0], x) for x in m[1:]}
+    got = {(r.a, r.b) for r in bucket_member_pairs(df, "members", max_bucket).collect()}
+    assert got == expected
+    assert all(a < b for a, b in got)
