@@ -31,12 +31,22 @@ def duckdb_connection(sf_dir: str):
     return con
 
 
+# per-sf_dir connection cache (r7 review): the parametrized oracle suite
+# paid a fresh connection + 10 CREATE VIEWs per query for identical
+# state. Views re-read the parquet at query time, so a rewritten table
+# is never served stale through a cached connection.
+_CON_CACHE: dict[str, object] = {}
+
+
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
-    con = duckdb_connection(sf_dir)
-    try:
-        return con.execute(sql).fetch_df()
-    finally:
-        con.close()
+    con = _CON_CACHE.get(sf_dir)
+    if con is None:
+        if len(_CON_CACHE) > 8:  # bound: many sf_dirs per process
+            for c in _CON_CACHE.values():
+                c.close()
+            _CON_CACHE.clear()
+        con = _CON_CACHE[sf_dir] = duckdb_connection(sf_dir)
+    return con.execute(sql).fetch_df()
 
 
 def _canon_value(v) -> str:
@@ -49,26 +59,36 @@ def _canon_value(v) -> str:
     emit representation-stable types (DOUBLE/BIGINT finals; see
     functions.hash_safe). Floats canonicalize via repr (bit-exact);
     Decimals keep their scale (trailing zeros significant).
+
+    Every canonical form carries a coarse TYPE TAG (r7 review): the
+    untyped forms let str '3' collide with int 3, 'True' with bool
+    True, and 'NULL' with SQL NULL — so a CAST-to-string drift between
+    the Spark query and its oracle passed the gate it exists to fail.
+    Tags are coarse (one int family, one float family) so the benign
+    int32-vs-int64 pandas dtype difference stays invisible. NaT
+    canonicalizes as NULL like None (it used to take the Timestamp
+    branch and read 'NaT').
     """
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
+    # bool BEFORE int: Python bool subclasses int
+    if isinstance(v, bool):
+        return "b:" + str(bool(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return repr(v)
+        return "f:" + repr(v)
     if isinstance(v, decimal.Decimal):
         return "dec:" + str(v)
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:
             ts = ts.tz_convert("UTC").tz_localize(None)
-        return ts.isoformat()
+        return "t:" + ts.isoformat()
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return "d:" + v.isoformat()
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, bool):
-        return str(bool(v))
+        return "y:" + v.hex()
     if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
         # The DRIVER's canonicalizer dies on these (pandas sort_values →
         # "unhashable type: 'numpy.ndarray'", CORRECTNESS_r02). Failing
@@ -79,12 +99,12 @@ def _canon_value(v) -> str:
             "serialize it (array_join on Spark, array_to_string on DuckDB)"
         )
     if isinstance(v, int):
-        return str(v)
+        return "i:" + str(v)
     # numpy scalars
     item = getattr(v, "item", None)
     if item is not None:
         return _canon_value(v.item())
-    return str(v)
+    return "s:" + str(v)
 
 
 def canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
@@ -98,6 +118,11 @@ def canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     distinction this module exists for was silently lost (confirmed by
     repro). ``Series.tolist()`` per column preserves each column's own
     cell types."""
+    if len(set(df.columns)) != len(df.columns):
+        # df[c] on a duplicated name returns a DataFrame (no .tolist())
+        # — fail with the actual problem, not an AttributeError (r7)
+        dups = sorted({c for c in df.columns if list(df.columns).count(c) > 1})
+        raise ValueError(f"duplicate result column name(s): {dups}")
     cols = sorted(df.columns)
     col_values = [df[c].tolist() for c in cols]
     out = [
@@ -169,7 +194,14 @@ def check_query(spark, name: str, sf_dir: str) -> CompareResult:
     sdf = q(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     if sql is None:
-        # rows-only check, like the driver's weak path
-        return CompareResult(name=name, ok=True, row_count=(len(spark_pdf), -1))
+        # rows-only check, like the driver's weak path — but a ZERO-row
+        # result is a tripwire, not a pass (r7 review): every rows-only
+        # query is non-empty on the test corpora, so an inverted filter
+        # regressing the output to empty used to stay green here
+        ok = len(spark_pdf) > 0
+        res = CompareResult(name=name, ok=ok, row_count=(len(spark_pdf), -1))
+        if not ok:
+            res.mismatches.append("rows-only query returned ZERO rows")
+        return res
     oracle_pdf = run_oracle(sql, sf_dir)
     return compare_frames(name, spark_pdf, oracle_pdf)

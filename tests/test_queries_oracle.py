@@ -53,24 +53,49 @@ def test_canon_is_driver_strict():
             pd.DataFrame({"x": [np.array([1.0, 2.0])]}),
             pd.DataFrame({"x": [np.array([1.0, 2.0])]}),
         )
+    # r7: type tags — cross-type collisions must fail the gate
+    assert not compare_frames(
+        "str_vs_int", pd.DataFrame({"x": ["3"]}), pd.DataFrame({"x": [3]})
+    ).ok
+    assert not compare_frames(
+        "str_vs_bool", pd.DataFrame({"x": ["True"]}), pd.DataFrame({"x": [True]})
+    ).ok
+    assert not compare_frames(
+        "str_vs_null",
+        pd.DataFrame({"x": ["NULL"]}),
+        pd.DataFrame({"x": [None]}).astype("object"),
+    ).ok
+    # ...while NaT and None are BOTH null (NaT used to read 'NaT')
+    assert compare_frames(
+        "nat_vs_none",
+        pd.DataFrame({"x": pd.Series([pd.NaT], dtype="datetime64[ns]")}),
+        pd.DataFrame({"x": [None]}).astype("object"),
+    ).ok
+    # duplicate result columns fail named, not with an AttributeError
+    dup = pd.DataFrame([[1, 2]], columns=["x", "x"])
+    with pytest.raises(ValueError, match="duplicate result column"):
+        compare_frames("dup_cols", dup, dup)
 
 
-def test_no_decimal_typed_outputs(spark):
+def test_no_decimal_typed_outputs(spark, sf_dir):
     """No query may emit a DECIMAL column in its FINAL schema — Spark
     returns Decimal objects while DuckDB-via-pandas returns float64, so
     any decimal output hash-fails at the driver even when values are
     identical (CORRECTNESS_r01). Finals go through functions.hash_safe
-    (decimal → double) or integer types instead."""
-    from pyspark.sql.types import ArrayType, DecimalType, MapType
+    (decimal → double) or integer types instead. DATE finals are banned
+    too (r7 review): DuckDB fetch_df returns DATE columns as midnight
+    Timestamps while Spark toPandas yields datetime.date — the same
+    logical date always hash-mismatches; cast to timestamp or string."""
+    from pyspark.sql.types import ArrayType, DateType, DecimalType, MapType
 
     from poormans_kube_etl_spark.queries import all_oracles
 
-    sf = "/root/testdata/sf0.001"
     oracled = set(all_oracles())
     offenders = []
     array_offenders = []
+    date_offenders = []
     for name, fn in all_queries().items():
-        df = fn(spark, sf)
+        df = fn(spark, sf_dir)
         for f in df.schema.fields:
             if isinstance(f.dataType, DecimalType):
                 offenders.append(f"{name}.{f.name}")
@@ -78,10 +103,16 @@ def test_no_decimal_typed_outputs(spark):
             # pandas canonicalizer (CORRECTNESS_r02: unhashable ndarray)
             if name in oracled and isinstance(f.dataType, (ArrayType, MapType)):
                 array_offenders.append(f"{name}.{f.name}")
+            if name in oracled and isinstance(f.dataType, DateType):
+                date_offenders.append(f"{name}.{f.name}")
     assert not offenders, f"decimal-typed final columns: {offenders}"
     assert not array_offenders, (
         f"array/map-typed final columns in oracle-checked queries "
         f"(driver-unhashable, serialize with array_join): {array_offenders}"
+    )
+    assert not date_offenders, (
+        f"date-typed final columns in oracle-checked queries (the engines "
+        f"carry DATE through pandas differently): {date_offenders}"
     )
 
 
