@@ -95,18 +95,17 @@ FIXTURE_DIR = _fixture_dir()
 def ensure_fixture() -> str:
     """Write the fixture once per machine (idempotent, atomic): files
     land under a tmp name and ``os.replace`` in, then a ``_SUCCESS``
-    marker gates readers — Spark's file sources ignore underscore-
-    prefixed files, and the oracle globs ``*.jsonl``, so the marker is
-    invisible to both engines."""
+    marker gates readers — both engines glob ``part-*.jsonl``, so the
+    marker (and any stray file) is invisible to both."""
     marker = os.path.join(FIXTURE_DIR, "_SUCCESS")
     if os.path.exists(marker):
         return FIXTURE_DIR
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for n, lines in enumerate(_lines()):
         final = os.path.join(FIXTURE_DIR, f"part-{n:03d}.jsonl")
-        # dot-prefixed tmp: invisible to Spark's file sources AND to the
-        # oracle's *.jsonl glob, so a crash between write and rename can
-        # never leave a file either engine would read as data
+        # dot-prefixed tmp: invisible to Spark's file sources AND
+        # outside both engines' part-*.jsonl glob, so a crash between
+        # write and rename never leaves a file either engine reads
         tmp = os.path.join(FIXTURE_DIR, f".part-{n:03d}.jsonl.tmp")
         with open(tmp, "w") as fh:
             fh.write("\n".join(lines) + "\n")
@@ -120,7 +119,7 @@ def ensure_fixture() -> str:
 _ORACLE = f"""
     WITH raw AS (
       SELECT UNNEST(string_split(content, chr(10))) AS line
-      FROM read_text('{FIXTURE_DIR}/*.jsonl')
+      FROM read_text('{FIXTURE_DIR}/part-*.jsonl')
     ),
     classified AS (
       SELECT line,
@@ -173,8 +172,10 @@ def jsonl_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from poormans_kube_etl_spark.sources.ingest import read_jsonl, split_quarantine
 
     apply_runtime_confs(spark)
-    # the SAME *.jsonl glob as the oracle — both engines see exactly
-    # the committed part files, whatever else the directory holds
+    # both engines glob the LITERAL part-*.jsonl pattern (r7 review:
+    # the oracle previously globbed *.jsonl, so a stray non-part file
+    # in the world-shared fixture dir would be visible to DuckDB only
+    # and spuriously fail the gate)
     df = read_jsonl(spark, f"{ensure_fixture()}/part-*.jsonl", _SCHEMA)
     valid, quarantined = split_quarantine(df)
     v = valid.groupBy("lang").agg(

@@ -156,7 +156,16 @@ def generate(spark, factor: int, src: str, dst: str, verbose: bool = True) -> No
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    sf_label = sys.argv[3] if len(sys.argv) > 3 else "sf1"
+    # default label derives from the factor (r7 review: a fixed 'sf1'
+    # default silently wrote 100x data under the sf1 label); the arg is
+    # a bare label joined under .benchdata/, NOT a path
+    default_label = f"sf{factor // 10}" if factor % 10 == 0 else f"x{factor}"
+    sf_label = sys.argv[3] if len(sys.argv) > 3 else default_label
+    if "/" in sf_label:
+        raise SystemExit(
+            f"label {sf_label!r} must be a bare name (it is joined under "
+            ".benchdata/), e.g. 'sf10' — not a path"
+        )
     dst = os.path.join(REPO_ROOT, ".benchdata", sf_label)
 
     from poormans_kube_etl_spark.session import get_spark

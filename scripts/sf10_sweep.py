@@ -12,10 +12,11 @@ Usage (48 GiB heap required for sf10 — see SCALING.md):
 
     SPARK_GRAFT_DRIVER_MEM=48g python scripts/sf10_sweep.py
 
-Generate the replica sets first if absent:
+Generate the replica sets first if absent (the third arg is a bare
+LABEL under .benchdata/, not a path):
 
-    python scripts/scale_testdata.py 10  /root/testdata/sf0.1 .benchdata/sf1
-    python scripts/scale_testdata.py 100 /root/testdata/sf0.1 .benchdata/sf10
+    python scripts/scale_testdata.py 10  /root/testdata/sf0.1 sf1
+    python scripts/scale_testdata.py 100 /root/testdata/sf0.1 sf10
 
 Caveat (measured r6): take warm numbers from a LONG session with a
 grain of salt — one allocation-heavy query read ~9× its fresh-process
@@ -99,6 +100,16 @@ def main() -> None:
         print(name, row)
     print(json.dumps({"warm_slowest8": warm}))
     spark.stop()
+    # machine-checkable pass condition (r7 review: the sweep always
+    # exited 0, so automated per-round use recorded a failing growth-law
+    # sweep as a pass). Errors are hard failures; a ratio past 12x for
+    # 10x data (the documented <=10x bar plus noise margin) is a
+    # growth-law failure, not tuning.
+    if errors:
+        raise SystemExit(f"sweep FAILED: {len(errors)} query error(s)")
+    superlinear = {n: r["ratio"] for n, r in warm.items() if r["ratio"] > 12}
+    if superlinear:
+        raise SystemExit(f"sweep FAILED: super-linear ratios {superlinear}")
 
 
 if __name__ == "__main__":

@@ -60,7 +60,10 @@ def run_to_memory(stream_df, spark, name, output_mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False on timeout (r7 review): asserting
+    # keeps a slow run from silently checking a partially-filled memory
+    # table while the query keeps writing into the shared session
+    assert q.awaitTermination(120), f"stream {name} did not drain in 120s"
     return spark.sql(f"SELECT * FROM {name}")
 
 
