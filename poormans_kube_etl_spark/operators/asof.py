@@ -65,11 +65,26 @@ def _asof_join(
     yields NULL payload. Tied right rows at identical (keys, ts) pick
     deterministically — the window tiebreaks on a hash of the payload
     struct, so reruns and repartitionings agree (which of the tied
-    rows wins is arbitrary but stable).
+    rows wins is arbitrary but stable). Map-typed payload fields are
+    excluded from the hash (Spark's hash expressions reject MapType);
+    a payload that is ONLY maps keeps the pre-r7 partition-order pick.
     """
     keys = list(keys)
     payload = list(payload)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
+
+    def _hashable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    hashable_payload = [c for c in payload if _hashable(right.schema[c].dataType)]
 
     l = left.select(
         *keys,
@@ -88,9 +103,14 @@ def _asof_join(
     ts_order = (
         F.col(_TS).desc_nulls_first() if descending else F.col(_TS).asc_nulls_first()
     )
+    order_cols = [ts_order, F.col(_SIDE).asc()]
+    if hashable_payload:
+        order_cols.append(
+            F.xxhash64(F.struct(*[F.col(f"{_PAYLOAD}.{c}") for c in hashable_payload])).asc()
+        )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col(_SIDE).asc(), F.xxhash64(_PAYLOAD).asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l.unionByName(r).select(

@@ -627,13 +627,23 @@ class Orchestrator:
             finally:
                 out.close()
         except Exception as e:  # the halt still holds in-process
+            # best-effort by necessity: when the OUTPUT store itself is
+            # the failure, the marker write fails too. The restart-side
+            # check fails CLOSED (skip the cycle when the marker cannot
+            # be read), so an unreachable output bucket never resumes
+            # processing just because the marker is unreadable; the
+            # residual gap is a transient write failure followed by
+            # full recovery before the restart.
             print(f"orchestrator: could not persist halt marker: {e}")
 
     def _halted_by_marker(self) -> bool:
-        try:
-            return ingest_sources.path_exists(self.spark, self._halt_marker_path())
-        except Exception:
-            return False
+        """True when the durable halt marker exists. Raises when the
+        check itself fails — callers treat that as 'unknown' and skip
+        the cycle (fail-closed, r7 review: returning False on a
+        transient output-store error resumed a halted pipeline)."""
+        return bool(
+            ingest_sources.path_exists(self.spark, self._halt_marker_path())
+        )
 
     def clear_halt(self) -> None:
         """Operator intervention: remove the durable halt marker."""
@@ -656,7 +666,19 @@ class Orchestrator:
         ``_write_halt_marker``)."""
         if self.errored:
             return None
-        if self._halted_by_marker():
+        try:
+            halted = self._halted_by_marker()
+        except Exception as e:
+            # unknown halt state: skip the cycle WITHOUT latching
+            # errored (a transient output-store error must neither
+            # resume a halted pipeline nor permanently halt a healthy
+            # one once the store recovers)
+            print(
+                f"orchestrator: cannot check halt marker ({e}); "
+                "skipping cycle (fail-closed)"
+            )
+            return None
+        if halted:
             self.errored = (
                 f"halted: {self._halt_marker_path()} present from a prior "
                 "failure; fix the data, then remove the marker to resume"
@@ -896,7 +918,11 @@ class Orchestrator:
                 # which made the documented dedup-by-input_file recovery
                 # impossible for exactly the sink that needs auditing —
                 # replayed duplicates were indistinguishable from
-                # genuinely repeated corpus lines
+                # genuinely repeated corpus lines. Migration note: a
+                # quarantine dir written before this column existed
+                # holds one-column files — read mixed dirs with
+                # .option("mergeSchema", True) (old rows surface
+                # input_file=NULL)
                 quarantined = batch_df.where(
                     F.col("_corrupt_record").isNotNull()
                 ).select("_corrupt_record", "input_file")

@@ -157,10 +157,20 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     # default label derives from the factor (r7 review: a fixed 'sf1'
-    # default silently wrote 100x data under the sf1 label); the arg is
-    # a bare label joined under .benchdata/, NOT a path
-    default_label = f"sf{factor // 10}" if factor % 10 == 0 else f"x{factor}"
-    sf_label = sys.argv[3] if len(sys.argv) > 3 else default_label
+    # default silently wrote 100x data under the sf1 label) — but ONLY
+    # for the default sf0.1 source, where factor 10 really is sf1;
+    # scaling any other source requires an explicit label (a derived
+    # name would mislabel, and could overwrite the source replica).
+    # The arg is a bare label joined under .benchdata/, NOT a path.
+    if len(sys.argv) > 3:
+        sf_label = sys.argv[3]
+    elif src == "/root/testdata/sf0.1" and factor % 10 == 0:
+        sf_label = f"sf{factor // 10}"
+    else:
+        raise SystemExit(
+            f"scaling {src!r} by {factor}: pass an explicit label "
+            "(derived names only apply to the default sf0.1 source)"
+        )
     if "/" in sf_label:
         raise SystemExit(
             f"label {sf_label!r} must be a bare name (it is joined under "

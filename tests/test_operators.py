@@ -1431,3 +1431,22 @@ def test_global_cumsum_matches_naive_window_with_nulls(spark):
         ).collect()
     }
     assert got == naive
+
+
+def test_asof_join_accepts_map_typed_payload(spark):
+    """r7 follow-up: the determinism tiebreak hashes the payload struct,
+    but Spark's hash expressions reject MapType — map payload fields are
+    excluded from the hash so the operator keeps accepting them."""
+    from poormans_kube_etl_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:01:00")], "lid long, k long, lts string"
+    ).selectExpr("lid", "k", "cast(lts as timestamp) as lts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", {"a": "x"}, 7)],
+        "k long, rts string, attrs map<string,string>, v long",
+    ).selectExpr("k", "cast(rts as timestamp) as rts", "attrs", "v")
+    got = asof_join_backward(
+        left, right, ["k"], "lts", "rts", ["attrs", "v"]
+    ).collect()
+    assert got[0].v == 7 and got[0].attrs == {"a": "x"}
