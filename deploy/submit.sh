@@ -10,7 +10,11 @@
 #   BUCKET              landing bucket/prefix holding pending/  (required)
 #   OUTPUT_BUCKET       bucket/prefix for graph/index/metrics    (required)
 #   S3_ACCESS_KEY       s3a credentials; omit both to use the
-#   S3_SECRET_KEY         cluster's IAM / IRSA identity instead
+#   S3_SECRET_KEY         cluster's IAM / IRSA identity instead.
+#                         Delivered via a mode-600 --properties-file,
+#                         never argv (see below)
+#   S3_PROPS_FILE       where to write that properties file
+#                         (default: mktemp under /tmp)
 #   S3_ENDPOINT         non-AWS S3 endpoint (optional)
 #   K8S_MASTER          default k8s://https://kubernetes.default.svc
 #   SPARK_IMAGE         executor image; default: this pod's own image,
@@ -50,10 +54,22 @@ SHUFFLE_PARTITIONS="${SHUFFLE_PARTITIONS:-2000}"
 POLL_INTERVAL="${POLL_INTERVAL:-60}"
 BUCKET_BUCKETS="${BUCKET_BUCKETS:-0}"
 
+# Credentials go through a mode-600 --properties-file, NEVER argv
+# (ADVICE r7): --conf spark.hadoop.fs.s3a.secret.key=... is visible to
+# every process on the node via /proc/<pid>/cmdline (Spark redacts it
+# in the UI/event logs but cannot redact its own argv) and was echoed
+# verbatim by DRY_RUN. spark.hadoop.* confs from the properties file
+# reach executors through Spark's own conf propagation, same as --conf.
+# S3_PROPS_FILE overrides the mktemp path (tests pin the contents).
 S3_CONF=""
 if [ -n "${S3_ACCESS_KEY:-}" ]; then
-    S3_CONF="--conf spark.hadoop.fs.s3a.access.key=${S3_ACCESS_KEY} \
---conf spark.hadoop.fs.s3a.secret.key=${S3_SECRET_KEY:?S3_ACCESS_KEY set without S3_SECRET_KEY}"
+    : "${S3_SECRET_KEY:?S3_ACCESS_KEY set without S3_SECRET_KEY}"
+    PROPS_FILE="${S3_PROPS_FILE:-$(mktemp /tmp/pke-s3a.XXXXXX)}"
+    touch "${PROPS_FILE}"
+    chmod 600 "${PROPS_FILE}"
+    printf 'spark.hadoop.fs.s3a.access.key %s\nspark.hadoop.fs.s3a.secret.key %s\n' \
+        "${S3_ACCESS_KEY}" "${S3_SECRET_KEY}" > "${PROPS_FILE}"
+    S3_CONF="--properties-file ${PROPS_FILE}"
 fi
 if [ -n "${S3_ENDPOINT:-}" ]; then
     S3_CONF="${S3_CONF} --conf spark.hadoop.fs.s3a.endpoint=${S3_ENDPOINT}"

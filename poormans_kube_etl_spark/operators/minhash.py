@@ -169,9 +169,17 @@ def _banded(signed: DataFrame, id_col: str, bands: int, rows_per_band: int) -> D
         # Out-of-range guard (r7 review): the signature width is data,
         # not schema, so bands x rows_per_band past it used to slice an
         # EMPTY array whose xxhash64 is one constant — every doc in one
-        # bucket, silently degenerating toward all-pairs. A size check
-        # stays in codegen; raise_error makes the mismatch loud.
-        return F.when(F.size(chunk) == rows_per_band, F.xxhash64(chunk)).otherwise(
+        # bucket, silently degenerating toward all-pairs. The TOTAL
+        # width is checked too (ADVICE r7): a signature WIDER than
+        # bands x rows_per_band yields full-length chunks for every
+        # band, so the per-chunk check alone let the trailing hashes be
+        # silently ignored — quietly weaker LSH instead of the loud
+        # mismatch this guard promises. Both checks stay in codegen;
+        # raise_error makes the mismatch loud.
+        ok = (F.size(chunk) == rows_per_band) & (
+            F.size("sig") == bands * rows_per_band
+        )
+        return F.when(ok, F.xxhash64(chunk)).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -281,7 +289,8 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     cache: bool = False,
     max_bucket: int = 256,
-) -> DataFrame:
+    return_signatures: bool = False,
+):
     """End-to-end near-dup pairs: (a, b, jaccard) with jaccard >= threshold.
 
     ``cache`` persists the signature aggregate, which feeds three
@@ -290,12 +299,18 @@ def minhash_near_duplicates(
     columnar materialization of the shingle sets costs MORE than the
     duplicated signature compute (6.8s vs 5.6s) and it breaks codegen
     pipelining into the consumers. Turn on when the upstream is pricier
-    than the cache write — e.g. shingling multi-KB documents. The
-    persisted frame is attached to the result as
-    ``result._persisted_signatures`` so a long-lived session can
-    ``unpersist()`` it after consuming the pairs (r7 review: the
-    persist otherwise pins executor storage for the application
-    lifetime with no release handle)."""
+    than the cache write — e.g. shingling multi-KB documents.
+
+    ``return_signatures=True`` returns ``(pairs, signatures)`` so a
+    long-lived session can ``signatures.unpersist()`` after consuming
+    the pairs (r7 review: the persist otherwise pins executor storage
+    for the application lifetime with no release handle). This explicit
+    form replaces the old ``result._persisted_signatures`` attribute
+    (ADVICE r7): any transformation of the result (`.where`, `.select`,
+    even `.orderBy`) returns a NEW DataFrame without the attribute, so
+    the handle was silently lost in the most common usage shapes. The
+    attribute is still set for back-compat but must be read BEFORE any
+    further transformation."""
     if num_hashes % bands != 0:
         # a real raise, not assert: asserts vanish under python -O, and
         # the band slice guard downstream would only catch the OVERRUN
@@ -312,5 +327,7 @@ def minhash_near_duplicates(
     cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands, max_bucket)
     result = exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)
     if cache:
-        result._persisted_signatures = signed
+        result._persisted_signatures = signed  # back-compat; see docstring
+    if return_signatures:
+        return result, signed
     return result

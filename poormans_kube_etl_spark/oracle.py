@@ -9,9 +9,12 @@ every query is validated at sf0.001/sf0.01 before the driver ever sees it.
 
 from __future__ import annotations
 
+import atexit
 import datetime
 import decimal
 import math
+import os
+from collections import OrderedDict
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -19,11 +22,25 @@ import pandas as pd
 from poormans_kube_etl_spark import TABLES
 
 
+def _present_tables(sf_dir: str) -> tuple[str, ...]:
+    return tuple(
+        t for t in TABLES if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    )
+
+
 def duckdb_connection(sf_dir: str):
+    """Connection with one view per table parquet PRESENT in sf_dir.
+
+    DuckDB binds CREATE VIEW eagerly (it resolves the parquet at
+    creation, not first query), so registering all 10 names against a
+    partial sf_dir — e.g. a fixture dir holding only ``documents`` —
+    raises at connect time. Registering only what exists keeps partial
+    dirs usable; the cache key below makes a later-created table visible.
+    """
     import duckdb
 
     con = duckdb.connect()
-    for t in TABLES:
+    for t in _present_tables(sf_dir):
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
             f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -34,19 +51,33 @@ def duckdb_connection(sf_dir: str):
 # per-sf_dir connection cache (r7 review): the parametrized oracle suite
 # paid a fresh connection + 10 CREATE VIEWs per query for identical
 # state. Views re-read the parquet at query time, so a rewritten table
-# is never served stale through a cached connection.
-_CON_CACHE: dict[str, object] = {}
+# is never served stale through a cached connection. Keyed on
+# (sf_dir, tables-present) so a table parquet created AFTER the first
+# run_oracle call (replica generation mid-process) gets a fresh
+# connection instead of a missing-view error (ADVICE r7); evicted LRU,
+# one connection at a time, and all closed at interpreter exit.
+_CON_CACHE: OrderedDict[tuple, object] = OrderedDict()
+_CON_CACHE_MAX = 8
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
-    con = _CON_CACHE.get(sf_dir)
+    key = (sf_dir, _present_tables(sf_dir))
+    con = _CON_CACHE.get(key)
     if con is None:
-        if len(_CON_CACHE) > 8:  # bound: many sf_dirs per process
-            for c in _CON_CACHE.values():
-                c.close()
-            _CON_CACHE.clear()
-        con = _CON_CACHE[sf_dir] = duckdb_connection(sf_dir)
+        while len(_CON_CACHE) >= _CON_CACHE_MAX:
+            _, old = _CON_CACHE.popitem(last=False)
+            old.close()
+        con = _CON_CACHE[key] = duckdb_connection(sf_dir)
+    else:
+        _CON_CACHE.move_to_end(key)
     return con.execute(sql).fetch_df()
+
+
+@atexit.register
+def _close_cached_connections() -> None:
+    for c in _CON_CACHE.values():
+        c.close()
+    _CON_CACHE.clear()
 
 
 def _canon_value(v) -> str:

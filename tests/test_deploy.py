@@ -76,13 +76,23 @@ def test_enclosing_submit_detects_gateway_launch(monkeypatch):
     assert enclosing_submit() is True
 
 
-def test_submit_sh_assembles_k8s_submit():
-    cmd = _dry_run("watch")
+def test_submit_sh_assembles_k8s_submit(tmp_path):
+    props = str(tmp_path / "s3a.properties")
+    cmd = _dry_run("watch", {"S3_PROPS_FILE": props})
     toks = shlex.split(cmd)
     assert toks[0] == "spark-submit"
     assert toks[toks.index("--master") + 1] == "k8s://https://kubernetes.default.svc"
     assert "--conf" in toks and "spark.executor.instances=2" in toks
-    assert "spark.hadoop.fs.s3a.access.key=AKIATEST" in toks
+    # credentials ride a mode-600 properties file, NEVER argv (ADVICE
+    # r7: --conf creds are world-readable via /proc/<pid>/cmdline and
+    # were echoed verbatim by DRY_RUN)
+    assert "AKIATEST" not in cmd and "secret" not in cmd
+    assert toks[toks.index("--properties-file") + 1] == props
+    with open(props) as fh:
+        body = fh.read()
+    assert "spark.hadoop.fs.s3a.access.key AKIATEST" in body
+    assert "spark.hadoop.fs.s3a.secret.key secret" in body
+    assert os.stat(props).st_mode & 0o777 == 0o600
     # set HIGH, AQE coalesces down — the 100 TB default, not local 32
     assert "spark.sql.shuffle.partitions=2000" in toks
     entry = toks.index("/opt/pke/deploy/submit_entry.py")
@@ -110,7 +120,9 @@ def test_submit_sh_iam_mode_omits_keys():
         ["sh", SUBMIT_SH, "run-once"], env=env, capture_output=True, text=True
     )
     assert out.returncode == 0, out.stderr
-    assert "access.key" not in out.stdout  # IRSA/IAM identity instead
+    # IRSA/IAM identity instead: no key confs, no properties file
+    assert "access.key" not in out.stdout
+    assert "--properties-file" not in out.stdout
 
 
 def _manifest(name: str) -> dict:
