@@ -17,7 +17,11 @@ FROM ${SPARK_IMAGE}
 USER root
 
 # The engine is pure Python on top of pyspark (already in the base
-# image); no pip installs required. Ship the package + CLI + manifests.
+# image). Pillow enables the REAL image-decode path
+# (operators/multimodal.py real_decode_image; without it the
+# deterministic stub codec is used and decode(real=True) raises).
+RUN pip install --no-cache-dir pillow
+
 COPY poormans_kube_etl_spark /opt/pke/poormans_kube_etl_spark
 COPY deploy /opt/pke/deploy
 RUN chmod +x /opt/pke/deploy/submit.sh

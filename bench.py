@@ -68,9 +68,9 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
     upstream cumulative time, so deltas ≈ the stage's own cost."""
     from poormans_kube_etl_spark.operators.minhash import (
         exact_jaccard,
-        exploded_shingle_hashes,
+        exploded_shingle_h0_md5,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_md5,
     )
     from poormans_kube_etl_spark.operators.simhash import (
         simhash_bits_df,
@@ -86,8 +86,11 @@ def _dedup_stage_split(spark, sf_dir: str) -> dict[str, dict[str, float]]:
         _execute(df)
         return time.perf_counter() - t0
 
-    signed = minhash_signatures(
-        exploded_shingle_hashes(docs, "doc_id", "text", 3), "doc_id", 32
+    # md5 family: stage attribution must match the registered headline
+    # query, which switched to hash_family="md5" in r8 for full-oracle
+    # parity (xxhash64 stays the operator default for throughput callers)
+    signed = minhash_signatures_md5(
+        exploded_shingle_h0_md5(docs, "doc_id", "text", 3), "doc_id", 32
     )
     t_sig = timed(signed)
     cands = lsh_candidate_pairs(signed, "doc_id", 8, 4)
@@ -312,21 +315,32 @@ def main() -> None:
     # attributes that component explicitly — r5 found it was HALF of
     # some bench numbers (simhash: 1.04 s of 2.1) before the parsed-SQL
     # expression cache work.
+    # r8 (VERDICT r7 #7): min-of-3 timed passes + a recorded per-query
+    # SPREAD ((max-min)/min over the timed passes) so a round-over-round
+    # delta can be judged against the same run's own noise floor — the
+    # r6→r7 "+10% headline" was unreadable because nothing recorded
+    # whether 10% was inside normal jitter. A delta smaller than the
+    # spread is noise; a delta well past it is code.
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         _execute(qs[name](spark, sf_dir))  # untimed warm pass
         best = float("inf")
+        worst = 0.0
         build_best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             t1 = time.perf_counter()
             _execute(df)
-            best = min(best, time.perf_counter() - t0)
+            took = time.perf_counter() - t0
+            best = min(best, took)
+            worst = max(worst, took)
             build_best = min(build_best, t1 - t0)
         timings[name] = round(best, 4)
         builds[name] = round(build_best, 4)
+        spreads[name] = round((worst - best) / best, 4) if best > 0 else 0.0
 
     stages = _dedup_stage_split(spark, sf_dir)
     stages["skew_salted_join"] = _skew_join_stage(spark, sf_dir)
@@ -414,8 +428,9 @@ def main() -> None:
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
-        "protocol": "warm1+min2",  # r6: see the timing-loop comment
+        "protocol": "warm1+min3",  # r8: see the timing-loop comment
         "queries": timings,
+        "spreads": spreads,
         "stages": stages,
         "builds": builds,
         "sf": sf_val,

@@ -156,6 +156,131 @@ def minhash_signatures(exploded: DataFrame, id_col: str, num_hashes: int) -> Dat
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-engine md5 hash family (VERDICT r7 #5): the same discipline that
+# earned simhash a full DuckDB oracle (operators/simhash.py token_hash=
+# "md5") applied to MinHash. Everything below is derived from md5 +
+# modular arithmetic a second engine replays bit-for-bit; the xxhash64
+# family above stays the throughput default.
+#
+# Per-shingle fingerprint WITHOUT materializing the shingle string
+# (the r5 lesson: slice+array_join per window was 6-8x the whole
+# signature stage): hash each token once (text.token_hash, 31-bit
+# md5-derived) and combine each L-token window with TWO independent
+# Karp-Rabin rolls (bases A and B, per-term mods — the exact overflow
+# discipline of text.rolling_window_hashes, which the winnowing oracle
+# already replays in DuckDB):
+#
+#   roll(p) = ( Σ_j (th[i+j] · p^(L-1-j) mod M) ) mod M,   M = 2^31 - 1
+#   h0      = (rollA << 31) | rollB          -- 62-bit set fingerprint
+#   h_i     = (rollA + i · rollB) mod M      -- Kirsch–Mitzenmacher
+#                                               double-hash MinHash seeds
+#
+# h0's 62 bits keep within-pair set collisions ~|S|²/2^62 (same class
+# of risk as the xxhash64 family's 2^-64); the 31-bit KM family is the
+# classic 32-bit MinHash construction — approximate min-wise uniformity
+# is all banding needs, and the exact-Jaccard verify downstream is
+# collision-checked by h0, not by the seeds. Docs shorter than L tokens
+# degrade to one whole-document window, mirroring word_shingles.
+MD5_ROLL_MOD = (1 << 31) - 1
+MD5_ROLL_BASE_A = 1_000_003
+MD5_ROLL_BASE_B = 1_000_033
+
+
+def md5_roll_pows(base: int, n: int) -> list[int]:
+    """[base^0, base^1, ... base^(n-1)] mod M — shared with the SQL oracle."""
+    return [pow(base, j, MD5_ROLL_MOD) for j in range(n)]
+
+
+def exploded_shingle_h0_md5(
+    docs: DataFrame, id_col: str, text_col: str, shingle_len: int
+) -> DataFrame:
+    """(id, h0) rows, one per distinct shingle per doc — md5 family.
+
+    Same row shape as ``exploded_shingle_hashes`` so the signature
+    aggregate and everything downstream (banding, Jaccard verify) is
+    shared; only the fingerprint arithmetic differs (cross-engine md5
+    rolls instead of xxhash64)."""
+    from poormans_kube_etl_spark.operators.text import token_hash
+
+    L = shingle_len
+    M = MD5_ROLL_MOD
+    pow_a = md5_roll_pows(MD5_ROLL_BASE_A, L)
+    pow_b = md5_roll_pows(MD5_ROLL_BASE_B, L)
+    docs = spread_small_scan(docs)  # shingling amplifies ~50x per row
+    toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
+    # token hashes materialized in their own projection (the array-
+    # reevaluation trap documented on exploded_shingles)
+    th = toked.select(
+        id_col,
+        F.transform("toks", token_hash).alias("th"),
+        F.size("toks").alias("n_toks"),
+    )
+
+    def roll_full(pows: list[int], i):
+        # window [i, i+L): term_j = (th[i+j] · p^(L-1-j)) % M, sum % M.
+        # Per-term mods keep every intermediate < L·2^31 (overflow-free
+        # in 64-bit SIGNED arithmetic on both engines).
+        total = F.lit(0).cast("bigint")
+        for j in range(L):
+            total = total + (F.get("th", i + j) * F.lit(pows[L - 1 - j])) % M
+        return total % M
+
+    def h0_full(i):
+        return F.shiftleft(roll_full(pow_a, i), 31).bitwiseOR(roll_full(pow_b, i))
+
+    def roll_short(pows: list[int]):
+        # whole-doc window of length n < L: same formula, power index
+        # L-1-j becomes n-1-j (element_at is 1-based: n_toks - j)
+        arr = F.array(*[F.lit(p) for p in pows])
+        terms = F.transform(
+            "th",
+            lambda t, j: (t * F.element_at(arr, F.col("n_toks") - j)) % M,
+        )
+        return (
+            F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x) % M
+        )
+
+    h0_short = F.shiftleft(roll_short(pow_a), 31).bitwiseOR(roll_short(pow_b))
+    win_starts = F.sequence(F.lit(0), F.col("n_toks") - L)
+    h0s = F.array_distinct(
+        F.when(F.col("n_toks") >= L, F.transform(win_starts, h0_full)).otherwise(
+            F.array(h0_short)
+        )
+    )
+    return th.select(id_col, F.explode(h0s).alias("h0"))
+
+
+def minhash_signatures_md5(
+    exploded: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """k MinHash values per doc from (id, h0) md5-family rows.
+
+    Same single-hash-aggregate shape as ``minhash_signatures`` (k mins
+    + collect_set ride one scan+shuffle), but the seeded family is the
+    Kirsch–Mitzenmacher double hash (rollA + i·rollB) mod M, unpacked
+    from h0's two 31-bit halves — arithmetic DuckDB replays exactly,
+    unlike xxhash64(i, h0)."""
+    from poormans_kube_etl_spark.operators.exprcache import cached_expr
+
+    M = MD5_ROLL_MOD
+    mins = [
+        cached_expr(
+            f"min((shiftright(h0, 31) + {i} * (h0 & {M})) % {M}) AS h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins, F.collect_set("h0").alias("shingles"))
+        .select(
+            id_col,
+            F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+            "shingles",
+        )
+    )
+
+
 def _banded(signed: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
     """(doc, band_id, band_hash): one row per (doc, band), band_hash =
     xxhash64 of the signature slice. Shared by candidate generation AND
@@ -290,8 +415,18 @@ def minhash_near_duplicates(
     cache: bool = False,
     max_bucket: int = 256,
     return_signatures: bool = False,
+    hash_family: str = "xxhash64",
 ):
     """End-to-end near-dup pairs: (a, b, jaccard) with jaccard >= threshold.
+
+    ``hash_family`` picks the fingerprint arithmetic:
+
+    - ``"xxhash64"`` (default): Spark's native hashes — the fastest JVM
+      path, rerun-stable but not recomputable by a second engine.
+    - ``"md5"``: Karp-Rabin rolls over md5-derived token hashes (see
+      the md5-family block above) — every value is replayable in DuckDB,
+      so the WHOLE pipeline is independently oracle-checkable, the same
+      cross-engine discipline as simhash's ``token_hash="md5"``.
 
     ``cache`` persists the signature aggregate, which feeds three
     consumers (banding + both verify-join sides) whose different column
@@ -318,8 +453,16 @@ def minhash_near_duplicates(
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands}"
         )
-    ex = exploded_shingle_hashes(docs, id_col, text_col, shingle_len)
-    signed = minhash_signatures(ex, id_col, num_hashes)
+    if hash_family == "xxhash64":
+        ex = exploded_shingle_hashes(docs, id_col, text_col, shingle_len)
+        signed = minhash_signatures(ex, id_col, num_hashes)
+    elif hash_family == "md5":
+        ex = exploded_shingle_h0_md5(docs, id_col, text_col, shingle_len)
+        signed = minhash_signatures_md5(ex, id_col, num_hashes)
+    else:
+        raise ValueError(
+            f"hash_family={hash_family!r}: expected 'xxhash64' or 'md5'"
+        )
     if cache:
         from pyspark import StorageLevel
 

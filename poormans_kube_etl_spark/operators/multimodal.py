@@ -29,8 +29,16 @@ DECODE_SCHEMA = (
 )
 
 
-def real_decode_image(data: bytes):  # pragma: no cover - requires Pillow
-    """Decode real image bytes. STUB: needs an image library."""
+def real_decode_image(data: bytes) -> tuple[int, int, int, float]:
+    """Decode REAL image bytes via Pillow (r8, VERDICT r7 #3): same
+    (width, height, channels, mean_byte) contract as the stub codec, so
+    the two are drop-in interchangeable in every mapInPandas pipeline —
+    ``mean_byte`` is the mean decoded sample value averaged over bands
+    (ImageStat), the real analogue of the stub's payload-byte mean.
+    Raises NotImplementedError when Pillow is absent (this dev container
+    ships no image libraries; the Dockerfile installs Pillow so the
+    deploy image takes the real path — tests/test_operators.py
+    ``test_real_decode_*`` skip here and run there)."""
     if not HAS_PIL:
         raise NotImplementedError(
             "image decoding requires Pillow, which is not available in this "
@@ -38,8 +46,12 @@ def real_decode_image(data: bytes):  # pragma: no cover - requires Pillow
         )
     import io
 
+    from PIL import ImageStat
+
     img = Image.open(io.BytesIO(data))
-    return img.width, img.height, len(img.getbands())
+    stat = ImageStat.Stat(img)
+    mean_byte = float(sum(stat.mean) / len(stat.mean))
+    return img.width, img.height, len(img.getbands()), mean_byte
 
 
 def fake_decode_image(data: bytes) -> tuple[int, int, int, float]:
@@ -67,12 +79,28 @@ def _check_no_null_payload(pdf, binary_col: str, id_col: str) -> None:
         )
 
 
-def decode_image_features(df: DataFrame, binary_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+def decode_image_features(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    real: bool = False,
+) -> DataFrame:
     """Arrow-batched decode: DataFrame[id, binary] → typed metadata rows.
 
     mapInPandas keeps the batch shape (no per-row Python calls through
     py4j); at scale this is the pattern for any CPU-bound media
-    transform — repartition upstream to balance byte volume, not rows."""
+    transform — repartition upstream to balance byte volume, not rows.
+
+    ``real=True`` decodes with Pillow (real_decode_image) — failing at
+    PLAN BUILD time when Pillow is absent, not as an opaque task error
+    on an executor; the default stub codec keeps pipelines testable in
+    codec-less environments with identical schema and batch shape."""
+    if real and not HAS_PIL:
+        raise NotImplementedError(
+            "decode_image_features(real=True) requires Pillow on driver "
+            "and executors (the deploy Dockerfile installs it)"
+        )
+    codec = real_decode_image if real else fake_decode_image
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -82,7 +110,7 @@ def decode_image_features(df: DataFrame, binary_col: str = "content", id_col: st
                 "doc_id": pdf[id_col].astype("int64"),
                 "n_bytes": datas.map(len).astype("int32"),
             }
-            decoded = [fake_decode_image(bytes(d)) for d in datas]
+            decoded = [codec(bytes(d)) for d in datas]
             rows["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
             rows["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
             rows["channels"] = pd.Series([d[2] for d in decoded], dtype="int32")

@@ -65,73 +65,75 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-7 rotation (VERDICT r06 #3:
-# refresh window_trailing_1h_count, the sole r03-latest row, and keep
-# the stalest-first discipline; standing rule: queries whose values or
-# oracles changed this round stay in the window):
-# (a) window_trailing_1h_count — overflowed the r6 window, pre-announced
-#     as the r7 head;
-# (b) the 33 queries whose latest driver row is r04;
-# (c) fill to the 50-query window with the alphabetically-first 16 of
-#     the 49 r05-latest queries (all equally stale; the remaining 33
-#     follow in the stalest-first tail via _LATEST_ROW and head the r8
-#     window). jsonl_quarantine_stats' r7 digest-guard edit is
-#     value-preserving (the fixture always has quarantine lines), so it
-#     keeps its r06-green row and waits its turn.
+# ``queries()`` iteration order. Round-8 rotation (VERDICT r07 #1:
+# lead with the 32 queries whose latest driver row is r05 — two rounds
+# of code drift; standing rule: queries whose values or oracles changed
+# this round stay in the window):
+# (a) the two queries whose VALUES changed in r8 itself —
+#     dedup_minhash_lsh_pairs / dedup_minhash_clusters switched to the
+#     md5 hash family (different pair sets) and gained full oracles;
+# (b) events_zscore_outliers — its engine+oracle changed in r7 but the
+#     r7 window missed it (ADVICE r07 #1), so it rides now;
+# (c) the 32 r05-latest queries (alphabetical; includes
+#     train_chunk_documents, ADVICE r07 #1's other miss — its r7 edit
+#     was value-affecting and this is its first row since);
+# (d) fill to 50 with the alphabetically-first 15 of the 49 r06-latest
+#     queries (all equally stale; the remaining 34 head the r9 window).
 _PRIORITY = [
-    # (a) the r03 remnant
-    "window_trailing_1h_count",
-    # (b) r04-latest (alphabetical)
-    "cube_orders_status_priority",
-    "dedup_exact_stats",
-    "dedup_keep_first_by_prefix",
-    "distinct_order_priorities",
-    "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
-    "mm_decode_features",
-    "mm_frame_sample_hashes",
-    "ref_a3_duration_format",
-    "ref_a4_run_metrics",
-    "ref_dt1_epoch_roundtrip",
-    "ref_e1_token_intersection",
-    "ref_f1_timestamp_folders",
-    "ref_f2_any_timestamp",
-    "ref_f3_marker_rows",
-    "ref_f4_f5_f6_job_filters",
-    "ref_f7_ingest_file_set",
-    "ref_f8_temporal_filter",
-    "ref_folder_lifecycle_summary",
-    "ref_manifest_integrity_join",
-    "ref_o1_oldest_ingest",
-    "ref_p1_p2_path_segments",
-    "ref_p6_json_props",
-    "ref_p7_array_struct_probe",
-    "ref_s2_manifest_gate",
-    "sess_asof_last_signup",
-    "sess_session_window_30m",
-    "set_except_inactive_custkeys",
-    "set_intersect_active_custkeys",
-    "set_union_all_keys",
-    "sim_embedding_norms",
-    "sim_label_spectral_stats",
-    "window_lag_order_gap_days",
-    # (c) r05-latest fill (alphabetical first 16)
-    "agg_boolean_family",
-    "agg_filtered_conditional",
-    "agg_histogram_quantity",
-    "agg_min_by_max_by",
-    "agg_mode_by_group",
-    "agg_string_concat_ordered",
-    "clean_quality_rules",
-    "clean_repetition_ratio",
-    "clean_scrub_pii",
-    "clean_sentence_dedup",
-    "clean_sentence_split",
-    "dedup_embedding_lsh_pairs",
-    "dedup_embedding_near_pairs",
-    "dedup_minhash_clusters",
+    # (a) values changed this round (md5 hash family + new oracles)
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_clusters",
+    # (b) changed in r7, missed the r7 window (ADVICE r07 #1)
+    "events_zscore_outliers",
+    # (c) r05-latest (alphabetical)
+    "dedup_simhash_pairs",
+    "dedup_winnowing_pairs",
+    "dq_null_and_blank_rates",
+    "events_hourly_seasonality",
+    "fn_datetime_suite",
+    "fn_json_construct_extract",
+    "groupingsets_order_revenue",
+    "join_left_customer_order_stats",
+    "join_lineitem_part_supplier",
+    "join_revenue_by_nation",
+    "q1_pricing_summary",
+    "sess_hopping_2h_1h",
+    "sess_tumbling_hourly",
+    "sim_ivf_topk",
+    "sim_kmeans_clusters",
+    "sim_lsh_topk",
+    "sim_topk_bruteforce",
+    "text_bigram_pmi",
+    "text_lang_stats",
+    "text_langid_confusion",
+    "text_langid_heuristic",
+    "text_quality_scores",
+    "text_term_frequencies",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "train_bpe_ish_token_counts",
+    "train_chunk_documents",
+    "train_decontaminate_ngram",
+    "train_deterministic_shuffle",
+    "train_pack_shards",
+    "train_split_by_hash",
+    "train_stratified_sample",
+    # (d) r06-latest fill (alphabetical first 15)
+    "approx_distinct_users_by_type",
+    "approx_percentile_quantity",
+    "array_agg_statuses_per_priority",
+    "clean_quantize_embeddings",
+    "dq_referential_integrity",
+    "dq_value_range_violations",
+    "events_cohort_retention",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    "fn_array_set_ops",
+    "fn_array_suite",
+    "fn_conditional_suite",
+    "fn_map_entries",
+    "fn_null_semantics",
+    "fn_scalar_suite",
 ]
 
 
@@ -472,11 +474,67 @@ _R06_SWEPT = frozenset(
     }
 )
 
+# CORRECTNESS_r07 swept rows (46 hash-green + 4 rows-only, 0 errors).
+_R07_SWEPT = frozenset(
+    {
+        "agg_boolean_family",
+        "agg_filtered_conditional",
+        "agg_histogram_quantity",
+        "agg_min_by_max_by",
+        "agg_mode_by_group",
+        "agg_string_concat_ordered",
+        "clean_quality_rules",
+        "clean_repetition_ratio",
+        "clean_scrub_pii",
+        "clean_sentence_dedup",
+        "clean_sentence_split",
+        "cube_orders_status_priority",
+        "dedup_embedding_lsh_pairs",
+        "dedup_embedding_near_pairs",
+        "dedup_exact_stats",
+        "dedup_keep_first_by_prefix",
+        "dedup_minhash_clusters",
+        "dedup_minhash_lsh_pairs",
+        "dedup_ngram_jaccard_pairs",
+        "distinct_order_priorities",
+        "join_anti_customers_without_orders",
+        "join_semi_customers_with_orders",
+        "mm_decode_features",
+        "mm_frame_sample_hashes",
+        "ref_a3_duration_format",
+        "ref_a4_run_metrics",
+        "ref_dt1_epoch_roundtrip",
+        "ref_e1_token_intersection",
+        "ref_f1_timestamp_folders",
+        "ref_f2_any_timestamp",
+        "ref_f3_marker_rows",
+        "ref_f4_f5_f6_job_filters",
+        "ref_f7_ingest_file_set",
+        "ref_f8_temporal_filter",
+        "ref_folder_lifecycle_summary",
+        "ref_manifest_integrity_join",
+        "ref_o1_oldest_ingest",
+        "ref_p1_p2_path_segments",
+        "ref_p6_json_props",
+        "ref_p7_array_struct_probe",
+        "ref_s2_manifest_gate",
+        "sess_asof_last_signup",
+        "sess_session_window_30m",
+        "set_except_inactive_custkeys",
+        "set_intersect_active_custkeys",
+        "set_union_all_keys",
+        "sim_embedding_norms",
+        "sim_label_spectral_stats",
+        "window_lag_order_gap_days",
+        "window_trailing_1h_count",
+    }
+)
+
 # name -> round of its LATEST driver row (later sets win); unknown
 # names (newly added queries) default to 0 = never checked.
 _LATEST_ROW: dict[str, int] = {}
 for _rnd, _names in enumerate(
-    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT, _R06_SWEPT),
+    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT, _R06_SWEPT, _R07_SWEPT),
     start=1,
 ):
     for _n in _names:

@@ -159,30 +159,192 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.where(F.col("jaccard") >= 0.2).orderBy("a", "b")
 
 
-@register("dedup_minhash_lsh_pairs")  # rows-only: xxhash64 has no DuckDB twin
+def _minhash_md5_pair_ctes(
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """CTE chain recomputing ``minhash_near_duplicates(hash_family=
+    "md5")`` from scratch in DuckDB, ending in a ``pairs(a, b, jaccard)``
+    CTE. Mirrors operators/minhash.py's md5 family exactly:
+
+    - token hash: first 8 md5 hex chars mod M (text.token_hash —
+      already replayed verbatim by the winnowing oracle);
+    - per L-token window, two Karp-Rabin rolls (bases A/B, per-term
+      mods, same power layout) packed as h0 = (rollA << 31) | rollB;
+      docs shorter than L degrade to one whole-doc window;
+    - 32 Kirsch–Mitzenmacher mins (rollA + i·rollB) mod M per doc;
+    - banding: unlike simhash's pigeonhole completeness, LSH recall is
+      APPROXIMATE, so the oracle must model the banding. Spark buckets
+      on (band_id, xxhash64(sig slice)); the oracle buckets on
+      (band_id, the slice VALUES) — identical partitions up to an
+      xxhash64 collision (~2^-64, the accepted risk class). The star
+      guard (max_bucket=256) is NOT modelled: bucket sizes at oracle
+      SFs are pinned far below it by
+      tests/test_operators.py::test_minhash_md5_buckets_under_star_guard,
+      so a violation surfaces as a named test failure, not a sweep
+      mismatch (same contract as the simhash oracle);
+    - exact Jaccard over distinct-h0 sets, >= threshold.
+    """
+    from poormans_kube_etl_spark.operators.minhash import (
+        MD5_ROLL_BASE_A,
+        MD5_ROLL_BASE_B,
+        MD5_ROLL_MOD,
+        md5_roll_pows,
+    )
+
+    L = shingle_len
+    M = MD5_ROLL_MOD
+    rows = num_hashes // bands
+    pow_a = md5_roll_pows(MD5_ROLL_BASE_A, L)
+    pow_b = md5_roll_pows(MD5_ROLL_BASE_B, L)
+
+    def full_roll(pows: list[int]) -> str:
+        # lists are 1-based in DuckDB; window start i is 0-based
+        terms = " + ".join(
+            f"(th[i + {j + 1}] * {pows[L - 1 - j]}) % {M}" for j in range(L)
+        )
+        return f"(({terms}) % {M})"
+
+    def short_roll(pows: list[int]) -> str:
+        plist = "[" + ", ".join(str(p) for p in pows) + "]"
+        return (
+            f"(CAST(list_sum(list_transform(range(0, len(th)), "
+            f"j -> (th[j + 1] * ({plist})[len(th) - j]) % {M})) AS BIGINT) % {M})"
+        )
+
+    full_h0 = f"(({full_roll(pow_a)} << 31) | {full_roll(pow_b)})"
+    short_h0 = f"(({short_roll(pow_a)} << 31) | {short_roll(pow_b)})"
+    mins = ", ".join(
+        f"MIN(((h0 >> 31) + {i} * (h0 & {M})) % {M}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"[{', '.join(f'm{b * rows + r}' for r in range(rows))}] AS bk FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    tok AS (
+      SELECT doc_id,
+             list_transform(string_split({_NORM_SQL}, ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {M}) AS th
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             CASE WHEN len(th) >= {L}
+                  THEN list_transform(range(0, len(th) - {L - 1}), i -> {full_h0})
+                  ELSE [{short_h0}] END AS h0s
+      FROM tok
+    ),
+    sh AS (SELECT DISTINCT doc_id, UNNEST(h0s) AS h0 FROM win),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT p.doc_id AS a, q.doc_id AS b
+      FROM bands p JOIN bands q
+        ON p.band_id = q.band_id AND p.bk = q.bk AND p.doc_id < q.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh ha ON ha.doc_id = c.a
+      JOIN sh hb ON hb.doc_id = c.b AND hb.h0 = ha.h0
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.a, i.b,
+             CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a
+      JOIN sizes sb ON sb.doc_id = i.b
+      WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {threshold}
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_minhash_md5_pair_ctes()}
+    SELECT a, b, jaccard FROM pairs ORDER BY a, b
+    """,
+)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs over the FULL corpus — the linear-cost
     scale path (shingle → 32 minhashes → 8 bands → bucket join → exact
-    Jaccard verify >= 0.5). Deterministic: fixed xxhash64 seeds."""
+    Jaccard verify >= 0.5).
+
+    Hash-checked since r8 (VERDICT r7 #5): ``hash_family="md5"`` draws
+    every fingerprint from md5 + modular arithmetic both engines share,
+    so the DuckDB oracle recomputes the ENTIRE pipeline — shingling,
+    signatures, banding, bucket join, exact Jaccard — from scratch,
+    upgrading this family from rows-only to full value-hash parity.
+    The xxhash64 default remains for throughput-first callers."""
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
-        docs, "doc_id", "text", shingle_len=3, num_hashes=32, bands=8, threshold=0.5
+        docs,
+        "doc_id",
+        "text",
+        shingle_len=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5",
     ).orderBy("a", "b")
 
 
-@register("dedup_minhash_clusters")  # rows-only: iterative algorithm (driver's weak-check class)
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_md5_pair_ctes()},
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION
+      SELECT b AS u, a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    )
+    SELECT u AS doc, LEAST(u, MIN(v)) AS keeper FROM reach GROUP BY u ORDER BY doc
+    """,
+)
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash near-dup pairs: connected
     components via label propagation (operators/graph.py) → every
     clustered doc mapped to its cluster's min-id canonical keeper.
-    The step that turns pairwise similarity into a dedup decision."""
+    The step that turns pairwise similarity into a dedup decision.
+
+    Hash-checked since r8: the md5 hash family makes the pair set
+    recomputable (see dedup_minhash_lsh_pairs), and the transitive
+    closure itself is a recursive CTE in DuckDB — min reachable id per
+    node over the bidirected pair edges equals label propagation's
+    min-id component (UNION-distinct recursion terminates because the
+    reachability set is finite). The Spark side stays iterative
+    (localCheckpoint per round) — a recursive self-join is not how you
+    run connected components on a 1000-executor cluster; the CTE exists
+    only as the second engine's independent recomputation."""
     from poormans_kube_etl_spark.operators.graph import dedup_clusters
 
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(
-        docs, "doc_id", "text", shingle_len=3, num_hashes=32, bands=8, threshold=0.5
+        docs,
+        "doc_id",
+        "text",
+        shingle_len=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5",
     )
     return dedup_clusters(pairs).orderBy("doc")
 

@@ -13,7 +13,10 @@ def test_cli_list(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "* q1_pricing_summary" in out
-    assert "o dedup_minhash_lsh_pairs" in out
+    # oracle-backed since r8 (md5 hash family): '*' not 'o'
+    assert "* dedup_minhash_lsh_pairs" in out
+    # rows-only queries still list with the 'o' marker
+    assert "o dedup_embedding_lsh_pairs" in out
 
 
 def test_cli_query_and_verify(spark, sf_dir, capsys):

@@ -141,8 +141,9 @@ def test_manifests_point_at_the_launcher():
     dep = _manifest("deployment.example.yml")
     cron = _manifest("cronjob.example.yml")
     assert dep["kind"] == "Deployment" and cron["kind"] == "CronJob"
-    # one poller only: the lifecycle deletes folders after commit
-    assert dep["spec"]["replicas"] == 1
+    # reference parity (README.md:73): multi-replica watch, made safe
+    # by the r8 folder-claim lease (Orchestrator.claim_folder)
+    assert dep["spec"]["replicas"] == 3
     assert cron["spec"]["jobTemplate"]["spec"]["template"]["spec"]["restartPolicy"] == "OnFailure"
     for manifest, mode in ((dep, "watch"), (cron, "run-once")):
         c = _container(manifest)

@@ -259,6 +259,87 @@ def test_simhash_checked_sf_buckets_under_star_guard(spark, sf_dir):
     )
 
 
+def test_minhash_md5_buckets_under_star_guard(spark, sf_dir):
+    """Oracle-exactness precondition for the md5 MinHash family (same
+    contract as the simhash test above): the DuckDB twin of
+    dedup_minhash_lsh_pairs models all-pairs within each LSH bucket,
+    which matches the Spark side only while NO bucket exceeds
+    max_bucket=256 — past that the star guard engages and Spark emits a
+    strict subset. Pin the precondition at the checked SF with the
+    registered query's exact config (shingle_len=3, k=32, 8x4 banding)."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        exploded_shingle_h0_md5,
+        lsh_bucket_stats,
+        minhash_signatures_md5,
+    )
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    signed = minhash_signatures_md5(
+        exploded_shingle_h0_md5(docs, "doc_id", "text", 3), "doc_id", 32
+    )
+    mx = (
+        lsh_bucket_stats(signed, "doc_id", 8, 4)
+        .agg(F.max("bucket_size").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert mx is None or mx <= 256, (
+        f"a {mx}-doc bucket exceeds max_bucket=256: the star guard now "
+        "engages and the bucket-all-pairs oracle for "
+        "dedup_minhash_lsh_pairs no longer models the output — re-plan "
+        "banding or re-derive the oracle before trusting the sweep"
+    )
+
+
+def test_minhash_md5_h0_matches_python_model(spark):
+    """Pin the md5-family shingle fingerprint arithmetic against an
+    independent pure-Python model (hashlib md5 + the same Karp-Rabin
+    rolls), covering BOTH the full-window path and the short-doc
+    degenerate path (n_toks < shingle_len). This is the unit-level
+    anchor under the cross-engine oracle: if either engine's expression
+    drifts (power layout, mod discipline, bit packing), this names the
+    exact fingerprint instead of a sweep hash mismatch."""
+    import hashlib
+
+    from poormans_kube_etl_spark.operators.minhash import (
+        MD5_ROLL_BASE_A,
+        MD5_ROLL_BASE_B,
+        MD5_ROLL_MOD,
+        exploded_shingle_h0_md5,
+        md5_roll_pows,
+    )
+
+    M = MD5_ROLL_MOD
+
+    def tokh(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % M
+
+    def roll(ths: list[int], base: int) -> int:
+        m = len(ths)
+        pows = md5_roll_pows(base, m)
+        return sum((h * pows[m - 1 - j]) % M for j, h in enumerate(ths)) % M
+
+    def h0(toks: list[str]) -> int:
+        ths = [tokh(t) for t in toks]
+        return (roll(ths, MD5_ROLL_BASE_A) << 31) | roll(ths, MD5_ROLL_BASE_B)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two"), (3, "single")],
+        "doc_id long, text string",
+    )
+    got: dict[int, set[int]] = {}
+    for r in exploded_shingle_h0_md5(docs, "doc_id", "text", 3).collect():
+        got.setdefault(r.doc_id, set()).add(r.h0)
+    t1 = "alpha beta gamma delta".split(" ")
+    expected = {
+        1: {h0(t1[0:3]), h0(t1[1:4])},
+        2: {h0(["one", "two"])},  # degenerate: whole-doc window, m=2
+        3: {h0(["single"])},  # degenerate: m=1
+    }
+    assert got == expected
+
+
 def test_srp_banding_respects_tiny_plane_budget():
     """ADVICE r05: the no-plan fallback used max(4, ...) and could
     overspend a sub-4 plane budget (max_planes=2 -> r=4 > budget).
@@ -1450,3 +1531,52 @@ def test_asof_join_accepts_map_typed_payload(spark):
         left, right, ["k"], "lts", "rts", ["attrs", "v"]
     ).collect()
     assert got[0].v == 7 and got[0].attrs == {"a": "x"}
+
+
+def test_real_decode_png_geometry_and_contract(spark):
+    """VERDICT r7 #3 'done' criterion: decode a REAL PNG generated
+    in-test and pin the (width, height, channels, mean_byte) contract
+    shared with the stub codec. Runs wherever Pillow exists (the deploy
+    image installs it); skips in the codec-less dev container."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from poormans_kube_etl_spark.operators.multimodal import (
+        decode_image_features,
+        real_decode_image,
+    )
+
+    img = Image.new("RGB", (20, 10), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    data = buf.getvalue()
+    w, h, c, mean = real_decode_image(data)
+    assert (w, h, c) == (20, 10, 3)
+    assert abs(mean - 20.0) < 1e-6  # constant color: (10+20+30)/3
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "doc_id long, content binary"
+    )
+    row = decode_image_features(df, real=True).collect()[0]
+    assert (row.width, row.height, row.channels) == (20, 10, 3)
+    assert row.n_bytes == len(data)
+    assert abs(row.mean_byte - 20.0) < 1e-6
+
+
+def test_real_decode_requested_without_pillow_fails_at_plan_time(spark):
+    """real=True must fail when the plan is BUILT, naming Pillow — not
+    as an opaque task error on an executor mid-batch."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators import multimodal
+
+    if multimodal.HAS_PIL:
+        pytest.skip("Pillow installed: the guard path is inert here")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.decode_image_features(
+            spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, content binary"),
+            real=True,
+        )
