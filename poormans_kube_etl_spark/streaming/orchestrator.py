@@ -179,7 +179,10 @@ class Orchestrator:
         # Multi-replica coordination (r8): each poller carries a stable
         # identity for its claim markers; claims older than claim_ttl_s
         # are presumed orphaned (claimer crashed between claim and
-        # finalize) and may be broken by a live replica.
+        # finalize) and may be broken by a live replica. The lease is
+        # renewed after the sha-verify stage, so size claim_ttl_s to
+        # the worst-case duration of a single PHASE (verify, or the
+        # store pipelines), not the whole ingest.
         if replica_id is None:
             import os
             import socket
@@ -233,36 +236,42 @@ class Orchestrator:
         """Atomically claim ``pending/<folder>`` for this replica; True
         means this replica owns the ingest.
 
-        Claim = write ``_claim.<replica>.tmp`` then RENAME to
-        ``_CLAIMED`` — rename-to-existing fails on HDFS and local FS,
-        which makes the rename the atomic arbiter between racing
-        replicas (the create-then-check pattern is not atomic). A stale
-        claim (see ``_claim_is_stale``) is deleted first; the rename
-        still arbitrates fairly between replicas breaking the same
-        stale claim. On s3a, rename is copy+delete and the no-overwrite
-        check is best-effort (S3 has no atomic rename) — the residual
-        double-ingest window is the same one the reference's
-        ``replicas: 3`` Deployment ran with NO coordination at all, and
-        both store sinks are idempotent overwrites; only the
-        append-mode metrics row can duplicate in that window. Any FS
-        error reads as claim-lost (transient-scan class, re-polled),
-        never as ownership."""
+        Claim = write ``_claim.<replica>.tmp``, RENAME to ``_CLAIMED``,
+        then READ BACK: POSIX rename REPLACES an existing destination
+        (HDFS's no-overwrite rename is the exception, not the rule), so
+        rename success does not prove ownership — the marker CONTENT is
+        the single source of truth, and of N replicas racing the same
+        rename exactly one reads its own id back. Re-claiming our OWN
+        live claim (clear_halt retry, checkpoint redelivery, the
+        post-verify lease renewal) refreshes the marker mtime IN PLACE
+        via setTimes — no delete window for a peer to race into
+        (r8 review: the delete+recreate renewal let a peer grab the
+        folder mid-renewal). A stale claim (see ``_claim_is_stale``) is
+        deleted first and the rename+readback arbitrates among the
+        breakers. On s3a, rename is copy+delete — the read-back closes
+        most of the window; the residual double-ingest exposure is the
+        one the reference's ``replicas: 3`` Deployment ran with NO
+        coordination at all, both store sinks are idempotent
+        overwrites, and a loser dying mid-run is absorbed by the
+        vanished-folder transient path. Any FS error reads as
+        claim-lost (transient-scan class, re-polled), never as
+        ownership."""
         try:
             fs, dst = ingest_sources.hadoop_fs(self.spark, self._claim_path(folder))
+            # the folder must still exist (r8 review): Hadoop create()
+            # makes parent dirs implicitly, so claiming a folder a peer
+            # just FINALIZED would resurrect it as an empty shell whose
+            # verify then fails — a benign race turned into an X7 halt
+            # plus a stray pending/ entry. Vanished folder = claim lost.
+            if not fs.exists(dst.getParent()):
+                return False
             if fs.exists(dst):
-                # re-claiming OUR OWN folder must succeed (claims are
-                # not released on X7 failure, so clear_halt + retry and
-                # stream-checkpoint redelivery re-enter here); renewing
-                # the marker below also extends the lease mtime
-                own = (
-                    ingest_sources.read_small_text(
-                        self.spark, self._claim_path(folder)
-                    )
-                    == self.replica_id
-                )
-                if not own and not self._claim_is_stale(folder):
+                if self._owns_claim(folder):
+                    fs.setTimes(dst, int(time.time() * 1000), -1)  # renew
+                    return True
+                if not self._claim_is_stale(folder):
                     return False
-                fs.delete(dst, False)  # break orphan/renew own; rename arbitrates
+                fs.delete(dst, False)  # break the orphan; readback arbitrates
             tmp_key = (
                 f"{self.landing_dir}/{PENDING_PREFIX}/{folder}/"
                 f"_claim.{self.replica_id}.tmp"
@@ -273,13 +282,22 @@ class Orchestrator:
                 out.write(bytearray(self.replica_id.encode("utf-8")))
             finally:
                 out.close()
-            if bool(fs.rename(tmp, dst)):
-                return True
-            fs.delete(tmp, False)  # lost the race: clean up our tmp
-            return False
+            if not bool(fs.rename(tmp, dst)):
+                fs.delete(tmp, False)  # lost outright: clean up our tmp
+                return False
+            return self._owns_claim(folder)  # content arbitrates racers
         except Exception as e:
             print(f"orchestrator: claim on {folder} failed ({e}); treating as lost")
             return False
+
+    def _owns_claim(self, folder: str) -> bool:
+        try:
+            return (
+                ingest_sources.read_small_text(self.spark, self._claim_path(folder))
+                == self.replica_id
+            )
+        except Exception:
+            return False  # vanished/unreadable mid-probe: not ours
 
     def _actively_claimed(self, keys: list[str]) -> set[str]:
         """Folders in ``keys`` carrying a LIVE (non-stale) claim from
@@ -293,17 +311,11 @@ class Orchestrator:
             for k in keys
             if k.split("/")[2:3] == [CLAIM_FILE]
         }
-        out = set()
-        for f in claimed:
-            if self._claim_is_stale(f):
-                continue
-            try:
-                owner = ingest_sources.read_small_text(self.spark, self._claim_path(f))
-            except Exception:
-                owner = None  # vanished mid-probe (claimer finalized): not ours
-            if owner != self.replica_id:
-                out.add(f)
-        return out
+        return {
+            f
+            for f in claimed
+            if not self._claim_is_stale(f) and not self._owns_claim(f)
+        }
 
     # ---- selection (P1/P2/F1/F3/O1 as DataFrame ops) ----
 
@@ -719,8 +731,32 @@ class Orchestrator:
             F.lit(t.neo_rows).cast("bigint").alias("neo_rows"),
             F.lit(t.elastic_rows).cast("bigint").alias("elastic_rows"),
         )
-        metrics.write.mode("append").parquet(f"{self.output_dir}/ingest_metrics")
+        # One SUBDIRECTORY per ingest, overwrite mode (r8 review): a
+        # flat mode("append") from concurrent replicas shares the
+        # committer's _temporary staging inside one output dir, and the
+        # first committer's cleanup deletes the second's staged files —
+        # the race test lost metrics rows exactly this way. Disjoint
+        # dirs have disjoint staging, and overwrite keeps the write
+        # idempotent under X5 relaunch. metrics() reads the tree
+        # recursively, so the table shape is unchanged.
+        metrics.write.mode("overwrite").parquet(
+            f"{self.output_dir}/ingest_metrics/{params.ingest_name}"
+        )
         self.timer.reset()
+
+    def _folder_vanished(self, params: IngestParams) -> bool:
+        """True when the ingest folder no longer exists — the signature
+        of a peer replica having finalized it mid-cycle. Fails CLOSED:
+        if the existence check itself errors, report not-vanished so
+        the caller takes the X7 halt path (never masks a real pipeline
+        failure behind an unreachable store)."""
+        try:
+            return not ingest_sources.path_exists(
+                self.spark,
+                f"{self.landing_dir}/{PENDING_PREFIX}/{params.ingest_name}",
+            )
+        except Exception:
+            return False
 
     def _verify_or_raise(self, params: IngestParams) -> None:
         """Strict-manifest gate shared by BOTH lifecycles (run_once and
@@ -849,10 +885,43 @@ class Orchestrator:
             self.timer.ingest_files = files
             self.timer.ingest_files_name = params.ingest_name
             self._verify_or_raise(params)
+            # renew the lease after the verify (r8 review): sha-hashing
+            # a large folder can outlast claim_ttl_s, and an expired
+            # claim invites a peer to double-ingest mid-run. Renewal
+            # refreshes the marker mtime; losing it here (a peer broke
+            # an expired claim during OUR slow verify) aborts the cycle
+            # BEFORE the store pipelines run, not after.
+            if not self.claim_folder(params.ingest_name):
+                print(
+                    f"orchestrator: lost claim on {params.ingest_name} "
+                    "during verify (lease expired?); yielding to peer"
+                )
+                self.timer.reset()
+                return None
             self.run_ingest(params)
+        except Exception as e:
+            if self._folder_vanished(params):
+                # a peer replica won a claim race this cycle (possible
+                # on stores without atomic rename) and already
+                # finalized the folder — a lost cycle, not a pipeline
+                # failure: re-poll instead of halting the fleet. Only
+                # the PRE-finalize stages get this escape: finalize
+                # deletes the folder itself, so a vanished check there
+                # would demote OUR OWN post-delete failures (the
+                # metrics write) to "a peer did it" and lose the row.
+                print(
+                    f"orchestrator: {params.ingest_name} vanished "
+                    f"mid-cycle ({e}); a peer finalized it — re-polling"
+                )
+                self.timer.reset()
+                return None
+            self.errored = str(e)  # X7: halt, require intervention
+            self._write_halt_marker(f"{params.ingest_name}: {e}")
+            raise
+        try:
             self.finalize(params)
             return params
-        except Exception as e:  # X7: halt, require intervention
+        except Exception as e:  # X7, no vanished escape (see above)
             self.errored = str(e)
             self._write_halt_marker(f"{params.ingest_name}: {e}")
             raise
@@ -927,14 +996,34 @@ class Orchestrator:
             self.timer.ingest_files_name = params.ingest_name
             try:
                 self._verify_or_raise(params)
+                # lease renewal after the slow verify, same as run_once
+                if not self.claim_folder(folder):
+                    self.timer.reset()
+                    continue
                 self.run_ingest(params)
-                self.finalize(params)
             except Exception as e:
+                if self._folder_vanished(params):
+                    # a peer finalized this folder mid-sweep: a lost
+                    # cycle, not a pipeline failure (see run_once —
+                    # and like there, only pre-finalize stages get
+                    # this escape)
+                    print(
+                        f"orchestrator: {folder} vanished mid-sweep "
+                        f"({e}); a peer finalized it — skipping"
+                    )
+                    self.timer.reset()
+                    continue
                 # X7 in stream mode: the failed micro-batch is UNcommitted,
                 # so a checkpoint restart would replay it — a deterministic
                 # pipeline failure crash-loops re-running the pipelines
                 # exactly like the poll path's Deployment restart. Same
                 # durable marker, same intervention contract.
+                self.errored = str(e)
+                self._write_halt_marker(f"{params.ingest_name}: {e}")
+                raise
+            try:
+                self.finalize(params)
+            except Exception as e:  # X7, no vanished escape
                 self.errored = str(e)
                 self._write_halt_marker(f"{params.ingest_name}: {e}")
                 raise
@@ -1098,6 +1187,11 @@ class Orchestrator:
     # ---- metrics surface ----
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.output_dir}/ingest_metrics").select(
-            *METRICS_COLUMNS
+        # recursiveFileLookup: the sink is one subdirectory per ingest
+        # (plain names, not key=value partitions — 'ingest' stays a
+        # data column), see finalize
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{self.output_dir}/ingest_metrics")
+            .select(*METRICS_COLUMNS)
         )

@@ -172,7 +172,9 @@ def test_manifest_argv_runs_run_once_on_local_fixture(spark, tmp_path):
     argv[argv.index("s3a://my-output-bucket")] = out_dir
     try:
         assert main(argv) == 0
-        metrics = spark.read.parquet(f"{out_dir}/ingest_metrics")
+        metrics = spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{out_dir}/ingest_metrics"
+        )
         assert metrics.count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS graph_nodes_1538055240_person")

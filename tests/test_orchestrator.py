@@ -980,3 +980,38 @@ def test_discover_retains_o_folders_keys_at_payload_fanout(orch):
     assert len(retained) == n_folders
     assert all(k.count("/") == 2 for k in retained)
     assert orch.discover().ingest_name == "1538055240"
+
+
+def test_claim_on_vanished_folder_does_not_resurrect_it(orch):
+    """r8 review: Hadoop create() makes parent dirs implicitly, so
+    claiming a folder a peer just finalized used to re-create it as an
+    empty shell (whose verify then X7-halted the fleet). A vanished
+    folder must read as claim-lost and stay deleted."""
+    assert orch.claim_folder("1538055240") is False
+    assert not os.path.exists(
+        os.path.join(orch.landing_dir, "pending", "1538055240")
+    )
+
+
+def test_folder_vanishing_mid_cycle_is_transient_not_halt(orch, monkeypatch):
+    """r8 review: on stores without atomic rename two replicas can both
+    believe they own a folder; the loser's pipeline then dies mid-read
+    when the winner finalizes (deletes) it. That is a lost cycle, not a
+    pipeline failure — re-poll, never the X7 halt."""
+    import shutil
+
+    make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
+    real = type(orch).run_ingest
+
+    def peer_finalizes_then_we_die(self, params):
+        shutil.rmtree(os.path.join(self.landing_dir, "pending", params.ingest_name))
+        raise RuntimeError("FileNotFoundException: payload gone mid-scan")
+
+    monkeypatch.setattr(type(orch), "run_ingest", peer_finalizes_then_we_die)
+    assert orch.run_once() is None  # transient, swallowed
+    assert orch.errored is None
+    assert not os.path.exists(os.path.join(orch.output_dir, "_HALT"))
+    # and the loop is healthy: restore the pipeline, re-land a folder
+    monkeypatch.setattr(type(orch), "run_ingest", real)
+    make_ingest_folder(orch.landing_dir, "1538055300", "bulk.txt")
+    assert orch.run_once() == IngestParams("1538055300", "bulk")
