@@ -100,11 +100,19 @@ def list_prefix(
             return p[len(base_path) + 1 :]
         return None
 
-    if max_segments is None:
+    # globStatus treats *?[]{} in the WHOLE pattern as syntax, so a
+    # landing dir whose own path contains one (e.g. '/data/[prod]/x')
+    # would silently match nothing — fall back to the recursive walk
+    # with a retain filter there (correct, just slower; such paths are
+    # rare enough that the py4j cost is acceptable).
+    globbable = not (set(f"{base}/{prefix}") & set("*?[]{}"))
+    if max_segments is None or not globbable:
         it = fs.listFiles(jpath, True)  # recursive
         while it.hasNext():
             key = relative(it.next())
-            if key is not None:
+            if key is not None and (
+                max_segments is None or key.count("/") < max_segments
+            ):
                 keys.append(key)
     else:
         jvm = spark.sparkContext._jvm

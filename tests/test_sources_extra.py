@@ -498,3 +498,26 @@ def test_inventory_source_errors_on_missing_landing_path(spark):
     )
     with pytest.raises(Exception, match="does not exist"):
         df.collect()
+
+
+def test_list_prefix_glob_metachars_in_base_fall_back(spark, tmp_path):
+    """r8 review: globStatus treats *?[]{} anywhere in the pattern as
+    syntax, so a landing dir whose own path contains one must take the
+    recursive-walk fallback (with the same depth retention) instead of
+    silently matching nothing."""
+    import os
+
+    from poormans_kube_etl_spark.sources.ingest import list_prefix
+
+    base = str(tmp_path / "land[prod]")
+    os.makedirs(os.path.join(base, "pending", "1538055240", "person"))
+    open(os.path.join(base, "pending", "1538055240", "bulk.txt"), "w").close()
+    open(
+        os.path.join(base, "pending", "1538055240", "person", "f.csv.gz"), "w"
+    ).close()
+    keys = list_prefix(spark, base, "pending", max_segments=3)
+    assert keys == ["pending/1538055240/bulk.txt"]
+    assert list_prefix(spark, base, "pending") == [
+        "pending/1538055240/bulk.txt",
+        "pending/1538055240/person/f.csv.gz",
+    ]
