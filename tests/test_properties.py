@@ -63,6 +63,12 @@ def test_minhash_identical_docs_always_pair(spark, text):
     pairs = minhash_near_duplicates(docs, threshold=0.99).collect()
     assert [(p.a, p.b) for p in pairs] == [(1, 2)]
     assert pairs[0].jaccard == 1.0
+    # the md5 (cross-engine) hash family must satisfy the same law:
+    # identical docs share every shingle fingerprint, hence every
+    # signature slot, hence every band bucket — always a J=1.0 pair
+    pairs = minhash_near_duplicates(docs, threshold=0.99, hash_family="md5").collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
 
 
 @SETTINGS
