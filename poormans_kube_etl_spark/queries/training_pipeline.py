@@ -325,3 +325,120 @@ def train_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "train_cdc_chunk_documents",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks,
+             list_transform(
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483647) AS hs
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(hs) >= 4 THEN
+               list_transform(range(1, len(hs) - 2),
+                 i -> ((hs[i] * 1049561761) % 2147483647
+                     + (hs[i+1] * 1426104154) % 2147483647
+                     + (hs[i+2] * 1000003) % 2147483647
+                     + (hs[i+3] * 1) % 2147483647) % 2147483647)
+             ELSE [] END AS wh
+      FROM h
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             list_filter(
+               list_transform(wh, (x, i) -> CASE WHEN x % 64 = 0 THEN i + 3 ELSE -1 END),
+               e -> e >= 0 AND e < len(toks)) AS cuts
+      FROM w
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             list_prepend(0, cuts) AS starts,
+             list_append(cuts, len(toks)) AS ends
+      FROM c
+    ),
+    x AS (
+      SELECT doc_id, toks, starts, ends, UNNEST(range(1, len(starts) + 1)) AS k
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(k - 1 AS INT) AS chunk_idx,
+           CAST(starts[k] AS INT) AS chunk_start,
+           CAST(ends[k] - starts[k] AS INT) AS chunk_len,
+           array_to_string(list_slice(toks, starts[k] + 1, ends[k]), ' ') AS chunk_text
+    FROM x
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def train_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: split each document at token positions
+    where the 4-token Karp-Rabin rolling hash ≡ 0 (mod 64) — boundaries
+    follow CONTENT, not offsets, so an insertion early in a document
+    shifts only the chunk it lands in while every later chunk keeps its
+    identity (the Rabin/LBFS chunking family). That stability is why
+    CDC beats fixed-stride chunking (train_chunk_documents) for
+    dedup-aware corpus prep: re-crawled near-identical documents
+    re-produce mostly identical chunks, which exact chunk-level dedup
+    then collapses. Expected chunk length = divisor (64 tokens) + the
+    window; production CDC adds min/max clamps — omitted here to keep
+    the construction exactly cross-engine.
+
+    Map-only scale shape: token hashes materialized once per doc (the
+    array-reevaluation trap, operators/text.py), rolling windows /
+    cuts / spans are pure per-row array expressions, and the explode
+    emits one row per chunk — no shuffle anywhere. Docs shorter than
+    the window (or with no qualifying boundary) degrade to one
+    whole-document chunk in both engines."""
+    from poormans_kube_etl_spark.operators.text import (
+        rolling_window_hashes,
+        token_hash,
+    )
+
+    apply_runtime_confs(spark)
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        tokens(normalize_text("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.transform("toks", token_hash).alias("hs"),
+        F.size("toks").alias("n"),
+    )
+    windowed = hashed.select(
+        "doc_id", "toks", "n", rolling_window_hashes(F.col("hs")).alias("wh")
+    )
+    # cut AFTER the window that hashes to 0 mod 64: window start j
+    # (0-based) covers tokens [j, j+3], so the end-exclusive boundary is
+    # j+4; a boundary at the very end of the doc is vacuous (e < n)
+    cuts = F.filter(
+        F.transform(
+            "wh",
+            lambda x, j: F.when(x % 64 == 0, j + 4).otherwise(F.lit(-1)),
+        ),
+        lambda e: (e >= 0) & (e < F.col("n")),
+    )
+    spans = windowed.select(
+        "doc_id",
+        "toks",
+        F.zip_with(
+            F.concat(F.array(F.lit(0)), cuts),
+            F.concat(cuts, F.array(F.col("n"))),
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ).alias("spans"),
+    )
+    ex = spans.select("doc_id", "toks", F.posexplode("spans").alias("chunk_idx", "sp"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("sp.s").cast("int").alias("chunk_start"),
+        (F.col("sp.e") - F.col("sp.s")).cast("int").alias("chunk_len"),
+        F.array_join(
+            F.slice("toks", F.col("sp.s") + 1, F.col("sp.e") - F.col("sp.s")), " "
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_start")
