@@ -178,6 +178,15 @@ def salted_join(
             "right/full outer semantics (unmatched right rows emitted "
             f"n_salt times); use one of {sorted(safe)} or salt the other side"
         )
+    for side, frame in (("left", left), ("right", right)):
+        if "_salt" in frame.columns:
+            # withColumn would silently OVERWRITE it and the join would
+            # equate user data with replication indices — wrong rows,
+            # no error (r8 review)
+            raise ValueError(
+                f"salted_join: {side} side already has a '_salt' column; "
+                "rename it before salting"
+            )
     if n_salt == "auto":
         planned = _auto_salt(left, hot_share, hot_bytes)
         if planned is None:

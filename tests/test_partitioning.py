@@ -275,3 +275,19 @@ def test_spread_small_scan_thresholds(spark):
         spread.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+def test_salted_join_rejects_existing_salt_column(spark):
+    """r8 review: a pre-existing '_salt' column was silently overwritten
+    by the salting projection, equating user data with replication
+    indices — wrong rows, no error. Must raise, naming the side."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators.partitioning import salted_join
+
+    left = spark.createDataFrame([(1, 0)], "k long, _salt int")
+    right = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="left side already has a '_salt'"):
+        salted_join(left, right, ["k"], n_salt=4)
+    with pytest.raises(ValueError, match="right side already has a '_salt'"):
+        salted_join(right, left, ["k"], n_salt=4)

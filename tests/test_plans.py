@@ -303,3 +303,11 @@ def test_scan_nodes_sees_catalog_table_scans(spark, tmp_path):
         assert has_pushed_filter(q, "plans_probe_t", "GreaterThan(k,5)")
     finally:
         spark.sql("DROP TABLE IF EXISTS plans_probe_t")
+
+
+def test_cdc_chunking_is_map_only(q):
+    # token hashes → rolling windows → cuts → spans → explode are all
+    # per-row array expressions; the ONLY exchange allowed is the
+    # cosmetic output orderBy (range partitioning for a deterministic
+    # display order — the driver's compare is order-insensitive)
+    assert shuffle_count(q("train_cdc_chunk_documents")) <= 1
