@@ -365,6 +365,97 @@ def lsh_candidate_pairs(
     return bucket_member_pairs(buckets, "docs", max_bucket)
 
 
+def lsh_incremental_candidate_pairs(
+    new_signed: DataFrame,
+    corpus_signed: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Candidate pairs between a NEW batch and an EXISTING corpus:
+    (new_id AS a, corpus_id AS b), distinct — the incremental-ingest
+    shape (r8). A daily 1 TB delta against a 100 TB corpus must not
+    re-run self-dedup over 101 TB: the corpus side's signatures are
+    computed once (persist them as a table at ingest) and each delta
+    only pays its own signatures plus a band-keyed JOIN — which AQE
+    broadcasts when the banded delta is small, so the usual case is a
+    map-side join against the corpus band table, no corpus shuffle at
+    all. New-vs-new duplicates are NOT emitted (run the self-dedup
+    ``lsh_candidate_pairs`` on the delta for those); pairs are distinct
+    even when the two docs share several bands."""
+    new_b = _banded(new_signed, id_col, bands, rows_per_band).withColumnRenamed(
+        "doc", "a"
+    )
+    corpus_b = _banded(corpus_signed, id_col, bands, rows_per_band).withColumnRenamed(
+        "doc", "b"
+    )
+    return (
+        new_b.join(corpus_b, ["band_id", "band_hash"])
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_incremental_near_duplicates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """New-batch-vs-corpus near-dup pairs: (a=new id, b=corpus id,
+    jaccard >= threshold). See ``lsh_incremental_candidate_pairs`` for
+    the scale rationale. Both sides must use the SAME hash family and
+    banding, or buckets never collide — callers persisting corpus
+    signatures must record those constants with the table."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands}"
+        )
+    if hash_family == "xxhash64":
+        sig = lambda d: minhash_signatures(  # noqa: E731
+            exploded_shingle_hashes(d, id_col, text_col, shingle_len),
+            id_col,
+            num_hashes,
+        )
+    elif hash_family == "md5":
+        sig = lambda d: minhash_signatures_md5(  # noqa: E731
+            exploded_shingle_h0_md5(d, id_col, text_col, shingle_len),
+            id_col,
+            num_hashes,
+        )
+    else:
+        raise ValueError(
+            f"hash_family={hash_family!r}: expected 'xxhash64' or 'md5'"
+        )
+    new_signed, corpus_signed = sig(new_docs), sig(corpus_docs)
+    cands = lsh_incremental_candidate_pairs(
+        new_signed, corpus_signed, id_col, bands, num_hashes // bands
+    )
+    # exact verify: a's shingle sets come from the new batch, b's from
+    # the corpus — same join shape as exact_jaccard but two-sided
+    sa = new_signed.select(F.col(id_col).alias("a"), F.col("shingles").alias("sh_a"))
+    sb = corpus_signed.select(
+        F.col(id_col).alias("b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def lsh_bucket_stats(
     signed: DataFrame, id_col: str, bands: int, rows_per_band: int, max_bucket: int = 256
 ) -> DataFrame:

@@ -164,6 +164,7 @@ def _minhash_md5_pair_ctes(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    incremental_mod: int | None = None,
 ) -> str:
     """CTE chain recomputing ``minhash_near_duplicates(hash_family=
     "md5")`` from scratch in DuckDB, ending in a ``pairs(a, b, jaccard)``
@@ -186,6 +187,12 @@ def _minhash_md5_pair_ctes(
       so a violation surfaces as a named test failure, not a sweep
       mismatch (same contract as the simhash oracle);
     - exact Jaccard over distinct-h0 sets, >= threshold.
+
+    ``incremental_mod=K`` switches the candidate stage to the
+    INCREMENTAL shape (dedup_minhash_incremental_pairs): docs with
+    doc_id % K == 0 form the "new batch", the rest the "corpus", and
+    candidates are cross-side only (a=new, b=corpus) — mirroring
+    operators/minhash.lsh_incremental_candidate_pairs.
     """
     from poormans_kube_etl_spark.operators.minhash import (
         MD5_ROLL_BASE_A,
@@ -225,6 +232,23 @@ def _minhash_md5_pair_ctes(
         f"[{', '.join(f'm{b * rows + r}' for r in range(rows))}] AS bk FROM sig"
         for b in range(bands)
     )
+    if incremental_mod is None:
+        cand = """
+    cand AS (
+      SELECT p.doc_id AS a, q.doc_id AS b
+      FROM bands p JOIN bands q
+        ON p.band_id = q.band_id AND p.bk = q.bk AND p.doc_id < q.doc_id
+      GROUP BY 1, 2
+    ),"""
+    else:
+        cand = f"""
+    cand AS (
+      SELECT p.doc_id AS a, q.doc_id AS b
+      FROM bands p JOIN bands q
+        ON p.band_id = q.band_id AND p.bk = q.bk
+      WHERE p.doc_id % {incremental_mod} = 0 AND q.doc_id % {incremental_mod} <> 0
+      GROUP BY 1, 2
+    ),"""
     return f"""
     tok AS (
       SELECT doc_id,
@@ -243,13 +267,7 @@ def _minhash_md5_pair_ctes(
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     bands AS (
       {band_rows}
-    ),
-    cand AS (
-      SELECT p.doc_id AS a, q.doc_id AS b
-      FROM bands p JOIN bands q
-        ON p.band_id = q.band_id AND p.bk = q.bk AND p.doc_id < q.doc_id
-      GROUP BY 1, 2
-    ),
+    ),{cand}
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.a, c.b, COUNT(*) AS i
@@ -347,6 +365,45 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_family="md5",
     )
     return dedup_clusters(pairs).orderBy("doc")
+
+
+@register(
+    "dedup_minhash_incremental_pairs",
+    oracle=f"""
+    WITH {_minhash_md5_pair_ctes(incremental_mod=10)}
+    SELECT a, b, jaccard FROM pairs ORDER BY a, b
+    """,
+)
+def dedup_minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (r8): near-dup pairs between a NEW batch
+    (every 10th doc, the deterministic stand-in for a daily delta) and
+    the EXISTING corpus (the rest) — without any corpus self-join. This
+    is the shape that matters at 100 TB: corpus signatures are computed
+    once at ingest and persisted; each delta pays only its own
+    signatures plus a band-keyed join that AQE broadcasts when the
+    delta is small. Full oracle via the md5 hash family (the corpus
+    side's banding recomputed in DuckDB, cross-side candidates only).
+    New-vs-new pairs are deliberately absent — that is the self-dedup
+    query's job on the delta alone."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        minhash_incremental_near_duplicates,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return minhash_incremental_near_duplicates(
+        new,
+        corpus,
+        "doc_id",
+        "text",
+        shingle_len=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5",
+    ).orderBy("a", "b")
 
 
 def _simhash_oracle_sql(max_hamming: int) -> str:

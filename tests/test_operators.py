@@ -1580,3 +1580,32 @@ def test_real_decode_requested_without_pillow_fails_at_plan_time(spark):
             spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, content binary"),
             real=True,
         )
+
+
+def test_minhash_incremental_pairs_cross_side_only(spark):
+    """r8 incremental dedup law: new-vs-corpus near-dups surface; a
+    near-dup pair WITHIN the new batch must not (self-dedup on the
+    delta owns those), and disjoint docs never pair."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        minhash_incremental_near_duplicates,
+    )
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again " * 4
+    dup_b = "entirely different content about spark shuffle partitions " * 4
+    corpus = spark.createDataFrame(
+        [(1, dup_a), (2, dup_b), (3, "unrelated text with nothing shared " * 4)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, dup_a), (11, dup_a), (12, "novel never seen before words " * 4)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a, r.b)
+        for r in minhash_incremental_near_duplicates(
+            new, corpus, threshold=0.9
+        ).collect()
+    }
+    # both new copies of dup_a pair with corpus doc 1; the new-vs-new
+    # (10, 11) duplicate and the never-duplicated docs are absent
+    assert pairs == {(10, 1), (11, 1)}
