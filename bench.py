@@ -51,6 +51,9 @@ HEADLINE = [
     # r03 additions (VERDICT r02 #8): the two new scale operators
     "dedup_embedding_lsh_pairs",
     "train_pack_shards",
+    # r08 additions: content-defined chunking + delta-vs-corpus dedup
+    "train_cdc_chunk_documents",
+    "dedup_minhash_incremental_pairs",
 ]
 
 

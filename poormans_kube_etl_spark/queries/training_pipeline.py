@@ -391,8 +391,14 @@ def train_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only scale shape: token hashes materialized once per doc (the
     array-reevaluation trap, operators/text.py), rolling windows /
     cuts / spans are pure per-row array expressions, and the explode
-    emits one row per chunk — no shuffle anywhere. Docs shorter than
-    the window (or with no qualifying boundary) degrade to one
+    emits one row per chunk — no shuffle anywhere. Chunk text is cut
+    INSIDE the per-row transform and only the small chunk structs are
+    exploded (generator hygiene, SCALING.md / train_chunk_documents):
+    the first draft sliced ``toks`` AFTER the explode, which copies the
+    full token array into every chunk row — measured 84.6 s at sf1 vs
+    ~3 s for this form, a 25× generator-amplification tax on a plan
+    whose expressions were otherwise identical. Docs shorter than the
+    window (or with no qualifying boundary) degrade to one
     whole-document chunk in both engines."""
     from poormans_kube_etl_spark.operators.text import (
         rolling_window_hashes,
@@ -432,13 +438,23 @@ def train_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s, e: F.struct(s.alias("s"), e.alias("e")),
         ).alias("spans"),
     )
-    ex = spans.select("doc_id", "toks", F.posexplode("spans").alias("chunk_idx", "sp"))
-    return ex.select(
-        "doc_id",
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("sp.s").cast("int").alias("chunk_start"),
-        (F.col("sp.e") - F.col("sp.s")).cast("int").alias("chunk_len"),
-        F.array_join(
-            F.slice("toks", F.col("sp.s") + 1, F.col("sp.e") - F.col("sp.s")), " "
-        ).alias("chunk_text"),
-    ).orderBy("doc_id", "chunk_start")
+    # chunk text is cut HERE, inside the per-row transform — see the
+    # docstring's generator-hygiene note; `k` is the element index
+    chunk_structs = F.transform(
+        "spans",
+        lambda sp, k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            sp["s"].cast("int").alias("chunk_start"),
+            (sp["e"] - sp["s"]).cast("int").alias("chunk_len"),
+            F.array_join(
+                F.slice("toks", sp["s"] + 1, sp["e"] - sp["s"]), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        spans.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .select(
+            "doc_id", "c.chunk_idx", "c.chunk_start", "c.chunk_len", "c.chunk_text"
+        )
+        .orderBy("doc_id", "chunk_start")
+    )

@@ -267,7 +267,16 @@ class Orchestrator:
                 return False
             if fs.exists(dst):
                 if self._owns_claim(folder):
-                    fs.setTimes(dst, int(time.time() * 1000), -1)  # renew
+                    # renew by overwriting IN PLACE: one atomic replace
+                    # (a plain PUT on S3), refreshing mtime on every FS
+                    # — setTimes is a silent no-op on s3a, and a
+                    # delete+recreate renewal opens a window a peer can
+                    # race into (r8 review, twice)
+                    out = fs.create(dst, True)
+                    try:
+                        out.write(bytearray(self.replica_id.encode("utf-8")))
+                    finally:
+                        out.close()
                     return True
                 if not self._claim_is_stale(folder):
                     return False
