@@ -371,6 +371,7 @@ def lsh_incremental_candidate_pairs(
     id_col: str,
     bands: int,
     rows_per_band: int,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Candidate pairs between a NEW batch and an EXISTING corpus:
     (new_id AS a, corpus_id AS b), distinct — the incremental-ingest
@@ -382,16 +383,34 @@ def lsh_incremental_candidate_pairs(
     map-side join against the corpus band table, no corpus shuffle at
     all. New-vs-new duplicates are NOT emitted (run the self-dedup
     ``lsh_candidate_pairs`` on the delta for those); pairs are distinct
-    even when the two docs share several bands."""
+    even when the two docs share several bands.
+
+    Hot-band guard (the incremental twin of lsh_candidate_pairs'
+    star guard, r8 review): a boilerplate band value shared by 10^5
+    corpus docs turns the band join into a 10^5-fan-out per matching
+    delta doc. Corpus band buckets larger than ``max_bucket`` are
+    DROPPED — the winnowing 'stop hash' discipline: an over-hot band
+    carries no discriminating signal, and a genuinely near-duplicate
+    pair still surfaces through its rarer bands. Trade-off, documented
+    not hidden: a delta doc whose EVERY shared band is boilerplate
+    loses the pair."""
     new_b = _banded(new_signed, id_col, bands, rows_per_band).withColumnRenamed(
         "doc", "a"
     )
-    corpus_b = _banded(corpus_signed, id_col, bands, rows_per_band).withColumnRenamed(
-        "doc", "b"
+    corpus_b = _banded(corpus_signed, id_col, bands, rows_per_band)
+    # ONE corpus pass: aggregate each band bucket to its doc set (the
+    # cap filter rides the same aggregate), then explode per matching
+    # delta row — a count-then-join-back shape scanned and shuffled the
+    # corpus bands twice. Bucket arrays are bounded by max_bucket, so
+    # the join payload and the per-row explode both stay small.
+    buckets = (
+        corpus_b.groupBy("band_id", "band_hash")
+        .agg(F.collect_set("doc").alias("bs"))
+        .where(F.size("bs") <= max_bucket)
     )
     return (
-        new_b.join(corpus_b, ["band_id", "band_hash"])
-        .select("a", "b")
+        new_b.join(buckets, ["band_id", "band_hash"])
+        .select("a", F.explode("bs").alias("b"))
         .distinct()
     )
 
@@ -406,12 +425,14 @@ def minhash_incremental_near_duplicates(
     bands: int = 8,
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
+    max_bucket: int = 256,
 ) -> DataFrame:
     """New-batch-vs-corpus near-dup pairs: (a=new id, b=corpus id,
     jaccard >= threshold). See ``lsh_incremental_candidate_pairs`` for
-    the scale rationale. Both sides must use the SAME hash family and
-    banding, or buckets never collide — callers persisting corpus
-    signatures must record those constants with the table."""
+    the scale rationale and the hot-band guard. Both sides must use the
+    SAME hash family and banding, or buckets never collide — callers
+    persisting corpus signatures must record those constants with the
+    table."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands}"
@@ -434,7 +455,7 @@ def minhash_incremental_near_duplicates(
         )
     new_signed, corpus_signed = sig(new_docs), sig(corpus_docs)
     cands = lsh_incremental_candidate_pairs(
-        new_signed, corpus_signed, id_col, bands, num_hashes // bands
+        new_signed, corpus_signed, id_col, bands, num_hashes // bands, max_bucket
     )
     # exact verify: a's shingle sets come from the new batch, b's from
     # the corpus — same join shape as exact_jaccard but two-sided

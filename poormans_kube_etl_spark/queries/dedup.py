@@ -241,12 +241,24 @@ def _minhash_md5_pair_ctes(
       GROUP BY 1, 2
     ),"""
     else:
+        # corpus-side hot-band cap mirrored from
+        # lsh_incremental_candidate_pairs (max_bucket=256): corpus band
+        # buckets above the cap are dropped before pairing
         cand = f"""
+    oldb AS (
+      SELECT b.doc_id, b.band_id, b.bk
+      FROM bands b
+      JOIN (
+        SELECT band_id, bk, COUNT(*) AS c FROM bands
+        WHERE doc_id % {incremental_mod} <> 0 GROUP BY 1, 2
+      ) s ON b.band_id = s.band_id AND b.bk = s.bk AND s.c <= 256
+      WHERE b.doc_id % {incremental_mod} <> 0
+    ),
     cand AS (
       SELECT p.doc_id AS a, q.doc_id AS b
-      FROM bands p JOIN bands q
+      FROM bands p JOIN oldb q
         ON p.band_id = q.band_id AND p.bk = q.bk
-      WHERE p.doc_id % {incremental_mod} = 0 AND q.doc_id % {incremental_mod} <> 0
+      WHERE p.doc_id % {incremental_mod} = 0
       GROUP BY 1, 2
     ),"""
     return f"""

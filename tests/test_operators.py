@@ -1609,3 +1609,29 @@ def test_minhash_incremental_pairs_cross_side_only(spark):
     # both new copies of dup_a pair with corpus doc 1; the new-vs-new
     # (10, 11) duplicate and the never-duplicated docs are absent
     assert pairs == {(10, 1), (11, 1)}
+
+
+def test_minhash_incremental_hot_band_guard(spark):
+    """r8 review: a boilerplate band shared by more corpus docs than
+    max_bucket must be dropped from the corpus side (winnowing 'stop
+    hash' discipline) — without the guard, one hot band fans every
+    matching delta doc out across the whole bucket. Identical docs
+    share EVERY band, so with a sub-bucket cap no pair survives; a
+    roomier cap restores them."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        minhash_incremental_near_duplicates,
+    )
+
+    text = "shared boilerplate header repeated across the whole corpus " * 3
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(1, 9)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    capped = minhash_incremental_near_duplicates(
+        new, corpus, threshold=0.9, max_bucket=4
+    ).count()
+    assert capped == 0  # every band bucket holds 8 > 4 corpus docs
+    roomy = minhash_incremental_near_duplicates(
+        new, corpus, threshold=0.9, max_bucket=256
+    ).count()
+    assert roomy == 8  # the cap was the only thing suppressing them
