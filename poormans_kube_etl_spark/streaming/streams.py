@@ -240,3 +240,50 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_against_corpus(
+    new_docs_stream: DataFrame,
+    corpus_docs: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    query_name: str = "stream-dedup",
+    **minhash_kwargs,
+):
+    """Continuous delta-vs-corpus near-dup detection: each micro-batch
+    of arriving documents is MinHash-joined against the STANDING corpus
+    (operators/minhash.minhash_incremental_near_duplicates) and the
+    surviving pairs land under ``sink_dir`` — the streaming face of the
+    r8 incremental-dedup operator, composed through the same
+    foreach_batch_pipeline idempotency discipline (one hive partition
+    dir per batch id, overwrite, so an at-least-once replay rewrites
+    rather than duplicates).
+
+    Scale notes: the corpus side's signatures are recomputed per batch
+    here for simplicity — a production deployment persists them once
+    (see the operator's docstring) and passes a signature table reader
+    as ``corpus_docs``; the per-batch cost is then the delta's own
+    signatures plus one AQE-broadcastable band join. The batch function
+    must re-enter the DataFrame API from a foreachBatch callback, which
+    is exactly what the incremental operator supports (pure batch
+    DataFrames in, DataFrame out)."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        minhash_incremental_near_duplicates,
+    )
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return minhash_incremental_near_duplicates(
+            batch_df.select(id_col, text_col),
+            corpus_docs,
+            id_col,
+            text_col,
+            threshold=threshold,
+            **minhash_kwargs,
+        )
+
+    return foreach_batch_pipeline(
+        new_docs_stream, dedup_batch, sink_dir, checkpoint_dir, query_name
+    )

@@ -237,3 +237,45 @@ def test_stream_respects_watermark_column(spark, tmp_path):
     assert wm.isStreaming
     # eventTime watermark registered in the logical plan
     assert "watermark" in wm._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_dedup_against_corpus(spark, tmp_path):
+    """r8: the incremental dedup operator composed into a stream — each
+    arriving shard's docs are MinHash-joined against the standing
+    corpus, pairs land per-batch-id (idempotent under replay)."""
+    import json
+    import os
+
+    from poormans_kube_etl_spark.streaming.streams import (
+        stream_dedup_against_corpus,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again " * 4
+    corpus = spark.createDataFrame(
+        [(1, dup), (2, "standing corpus content nothing like the rest " * 4)],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    with open(src / "shard-000.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 100, "text": dup}) + "\n")
+        fh.write(json.dumps({"doc_id": 101, "text": "fresh novel words " * 8}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    sink = str(tmp_path / "pairs")
+    q = stream_dedup_against_corpus(
+        stream,
+        corpus,
+        sink,
+        str(tmp_path / "ckpt"),
+        threshold=0.9,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    got = {
+        (r.a, r.b)
+        for r in spark.read.parquet(sink).select("a", "b").collect()
+    }
+    assert got == {(100, 1)}
+    assert os.path.isdir(os.path.join(sink, "batch_id=0"))
