@@ -536,3 +536,40 @@ def test_bucket_member_pairs_matches_set_model(spark, buckets, max_bucket):
     got = {(r.a, r.b) for r in bucket_member_pairs(df, "members", max_bucket).collect()}
     assert got == expected
     assert all(a < b for a, b in got)
+
+
+@SETTINGS
+@given(st.text(alphabet="abcdefgh ", min_size=1, max_size=120))
+def test_cdc_chunks_partition_the_document(spark, text):
+    """Content-defined chunks must PARTITION the token stream exactly:
+    contiguous, non-overlapping, nothing dropped — joining the chunk
+    texts in order reassembles the normalized document, and the lens
+    sum to the token count. (The boundary-placement bug class this
+    pins: off-by-one cut indices, a dropped final span, an end-of-doc
+    cut creating an empty chunk.)"""
+    from poormans_kube_etl_spark.queries import all_queries  # noqa: F401 - registry import
+    from poormans_kube_etl_spark.queries.training_pipeline import (
+        train_cdc_chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    import poormans_kube_etl_spark.queries.training_pipeline as tp
+
+    real_docs = tp._docs
+    tp._docs = lambda s, sf: docs  # run the registered builder on the fixture
+    try:
+        rows = train_cdc_chunk_documents(spark, "unused").collect()
+    finally:
+        tp._docs = real_docs
+    rows.sort(key=lambda r: r.chunk_start)
+    norm = " ".join(text.lower().strip().split())
+    if norm == "":
+        norm = ""  # empty doc: one empty chunk
+    toks = norm.split(" ")
+    assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+    assert rows[0].chunk_start == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.chunk_start == prev.chunk_start + prev.chunk_len
+    assert sum(r.chunk_len for r in rows) == len(toks)
+    assert " ".join(r.chunk_text for r in rows) == norm
