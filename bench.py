@@ -327,6 +327,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    worsts: dict[str, float] = {}
     for name in names:
         _execute(qs[name](spark, sf_dir))  # untimed warm pass
         best = float("inf")
@@ -344,6 +345,7 @@ def main() -> None:
         timings[name] = round(best, 4)
         builds[name] = round(build_best, 4)
         spreads[name] = round((worst - best) / best, 4) if best > 0 else 0.0
+        worsts[name] = worst
 
     stages = _dedup_stage_split(spark, sf_dir)
     stages["skew_salted_join"] = _skew_join_stage(spark, sf_dir)
@@ -434,6 +436,15 @@ def main() -> None:
         "protocol": "warm1+min3",  # r8: see the timing-loop comment
         "queries": timings,
         "spreads": spreads,
+        # headline-level noise bar: (sum of worst passes − sum of best)
+        # / sum of best — a round-over-round TOTAL delta inside this is
+        # jitter, not code (per-query spreads overstate the total's
+        # noise because independent jitter partially cancels in the sum)
+        "spread_total": round(
+            (sum(worsts.values()) - sum(timings.values()))
+            / sum(timings.values()),
+            4,
+        ),
         "stages": stages,
         "builds": builds,
         "sf": sf_val,
