@@ -308,3 +308,61 @@ def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(F.transform(sampled, lambda x: x.cast("string")), "-")),
         ).alias("fp_digest"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_unigram_logprob_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    t AS (SELECT SUM(c) AS tot FROM c)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           ROUND(AVG(log2(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE))), 6) AS avg_logprob
+    FROM tok JOIN c USING (tok) CROSS JOIN t
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """,
+)
+def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality score (the CCNet-family LM filter,
+    unigram order): each document's mean log2 probability of its tokens
+    under the corpus's own unigram distribution. Documents full of
+    corpus-typical tokens score high (near the corpus entropy);
+    gibberish, boilerplate-free noise, and wrong-language text score
+    low — the statistical complement to text_quality_scores' structural
+    heuristics, and the standard first LM-quality gate before a real
+    LM-perplexity pass.
+
+    Scale shape: one token explode feeds BOTH the count aggregate
+    (map-side partial combine absorbs the Zipf head — 'the' never
+    concentrates on one reducer) and the scoring join; the count table
+    is vocabulary-sized (millions of rows ≈ tens of MB at web scale),
+    so AQE broadcasts it and the scoring side never shuffles. The join
+    fan-out is exactly 1:1 per token occurrence — hot tokens enlarge no
+    row set. Float parity: avg-of-log2 rounded to 6 dp on both engines
+    (the established float-output discipline; log2 beyond ~1e-10
+    relative is libm-implementation territory)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.avg(F.log2(F.col("c").cast("double") / F.col("tot").cast("double"))),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
