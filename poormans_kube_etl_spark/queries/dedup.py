@@ -1,10 +1,13 @@
 """Deduplication queries over ``documents``/``embeddings`` (SURVEY.md §2b).
 
-Exact dedup, n-gram Jaccard, and SimHash are oracle-checked (SimHash
-since r5: md5-derived token bits + pigeonhole-complete blocking make
-the blocked output equal the SQL all-pairs result). MinHash-LSH keeps
-Spark-only xxhash64 — its banded candidate set is probabilistic, so no
-SQL oracle can reproduce it → rows-only, but fully deterministic.
+Every query here is oracle-checked. SimHash since r5 (md5-derived
+token bits + pigeonhole-complete blocking make the blocked output equal
+the SQL all-pairs result); the MinHash family since r8 (the md5
+Karp-Rabin hash family lets DuckDB recompute the ENTIRE pipeline —
+shingles, signatures, banding, bucket join, Jaccard verify, and the
+cluster closure as a recursive CTE). The xxhash64 family remains the
+operators' throughput default; only embedding-LSH stays rows-only
+(GEMM signatures have no SQL twin).
 
 Scale design lives in operators/{minhash,simhash}.py: banding/blocking
 keeps candidate generation linear in corpus size; the exact verify
@@ -672,4 +675,57 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 2)
         .orderBy("a", "b")
+    )
+
+
+@register(
+    "dedup_minhash_apply_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_md5_pair_ctes()},
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION
+      SELECT b AS u, a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    removed AS (
+      SELECT u AS doc FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) <> u
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d LEFT JOIN removed r ON r.doc = d.doc_id
+    WHERE r.doc IS NULL
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_minhash_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied: the corpus after near-dup removal —
+    every document whose cluster keeper is itself (docs in no cluster
+    keep themselves implicitly). This is the pipeline's end artifact:
+    pairs → transitive clusters → anti-join the non-keepers away; what
+    remains is what a training run reads. The anti-join is keyed on
+    doc_id against the (small) non-keeper set — AQE broadcasts it, so
+    the corpus-side scan never shuffles."""
+    from poormans_kube_etl_spark.operators.graph import dedup_clusters
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        shingle_len=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5",
+    )
+    non_keepers = dedup_clusters(pairs).where(F.col("doc") != F.col("keeper"))
+    return (
+        docs.join(non_keepers, docs.doc_id == non_keepers.doc, "left_anti")
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("doc_id")
     )
