@@ -311,3 +311,10 @@ def test_cdc_chunking_is_map_only(q):
     # cosmetic output orderBy (range partitioning for a deterministic
     # display order — the driver's compare is order-insensitive)
     assert shuffle_count(q("train_cdc_chunk_documents")) <= 1
+
+
+def test_incremental_minhash_shuffles_bounded(q):
+    # two signature aggregates (delta + corpus) + the banded bucket
+    # aggregate + verify joins + the output sort — a small constant
+    # number of exchanges, independent of corpus size (currently 6)
+    assert shuffle_count(q("dedup_minhash_incremental_pairs")) <= 8
