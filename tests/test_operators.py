@@ -1635,3 +1635,45 @@ def test_minhash_incremental_hot_band_guard(spark):
         new, corpus, threshold=0.9, max_bucket=256
     ).count()
     assert roomy == 8  # the cap was the only thing suppressing them
+
+
+def test_incremental_equals_cross_side_of_self_dedup(spark):
+    """Consistency law tying the two dedup shapes together: for the same
+    banding and hash family (and no star/hot-band guard engaged),
+    incremental(new, corpus) must emit exactly the cross-side subset of
+    self-dedup(new ∪ corpus) — same pairs, same jaccard values."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        minhash_incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta " * 3,
+        2: "alpha beta gamma delta epsilon zeta eta theta " * 3 + "iota",
+        3: "one two three four five six seven eight nine ten " * 3,
+        4: "completely different content nothing shared here at all " * 3,
+        5: "one two three four five six seven eight nine ten " * 3 + "eleven",
+        6: "alpha beta gamma delta epsilon zeta eta theta " * 3 + "kappa",
+    }
+    all_docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    new = all_docs.where("doc_id % 3 = 0")  # {3, 6}
+    corpus = all_docs.where("doc_id % 3 <> 0")  # {1, 2, 4, 5}
+    self_pairs = {
+        frozenset((r.a, r.b)): r.jaccard
+        for r in minhash_near_duplicates(all_docs, threshold=0.3).collect()
+    }
+    new_ids = {3, 6}
+    cross = {
+        k: v
+        for k, v in self_pairs.items()
+        if len(k & new_ids) == 1  # exactly one side in the new batch
+    }
+    inc = {
+        frozenset((r.a, r.b)): r.jaccard
+        for r in minhash_incremental_near_duplicates(
+            new, corpus, threshold=0.3
+        ).collect()
+    }
+    assert inc == cross and len(inc) > 0
