@@ -77,8 +77,8 @@ _loaded = False
 # (c) the 32 r05-latest queries (alphabetical; includes
 #     train_chunk_documents, ADVICE r07 #1's other miss — its r7 edit
 #     was value-affecting and this is its first row since);
-# (d) fill to 50 with the alphabetically-first 11 of the 49 r06-latest
-#     queries (all equally stale; the remaining 38 head the r9 window).
+# (d) fill to 50 with the alphabetically-first 10 of the 49 r06-latest
+#     queries (all equally stale; the remaining 39 head the r9 window).
 _PRIORITY = [
     # (a) values changed this round (md5 hash family + new oracles) +
     # the round's NEW query (never driver-checked; the stalest-first
@@ -87,6 +87,7 @@ _PRIORITY = [
     "dedup_minhash_incremental_pairs",
     "text_unigram_logprob_scores",
     "dedup_minhash_apply_keepers",
+    "train_corpus_build_funnel",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
     # (b) changed in r7, missed the r7 window (ADVICE r07 #1)
@@ -124,7 +125,7 @@ _PRIORITY = [
     "train_pack_shards",
     "train_split_by_hash",
     "train_stratified_sample",
-    # (d) r06-latest fill (alphabetical first 11)
+    # (d) r06-latest fill (alphabetical first 10)
     "approx_distinct_users_by_type",
     "approx_percentile_quantity",
     "array_agg_statuses_per_priority",
@@ -135,7 +136,6 @@ _PRIORITY = [
     "events_funnel_conversion",
     "events_transition_matrix",
     "fn_array_set_ops",
-    "fn_array_suite",
 ]
 
 

@@ -317,3 +317,110 @@ def clean_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("words_per_sentence") >= 3)
     )
     return m.select("*", keep.alias("keep")).orderBy("doc_id")
+
+
+def _funnel_oracle() -> str:
+    from poormans_kube_etl_spark.queries.dedup import _minhash_md5_pair_ctes
+
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    ntok = f"len(string_split({norm}, ' '))"
+    pair_ctes = _minhash_md5_pair_ctes(from_clause="ed")
+    return f"""
+    WITH RECURSIVE
+    q AS (
+      SELECT doc_id, text FROM documents
+      WHERE n_chars >= 200 AND {ntok} >= 30
+    ),
+    ek AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5({norm})),
+    ed AS (SELECT q.doc_id, q.text FROM q JOIN ek USING (doc_id)),
+    {pair_ctes},
+    edges AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION
+      SELECT b AS u, a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    removed AS (
+      SELECT u AS doc FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) <> u
+    ),
+    nd AS (
+      SELECT ed.doc_id, ed.text FROM ed
+      LEFT JOIN removed r ON r.doc = ed.doc_id WHERE r.doc IS NULL
+    )
+    SELECT 'a_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({ntok}) AS BIGINT) AS n_tokens FROM documents
+    UNION ALL
+    SELECT 'b_quality', CAST(COUNT(*) AS BIGINT), CAST(SUM({ntok}) AS BIGINT) FROM q
+    UNION ALL
+    SELECT 'c_exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM({ntok}) AS BIGINT) FROM ed
+    UNION ALL
+    SELECT 'd_near_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM({ntok}) AS BIGINT) FROM nd
+    ORDER BY stage
+    """
+
+
+@register("train_corpus_build_funnel", oracle=_funnel_oracle())
+def train_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-build pipeline as ONE funnel: doc and token
+    counts surviving each stage — raw → structural quality gate
+    (n_chars >= 200, tokens >= 30) → exact dedup (min-id keeper per
+    normalized-text fingerprint) → MinHash near-dup removal (md5
+    family, keepers applied). This is the accounting view a data lead
+    reads before a training run: where the corpus shrank and what token
+    budget survived. Stage labels carry an ordering prefix so the
+    output sorts by pipeline position on both engines.
+
+    Every stage reuses the oracle-checked primitives (fingerprint_md5,
+    minhash_near_duplicates(md5), dedup_clusters), so the funnel's
+    DuckDB twin recomputes the ENTIRE pipeline — including the closure
+    as a recursive CTE — and the hash compare covers the composition,
+    not just the pieces."""
+    from poormans_kube_etl_spark.operators.graph import dedup_clusters
+    from poormans_kube_etl_spark.operators.minhash import minhash_near_duplicates
+    from poormans_kube_etl_spark.operators.text import (
+        fingerprint_md5,
+        normalize_text,
+        tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n_toks = F.size(tokens(normalize_text("text")))
+    base = docs.select("doc_id", "text", "n_chars", n_toks.alias("n_toks"))
+    q = base.where((F.col("n_chars") >= 200) & (F.col("n_toks") >= 30))
+    ek = (
+        q.groupBy(fingerprint_md5("text").alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ed = q.join(ek, "doc_id")
+    pairs = minhash_near_duplicates(
+        ed.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        shingle_len=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5",
+    )
+    non_keepers = dedup_clusters(pairs).where(F.col("doc") != F.col("keeper"))
+    nd = ed.join(non_keepers, ed.doc_id == non_keepers.doc, "left_anti")
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    return (
+        stage(base, "a_raw")
+        .unionByName(stage(q, "b_quality"))
+        .unionByName(stage(ed, "c_exact_dedup"))
+        .unionByName(stage(nd, "d_near_dedup"))
+        .orderBy("stage")
+    )

@@ -168,6 +168,7 @@ def _minhash_md5_pair_ctes(
     bands: int = 8,
     threshold: float = 0.5,
     incremental_mod: int | None = None,
+    from_clause: str = "documents",
 ) -> str:
     """CTE chain recomputing ``minhash_near_duplicates(hash_family=
     "md5")`` from scratch in DuckDB, ending in a ``pairs(a, b, jaccard)``
@@ -191,7 +192,10 @@ def _minhash_md5_pair_ctes(
       mismatch (same contract as the simhash oracle);
     - exact Jaccard over distinct-h0 sets, >= threshold.
 
-    ``incremental_mod=K`` switches the candidate stage to the
+    ``from_clause`` names the doc source (a table or a parenthesized
+    subquery with doc_id/text columns) so composed pipelines — e.g. the
+    corpus-build funnel — can run the same construction over a filtered
+    set. ``incremental_mod=K`` switches the candidate stage to the
     INCREMENTAL shape (dedup_minhash_incremental_pairs): docs with
     doc_id % K == 0 form the "new batch", the rest the "corpus", and
     candidates are cross-side only (a=new, b=corpus) — mirroring
@@ -269,7 +273,7 @@ def _minhash_md5_pair_ctes(
       SELECT doc_id,
              list_transform(string_split({_NORM_SQL}, ' '),
                t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {M}) AS th
-      FROM documents
+      FROM {from_clause}
     ),
     win AS (
       SELECT doc_id,
