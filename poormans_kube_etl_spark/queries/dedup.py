@@ -560,15 +560,27 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:
     """Corpus + a deterministic PERTURBED copy of the first ``n``
-    vectors (component j scaled by 1 + pmod(xxhash64(id, j), 7)/100 —
+    vectors (component j scaled by 1 + (md5_31("id:j") % 7)/100 —
     cos(original, twin) ≈ 0.999). The driver corpus contains no true
     near-duplicates (its exact pair tail sits at cos 0.40-0.46, below
     any regime where banded LSH is the right tool — see srp_banding),
     so the LSH demo plants some, derived purely from the input table
-    and disjoint in id space (+1e6 clears every SF's replica stride)."""
+    and disjoint in id space (+1e6 clears every SF's replica stride).
+
+    The perturbation hash is the r8 cross-engine md5 family (first 8
+    hex digits of md5, mod 7) — NOT xxhash64 — so the DuckDB oracle of
+    ``dedup_embedding_lsh_pairs`` reconstructs the twins bit-exactly:
+    both engines widen the float component to double, multiply by the
+    same double factor, and round once back to float32."""
     others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
-    planted = emb.where(F.col("vec_id") < n).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+    # two-step select: the hash must see the ORIGINAL id, and a lambda
+    # inside the same select that aliases the new id would resolve
+    # "vec_id" to the aliased (+1e6) column (the r9 oracle-parity bug)
+    base = emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("__orig_id"), F.col("embedding"), *others
+    )
+    planted = base.select(
+        (F.col("__orig_id") + 1_000_000).alias("vec_id"),
         *others,
         F.transform(
             "embedding",
@@ -577,7 +589,24 @@ def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:
                 x
                 * (
                     1.0
-                    + F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(7)).cast("double")
+                    + (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("__orig_id").cast("string"),
+                                        j.cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % 7
+                    ).cast("double")
                     / 100.0
                 )
             ).cast("float"),
@@ -586,7 +615,31 @@ def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:
     return emb.unionByName(planted)
 
 
-@register("dedup_embedding_lsh_pairs")  # rows-only: SRP-LSH is approximate by design
+@register(
+    "dedup_embedding_lsh_pairs",
+    oracle="""
+    WITH o AS (
+      SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 50
+    ),
+    t AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(v)),
+               j -> CAST(v[j] * (1.0
+                      + (('0x' || substr(md5(vec_id || ':' || (j - 1)), 1, 8))::BIGINT
+                         % 7) / 100.0) AS REAL)
+             ) AS tv
+      FROM o
+    ),
+    p AS (
+      SELECT o.vec_id AS a, o.vec_id + 1000000 AS b,
+             list_dot_product(o.v::DOUBLE[], t.tv::DOUBLE[])
+               / (sqrt(list_dot_product(o.v::DOUBLE[], o.v::DOUBLE[]))
+                  * sqrt(list_dot_product(t.tv::DOUBLE[], t.tv::DOUBLE[]))) AS cos_sim
+      FROM o JOIN t USING (vec_id)
+    )
+    SELECT a, b, cos_sim FROM p WHERE cos_sim >= 0.9 ORDER BY a, b
+    """,
+)
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via banded sign-random-projection LSH at
     its DESIGN point: threshold 0.9 with geometry- and corpus-size-
@@ -602,7 +655,16 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact anchor dedup_embedding_near_pairs). Deterministic planes
     (SplitMix64 Box-Muller) + deterministic perturbation → rerun-stable.
     Recall on planted pairs is pinned by
-    test_embedding_lsh_recall_on_planted_near_dups."""
+    test_embedding_lsh_recall_on_planted_near_dups.
+
+    Oracle (VERDICT r08 #3, was rows-only): DuckDB reconstructs the
+    md5-perturbed twins bit-exactly and emits each planted pair with
+    its EXACT cosine (raw double — bit parity with the left-fold
+    verify, same as dedup_embedding_near_pairs). The corpus tail sits
+    at cos ≤ ~0.46, so the exact ≥0.9 pair set IS the planted set:
+    a missed planted pair, a spurious background emission, or a wrong
+    verify cosine each breaks row count or value hash. Completeness
+    against arbitrary corpora stays pinned by the recall test."""
     from poormans_kube_etl_spark.operators.similarity import embedding_near_pairs_lsh
 
     apply_runtime_confs(spark)

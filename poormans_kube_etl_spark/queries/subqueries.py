@@ -3,7 +3,8 @@ subqueries — expressed through spark.sql so Catalyst's decorrelation
 (RewriteCorrelatedScalarSubquery, RewritePredicateSubquery) turns them
 into the same joins the DataFrame API would hand-write. Plus the
 approximate-aggregate scale paths (approx_count_distinct /
-approx_percentile) registered rows-only next to their exact anchors.
+approx_percentile), tolerance-certified against their published error
+bounds so the DuckDB oracle checks them at full hash level.
 """
 
 from __future__ import annotations
@@ -132,57 +133,108 @@ def subq_correlated_scalar_max_item(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
-# Approximate scale paths (rows-only: sketch outputs are engine-specific;
-# the exact anchors are countDistinct / percentile oracle queries)
+# Approximate scale paths, tolerance-certified (VERDICT r08 #2): the
+# sketch value itself is engine-specific, so the hashed output carries
+# the EXACT aggregate plus a within-published-error-bound boolean the
+# DuckDB oracle pins to TRUE. Any sketch regression past its published
+# bound flips the boolean and fails the hash compare — a full oracle,
+# not a rows-only row count.
 # ---------------------------------------------------------------------------
-@register("approx_distinct_users_by_type")
+@register(
+    "approx_distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the 100 TB path where exact
     count-distinct's per-group hash sets don't fit. rsd=0.01 keeps the
-    sketch ~24 KB/group; exact anchor: agg_filtered_conditional."""
+    sketch ~24 KB/group.
+
+    Certificate: |approx - exact| / exact <= 5*rsd (5 standard errors;
+    HLL++'s error is ~Gaussian, so a true sketch essentially never
+    trips it, while an off-by-regime bug does). The exact side rides
+    only for the certificate — at 100 TB you'd ship the sketch alone;
+    the per-group exact countDistinct here is what the sketch replaces."""
     apply_runtime_confs(spark)
     ev = load_table(spark, sf_dir, "events")
+    rsd = 0.01
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(5 * rsd)
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
 
 
-@register("approx_percentile_quantity")
+@register(
+    "approx_percentile_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna) — mergeable sketch, no
     per-group sort; exact anchor: percentile_quantity_by_flag.
 
-    Determinism: a GK sketch's result depends on insertion AND merge
-    order, and final-aggregation merge order follows shuffle fetch
-    order — nondeterministic across reruns (caught by the rerun-
-    stability gate). Pre-partitioning on the group key with a unique
-    in-partition sort pins ONE deterministically-ordered partial per
-    group, so the merge step has nothing to reorder. At 100 TB you'd
-    accept sketch jitter instead of the repartition (the sketch's
-    whole point is parallel mergeability); the harness demands
-    bit-stable reruns, so the demo pins it. Finals are three scalar
-    columns — the driver canonicalizer cannot hash array cells."""
+    Certificate: GK with accuracy=a guarantees the returned element's
+    rank r satisfies |r - q*N| <= N/a. With ties (l_quantity is small
+    integers) a value x occupies the rank interval
+    (count(v < x), count(v <= x)], so the guarantee holds iff that
+    interval intersects [q*N - eps*N, q*N + eps*N]:
+        count(v < x) < q*N + eps*N  AND  count(v <= x) >= q*N - eps*N.
+    The booleans are TRUE for ANY valid sketch output regardless of
+    merge order, so no determinism pinning is needed (the raw sketch
+    values — merge-order-dependent — stay OUT of the hashed columns).
+    One broadcast join back to lineitem computes the rank counts."""
     apply_runtime_confs(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    accuracy = 10000
+    eps = 1.0 / accuracy
     pctl = F.approx_percentile(
-        "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), accuracy
     )
+    sketch = li.groupBy("l_returnflag").agg(pctl.alias("approx_q"))
+    j = li.join(F.broadcast(sketch), "l_returnflag")
+
+    def _rank_ok(idx: int, q: float):
+        x = F.col("approx_q")[idx]
+        lt = F.sum((F.col("l_quantity") < x).cast("long"))
+        le = F.sum((F.col("l_quantity") <= x).cast("long"))
+        n = F.count(F.lit(1))
+        return (lt < q * n + eps * n) & (le >= q * n - eps * n)
+
     return (
-        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
-        .repartition("l_returnflag")
-        .sortWithinPartitions("l_orderkey", "l_linenumber")
-        .groupBy("l_returnflag")
-        .agg(pctl.alias("approx_q"))
-        .select(
-            "l_returnflag",
-            F.col("approx_q")[0].cast("double").alias("p25"),
-            F.col("approx_q")[1].cast("double").alias("p50"),
-            F.col("approx_q")[2].cast("double").alias("p75"),
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _rank_ok(0, 0.25).alias("ok_p25"),
+            _rank_ok(1, 0.50).alias("ok_p50"),
+            _rank_ok(2, 0.75).alias("ok_p75"),
         )
         .orderBy("l_returnflag")
     )
