@@ -105,6 +105,64 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# The top-k operators broadcast-FORCE their query side (the hint
+# bypasses autoBroadcastJoinThreshold), documented small-by-
+# construction — but "documented" is not a guard (VERDICT r08 nit #2):
+# a caller handing a 10M-row query set would get a driver OOM instead
+# of a plan fallback. Bound: optimizer stats × the calibrated
+# stats→unsafe-row factor (partitioning._SHUFFLE_PER_STATS_BYTE) vs
+# ~256 MB of row bytes — comfortably inside one executor, well past
+# any legitimate "query set" for these operators.
+_QUERY_BCAST_MAX_ROW_BYTES = 256 << 20
+
+
+def _query_row_bytes_estimate(df: DataFrame) -> int | None:
+    """Estimated in-memory row bytes of a query-side plan, from the
+    optimizer's sizeInBytes (driver-cheap, ~ms). None when stats are
+    unavailable (exotic plan) — callers keep the broadcast hint then,
+    preserving pre-guard behavior for the plans we can't measure."""
+    from poormans_kube_etl_spark.operators.partitioning import (
+        _SHUFFLE_PER_STATS_BYTE,
+    )
+
+    try:
+        stats = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+    if stats > 1 << 50:
+        # leaves without stats report spark.sql.defaultSizeInBytes
+        # (Long.MaxValue) and joins multiply it — that's "unknown",
+        # not "petabytes of query rows"
+        return None
+    return int(stats * _SHUFFLE_PER_STATS_BYTE)
+
+
+def _broadcast_query_side(
+    df: DataFrame, op: str, can_shuffle: bool, expansion: int = 1
+) -> DataFrame:
+    """Broadcast hint with a size guard. Over the cap: equi-join callers
+    (ivf/lsh — the join key is a cell/bucket column) fall back to the
+    un-hinted plan, letting Catalyst/AQE pick a shuffle join; the
+    cross-join caller (brute force) raises loudly, because a
+    non-broadcast cartesian against the corpus is never the plan anyone
+    wants — chunk the query set or switch to lsh_topk/ivf_topk.
+    ``expansion`` scales the estimate for callers that multiply the
+    query side after the check (multi-probe explode)."""
+    est = _query_row_bytes_estimate(df)
+    if est is None or est * expansion <= _QUERY_BCAST_MAX_ROW_BYTES:
+        return F.broadcast(df)
+    if can_shuffle:
+        return df
+    raise ValueError(
+        f"{op}: query side estimated at ~{est * expansion >> 20} MB of row "
+        f"bytes, past the {_QUERY_BCAST_MAX_ROW_BYTES >> 20} MB broadcast "
+        "budget — chunk the query set, or use lsh_topk/ivf_topk whose "
+        "candidate joins shuffle instead of crossing the full corpus"
+    )
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Two-stage exact top-k over ``scored[query_id, nn_id, sim]``.
 
@@ -181,7 +239,9 @@ def brute_force_topk(
         F.col(query_id_col).alias("query_id"),
         checked_double_vec(vec_col, dim).alias("q_vec"),
     ).withColumn("_qn", _norm_expr("q_vec", dim))
-    scored = corpus.crossJoin(F.broadcast(qs)).where(F.col("nn_id") != F.col("query_id"))
+    scored = corpus.crossJoin(
+        _broadcast_query_side(qs, "brute_force_topk", can_shuffle=False)
+    ).where(F.col("nn_id") != F.col("query_id"))
     sim = _dot_expr("q_vec", "nn_vec", dim) / F.nullif(
         F.col("_qn") * F.col("_nn"), F.lit(0.0)
     )  # zero-norm -> NULL sim -> dropped (ANSI 0/0 would kill the job)
@@ -759,7 +819,15 @@ def ivf_topk(
         checked_double_vec(vec_col, dim).alias("nn_vec"),
         cell_col,
     ).withColumn("_nn", _norm_expr("nn_vec", dim))
-    cands = corpus.join(F.broadcast(probes), cell_col).where(
+    # guard sized on the user-supplied query projection (qs): the probes
+    # plan itself descends from a crossJoin whose stats multiply,
+    # overestimating wildly; probe rows ≤ n_probe × qs rows
+    q_est = _query_row_bytes_estimate(qs)
+    if q_est is not None and q_est * n_probe > _QUERY_BCAST_MAX_ROW_BYTES:
+        probe_side = probes  # shuffle equi-join on the cell column
+    else:
+        probe_side = F.broadcast(probes)
+    cands = corpus.join(probe_side, cell_col).where(
         F.col("nn_id") != F.col("query_id")
     )
     # same bit-parity rationale as brute_force_topk: per-side norms +
@@ -830,9 +898,16 @@ def lsh_topk(
     query_b = query_b.withColumn(
         "_qv", to_double_vec(F.col("q_vec_raw")).alias("_qv")
     ).select("query_id", "bucket", "_qv").withColumn("_qn", _norm_expr("_qv", dim))
-    joined = corpus_b.join(F.broadcast(query_b), "bucket").where(
-        F.col("nn_id") != F.col("query_id")
-    )
+    # guard sized on the user-supplied input (the bucketed side descends
+    # from mapInPandas, whose plan stats are defaults, not data): the
+    # multi-probe explode multiplies query rows by (1 + |masks|)
+    probe_expansion = 1 + (len(masks) if multi_probe >= 1 else 0)
+    q_est = _query_row_bytes_estimate(queries)
+    if q_est is not None and q_est * probe_expansion > _QUERY_BCAST_MAX_ROW_BYTES:
+        joined = corpus_b.join(query_b, "bucket")  # shuffle equi-join
+    else:
+        joined = corpus_b.join(F.broadcast(query_b), "bucket")
+    joined = joined.where(F.col("nn_id") != F.col("query_id"))
     # codegen pair dot (bit-identical to cosine())
     scored = joined.select(
         "query_id",

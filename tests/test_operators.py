@@ -449,6 +449,43 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, sf_dir):
         assert abs(exact[r.nn_id] - r.sim) < 1e-12
 
 
+def test_topk_query_broadcast_size_guard(spark, sf_dir, monkeypatch):
+    """VERDICT r08 #7: the forced query-side broadcast needs a size
+    guard. With the budget shrunk below any real plan, brute force must
+    raise loudly (a non-broadcast cartesian is never the right plan),
+    while the equi-join paths (lsh/ivf) must fall back to an un-hinted
+    shuffle join AND still return the broadcast-path answer."""
+    import pytest
+
+    from poormans_kube_etl_spark.operators import similarity as sim
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+    from poormans_kube_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want_lsh = sorted(
+        map(tuple, sim.lsh_topk(emb, queries, 3, n_planes=4).collect())
+    )
+    want_ivf = sorted(map(tuple, sim.ivf_topk(emb, queries, 3).collect()))
+
+    monkeypatch.setattr(sim, "_QUERY_BCAST_MAX_ROW_BYTES", 1)
+    with pytest.raises(ValueError, match="broadcast budget"):
+        sim.brute_force_topk(emb, queries, 3)
+    got_lsh_df = sim.lsh_topk(emb, queries, 3, n_planes=4)
+    got_ivf_df = sim.ivf_topk(emb, queries, 3)
+    # the hint is gone from the over-budget plans...
+    assert "ResolvedHint" not in got_lsh_df._jdf.queryExecution().logical().toString()
+    assert formatted_plan(got_lsh_df)  # plan still builds end-to-end
+    # ...and the shuffle-join answer matches the broadcast-path answer
+    assert sorted(map(tuple, got_lsh_df.collect())) == want_lsh
+    assert sorted(map(tuple, got_ivf_df.collect())) == want_ivf
+    # under-budget behavior unchanged: guard restored, broadcast hint on
+    monkeypatch.setattr(sim, "_QUERY_BCAST_MAX_ROW_BYTES", 256 << 20)
+    assert len(sim.brute_force_topk(emb, queries, 3).collect()) > 0
+
+
 def test_vector_dim_mismatch_fails_loudly(spark):
     """ADVICE r03: a vector shorter/longer than ``dim`` used to silently
     NULL (or truncate) the codegen'd dot product. Both the expression
