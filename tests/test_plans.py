@@ -318,3 +318,28 @@ def test_incremental_minhash_shuffles_bounded(q):
     # aggregate + verify joins + the output sort — a small constant
     # number of exchanges, independent of corpus size (currently 6)
     assert shuffle_count(q("dedup_minhash_incremental_pairs")) <= 8
+
+
+def test_funnel_documents_scan_feeds_cache_once(q):
+    """VERDICT r08 #8: the funnel's quality+exact-dedup subtree must be
+    materialized once (persist boundary), not re-derived per stage
+    aggregate. Textual gate (InMemoryRelation's toString embeds its
+    cached child plan, so FileScan strings legitimately appear INSIDE
+    those descriptions): both live consumers (the one-pass a/b/c
+    conditional aggregate + the near-dup stage's ed side) must read
+    InMemoryTableScan, and no documents FileScan may precede the first
+    InMemoryRelation marker — which is where an uncached top-level scan
+    would print."""
+    plan = (
+        q("train_corpus_build_funnel")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+    first_imr = plan.index("InMemoryRelation")
+    first_doc_scan = min(
+        (m for m in [plan.find("FileScan parquet")] if m >= 0),
+        default=len(plan),
+    )
+    assert first_doc_scan > first_imr, "documents scanned outside the cache"
