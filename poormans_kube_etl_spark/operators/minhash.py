@@ -23,7 +23,7 @@ rows-only checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.buckets import bucket_member_pairs
@@ -365,6 +365,66 @@ def lsh_candidate_pairs(
     return bucket_member_pairs(buckets, "docs", max_bucket)
 
 
+def signed_for(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_len: int,
+    num_hashes: int,
+    hash_family: str,
+) -> DataFrame:
+    """Signature frame (id, shingles, sig) for a hash family — the one
+    dispatch point shared by self-dedup, incremental dedup, and the
+    persisted-index writer, so the two engines of an incremental join
+    can never silently disagree on the family."""
+    if hash_family == "xxhash64":
+        return minhash_signatures(
+            exploded_shingle_hashes(docs, id_col, text_col, shingle_len),
+            id_col,
+            num_hashes,
+        )
+    if hash_family == "md5":
+        return minhash_signatures_md5(
+            exploded_shingle_h0_md5(docs, id_col, text_col, shingle_len),
+            id_col,
+            num_hashes,
+        )
+    raise ValueError(f"hash_family={hash_family!r}: expected 'xxhash64' or 'md5'")
+
+
+def banded_bucket_join(
+    new_banded: DataFrame, corpus_banded: DataFrame, max_bucket: int = 256
+) -> DataFrame:
+    """Distinct (a=new, b=corpus) candidate pairs from two banded
+    frames; the corpus side may come straight from a persisted band
+    index (read_corpus_minhash_index) instead of a live signature pass.
+
+    Bounded accumulation (ADVICE r08): a row_number window caps each
+    corpus bucket at max_bucket+1 rows BEFORE collect_set, so an
+    over-hot band never materializes its full doc array in one
+    aggregation buffer — the previous form filtered on size AFTER the
+    aggregate, bounding the join payload but not the buffer (a
+    boilerplate band shared by 10^6 docs built the whole array first).
+    The +1 row keeps over-hot detectable, so the size filter still
+    drops the bucket entirely; buckets at or under the cap keep every
+    row — semantics unchanged. The window shares the groupBy's
+    hash-partitioning (one exchange), trading a per-bucket sort for
+    the bounded buffer."""
+    w = Window.partitionBy("band_id", "band_hash").orderBy("doc")
+    buckets = (
+        corpus_banded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_bucket + 1)
+        .groupBy("band_id", "band_hash")
+        .agg(F.collect_set("doc").alias("bs"))
+        .where(F.size("bs") <= max_bucket)
+    )
+    return (
+        new_banded.join(buckets, ["band_id", "band_hash"])
+        .select("a", F.explode("bs").alias("b"))
+        .distinct()
+    )
+
+
 def lsh_incremental_candidate_pairs(
     new_signed: DataFrame,
     corpus_signed: DataFrame,
@@ -393,26 +453,13 @@ def lsh_incremental_candidate_pairs(
     carries no discriminating signal, and a genuinely near-duplicate
     pair still surfaces through its rarer bands. Trade-off, documented
     not hidden: a delta doc whose EVERY shared band is boilerplate
-    loses the pair."""
+    loses the pair. The bucket aggregate itself is buffer-bounded —
+    see ``banded_bucket_join``."""
     new_b = _banded(new_signed, id_col, bands, rows_per_band).withColumnRenamed(
         "doc", "a"
     )
     corpus_b = _banded(corpus_signed, id_col, bands, rows_per_band)
-    # ONE corpus pass: aggregate each band bucket to its doc set (the
-    # cap filter rides the same aggregate), then explode per matching
-    # delta row — a count-then-join-back shape scanned and shuffled the
-    # corpus bands twice. Bucket arrays are bounded by max_bucket, so
-    # the join payload and the per-row explode both stay small.
-    buckets = (
-        corpus_b.groupBy("band_id", "band_hash")
-        .agg(F.collect_set("doc").alias("bs"))
-        .where(F.size("bs") <= max_bucket)
-    )
-    return (
-        new_b.join(buckets, ["band_id", "band_hash"])
-        .select("a", F.explode("bs").alias("b"))
-        .distinct()
-    )
+    return banded_bucket_join(new_b, corpus_b, max_bucket)
 
 
 def minhash_incremental_near_duplicates(
@@ -437,23 +484,12 @@ def minhash_incremental_near_duplicates(
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands}"
         )
-    if hash_family == "xxhash64":
-        sig = lambda d: minhash_signatures(  # noqa: E731
-            exploded_shingle_hashes(d, id_col, text_col, shingle_len),
-            id_col,
-            num_hashes,
-        )
-    elif hash_family == "md5":
-        sig = lambda d: minhash_signatures_md5(  # noqa: E731
-            exploded_shingle_h0_md5(d, id_col, text_col, shingle_len),
-            id_col,
-            num_hashes,
-        )
-    else:
-        raise ValueError(
-            f"hash_family={hash_family!r}: expected 'xxhash64' or 'md5'"
-        )
-    new_signed, corpus_signed = sig(new_docs), sig(corpus_docs)
+    new_signed = signed_for(
+        new_docs, id_col, text_col, shingle_len, num_hashes, hash_family
+    )
+    corpus_signed = signed_for(
+        corpus_docs, id_col, text_col, shingle_len, num_hashes, hash_family
+    )
     cands = lsh_incremental_candidate_pairs(
         new_signed, corpus_signed, id_col, bands, num_hashes // bands, max_bucket
     )
@@ -565,16 +601,7 @@ def minhash_near_duplicates(
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands}"
         )
-    if hash_family == "xxhash64":
-        ex = exploded_shingle_hashes(docs, id_col, text_col, shingle_len)
-        signed = minhash_signatures(ex, id_col, num_hashes)
-    elif hash_family == "md5":
-        ex = exploded_shingle_h0_md5(docs, id_col, text_col, shingle_len)
-        signed = minhash_signatures_md5(ex, id_col, num_hashes)
-    else:
-        raise ValueError(
-            f"hash_family={hash_family!r}: expected 'xxhash64' or 'md5'"
-        )
+    signed = signed_for(docs, id_col, text_col, shingle_len, num_hashes, hash_family)
     if cache:
         from pyspark import StorageLevel
 

@@ -1,0 +1,192 @@
+"""Persisted corpus MinHash index — the ingest-time artifact the
+incremental dedup path was designed around (VERDICT r08 #6).
+
+``minhash_incremental_near_duplicates`` documents that at 100 TB the
+corpus side's signatures are computed ONCE and persisted; this module
+is that writer/reader pair. Two catalog tables per index:
+
+- ``<name>_bands`` (doc, band_id, band_hash), bucketed by
+  (band_id, band_hash): the candidate join's corpus side. Bucketing
+  means each delta's band-keyed join and the in-bucket aggregation
+  reuse the on-disk hash distribution — no corpus-side exchange.
+- ``<name>_shingles`` (doc, shingles), bucketed by doc id: the exact
+  Jaccard verify's corpus side, again pre-distributed on its join key.
+
+The banding constants (shingle_len / num_hashes / bands / hash_family
+/ id and text columns) are recorded as table properties on the bands
+table — both sides of an incremental join MUST agree on them or
+buckets never collide, so the reader restores them and the indexed
+query takes them from the artifact instead of trusting the caller.
+
+Reference parity note: the reference pipeline re-reads its whole
+corpus per ingest cycle (UKHomeOffice/poormans-kube-etl
+src/ingestor.js polling loop); an index table the deltas join against
+is the Spark-native upgrade of that shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.minhash import (
+    _banded,
+    banded_bucket_join,
+    signed_for,
+)
+
+# bump when the persisted layout or signature math changes: a stale
+# artifact must be rebuilt, not silently joined against
+INDEX_FORMAT_VERSION = "1"
+
+_PROP_PREFIX = "pke.minhash."
+_CONSTANT_KEYS = (
+    "id_col",
+    "text_col",
+    "shingle_len",
+    "num_hashes",
+    "bands",
+    "hash_family",
+    "format_version",
+)
+
+
+@dataclass(frozen=True)
+class CorpusMinhashIndex:
+    """Handle to a persisted corpus index: the two table-backed frames
+    plus the banding constants they were built with."""
+
+    bands: DataFrame
+    shingles: DataFrame
+    constants: dict[str, str]
+
+    @property
+    def id_col(self) -> str:
+        return self.constants["id_col"]
+
+
+def write_corpus_minhash_index(
+    corpus_docs: DataFrame,
+    name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+    n_buckets: int = 64,
+    path: str | None = None,
+    mode: str = "errorifexists",
+) -> None:
+    """Compute corpus signatures ONCE and land them as the two bucketed
+    tables described in the module docstring. One signature pass feeds
+    both writes via a persist (unpersisted before returning — writes
+    are actions, so the cache's useful life ends here). ``path`` roots
+    EXTERNAL tables at ``<path>/bands|shingles`` (else the session
+    warehouse); ``n_buckets`` sizes the on-disk hash distribution —
+    pick ~corpus-partition count at scale."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} must be divisible by bands={bands}")
+    spark = corpus_docs.sparkSession
+    signed = signed_for(
+        corpus_docs, id_col, text_col, shingle_len, num_hashes, hash_family
+    ).persist()
+    try:
+        banded = _banded(signed, id_col, bands, num_hashes // bands)
+        w = banded.write.mode(mode).bucketBy(n_buckets, "band_id", "band_hash")
+        if path is not None:
+            w = w.option("path", f"{path}/bands")
+        w.saveAsTable(f"{name}_bands")
+
+        sh = (
+            signed.select(F.col(id_col).alias("doc"), "shingles")
+            .write.mode(mode)
+            .bucketBy(n_buckets, "doc")
+        )
+        if path is not None:
+            sh = sh.option("path", f"{path}/shingles")
+        sh.saveAsTable(f"{name}_shingles")
+    finally:
+        signed.unpersist()
+    props = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "shingle_len": str(shingle_len),
+        "num_hashes": str(num_hashes),
+        "bands": str(bands),
+        "hash_family": hash_family,
+        "format_version": INDEX_FORMAT_VERSION,
+    }
+    kv = ", ".join(f"'{_PROP_PREFIX}{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {name}_bands SET TBLPROPERTIES ({kv})")
+
+
+def read_corpus_minhash_index(spark: SparkSession, name: str) -> CorpusMinhashIndex:
+    """Open a persisted index and restore its banding constants from
+    the bands table's properties — loudly rejecting artifacts written
+    by an incompatible layout version."""
+    bands = spark.table(f"{name}_bands")
+    shingles = spark.table(f"{name}_shingles")
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    constants: dict[str, str] = {}
+    for k in _CONSTANT_KEYS:
+        full = _PROP_PREFIX + k
+        if full not in props:
+            raise ValueError(
+                f"{name}_bands is missing table property {full!r} — not a "
+                "corpus minhash index (or written by an older layout)"
+            )
+        constants[k] = props[full]
+    if constants["format_version"] != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"{name}: index format {constants['format_version']} != "
+            f"supported {INDEX_FORMAT_VERSION}; rebuild with "
+            "write_corpus_minhash_index"
+        )
+    return CorpusMinhashIndex(bands=bands, shingles=shingles, constants=constants)
+
+
+def minhash_incremental_near_duplicates_indexed(
+    new_docs: DataFrame,
+    index: CorpusMinhashIndex,
+    threshold: float = 0.5,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """New-batch-vs-corpus near-dup pairs (a=new id, b=corpus id,
+    jaccard >= threshold) against a PERSISTED index: the delta pays its
+    own signature pass plus two joins that both land on the index
+    tables' bucket distribution — the corpus is never re-shingled (the
+    plan gate ``test_indexed_incremental_reuses_persisted_bands`` pins
+    exactly that). Same semantics as
+    ``minhash_incremental_near_duplicates`` with the corpus side read
+    from the artifact; banding constants come FROM the artifact."""
+    c = index.constants
+    shingle_len, num_hashes = int(c["shingle_len"]), int(c["num_hashes"])
+    bands = int(c["bands"])
+    new_signed = signed_for(
+        new_docs, c["id_col"], c["text_col"], shingle_len, num_hashes, c["hash_family"]
+    )
+    new_b = _banded(
+        new_signed, c["id_col"], bands, num_hashes // bands
+    ).withColumnRenamed("doc", "a")
+    cands = banded_bucket_join(new_b, index.bands, max_bucket)
+    sa = new_signed.select(
+        F.col(c["id_col"]).alias("a"), F.col("shingles").alias("sh_a")
+    )
+    sb = index.shingles.select(F.col("doc").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
