@@ -61,14 +61,27 @@ BUCKET_BUCKETS="${BUCKET_BUCKETS:-0}"
 # verbatim by DRY_RUN. spark.hadoop.* confs from the properties file
 # reach executors through Spark's own conf propagation, same as --conf.
 # S3_PROPS_FILE overrides the mktemp path (tests pin the contents).
+#
+# --properties-file REPLACES spark-submit's default loading of
+# conf/spark-defaults.conf (ADVICE r08): silently dropping the image's
+# baked-in defaults only when keys are set would make config differ
+# between IAM and key-based deployments — so the credential file STARTS
+# as a copy of spark-defaults.conf (when the image has one) and the
+# credential lines are appended.
 S3_CONF=""
 if [ -n "${S3_ACCESS_KEY:-}" ]; then
     : "${S3_SECRET_KEY:?S3_ACCESS_KEY set without S3_SECRET_KEY}"
     PROPS_FILE="${S3_PROPS_FILE:-$(mktemp /tmp/pke-s3a.XXXXXX)}"
     touch "${PROPS_FILE}"
     chmod 600 "${PROPS_FILE}"
+    DEFAULTS_FILE="${SPARK_HOME:-/opt/spark}/conf/spark-defaults.conf"
+    if [ -f "${DEFAULTS_FILE}" ]; then
+        cat "${DEFAULTS_FILE}" > "${PROPS_FILE}"
+    else
+        : > "${PROPS_FILE}"
+    fi
     printf 'spark.hadoop.fs.s3a.access.key %s\nspark.hadoop.fs.s3a.secret.key %s\n' \
-        "${S3_ACCESS_KEY}" "${S3_SECRET_KEY}" > "${PROPS_FILE}"
+        "${S3_ACCESS_KEY}" "${S3_SECRET_KEY}" >> "${PROPS_FILE}"
     S3_CONF="--properties-file ${PROPS_FILE}"
 fi
 if [ -n "${S3_ENDPOINT:-}" ]; then

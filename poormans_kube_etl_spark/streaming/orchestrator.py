@@ -147,6 +147,7 @@ class Orchestrator:
         bucket_buckets: int = 0,
         replica_id: str | None = None,
         claim_ttl_s: float = 1800.0,
+        claim_settle_s: float = 0.05,
     ):
         self.spark = apply_runtime_confs(spark)
         # Resolve RELATIVE dirs against the Python cwd ONCE, up front
@@ -191,6 +192,7 @@ class Orchestrator:
             replica_id = f"{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         self.replica_id = replica_id
         self.claim_ttl_s = claim_ttl_s
+        self.claim_settle_s = claim_settle_s
         self.timer = Times()
         self.errored: str | None = None  # X7 error state
         # consecutive transient scan failures (listing/gating); reset on
@@ -237,11 +239,18 @@ class Orchestrator:
         means this replica owns the ingest.
 
         Claim = write ``_claim.<replica>.tmp``, RENAME to ``_CLAIMED``,
-        then READ BACK: POSIX rename REPLACES an existing destination
-        (HDFS's no-overwrite rename is the exception, not the rule), so
-        rename success does not prove ownership — the marker CONTENT is
-        the single source of truth, and of N replicas racing the same
-        rename exactly one reads its own id back. Re-claiming our OWN
+        then READ BACK (twice, with a short settle pause): POSIX rename
+        REPLACES an existing destination (HDFS's no-overwrite rename is
+        the exception, not the rule), so rename success does not prove
+        ownership — the marker CONTENT is the single source of truth.
+        The read-back arbitration is PROBABILISTIC, not exact (ADVICE
+        r08): if replica A renames and reads its own id back before
+        replica B's replacing rename lands, both observe themselves as
+        owner in their first probe. The ``claim_settle_s`` pause plus a
+        second ``_owns_claim`` probe shrinks that window to
+        near-simultaneous renames; what remains is self-healed by the
+        post-verify renewal (the loser's renewal reads the winner's id
+        and yields before any store writes). Re-claiming our OWN
         live claim (clear_halt retry, checkpoint redelivery, the
         post-verify lease renewal) refreshes the marker mtime IN PLACE
         via setTimes — no delete window for a peer to race into
@@ -294,7 +303,14 @@ class Orchestrator:
             if not bool(fs.rename(tmp, dst)):
                 fs.delete(tmp, False)  # lost outright: clean up our tmp
                 return False
-            return self._owns_claim(folder)  # content arbitrates racers
+            if not self._owns_claim(folder):  # content arbitrates racers
+                return False
+            # settle re-read (ADVICE r08): give an in-flight replacing
+            # rename from a racer time to land before declaring victory
+            if self.claim_settle_s > 0:
+                time.sleep(self.claim_settle_s)
+                return self._owns_claim(folder)
+            return True
         except Exception as e:
             print(f"orchestrator: claim on {folder} failed ({e}); treating as lost")
             return False
@@ -1005,8 +1021,16 @@ class Orchestrator:
             self.timer.ingest_files_name = params.ingest_name
             try:
                 self._verify_or_raise(params)
-                # lease renewal after the slow verify, same as run_once
+                # lease renewal after the slow verify, same as run_once.
+                # Renewal-lost needs the SAME durable bookmark as the
+                # initial claim-lost path (ADVICE r08): the file source
+                # never re-emits this manifest, so if the thief that
+                # stole the claim mid-verify then crashes, only the
+                # bookmark lets a later sweep recover the folder.
                 if not self.claim_folder(folder):
+                    if folder not in deferred:
+                        deferred.add(folder)
+                        self._defer_folder(folder)
                     self.timer.reset()
                     continue
                 self.run_ingest(params)

@@ -76,6 +76,33 @@ def test_enclosing_submit_detects_gateway_launch(monkeypatch):
     assert enclosing_submit() is True
 
 
+def test_submit_sh_props_file_keeps_spark_defaults(tmp_path):
+    """ADVICE r08: --properties-file REPLACES spark-submit's default
+    loading of conf/spark-defaults.conf, so key-based deployments used
+    to silently drop the image's baked-in defaults (IAM deployments
+    kept them — config diverged by auth mode). The credential file must
+    now start as a copy of spark-defaults.conf with the keys appended."""
+    spark_home = tmp_path / "sparkhome"
+    (spark_home / "conf").mkdir(parents=True)
+    (spark_home / "conf" / "spark-defaults.conf").write_text(
+        "spark.baked.in.default marker-value\n"
+    )
+    props = str(tmp_path / "s3a.properties")
+    _dry_run(
+        "watch", {"S3_PROPS_FILE": props, "SPARK_HOME": str(spark_home)}
+    )
+    body = open(props).read()
+    assert "spark.baked.in.default marker-value" in body
+    assert "spark.hadoop.fs.s3a.access.key AKIATEST" in body
+    assert os.stat(props).st_mode & 0o777 == 0o600
+    # no SPARK_HOME defaults at all: file holds just the credentials
+    props2 = str(tmp_path / "s3a2.properties")
+    _dry_run("watch", {"S3_PROPS_FILE": props2, "SPARK_HOME": str(tmp_path)})
+    body2 = open(props2).read()
+    assert "marker-value" not in body2
+    assert "spark.hadoop.fs.s3a.secret.key secret" in body2
+
+
 def test_submit_sh_assembles_k8s_submit(tmp_path):
     props = str(tmp_path / "s3a.properties")
     cmd = _dry_run("watch", {"S3_PROPS_FILE": props})

@@ -902,12 +902,14 @@ def test_stale_claim_expires_and_is_broken(orch):
     """A claim whose owner crashed (never finalized) expires after
     claim_ttl_s; a live replica breaks it and takes the folder."""
     make_ingest_folder(orch.landing_dir, "1538055240", "bulk.txt")
-    other = _second_replica(orch, claim_ttl_s=0.05)
+    # TTL must comfortably exceed the claimer's settle re-read delay
+    # (claim_settle_s ages the marker ~0.05 s before we probe it)
+    other = _second_replica(orch, claim_ttl_s=0.5)
     assert orch.claim_folder("1538055240") is True
     assert other.claim_folder("1538055240") is False  # still live
     import time as _time
 
-    _time.sleep(0.1)
+    _time.sleep(0.8)
     # past the TTL the claim reads as orphaned: discover sees it again
     # and claim_folder succeeds by breaking the stale marker
     assert other.discover().ingest_name == "1538055240"
