@@ -65,77 +65,75 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-8 rotation (VERDICT r07 #1:
-# lead with the 32 queries whose latest driver row is r05 — two rounds
-# of code drift; standing rule: queries whose values or oracles changed
-# this round stay in the window):
-# (a) the two queries whose VALUES changed in r8 itself —
-#     dedup_minhash_lsh_pairs / dedup_minhash_clusters switched to the
-#     md5 hash family (different pair sets) and gained full oracles;
-# (b) events_zscore_outliers — its engine+oracle changed in r7 but the
-#     r7 window missed it (ADVICE r07 #1), so it rides now;
-# (c) the 32 r05-latest queries (alphabetical; includes
-#     train_chunk_documents, ADVICE r07 #1's other miss — its r7 edit
-#     was value-affecting and this is its first row since);
-# (d) fill to 50 with the alphabetically-first 10 of the 49 r06-latest
-#     queries (all equally stale; the remaining 39 head the r9 window).
+# ``queries()`` iteration order. Round-9 rotation (VERDICT r08 #1:
+# lead with the queries whose latest driver row is r06 — two rounds of
+# drift over shared helpers; standing rule: queries whose values or
+# oracles changed this round stay in the window):
+# (a) this round's NEW query (never driver-checked) + the four queries
+#     whose VALUES or ORACLES changed in r9 itself (sketch certificates,
+#     md5-perturbed LSH twins, spectral certificate schema) + the two
+#     whose PLANS were restructured with values meant to be identical
+#     (funnel materialization, bounded incremental bucket aggregation)
+#     — the driver row is the proof the restructure preserved values;
+# (b) all 39 r06-latest queries (the stalest cohort; text_fingerprints,
+#     the lone r05 row, is no longer a registered name — folded into
+#     text_rolling_fingerprints in r6, which rides in this cohort);
+# (c) fill to 50 with the alphabetically-first 4 of the 48 r07-latest
+#     queries (the rest head the r10 window).
 _PRIORITY = [
-    # (a) values changed this round (md5 hash family + new oracles) +
-    # the round's NEW query (never driver-checked; the stalest-first
-    # tail would seat it at position 51, just past the sweep window)
-    "train_cdc_chunk_documents",
-    "dedup_minhash_incremental_pairs",
-    "text_unigram_logprob_scores",
-    "dedup_minhash_apply_keepers",
-    "train_corpus_build_funnel",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_clusters",
-    # (b) changed in r7, missed the r7 window (ADVICE r07 #1)
-    "events_zscore_outliers",
-    # (c) r05-latest (alphabetical)
-    "dedup_simhash_pairs",
-    "dedup_winnowing_pairs",
-    "dq_null_and_blank_rates",
-    "events_hourly_seasonality",
-    "fn_datetime_suite",
-    "fn_json_construct_extract",
-    "groupingsets_order_revenue",
-    "join_left_customer_order_stats",
-    "join_lineitem_part_supplier",
-    "join_revenue_by_nation",
-    "q1_pricing_summary",
-    "sess_hopping_2h_1h",
-    "sess_tumbling_hourly",
-    "sim_ivf_topk",
-    "sim_kmeans_clusters",
-    "sim_lsh_topk",
-    "sim_topk_bruteforce",
-    "text_bigram_pmi",
-    "text_lang_stats",
-    "text_langid_confusion",
-    "text_langid_heuristic",
-    "text_quality_scores",
-    "text_term_frequencies",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "train_bpe_ish_token_counts",
-    "train_chunk_documents",
-    "train_decontaminate_ngram",
-    "train_deterministic_shuffle",
-    "train_pack_shards",
-    "train_split_by_hash",
-    "train_stratified_sample",
-    # (d) r06-latest fill (alphabetical first 10)
+    # (a) new or changed this round
+    "dedup_minhash_index_delta_pairs",
     "approx_distinct_users_by_type",
     "approx_percentile_quantity",
-    "array_agg_statuses_per_priority",
-    "clean_quantize_embeddings",
-    "dq_referential_integrity",
-    "dq_value_range_violations",
-    "events_cohort_retention",
-    "events_funnel_conversion",
-    "events_transition_matrix",
-    "fn_array_set_ops",
+    "dedup_embedding_lsh_pairs",
+    "sim_label_spectral_stats",
+    "train_corpus_build_funnel",
+    "dedup_minhash_incremental_pairs",
+    # (b) r06-latest (alphabetical)
+    "fn_array_suite",
+    "fn_conditional_suite",
+    "fn_map_entries",
+    "fn_null_semantics",
+    "fn_scalar_suite",
+    "fn_string_suite",
+    "fn_variant_props",
+    "join_full_outer_nation_balance",
+    "join_relational_division",
+    "jsonl_quarantine_stats",
+    "mm_binary_stats",
+    "mm_frame_sample_plan",
+    "mm_props_typed",
+    "mm_resize_dims",
+    "orders_pareto_revenue_share",
+    "percentile_quantity_by_flag",
+    "pivot_status_revenue_by_priority",
+    "reshape_explode_outer_shingles",
+    "reshape_month_spine_gap_fill",
+    "reshape_unpivot_part_metrics",
+    "rollup_acctbal_by_region_nation",
+    "scalar_string_date_math",
+    "sess_debounce_10s",
+    "sess_range_self_join_5m",
+    "sim_label_centroids",
+    "stats_price_quantity_corr",
+    "stats_regression_by_type",
+    "subq_correlated_scalar_max_item",
+    "subq_exists_high_value_customers",
+    "subq_not_in_inactive_parts",
+    "subq_scalar_above_avg_orders",
+    "text_rolling_fingerprints",
+    "top10_orders_by_price",
+    "window_first_last_value",
+    "window_range_frame_value_band",
+    "window_rank_family",
+    "window_running_revenue",
+    "window_sliding_3row_avg",
+    "window_top3_orders_per_customer",
+    # (c) r07-latest fill (alphabetical first 4)
+    "agg_boolean_family",
+    "agg_filtered_conditional",
+    "agg_histogram_quantity",
+    "agg_min_by_max_by",
 ]
 
 
