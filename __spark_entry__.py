@@ -3,8 +3,11 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 as
 ``(spark, sf_dir) -> DataFrame`` builders.
-``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
-genuinely non-SQL-expressible ops → rows-only check).
+``oracle_sql()`` — DuckDB-equivalent SQL per query. Since r9 EVERY
+registered query has one (non-SQL-expressible ops carry certificate
+oracles: tolerance-certified sketches, md5-replayable LSH twins, an
+exact-integer trace anchor for the eigen stats) — the rows-only class
+is empty.
 
 Implementation lives in ``poormans_kube_etl_spark/``.
 """

@@ -244,45 +244,86 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
 
 def stream_dedup_against_corpus(
     new_docs_stream: DataFrame,
-    corpus_docs: DataFrame,
+    corpus_docs: DataFrame | None,
     sink_dir: str,
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
     query_name: str = "stream-dedup",
+    index=None,
     **minhash_kwargs,
 ):
     """Continuous delta-vs-corpus near-dup detection: each micro-batch
     of arriving documents is MinHash-joined against the STANDING corpus
-    (operators/minhash.minhash_incremental_near_duplicates) and the
-    surviving pairs land under ``sink_dir`` — the streaming face of the
-    r8 incremental-dedup operator, composed through the same
-    foreach_batch_pipeline idempotency discipline (one hive partition
-    dir per batch id, overwrite, so an at-least-once replay rewrites
-    rather than duplicates).
+    and the surviving pairs land under ``sink_dir`` — the streaming
+    face of the r8 incremental-dedup operator, composed through the
+    same foreach_batch_pipeline idempotency discipline (one hive
+    partition dir per batch id, overwrite, so an at-least-once replay
+    rewrites rather than duplicates).
 
-    Scale notes: the corpus side's signatures are recomputed per batch
-    here for simplicity — a production deployment persists them once
-    (see the operator's docstring) and passes a signature table reader
-    as ``corpus_docs``; the per-batch cost is then the delta's own
-    signatures plus one AQE-broadcastable band join. The batch function
-    must re-enter the DataFrame API from a foreachBatch callback, which
-    is exactly what the incremental operator supports (pure batch
+    Two corpus modes (exactly one of ``corpus_docs`` / ``index``):
+
+    - ``corpus_docs`` (raw documents): corpus signatures recomputed per
+      batch via minhash_incremental_near_duplicates — fine for small
+      standing corpora and tests.
+    - ``index`` (a ``CorpusMinhashIndex`` from
+      operators/minhash_index.read_corpus_minhash_index — r9, VERDICT
+      r08 #6): the production shape. Each micro-batch pays only its own
+      signatures plus two joins landing on the persisted tables' bucket
+      distribution; the corpus is never re-shingled, batch after batch.
+      Banding constants come FROM the artifact, so ``minhash_kwargs``
+      banding knobs are rejected to prevent silent disagreement.
+
+    The batch function must re-enter the DataFrame API from a
+    foreachBatch callback, which both operators support (pure batch
     DataFrames in, DataFrame out)."""
-    from poormans_kube_etl_spark.operators.minhash import (
-        minhash_incremental_near_duplicates,
-    )
+    if (corpus_docs is None) == (index is None):
+        raise ValueError("pass exactly one of corpus_docs or index")
+    if index is not None:
+        banding_knobs = {"shingle_len", "num_hashes", "bands", "hash_family"}
+        bad = banding_knobs & set(minhash_kwargs)
+        if bad:
+            raise ValueError(
+                f"banding knobs {sorted(bad)} come from the index's table "
+                "properties; rebuild the index to change them"
+            )
+        from poormans_kube_etl_spark.operators.minhash_index import (
+            minhash_incremental_near_duplicates_indexed,
+        )
 
-    def dedup_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
-        return minhash_incremental_near_duplicates(
-            batch_df.select(id_col, text_col),
-            corpus_docs,
+        if (index.constants["id_col"], index.constants["text_col"]) != (
             id_col,
             text_col,
-            threshold=threshold,
-            **minhash_kwargs,
+        ):
+            raise ValueError(
+                f"index was built over ({index.constants['id_col']}, "
+                f"{index.constants['text_col']}), stream is configured for "
+                f"({id_col}, {text_col})"
+            )
+
+        def dedup_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return minhash_incremental_near_duplicates_indexed(
+                batch_df.select(id_col, text_col),
+                index,
+                threshold=threshold,
+                **minhash_kwargs,
+            )
+
+    else:
+        from poormans_kube_etl_spark.operators.minhash import (
+            minhash_incremental_near_duplicates,
         )
+
+        def dedup_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return minhash_incremental_near_duplicates(
+                batch_df.select(id_col, text_col),
+                corpus_docs,
+                id_col,
+                text_col,
+                threshold=threshold,
+                **minhash_kwargs,
+            )
 
     return foreach_batch_pipeline(
         new_docs_stream, dedup_batch, sink_dir, checkpoint_dir, query_name

@@ -15,8 +15,11 @@ def test_cli_list(capsys):
     assert "* q1_pricing_summary" in out
     # oracle-backed since r8 (md5 hash family): '*' not 'o'
     assert "* dedup_minhash_lsh_pairs" in out
-    # rows-only queries still list with the 'o' marker
-    assert "o dedup_embedding_lsh_pairs" in out
+    # r9: the rows-only class is EMPTY — every registered query carries
+    # a DuckDB oracle (sketches tolerance-certified, LSH twins
+    # md5-replayable, spectral stats trace-anchored)
+    assert "* dedup_embedding_lsh_pairs" in out
+    assert "\no " not in out
 
 
 def test_cli_query_and_verify(spark, sf_dir, capsys):

@@ -279,3 +279,88 @@ def test_stream_dedup_against_corpus(spark, tmp_path):
     }
     assert got == {(100, 1)}
     assert os.path.isdir(os.path.join(sink, "batch_id=0"))
+
+
+def test_stream_dedup_against_persisted_index(spark, tmp_path):
+    """r9 (VERDICT r08 #6 'round 2 of a delta ingest'): the streaming
+    face fed by the PERSISTED corpus index — two successive micro-
+    batches join the artifact, the corpus is never re-shingled, and
+    banding knobs that could disagree with the artifact are rejected."""
+    import json
+
+    import pytest
+
+    from poormans_kube_etl_spark.operators.minhash_index import (
+        read_corpus_minhash_index,
+        write_corpus_minhash_index,
+    )
+    from poormans_kube_etl_spark.streaming.streams import (
+        stream_dedup_against_corpus,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again " * 4
+    corpus = spark.createDataFrame(
+        [(1, dup), (2, "standing corpus content nothing like the rest " * 4)],
+        "doc_id long, text string",
+    )
+    write_corpus_minhash_index(
+        corpus, "t_stream_idx", path=str(tmp_path / "idx"), n_buckets=2
+    )
+    try:
+        index = read_corpus_minhash_index(spark, "t_stream_idx")
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        with open(src / "shard-000.json", "w") as fh:
+            fh.write(json.dumps({"doc_id": 100, "text": dup}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        sink = str(tmp_path / "pairs")
+        q = (
+            stream_dedup_against_corpus(
+                stream,
+                None,
+                sink,
+                str(tmp_path / "ckpt"),
+                threshold=0.9,
+                index=index,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # round 2: a second delta shard arrives; the same artifact serves it
+        with open(src / "shard-001.json", "w") as fh:
+            fh.write(json.dumps({"doc_id": 200, "text": dup}) + "\n")
+            fh.write(json.dumps({"doc_id": 201, "text": "novel words " * 10}) + "\n")
+        q2 = (
+            stream_dedup_against_corpus(
+                stream,
+                None,
+                sink,
+                str(tmp_path / "ckpt"),
+                threshold=0.9,
+                index=index,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        got = {(r.a, r.b) for r in spark.read.parquet(sink).select("a", "b").collect()}
+        assert got == {(100, 1), (200, 1)}
+        # misuse guards: both sources / neither / divergent banding knobs
+        with pytest.raises(ValueError, match="exactly one"):
+            stream_dedup_against_corpus(
+                stream, corpus, sink, str(tmp_path / "c2"), index=index
+            )
+        with pytest.raises(ValueError, match="exactly one"):
+            stream_dedup_against_corpus(stream, None, sink, str(tmp_path / "c3"))
+        with pytest.raises(ValueError, match="come from the index"):
+            stream_dedup_against_corpus(
+                stream, None, sink, str(tmp_path / "c4"), index=index, bands=4
+            )
+        with pytest.raises(ValueError, match="stream is configured for"):
+            stream_dedup_against_corpus(
+                stream, None, sink, str(tmp_path / "c5"), index=index, id_col="vid"
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stream_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS t_stream_idx_shingles")
