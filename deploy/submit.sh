@@ -76,7 +76,11 @@ if [ -n "${S3_ACCESS_KEY:-}" ]; then
     chmod 600 "${PROPS_FILE}"
     DEFAULTS_FILE="${SPARK_HOME:-/opt/spark}/conf/spark-defaults.conf"
     if [ -f "${DEFAULTS_FILE}" ]; then
+        # the extra newline guards a defaults file with no trailing
+        # newline — without it the access-key line glues onto the last
+        # default (blank lines are ignored by the properties parser)
         cat "${DEFAULTS_FILE}" > "${PROPS_FILE}"
+        printf '\n' >> "${PROPS_FILE}"
     else
         : > "${PROPS_FILE}"
     fi

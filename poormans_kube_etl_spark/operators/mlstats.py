@@ -57,12 +57,26 @@ def _spectral_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     # Python ints never overflow; emitted as the correctly-rounded
     # double of the exact integer, which DuckDB's HUGEINT→DOUBLE cast
     # reproduces)
-    s = np.floor(mat * float(_TRACE_SCALE) + 0.5).astype("int64")
-    s1 = [int(v) for v in s.sum(axis=0, dtype="int64")]
+    scaled = np.floor(mat * float(_TRACE_SCALE) + 0.5)
+    if scaled.size and float(np.abs(scaled).max()) >= 2.0**63:
+        # .astype('int64') past int64 range is silent wraparound —
+        # trace_q would diverge from DuckDB's (erroring) CAST with no
+        # signal. Components that large mean the quantization scale is
+        # wrong for this data; fail the task loudly instead.
+        raise ValueError(
+            "label_spectral_stats: |component|*1e6 exceeds int64 — "
+            "embedding values too large for the trace_q quantization"
+        )
+    s = scaled.astype("int64")
     max_abs = int(np.abs(s).max()) if s.size else 0
     if n * max_abs * max_abs < 2**62:  # vectorized path provably exact
+        # (covers s1 too: max_abs >= 1 implies n*max_abs <= n*max_abs²)
+        s1 = [int(v) for v in s.sum(axis=0, dtype="int64")]
         s2 = [int(v) for v in (s * s).sum(axis=0, dtype="int64")]
-    else:  # arbitrary-precision fallback for huge/wide groups
+    else:  # arbitrary-precision fallback for huge/wide groups — BOTH
+        # sums (r9 review: the first cut left s1 on the int64 path,
+        # which wraps exactly when this branch is taken)
+        s1 = [int(sum(int(x) for x in col)) for col in s.T]
         s2 = [int(sum(int(x) * int(x) for x in col)) for col in s.T]
     trace_q = float(sum(n * b - a * a for a, b in zip(s1, s2)))
     if n < 2:

@@ -140,7 +140,11 @@ def _query_row_bytes_estimate(df: DataFrame) -> int | None:
 
 
 def _broadcast_query_side(
-    df: DataFrame, op: str, can_shuffle: bool, expansion: int = 1
+    df: DataFrame,
+    op: str,
+    can_shuffle: bool,
+    expansion: int = 1,
+    estimate_on: DataFrame | None = None,
 ) -> DataFrame:
     """Broadcast hint with a size guard. Over the cap: equi-join callers
     (ivf/lsh — the join key is a cell/bucket column) fall back to the
@@ -149,8 +153,11 @@ def _broadcast_query_side(
     non-broadcast cartesian against the corpus is never the plan anyone
     wants — chunk the query set or switch to lsh_topk/ivf_topk.
     ``expansion`` scales the estimate for callers that multiply the
-    query side after the check (multi-probe explode)."""
-    est = _query_row_bytes_estimate(df)
+    query side after the check (multi-probe explode, per-cell probes);
+    ``estimate_on`` sizes a DIFFERENT frame than the one hinted — the
+    user-supplied input rather than a derived plan whose stats multiply
+    through crossJoins/mapInPandas (one budget rule, three call sites)."""
+    est = _query_row_bytes_estimate(df if estimate_on is None else estimate_on)
     if est is None or est * expansion <= _QUERY_BCAST_MAX_ROW_BYTES:
         return F.broadcast(df)
     if can_shuffle:
@@ -819,17 +826,15 @@ def ivf_topk(
         checked_double_vec(vec_col, dim).alias("nn_vec"),
         cell_col,
     ).withColumn("_nn", _norm_expr("nn_vec", dim))
-    # guard sized on the user-supplied query projection (qs): the probes
-    # plan itself descends from a crossJoin whose stats multiply,
-    # overestimating wildly; probe rows ≤ n_probe × qs rows
-    q_est = _query_row_bytes_estimate(qs)
-    if q_est is not None and q_est * n_probe > _QUERY_BCAST_MAX_ROW_BYTES:
-        probe_side = probes  # shuffle equi-join on the cell column
-    else:
-        probe_side = F.broadcast(probes)
-    cands = corpus.join(probe_side, cell_col).where(
-        F.col("nn_id") != F.col("query_id")
-    )
+    # guard sized on the user-supplied query projection (qs), not the
+    # probes plan (descends from a crossJoin whose stats multiply);
+    # probe rows ≤ n_probe × qs rows
+    cands = corpus.join(
+        _broadcast_query_side(
+            probes, "ivf_topk", can_shuffle=True, expansion=n_probe, estimate_on=qs
+        ),
+        cell_col,
+    ).where(F.col("nn_id") != F.col("query_id"))
     # same bit-parity rationale as brute_force_topk: per-side norms +
     # one codegen'd pair dot instead of 3 folds per candidate
     sim = _dot_expr("q_vec", "nn_vec", dim) / F.nullif(
@@ -901,13 +906,16 @@ def lsh_topk(
     # guard sized on the user-supplied input (the bucketed side descends
     # from mapInPandas, whose plan stats are defaults, not data): the
     # multi-probe explode multiplies query rows by (1 + |masks|)
-    probe_expansion = 1 + (len(masks) if multi_probe >= 1 else 0)
-    q_est = _query_row_bytes_estimate(queries)
-    if q_est is not None and q_est * probe_expansion > _QUERY_BCAST_MAX_ROW_BYTES:
-        joined = corpus_b.join(query_b, "bucket")  # shuffle equi-join
-    else:
-        joined = corpus_b.join(F.broadcast(query_b), "bucket")
-    joined = joined.where(F.col("nn_id") != F.col("query_id"))
+    joined = corpus_b.join(
+        _broadcast_query_side(
+            query_b,
+            "lsh_topk",
+            can_shuffle=True,
+            expansion=1 + (len(masks) if multi_probe >= 1 else 0),
+            estimate_on=queries,
+        ),
+        "bucket",
+    ).where(F.col("nn_id") != F.col("query_id"))
     # codegen pair dot (bit-identical to cosine())
     scored = joined.select(
         "query_id",

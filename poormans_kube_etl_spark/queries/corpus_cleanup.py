@@ -13,6 +13,10 @@ from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table, spread_small_scan
 
 # ASCII character classes only: Java util.regex and RE2 agree on these
+# one persisted funnel boundary per session (see
+# train_corpus_build_funnel): sf_dir -> the persisted per-doc frame
+_FUNNEL_CACHE: dict[str, "DataFrame"] = {}
+
 _EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
 _IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
@@ -420,6 +424,15 @@ def train_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "n_toks", "q_ok", "ed_ok")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # bound the cache to ONE funnel frame per session (r9 review): a
+    # session sweeping several SFs would otherwise pin a documents-wide
+    # cache per sf_dir until shutdown, competing with later queries'
+    # execution memory. Same-sf_dir rebuilds keep their entry (the
+    # CacheManager dedupe that makes bench reps reuse the cache).
+    stale = [k for k in _FUNNEL_CACHE if k != sf_dir]
+    for k in stale:
+        _FUNNEL_CACHE.pop(k).unpersist()
+    _FUNNEL_CACHE[sf_dir] = per_doc
     ed = per_doc.where("ed_ok")
     pairs = minhash_near_duplicates(
         ed.select("doc_id", "text"),

@@ -453,12 +453,30 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % 10 == 0)
-    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    # identity = basename + a hash of the FULL normalized path (r9
+    # review: basename alone let /a/sf1 and /b/sf1 — or sf0.1 and
+    # sf0_1, which sanitize identically — silently share one index)
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    tag = (
+        re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(norm))
+        + "_"
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    )
     name = f"pke_mhidx_v1_{tag}"
-    if not spark.catalog.tableExists(f"{name}_bands"):
+    try:
+        # completeness = the whole artifact reads back (both tables +
+        # validated properties); a crash mid-build leaves a partial
+        # artifact that must trigger a REBUILD, not an eternal error
+        # (r9 review: a tableExists('_bands') guard made the overwrite
+        # recovery path unreachable)
+        idx = read_corpus_minhash_index(spark, name)
+    except Exception:
         # once per (session, SF): the ingest-time build. mode=overwrite
         # clears stale /tmp artifacts from earlier processes (the
-        # in-memory catalog forgets tables across sessions).
+        # in-memory catalog forgets tables across sessions) AND any
+        # half-written artifact from a crashed build.
         write_corpus_minhash_index(
             docs.where(F.col("doc_id") % 10 != 0),
             name,
@@ -470,7 +488,7 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
             path=f"/tmp/pke_mhidx_v1/{tag}",
             mode="overwrite",
         )
-    idx = read_corpus_minhash_index(spark, name)
+        idx = read_corpus_minhash_index(spark, name)
     return minhash_incremental_near_duplicates_indexed(new, idx, threshold=0.5).orderBy(
         "a", "b"
     )

@@ -176,11 +176,17 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_type",
             "exact_users",
             "n",
-            (
+            # total certificate (r9 review): a group whose user_ids are
+            # all NULL has exact = 0 — the ratio would be 0/0 = NaN and
+            # NaN <= bound reads FALSE against an oracle pinning TRUE.
+            # exact = 0 certifies iff the sketch also says 0.
+            F.when(F.col("exact_users") == 0, F.col("approx_users") == 0)
+            .otherwise(
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 / F.col("exact_users")
                 <= F.lit(5 * rsd)
-            ).alias("within_bound"),
+            )
+            .alias("within_bound"),
         )
         .orderBy("event_type")
     )
