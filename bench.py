@@ -54,10 +54,11 @@ HEADLINE = [
     # r08 additions: content-defined chunking + delta-vs-corpus dedup
     "train_cdc_chunk_documents",
     "dedup_minhash_incremental_pairs",
-    # r09 additions: persisted-index delta dedup (index build rides the
-    # untimed warm pass — the artifact point is that deltas DON'T pay
-    # it) + the materialized corpus-build funnel
+    # r09 additions: persisted-index delta dedup, both families (index
+    # build rides the untimed warm pass — the artifact point is that
+    # deltas DON'T pay it) + the materialized corpus-build funnel
     "dedup_minhash_index_delta_pairs",
+    "dedup_embedding_index_delta_pairs",
     "train_corpus_build_funnel",
 ]
 

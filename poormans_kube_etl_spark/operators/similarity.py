@@ -517,41 +517,32 @@ def srp_banding(
     return r, max(1, max_planes // r)
 
 
-def embedding_lsh_candidate_pairs(
+def srp_band_signatures(
     embeddings: DataFrame,
-    bands: int = 8,
-    planes_per_band: int = 8,
+    bands: int,
+    planes_per_band: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
-    max_bucket: int = 256,
 ) -> DataFrame:
-    """Deduped candidate id pairs (a, b) from banded SRP-LSH buckets —
-    the id-only half of ``embedding_near_pairs_lsh``, exposed so the
-    bench can attribute candidate-generation vs verify cost. Same
-    per-machine BLAS determinism caveat as
-    ``random_hyperplane_buckets``.
+    """(vid, band_id, bucket) band signatures for every vector — the
+    shared map side of self-dedup (embedding_lsh_candidate_pairs),
+    incremental delta-vs-corpus dedup, and the persisted SRP index
+    writer. Hyperplanes are deterministic in (bands·planes_per_band,
+    dim), so two frames banded with the same constants always agree.
 
-    Scale shape (VERDICT r02 #2): the bucket exchange carries ONLY
-    ``(vid, band_id, bucket)`` — all ``bands`` signatures are computed
-    map-side in one projection and the vector is dropped BEFORE the
-    explode, so the shuffle is O(bands · ids), not bands × corpus-bytes.
-    Candidate id pairs are generated per (band, bucket) from the sorted
-    vid list (hot buckets star-link to the min-id representative, same
-    trade as minhash.lsh_candidate_pairs) and deduped across bands while
-    still bare ids. Pinned by
-    ``test_embedding_lsh_bucket_exchange_is_id_only``.
-    """
-    # The band signatures are a dense (N × dim) · (dim × n_planes)
-    # matrix product — exactly the shape built-in expressions express
-    # WORST: per-element Column construction costs thousands of py4j
-    # round trips per query build, a SQL-string form costs seconds of
-    # ANTLR parse, and either way the planes×dim multiply-adds run as
-    # scalar expression code. This is the legitimate mapInPandas case:
-    # one Arrow exchange per batch, one numpy GEMM (vectorized, cache-
-    # blocked), output already the narrow (vid, band_id, bucket) rows —
-    # the vector never leaves the map side, so the bucket exchange stays
-    # id-only (pinned by test_embedding_lsh_bucket_exchange_is_id_only).
+    The band signatures are a dense (N × dim) · (dim × n_planes)
+    matrix product — exactly the shape built-in expressions express
+    WORST: per-element Column construction costs thousands of py4j
+    round trips per query build, a SQL-string form costs seconds of
+    ANTLR parse, and either way the planes×dim multiply-adds run as
+    scalar expression code. This is the legitimate mapInPandas case:
+    one Arrow exchange per batch, one numpy GEMM (vectorized, cache-
+    blocked), output already the narrow (vid, band_id, bucket) rows —
+    the vector never leaves the map side, so the bucket exchange stays
+    id-only (pinned by test_embedding_lsh_bucket_exchange_is_id_only).
+    Same per-machine BLAS determinism caveat as
+    ``random_hyperplane_buckets``."""
     if not 1 <= planes_per_band <= 64:
         # each band's bucket is one int64 bit-pack (same wrap hazard as
         # random_hyperplane_buckets; srp_banding never plans past 64)
@@ -589,8 +580,38 @@ def embedding_lsh_candidate_pairs(
 
     # the GEMM is the whole map side here — single-row-group inputs
     # would run it one-task (measured 3.4 s serial at sf1)
-    sigs = spread_small_scan(embeddings.select(id_col, vec_col)).mapInPandas(
+    return spread_small_scan(embeddings.select(id_col, vec_col)).mapInPandas(
         band_sigs, schema=f"vid {id_type}, band_id int, bucket bigint"
+    )
+
+
+def embedding_lsh_candidate_pairs(
+    embeddings: DataFrame,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Deduped candidate id pairs (a, b) from banded SRP-LSH buckets —
+    the id-only half of ``embedding_near_pairs_lsh``, exposed so the
+    bench can attribute candidate-generation vs verify cost. Same
+    per-machine BLAS determinism caveat as
+    ``random_hyperplane_buckets``.
+
+    Scale shape (VERDICT r02 #2): the bucket exchange carries ONLY
+    ``(vid, band_id, bucket)`` — all ``bands`` signatures are computed
+    map-side in one projection and the vector is dropped BEFORE the
+    explode, so the shuffle is O(bands · ids), not bands × corpus-bytes.
+    Candidate id pairs are generated per (band, bucket) from the sorted
+    vid list (hot buckets star-link to the min-id representative, same
+    trade as minhash.lsh_candidate_pairs) and deduped across bands while
+    still bare ids. Pinned by
+    ``test_embedding_lsh_bucket_exchange_is_id_only``.
+    """
+    sigs = srp_band_signatures(
+        embeddings, bands, planes_per_band, id_col, vec_col, dim
     )
     # collect_set + the shared expansion (r7 review): this block was a
     # diverged copy of minhash's — collect_list let a duplicated vec_id
@@ -710,6 +731,83 @@ def embedding_near_pairs_lsh(
         .join(vb, "b")
         .select("a", "b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _verify_cross_pairs(
+    cands: DataFrame,
+    new_embeddings: DataFrame,
+    corpus_vectors: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Exact-cosine verify of cross-side (a=new, b=corpus) candidate id
+    pairs — per-side norms, codegen'd pair dot, bit-identical to
+    ``cosine()``. ``corpus_vectors`` may be the raw corpus or a
+    persisted index's vectors table (same columns)."""
+    va = new_embeddings.select(
+        F.col(id_col).alias("a"), checked_double_vec(vec_col, dim).alias("_va")
+    ).withColumn("_na", _norm_expr("_va", dim))
+    vb = corpus_vectors.select(
+        F.col(id_col).alias("b"), checked_double_vec(vec_col, dim).alias("_vb")
+    ).withColumn("_nb", _norm_expr("_vb", dim))
+    sim = _dot_expr("_va", "_vb", dim) / F.nullif(
+        F.col("_na") * F.col("_nb"), F.lit(0.0)
+    )  # zero-norm -> NULL -> fails the >= threshold filter, no ANSI 0/0
+    return (
+        cands.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_incremental_near_pairs(
+    new_embeddings: DataFrame,
+    corpus_embeddings: DataFrame,
+    threshold: float = 0.8,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Delta-vs-corpus embedding near-dup pairs (a=new id, b=corpus id,
+    cos_sim >= threshold) — the r9 embedding twin of
+    ``minhash.minhash_incremental_near_duplicates``: a daily embedding
+    delta must not re-run self-dedup over the whole corpus. Both sides
+    are banded with the SAME deterministic hyperplanes (planned from
+    the CORPUS size when auto — the corpus sets the background
+    collision budget), candidates come from the bounded bucket join
+    (minhash.banded_bucket_join: the corpus side aggregates once,
+    buffer-capped, hot bands dropped), and only surviving unique pairs
+    pay the exact-cosine verify. New-vs-new pairs are NOT emitted —
+    run embedding_near_pairs_lsh on the delta for those. The persisted
+    face is operators/similarity_index.py."""
+    from poormans_kube_etl_spark.operators.minhash import banded_bucket_join
+
+    dim = resolve_dim(corpus_embeddings, vec_col, dim)
+    if (bands is None) != (planes_per_band is None):
+        raise ValueError(
+            "pass BOTH bands and planes_per_band or NEITHER; the pair "
+            "is planned jointly from the threshold (srp_banding)"
+        )
+    if bands is None:
+        planes_per_band, bands = srp_banding(
+            threshold, n_vectors=corpus_embeddings.count(), max_planes=1024
+        )
+    new_b = srp_band_signatures(
+        new_embeddings, bands, planes_per_band, id_col, vec_col, dim
+    ).select(F.col("vid").alias("a"), "band_id", F.col("bucket").alias("band_hash"))
+    corpus_b = srp_band_signatures(
+        corpus_embeddings, bands, planes_per_band, id_col, vec_col, dim
+    ).select(F.col("vid").alias("doc"), "band_id", F.col("bucket").alias("band_hash"))
+    cands = banded_bucket_join(new_b, corpus_b, max_bucket)
+    return _verify_cross_pairs(
+        cands, new_embeddings, corpus_embeddings, threshold, id_col, vec_col, dim
     )
 
 

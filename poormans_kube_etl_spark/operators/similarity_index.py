@@ -1,0 +1,190 @@
+"""Persisted corpus SRP (embedding) index — the embedding twin of
+operators/minhash_index.py (r9): bands computed once at ingest, every
+delta joins the artifact instead of re-GEMMing the corpus.
+
+Two catalog tables per index:
+
+- ``<name>_bands`` (doc, band_id, band_hash), bucketed by
+  (band_id, band_hash): the candidate join's corpus side — the column
+  names already match ``minhash.banded_bucket_join``'s contract, so
+  the bounded bucket aggregation and hot-band cap are the SAME code on
+  both families.
+- ``<name>_vectors`` (vec_id, embedding), bucketed by id: the exact-
+  cosine verify's corpus side, pre-distributed on its join key.
+
+Banding constants (bands / planes_per_band / dim / threshold it was
+planned for / id and vector columns) live in table properties on the
+bands table; hyperplanes are deterministic in (bands·planes_per_band,
+dim), so recording those two constants IS recording the planes — a
+delta banded with the same constants always lands in the same buckets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.similarity import (
+    _verify_cross_pairs,
+    resolve_dim,
+    srp_band_signatures,
+    srp_banding,
+)
+
+INDEX_FORMAT_VERSION = "1"
+
+_PROP_PREFIX = "pke.srp."
+_CONSTANT_KEYS = (
+    "id_col",
+    "vec_col",
+    "dim",
+    "bands",
+    "planes_per_band",
+    "planned_threshold",
+    "format_version",
+)
+
+
+@dataclass(frozen=True)
+class CorpusSrpIndex:
+    """Handle to a persisted embedding index: the two table-backed
+    frames plus the banding constants they were built with."""
+
+    bands: DataFrame
+    vectors: DataFrame
+    constants: dict[str, str]
+
+
+def write_corpus_srp_index(
+    corpus_embeddings: DataFrame,
+    name: str,
+    *,
+    threshold: float = 0.9,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_buckets: int = 64,
+    path: str | None = None,
+    mode: str = "errorifexists",
+) -> None:
+    """Band the corpus ONCE (auto-planned from the corpus size at
+    ``threshold`` unless the pair is given explicitly — same joint-
+    planning rule as embedding_near_pairs_lsh) and land the bands +
+    vectors tables. The banding plan runs one count — the standard
+    ANN build-time action, paid once per ingest."""
+    if (bands is None) != (planes_per_band is None):
+        raise ValueError(
+            "pass BOTH bands and planes_per_band or NEITHER; the pair "
+            "is planned jointly from the threshold (srp_banding)"
+        )
+    dim = resolve_dim(corpus_embeddings, vec_col, dim)
+    if bands is None:
+        planes_per_band, bands = srp_banding(
+            threshold, n_vectors=corpus_embeddings.count(), max_planes=1024
+        )
+    spark = corpus_embeddings.sparkSession
+    banded = srp_band_signatures(
+        corpus_embeddings, bands, planes_per_band, id_col, vec_col, dim
+    ).select(F.col("vid").alias("doc"), "band_id", F.col("bucket").alias("band_hash"))
+    w = banded.write.mode(mode).bucketBy(n_buckets, "band_id", "band_hash")
+    if path is not None:
+        w = w.option("path", f"{path}/bands")
+    w.saveAsTable(f"{name}_bands")
+
+    vecs = corpus_embeddings.select(id_col, vec_col).write.mode(mode).bucketBy(
+        n_buckets, id_col
+    )
+    if path is not None:
+        vecs = vecs.option("path", f"{path}/vectors")
+    vecs.saveAsTable(f"{name}_vectors")
+
+    props = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "dim": str(dim),
+        "bands": str(bands),
+        "planes_per_band": str(planes_per_band),
+        "planned_threshold": str(threshold),
+        "format_version": INDEX_FORMAT_VERSION,
+    }
+    kv = ", ".join(f"'{_PROP_PREFIX}{k}'='{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {name}_bands SET TBLPROPERTIES ({kv})")
+
+
+def read_corpus_srp_index(spark: SparkSession, name: str) -> CorpusSrpIndex:
+    """Open a persisted SRP index, restoring and validating its banding
+    constants (same discipline as minhash_index: constants come FROM
+    the artifact, so two-engine banding disagreement is
+    unrepresentable)."""
+    bands = spark.table(f"{name}_bands")
+    vectors = spark.table(f"{name}_vectors")
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    constants: dict[str, str] = {}
+    for k in _CONSTANT_KEYS:
+        full = _PROP_PREFIX + k
+        if full not in props:
+            raise ValueError(
+                f"{name}_bands is missing table property {full!r} — not a "
+                "corpus SRP index (or written by an older layout)"
+            )
+        constants[k] = props[full]
+    if constants["format_version"] != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"{name}: index format {constants['format_version']} != "
+            f"supported {INDEX_FORMAT_VERSION}; rebuild with "
+            "write_corpus_srp_index"
+        )
+    return CorpusSrpIndex(bands=bands, vectors=vectors, constants=constants)
+
+
+def embedding_incremental_near_pairs_indexed(
+    new_embeddings: DataFrame,
+    index: CorpusSrpIndex,
+    threshold: float | None = None,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Delta-vs-corpus pairs (a=new id, b=corpus id, cos_sim >=
+    threshold) against a PERSISTED index: the delta pays one GEMM over
+    its own vectors plus two joins landing on the artifact's bucket
+    distribution — the corpus is never re-banded. ``threshold=None``
+    verifies at the threshold the index was planned for; a HIGHER
+    verify threshold is fine (stricter filter over the same
+    candidates), a LOWER one loses recall the banding never planned
+    for, so it is rejected loudly."""
+    c = index.constants
+    planned = float(c["planned_threshold"])
+    if threshold is None:
+        threshold = planned
+    elif threshold < planned:
+        raise ValueError(
+            f"verify threshold {threshold} is below the index's planned "
+            f"threshold {planned}: the banding never generated candidates "
+            "for that regime — rebuild the index planned at the lower "
+            "threshold"
+        )
+    from poormans_kube_etl_spark.operators.minhash import banded_bucket_join
+
+    dim = int(c["dim"])
+    new_b = srp_band_signatures(
+        new_embeddings,
+        int(c["bands"]),
+        int(c["planes_per_band"]),
+        c["id_col"],
+        c["vec_col"],
+        dim,
+    ).select(F.col("vid").alias("a"), "band_id", F.col("bucket").alias("band_hash"))
+    cands = banded_bucket_join(new_b, index.bands, max_bucket)
+    return _verify_cross_pairs(
+        cands,
+        new_embeddings,
+        index.vectors,
+        threshold,
+        c["id_col"],
+        c["vec_col"],
+        dim,
+    )

@@ -83,6 +83,7 @@ _loaded = False
 _PRIORITY = [
     # (a) new or changed this round
     "dedup_minhash_index_delta_pairs",
+    "dedup_embedding_index_delta_pairs",
     "approx_distinct_users_by_type",
     "approx_percentile_quantity",
     "dedup_embedding_lsh_pairs",
@@ -129,11 +130,11 @@ _PRIORITY = [
     "window_running_revenue",
     "window_sliding_3row_avg",
     "window_top3_orders_per_customer",
-    # (c) r07-latest fill (alphabetical first 4)
+    # (c) r07-latest fill (alphabetical first 3; the 4th seat went to
+    # the round's second new query above)
     "agg_boolean_family",
     "agg_filtered_conditional",
     "agg_histogram_quantity",
-    "agg_min_by_max_by",
 ]
 
 

@@ -494,6 +494,77 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "dedup_embedding_index_delta_pairs",
+    oracle="""
+    WITH o AS (
+      SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 50
+    ),
+    t AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(v)),
+               j -> CAST(v[j] * (1.0
+                      + (('0x' || substr(md5(vec_id || ':' || (j - 1)), 1, 8))::BIGINT
+                         % 7) / 100.0) AS REAL)
+             ) AS tv
+      FROM o
+    ),
+    p AS (
+      SELECT o.vec_id + 1000000 AS a, o.vec_id AS b,
+             list_dot_product(t.tv::DOUBLE[], o.v::DOUBLE[])
+               / (sqrt(list_dot_product(t.tv::DOUBLE[], t.tv::DOUBLE[]))
+                  * sqrt(list_dot_product(o.v::DOUBLE[], o.v::DOUBLE[]))) AS cos_sim
+      FROM o JOIN t USING (vec_id)
+    )
+    SELECT a, b, cos_sim FROM p WHERE cos_sim >= 0.9 ORDER BY a, b
+    """,
+)
+def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding twin of dedup_minhash_index_delta_pairs (r9): a
+    DELTA of md5-perturbed twins joins a PERSISTED SRP index of the
+    corpus (operators/similarity_index.py — bands bucketed by
+    (band_id, band_hash), vectors by id, constants in table
+    properties). The corpus is banded once per (session, SF); each
+    delta pays one GEMM over its own 50 vectors plus two
+    bucket-distributed joins. The DuckDB twin reconstructs the delta
+    bit-exactly and emits each planted pair with its exact left-fold
+    cosine — the same certificate shape as dedup_embedding_lsh_pairs,
+    with (a=new id, b=corpus id) orientation."""
+    import hashlib
+    import os
+    import re
+
+    from poormans_kube_etl_spark.operators.similarity_index import (
+        embedding_incremental_near_pairs_indexed,
+        read_corpus_srp_index,
+        write_corpus_srp_index,
+    )
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    delta = _planted_twins(emb).select("vec_id", "embedding")
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    tag = (
+        re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(norm))
+        + "_"
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    )
+    name = f"pke_srpidx_v1_{tag}"
+    try:
+        idx = read_corpus_srp_index(spark, name)
+    except Exception:
+        write_corpus_srp_index(
+            emb,
+            name,
+            threshold=0.9,
+            n_buckets=8,
+            path=f"/tmp/pke_srpidx_v1/{tag}",
+            mode="overwrite",
+        )
+        idx = read_corpus_srp_index(spark, name)
+    return embedding_incremental_near_pairs_indexed(delta, idx).orderBy("a", "b")
+
+
 def _simhash_oracle_sql(max_hamming: int) -> str:
     """Full-pipeline DuckDB twin of ``simhash_near_duplicates(token_hash=
     "md5")``: recompute every fingerprint from scratch (same md5-derived
@@ -641,6 +712,14 @@ def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:
     ``dedup_embedding_lsh_pairs`` reconstructs the twins bit-exactly:
     both engines widen the float component to double, multiply by the
     same double factor, and round once back to float32."""
+    return emb.unionByName(_planted_twins(emb, n))
+
+
+def _planted_twins(emb: DataFrame, n: int = 50) -> DataFrame:
+    """Just the perturbed twins of the first ``n`` vectors (id + 1e6) —
+    the deterministic 'delta' frame for the incremental embedding
+    queries; ``_with_planted_near_dups`` unions them onto the corpus
+    for the self-dedup demo. See that docstring for the md5 factor."""
     others = [c for c in emb.columns if c not in ("vec_id", "embedding")]
     # two-step select: the hash must see the ORIGINAL id, and a lambda
     # inside the same select that aliases the new id would resolve
@@ -681,7 +760,7 @@ def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:
             ).cast("float"),
         ).alias("embedding"),
     )
-    return emb.unionByName(planted)
+    return planted
 
 
 @register(

@@ -116,3 +116,102 @@ def test_constants_come_from_artifact_not_caller(spark, corpus_index):
     sig = inspect.signature(minhash_incremental_near_duplicates_indexed)
     assert set(sig.parameters) == {"new_docs", "index", "threshold", "max_bucket"}
     assert isinstance(corpus_index, CorpusMinhashIndex)
+
+
+# ---------------------------------------------------------------------------
+# Persisted SRP (embedding) index — the r9 embedding twin of the above
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def srp_index(spark, sf_dir, tmp_path_factory):
+    from poormans_kube_etl_spark.operators.similarity_index import (
+        read_corpus_srp_index,
+        write_corpus_srp_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("srpidx"))
+    write_corpus_srp_index(emb, "t_srpidx", threshold=0.9, path=path, n_buckets=4)
+    yield read_corpus_srp_index(spark, "t_srpidx")
+    spark.sql("DROP TABLE IF EXISTS t_srpidx_bands")
+    spark.sql("DROP TABLE IF EXISTS t_srpidx_vectors")
+
+
+def test_srp_indexed_incremental_matches_live_path(spark, sf_dir, srp_index):
+    """Artifact path == live two-sided computation, pair for pair, with
+    the banding constants restored from table properties."""
+    from poormans_kube_etl_spark.operators.similarity import (
+        embedding_incremental_near_pairs,
+    )
+    from poormans_kube_etl_spark.operators.similarity_index import (
+        embedding_incremental_near_pairs_indexed,
+    )
+    from poormans_kube_etl_spark.queries.dedup import _planted_twins
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    delta = _planted_twins(emb).select("vec_id", "embedding")
+    c = srp_index.constants
+    live = sorted(
+        map(
+            tuple,
+            embedding_incremental_near_pairs(
+                delta,
+                emb,
+                threshold=0.9,
+                bands=int(c["bands"]),
+                planes_per_band=int(c["planes_per_band"]),
+            ).collect(),
+        )
+    )
+    indexed = sorted(
+        map(
+            tuple,
+            embedding_incremental_near_pairs_indexed(delta, srp_index).collect(),
+        )
+    )
+    assert indexed == live
+    # every planted twin recovered against its original, nothing else
+    assert {(a, b) for a, b, _ in indexed} == {
+        (i + 1_000_000, i) for i in range(50)
+    }
+
+
+def test_srp_indexed_delta_never_rebands_corpus(spark, srp_index):
+    """Plan gate: a local-relation delta's only parquet scans are the
+    index tables — the corpus embeddings are never re-read, never
+    re-GEMMed."""
+    from poormans_kube_etl_spark.operators.similarity_index import (
+        embedding_incremental_near_pairs_indexed,
+    )
+
+    dim = int(srp_index.constants["dim"])
+    delta = spark.createDataFrame(
+        [(9_000_001, [0.25] * dim)], "vec_id long, embedding array<float>"
+    )
+    df = embedding_incremental_near_pairs_indexed(delta, srp_index)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line or "Scan parquet" in line
+    ]
+    assert scans, "expected the index tables to be scanned"
+    for line in scans:
+        assert "t_srpidx_bands" in line or "t_srpidx_vectors" in line, line[:160]
+    df.collect()  # end-to-end
+
+
+def test_srp_index_rejects_below_planned_threshold(spark, srp_index):
+    from poormans_kube_etl_spark.operators.similarity_index import (
+        embedding_incremental_near_pairs_indexed,
+    )
+
+    dim = int(srp_index.constants["dim"])
+    delta = spark.createDataFrame(
+        [(9_000_001, [0.25] * dim)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="below the index's planned"):
+        embedding_incremental_near_pairs_indexed(delta, srp_index, threshold=0.5)
+    # at or above the planned threshold is fine
+    embedding_incremental_near_pairs_indexed(delta, srp_index, threshold=0.95)
