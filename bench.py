@@ -491,12 +491,12 @@ def emit_results(payload: dict, repo_root: str = REPO_ROOT) -> str:
         "sf": payload["sf"],
         "protocol": payload.get("protocol"),
         "n_queries": len(payload["queries"]),
-        # 2 dp in the HEADLINE map only (r9: 24 queries at 4 dp broke
-        # the 1000-byte tail budget and the guard dropped the whole map
-        # from the recorded line); BENCH_DETAIL.json keeps full
-        # precision + spreads for anything finer than centiseconds
+        # 2 dp in the HEADLINE map only, and no "detail" pointer (r9:
+        # 24 queries at 4 dp broke the 1000-byte tail budget and the
+        # guard dropped the whole map from the recorded line);
+        # BENCH_DETAIL.json keeps full precision + spreads and is named
+        # by the payload line above
         "queries": {k: round(v, 2) for k, v in payload["queries"].items()},
-        "detail": "BENCH_DETAIL.json",
     }
     detail_path = os.path.join(repo_root, "BENCH_DETAIL.json")
     tmp_path = detail_path + ".tmp"

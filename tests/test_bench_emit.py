@@ -82,8 +82,10 @@ def test_real_headline_surface_fits_tail_budget():
         "sf": 0.1,
         "protocol": "warm1+min2",
         "n_queries": len(names),
-        "queries": {n: 8888.8888 for n in names},
-        "detail": "BENCH_DETAIL.json",
+        # the real emit path rounds the headline map to 2dp and drops
+        # the detail pointer (r9) — the worst realistic per-query width
+        # is dd.dd
+        "queries": {n: 88.88 for n in names},
     }
     assert len(json.dumps(headline)) <= 1000
 
