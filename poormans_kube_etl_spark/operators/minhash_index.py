@@ -5,15 +5,19 @@ incremental dedup path was designed around (VERDICT r08 #6).
 corpus side's signatures are computed ONCE and persisted; this module
 is that writer/reader pair. Two catalog tables per index:
 
-- ``<name>_bands`` (doc, band_id, band_hash), bucketed by
-  (band_id, band_hash): the candidate join's corpus side. Bucketing
-  means each delta's band-keyed join and the in-bucket aggregation
-  reuse the on-disk hash distribution — no corpus-side exchange.
+- ``<name>_buckets`` (band_id, band_hash, bs), bucketed by
+  (band_id, band_hash): the candidate join's corpus side,
+  PRE-AGGREGATED to capped doc-id arrays at write time
+  (minhash.bounded_buckets) — a delta pays neither a corpus-side
+  exchange NOR the per-delta bucket aggregation (measured ~60% of the
+  indexed delta's cost on the embedding twin at sf10). The price:
+  ``max_bucket`` is baked into the artifact like the banding
+  constants — rebuild to change it.
 - ``<name>_shingles`` (doc, shingles), bucketed by doc id: the exact
   Jaccard verify's corpus side, again pre-distributed on its join key.
 
 The banding constants (shingle_len / num_hashes / bands / hash_family
-/ id and text columns) are recorded as table properties on the bands
+/ id and text columns) are recorded as table properties on the buckets
 table — both sides of an incremental join MUST agree on them or
 buckets never collide, so the reader restores them and the indexed
 query takes them from the artifact instead of trusting the caller.
@@ -33,7 +37,8 @@ from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.minhash import (
     _banded,
-    banded_bucket_join,
+    bounded_buckets,
+    bucket_candidate_join,
     signed_for,
 )
 
@@ -49,6 +54,7 @@ _CONSTANT_KEYS = (
     "num_hashes",
     "bands",
     "hash_family",
+    "max_bucket",
     "format_version",
 )
 
@@ -58,7 +64,7 @@ class CorpusMinhashIndex:
     """Handle to a persisted corpus index: the two table-backed frames
     plus the banding constants they were built with."""
 
-    bands: DataFrame
+    buckets: DataFrame
     shingles: DataFrame
     constants: dict[str, str]
 
@@ -77,6 +83,7 @@ def write_corpus_minhash_index(
     num_hashes: int = 32,
     bands: int = 8,
     hash_family: str = "xxhash64",
+    max_bucket: int = 256,
     n_buckets: int = 64,
     path: str | None = None,
     mode: str = "errorifexists",
@@ -85,7 +92,7 @@ def write_corpus_minhash_index(
     tables described in the module docstring. One signature pass feeds
     both writes via a persist (unpersisted before returning — writes
     are actions, so the cache's useful life ends here). ``path`` roots
-    EXTERNAL tables at ``<path>/bands|shingles`` (else the session
+    EXTERNAL tables at ``<path>/buckets|shingles`` (else the session
     warehouse); ``n_buckets`` sizes the on-disk hash distribution —
     pick ~corpus-partition count at scale."""
     if num_hashes % bands != 0:
@@ -96,10 +103,11 @@ def write_corpus_minhash_index(
     ).persist()
     try:
         banded = _banded(signed, id_col, bands, num_hashes // bands)
-        w = banded.write.mode(mode).bucketBy(n_buckets, "band_id", "band_hash")
+        buckets = bounded_buckets(banded, max_bucket)
+        w = buckets.write.mode(mode).bucketBy(n_buckets, "band_id", "band_hash")
         if path is not None:
-            w = w.option("path", f"{path}/bands")
-        w.saveAsTable(f"{name}_bands")
+            w = w.option("path", f"{path}/buckets")
+        w.saveAsTable(f"{name}_buckets")
 
         sh = (
             signed.select(F.col(id_col).alias("doc"), "shingles")
@@ -118,26 +126,27 @@ def write_corpus_minhash_index(
         "num_hashes": str(num_hashes),
         "bands": str(bands),
         "hash_family": hash_family,
+        "max_bucket": str(max_bucket),
         "format_version": INDEX_FORMAT_VERSION,
     }
     kv = ", ".join(f"'{_PROP_PREFIX}{k}'='{v}'" for k, v in props.items())
-    spark.sql(f"ALTER TABLE {name}_bands SET TBLPROPERTIES ({kv})")
+    spark.sql(f"ALTER TABLE {name}_buckets SET TBLPROPERTIES ({kv})")
 
 
 def read_corpus_minhash_index(spark: SparkSession, name: str) -> CorpusMinhashIndex:
     """Open a persisted index and restore its banding constants from
-    the bands table's properties — loudly rejecting artifacts written
+    the buckets table's properties — loudly rejecting artifacts written
     by an incompatible layout version."""
-    bands = spark.table(f"{name}_bands")
+    buckets = spark.table(f"{name}_buckets")
     shingles = spark.table(f"{name}_shingles")
-    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_buckets").collect()
     props = {r["key"]: r["value"] for r in rows}
     constants: dict[str, str] = {}
     for k in _CONSTANT_KEYS:
         full = _PROP_PREFIX + k
         if full not in props:
             raise ValueError(
-                f"{name}_bands is missing table property {full!r} — not a "
+                f"{name}_buckets is missing table property {full!r} — not a "
                 "corpus minhash index (or written by an older layout)"
             )
         constants[k] = props[full]
@@ -147,14 +156,13 @@ def read_corpus_minhash_index(spark: SparkSession, name: str) -> CorpusMinhashIn
             f"supported {INDEX_FORMAT_VERSION}; rebuild with "
             "write_corpus_minhash_index"
         )
-    return CorpusMinhashIndex(bands=bands, shingles=shingles, constants=constants)
+    return CorpusMinhashIndex(buckets=buckets, shingles=shingles, constants=constants)
 
 
 def minhash_incremental_near_duplicates_indexed(
     new_docs: DataFrame,
     index: CorpusMinhashIndex,
     threshold: float = 0.5,
-    max_bucket: int = 256,
 ) -> DataFrame:
     """New-batch-vs-corpus near-dup pairs (a=new id, b=corpus id,
     jaccard >= threshold) against a PERSISTED index: the delta pays its
@@ -173,7 +181,7 @@ def minhash_incremental_near_duplicates_indexed(
     new_b = _banded(
         new_signed, c["id_col"], bands, num_hashes // bands
     ).withColumnRenamed("doc", "a")
-    cands = banded_bucket_join(new_b, index.bands, max_bucket)
+    cands = bucket_candidate_join(new_b, index.buckets)
     sa = new_signed.select(
         F.col(c["id_col"]).alias("a"), F.col("shingles").alias("sh_a")
     )

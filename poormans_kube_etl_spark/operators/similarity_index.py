@@ -4,11 +4,14 @@ delta joins the artifact instead of re-GEMMing the corpus.
 
 Two catalog tables per index:
 
-- ``<name>_bands`` (doc, band_id, band_hash), bucketed by
-  (band_id, band_hash): the candidate join's corpus side — the column
-  names already match ``minhash.banded_bucket_join``'s contract, so
-  the bounded bucket aggregation and hot-band cap are the SAME code on
-  both families.
+- ``<name>_buckets`` (band_id, band_hash, bs), bucketed by
+  (band_id, band_hash): the candidate join's corpus side,
+  PRE-AGGREGATED to capped doc-id arrays at write time via
+  ``minhash.bounded_buckets`` — the same bounded aggregation code on
+  both families, paid once per ingest instead of once per delta
+  (measured at sf10: 4.5 s/delta with raw band rows, 1.9 s with
+  pre-aggregated buckets, vs 4.3 s live — raw rows made the artifact
+  pointless for embeddings, whose corpus GEMM is cheap).
 - ``<name>_vectors`` (vec_id, embedding), bucketed by id: the exact-
   cosine verify's corpus side, pre-distributed on its join key.
 
@@ -26,6 +29,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.operators.minhash import (
+    bounded_buckets,
+    bucket_candidate_join,
+)
 from poormans_kube_etl_spark.operators.similarity import (
     _verify_cross_pairs,
     resolve_dim,
@@ -43,6 +50,7 @@ _CONSTANT_KEYS = (
     "bands",
     "planes_per_band",
     "planned_threshold",
+    "max_bucket",
     "format_version",
 )
 
@@ -52,7 +60,7 @@ class CorpusSrpIndex:
     """Handle to a persisted embedding index: the two table-backed
     frames plus the banding constants they were built with."""
 
-    bands: DataFrame
+    buckets: DataFrame
     vectors: DataFrame
     constants: dict[str, str]
 
@@ -67,6 +75,7 @@ def write_corpus_srp_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int = 256,
     n_buckets: int = 64,
     path: str | None = None,
     mode: str = "errorifexists",
@@ -90,10 +99,11 @@ def write_corpus_srp_index(
     banded = srp_band_signatures(
         corpus_embeddings, bands, planes_per_band, id_col, vec_col, dim
     ).select(F.col("vid").alias("doc"), "band_id", F.col("bucket").alias("band_hash"))
-    w = banded.write.mode(mode).bucketBy(n_buckets, "band_id", "band_hash")
+    buckets = bounded_buckets(banded, max_bucket)
+    w = buckets.write.mode(mode).bucketBy(n_buckets, "band_id", "band_hash")
     if path is not None:
-        w = w.option("path", f"{path}/bands")
-    w.saveAsTable(f"{name}_bands")
+        w = w.option("path", f"{path}/buckets")
+    w.saveAsTable(f"{name}_buckets")
 
     vecs = corpus_embeddings.select(id_col, vec_col).write.mode(mode).bucketBy(
         n_buckets, id_col
@@ -109,10 +119,11 @@ def write_corpus_srp_index(
         "bands": str(bands),
         "planes_per_band": str(planes_per_band),
         "planned_threshold": str(threshold),
+        "max_bucket": str(max_bucket),
         "format_version": INDEX_FORMAT_VERSION,
     }
     kv = ", ".join(f"'{_PROP_PREFIX}{k}'='{v}'" for k, v in props.items())
-    spark.sql(f"ALTER TABLE {name}_bands SET TBLPROPERTIES ({kv})")
+    spark.sql(f"ALTER TABLE {name}_buckets SET TBLPROPERTIES ({kv})")
 
 
 def read_corpus_srp_index(spark: SparkSession, name: str) -> CorpusSrpIndex:
@@ -120,16 +131,16 @@ def read_corpus_srp_index(spark: SparkSession, name: str) -> CorpusSrpIndex:
     constants (same discipline as minhash_index: constants come FROM
     the artifact, so two-engine banding disagreement is
     unrepresentable)."""
-    bands = spark.table(f"{name}_bands")
+    buckets = spark.table(f"{name}_buckets")
     vectors = spark.table(f"{name}_vectors")
-    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_buckets").collect()
     props = {r["key"]: r["value"] for r in rows}
     constants: dict[str, str] = {}
     for k in _CONSTANT_KEYS:
         full = _PROP_PREFIX + k
         if full not in props:
             raise ValueError(
-                f"{name}_bands is missing table property {full!r} — not a "
+                f"{name}_buckets is missing table property {full!r} — not a "
                 "corpus SRP index (or written by an older layout)"
             )
         constants[k] = props[full]
@@ -139,14 +150,13 @@ def read_corpus_srp_index(spark: SparkSession, name: str) -> CorpusSrpIndex:
             f"supported {INDEX_FORMAT_VERSION}; rebuild with "
             "write_corpus_srp_index"
         )
-    return CorpusSrpIndex(bands=bands, vectors=vectors, constants=constants)
+    return CorpusSrpIndex(buckets=buckets, vectors=vectors, constants=constants)
 
 
 def embedding_incremental_near_pairs_indexed(
     new_embeddings: DataFrame,
     index: CorpusSrpIndex,
     threshold: float | None = None,
-    max_bucket: int = 256,
 ) -> DataFrame:
     """Delta-vs-corpus pairs (a=new id, b=corpus id, cos_sim >=
     threshold) against a PERSISTED index: the delta pays one GEMM over
@@ -167,8 +177,6 @@ def embedding_incremental_near_pairs_indexed(
             "for that regime — rebuild the index planned at the lower "
             "threshold"
         )
-    from poormans_kube_etl_spark.operators.minhash import banded_bucket_join
-
     dim = int(c["dim"])
     new_b = srp_band_signatures(
         new_embeddings,
@@ -178,7 +186,7 @@ def embedding_incremental_near_pairs_indexed(
         c["vec_col"],
         dim,
     ).select(F.col("vid").alias("a"), "band_id", F.col("bucket").alias("band_hash"))
-    cands = banded_bucket_join(new_b, index.bands, max_bucket)
+    cands = bucket_candidate_join(new_b, index.buckets)
     return _verify_cross_pairs(
         cands,
         new_embeddings,

@@ -281,7 +281,13 @@ def stream_dedup_against_corpus(
     if (corpus_docs is None) == (index is None):
         raise ValueError("pass exactly one of corpus_docs or index")
     if index is not None:
-        banding_knobs = {"shingle_len", "num_hashes", "bands", "hash_family"}
+        banding_knobs = {
+            "shingle_len",
+            "num_hashes",
+            "bands",
+            "hash_family",
+            "max_bucket",  # baked into the pre-aggregated buckets (r9)
+        }
         bad = banding_knobs & set(minhash_kwargs)
         if bad:
             raise ValueError(

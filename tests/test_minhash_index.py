@@ -30,7 +30,7 @@ def corpus_index(spark, sf_dir, tmp_path_factory):
         corpus, "t_mhidx", path=path, n_buckets=4, **_CONSTS
     )
     yield read_corpus_minhash_index(spark, "t_mhidx")
-    spark.sql("DROP TABLE IF EXISTS t_mhidx_bands")
+    spark.sql("DROP TABLE IF EXISTS t_mhidx_buckets")
     spark.sql("DROP TABLE IF EXISTS t_mhidx_shingles")
 
 
@@ -39,7 +39,10 @@ def test_index_roundtrip_restores_constants(corpus_index):
     assert c["hash_family"] == "md5"
     assert (int(c["shingle_len"]), int(c["num_hashes"]), int(c["bands"])) == (3, 32, 8)
     assert c["id_col"] == "doc_id" and c["text_col"] == "text"
-    assert corpus_index.bands.columns == ["doc", "band_id", "band_hash"]
+    assert int(c["max_bucket"]) == 256
+    # r9 (cont.): buckets are PRE-AGGREGATED at write time — the delta
+    # never pays the per-delta bucket aggregation
+    assert corpus_index.buckets.columns == ["band_id", "band_hash", "bs"]
     assert corpus_index.shingles.columns == ["doc", "shingles"]
 
 
@@ -87,14 +90,14 @@ def test_indexed_incremental_reuses_persisted_bands(spark, corpus_index):
     ]
     assert scans, "expected the index tables to be scanned"
     for line in scans:
-        assert "t_mhidx_bands" in line or "t_mhidx_shingles" in line, line[:160]
+        assert "t_mhidx_buckets" in line or "t_mhidx_shingles" in line, line[:160]
     # and it still runs end to end (no pairs for an unrelated doc)
     assert df.collect() == []
 
 
 def test_reader_rejects_non_index_tables(spark):
     spark.range(3).selectExpr("id as doc").write.mode("overwrite").saveAsTable(
-        "t_notidx_bands"
+        "t_notidx_buckets"
     )
     spark.range(3).selectExpr("id as doc").write.mode("overwrite").saveAsTable(
         "t_notidx_shingles"
@@ -103,7 +106,7 @@ def test_reader_rejects_non_index_tables(spark):
         with pytest.raises(ValueError, match="missing table property"):
             read_corpus_minhash_index(spark, "t_notidx")
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_notidx_bands")
+        spark.sql("DROP TABLE IF EXISTS t_notidx_buckets")
         spark.sql("DROP TABLE IF EXISTS t_notidx_shingles")
 
 
@@ -114,7 +117,9 @@ def test_constants_come_from_artifact_not_caller(spark, corpus_index):
     import inspect
 
     sig = inspect.signature(minhash_incremental_near_duplicates_indexed)
-    assert set(sig.parameters) == {"new_docs", "index", "threshold", "max_bucket"}
+    # max_bucket moved INTO the artifact in r9 (buckets pre-aggregated
+    # at write time) — no caller knob can disagree with it either
+    assert set(sig.parameters) == {"new_docs", "index", "threshold"}
     assert isinstance(corpus_index, CorpusMinhashIndex)
 
 
@@ -134,7 +139,7 @@ def srp_index(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("srpidx"))
     write_corpus_srp_index(emb, "t_srpidx", threshold=0.9, path=path, n_buckets=4)
     yield read_corpus_srp_index(spark, "t_srpidx")
-    spark.sql("DROP TABLE IF EXISTS t_srpidx_bands")
+    spark.sql("DROP TABLE IF EXISTS t_srpidx_buckets")
     spark.sql("DROP TABLE IF EXISTS t_srpidx_vectors")
 
 
@@ -198,7 +203,7 @@ def test_srp_indexed_delta_never_rebands_corpus(spark, srp_index):
     ]
     assert scans, "expected the index tables to be scanned"
     for line in scans:
-        assert "t_srpidx_bands" in line or "t_srpidx_vectors" in line, line[:160]
+        assert "t_srpidx_buckets" in line or "t_srpidx_vectors" in line, line[:160]
     df.collect()  # end-to-end
 
 
