@@ -91,6 +91,11 @@ def test_indexed_incremental_reuses_persisted_bands(spark, corpus_index):
     assert scans, "expected the index tables to be scanned"
     for line in scans:
         assert "t_mhidx_buckets" in line or "t_mhidx_shingles" in line, line[:160]
+    # (the delta side legitimately collect_sets its OWN shingles, so a
+    # blunt no-collect_set assert doesn't hold here; the scans-only
+    # check above already proves no corpus rows feed any aggregation —
+    # the SRP twin, whose delta side has no aggregation at all, carries
+    # the strict no-collect_set gate)
     # and it still runs end to end (no pairs for an unrelated doc)
     assert df.collect() == []
 
@@ -204,6 +209,7 @@ def test_srp_indexed_delta_never_rebands_corpus(spark, srp_index):
     assert scans, "expected the index tables to be scanned"
     for line in scans:
         assert "t_srpidx_buckets" in line or "t_srpidx_vectors" in line, line[:160]
+    assert "collect_set" not in plan  # pre-aggregated at write time
     df.collect()  # end-to-end
 
 
