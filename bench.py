@@ -506,8 +506,17 @@ def emit_results(payload: dict, repo_root: str = REPO_ROOT) -> str:
     os.replace(tmp_path, detail_path)
     headline_line = json.dumps(headline)
     # Guard the tail budget: 2000-byte observed capture, leave half for
-    # any post-JSON shutdown noise. Trip = drop the per-query map rather
-    # than ship an unparseable tail.
+    # any post-JSON shutdown noise. Degrade PRECISION before dropping
+    # the map (r9 review: values past 100 s — e.g. a larger-SF run —
+    # widen entries and the old guard silently deleted the whole map);
+    # only if integer seconds still don't fit does the map go.
+    for digits in (1, 0):
+        if len(headline_line) <= 1000:
+            break
+        headline["queries"] = {
+            k: round(v, digits) for k, v in payload["queries"].items()
+        }
+        headline_line = json.dumps(headline)
     if len(headline_line) > 1000:
         headline = {k: v for k, v in headline.items() if k != "queries"}
         headline_line = json.dumps(headline)

@@ -43,8 +43,10 @@ from poormans_kube_etl_spark.operators.minhash import (
 )
 
 # bump when the persisted layout or signature math changes: a stale
-# artifact must be rebuilt, not silently joined against
-INDEX_FORMAT_VERSION = "1"
+# artifact must be rebuilt, not silently joined against.
+# v2 (r9): buckets pre-aggregated at write time (was raw band rows in
+# the short-lived v1), max_bucket joined the recorded constants.
+INDEX_FORMAT_VERSION = "2"
 
 _PROP_PREFIX = "pke.minhash."
 _CONSTANT_KEYS = (
@@ -98,6 +100,11 @@ def write_corpus_minhash_index(
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} must be divisible by bands={bands}")
     spark = corpus_docs.sparkSession
+    if mode == "overwrite":
+        # a v1 artifact stored raw band rows under <name>_bands; leaving
+        # it behind on rebuild would feed old readers an ever-staler
+        # corpus and leak its files
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
     signed = signed_for(
         corpus_docs, id_col, text_col, shingle_len, num_hashes, hash_family
     ).persist()
@@ -137,8 +144,15 @@ def read_corpus_minhash_index(spark: SparkSession, name: str) -> CorpusMinhashIn
     """Open a persisted index and restore its banding constants from
     the buckets table's properties — loudly rejecting artifacts written
     by an incompatible layout version."""
-    buckets = spark.table(f"{name}_buckets")
-    shingles = spark.table(f"{name}_shingles")
+    try:
+        buckets = spark.table(f"{name}_buckets")
+        shingles = spark.table(f"{name}_shingles")
+    except Exception as e:  # missing table: say what to do, not just AnalysisException
+        raise ValueError(
+            f"{name}: index tables not found ({e.__class__.__name__}) — "
+            "not a corpus minhash index, or a pre-v2 layout; rebuild "
+            "with write_corpus_minhash_index"
+        ) from e
     rows = spark.sql(f"SHOW TBLPROPERTIES {name}_buckets").collect()
     props = {r["key"]: r["value"] for r in rows}
     constants: dict[str, str] = {}

@@ -16,8 +16,8 @@ Two catalog tables per index:
   cosine verify's corpus side, pre-distributed on its join key.
 
 Banding constants (bands / planes_per_band / dim / threshold it was
-planned for / id and vector columns) live in table properties on the
-bands table; hyperplanes are deterministic in (bands·planes_per_band,
+planned for / max_bucket / id and vector columns) live in table
+properties on the BUCKETS table; hyperplanes are deterministic in (bands·planes_per_band,
 dim), so recording those two constants IS recording the planes — a
 delta banded with the same constants always lands in the same buckets.
 """
@@ -40,7 +40,9 @@ from poormans_kube_etl_spark.operators.similarity import (
     srp_banding,
 )
 
-INDEX_FORMAT_VERSION = "1"
+# v2 (r9): buckets pre-aggregated at write time (was raw band rows in
+# the short-lived v1), max_bucket joined the recorded constants
+INDEX_FORMAT_VERSION = "2"
 
 _PROP_PREFIX = "pke.srp."
 _CONSTANT_KEYS = (
@@ -95,7 +97,27 @@ def write_corpus_srp_index(
         planes_per_band, bands = srp_banding(
             threshold, n_vectors=corpus_embeddings.count(), max_planes=1024
         )
+    else:
+        # the artifact records planned_threshold as a PROMISE to the
+        # reader's guard (r9 review): an explicit pair sized for some
+        # other regime would otherwise make the guard give false
+        # assurance. Check the promise against the banding geometry —
+        # recall(t) = 1 − (1 − p^r)^b with p = 1 − arccos(t)/π.
+        import math
+
+        p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+        predicted = 1.0 - (1.0 - p**planes_per_band) ** bands
+        if predicted < 0.5:
+            raise ValueError(
+                f"bands={bands} x planes_per_band={planes_per_band} gives "
+                f"predicted recall {predicted:.3f} at threshold {threshold} "
+                "— this banding was not sized for that threshold; pass the "
+                "threshold the pair was actually planned for (it is "
+                "recorded as the artifact's planned_threshold)"
+            )
     spark = corpus_embeddings.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")  # short-lived v1 layout
     banded = srp_band_signatures(
         corpus_embeddings, bands, planes_per_band, id_col, vec_col, dim
     ).select(F.col("vid").alias("doc"), "band_id", F.col("bucket").alias("band_hash"))
@@ -131,8 +153,15 @@ def read_corpus_srp_index(spark: SparkSession, name: str) -> CorpusSrpIndex:
     constants (same discipline as minhash_index: constants come FROM
     the artifact, so two-engine banding disagreement is
     unrepresentable)."""
-    buckets = spark.table(f"{name}_buckets")
-    vectors = spark.table(f"{name}_vectors")
+    try:
+        buckets = spark.table(f"{name}_buckets")
+        vectors = spark.table(f"{name}_vectors")
+    except Exception as e:
+        raise ValueError(
+            f"{name}: index tables not found ({e.__class__.__name__}) — "
+            "not a corpus SRP index, or a pre-v2 layout; rebuild with "
+            "write_corpus_srp_index"
+        ) from e
     rows = spark.sql(f"SHOW TBLPROPERTIES {name}_buckets").collect()
     props = {r["key"]: r["value"] for r in rows}
     constants: dict[str, str] = {}

@@ -69,17 +69,19 @@ _loaded = False
 # lead with the queries whose latest driver row is r06 — two rounds of
 # drift over shared helpers; standing rule: queries whose values or
 # oracles changed this round stay in the window):
-# (a) this round's NEW query (never driver-checked) + the four queries
-#     whose VALUES or ORACLES changed in r9 itself (sketch certificates,
-#     md5-perturbed LSH twins, spectral certificate schema) + the two
-#     whose PLANS were restructured with values meant to be identical
-#     (funnel materialization, bounded incremental bucket aggregation)
-#     — the driver row is the proof the restructure preserved values;
+# (a) this round's TWO NEW queries (never driver-checked: the two
+#     persisted-index delta-dedup faces) + the four whose VALUES or
+#     ORACLES changed in r9 itself (sketch certificates, md5-perturbed
+#     LSH twins, spectral certificate schema) + the two whose PLANS
+#     were restructured with values meant to be identical (funnel
+#     materialization, bounded incremental bucket aggregation) — the
+#     driver row is the proof the restructure preserved values;
 # (b) all 39 r06-latest queries (the stalest cohort; text_fingerprints,
 #     the lone r05 row, is no longer a registered name — folded into
 #     text_rolling_fingerprints in r6, which rides in this cohort);
-# (c) fill to 50 with the alphabetically-first 4 of the 48 r07-latest
-#     queries (the rest head the r10 window).
+# (c) fill to 50 with the alphabetically-first 3 of the 48 r07-latest
+#     queries (the remaining 45, agg_min_by_max_by onward, head the
+#     r10 window).
 _PRIORITY = [
     # (a) new or changed this round
     "dedup_minhash_index_delta_pairs",

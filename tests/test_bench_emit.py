@@ -82,11 +82,14 @@ def test_real_headline_surface_fits_tail_budget():
         "sf": 0.1,
         "protocol": "warm1+min2",
         "n_queries": len(names),
-        # the real emit path rounds the headline map to 2dp and drops
-        # the detail pointer (r9) — the worst realistic per-query width
-        # is dd.dd
+        # the real emit path rounds the headline map to 2dp, degrades
+        # to 1dp/integers if needed, and drops the detail pointer (r9).
+        # Worst case that must fit WITHOUT degradation: dd.dd; the
+        # degraded floor that must ALWAYS fit: ddd-second integers.
         "queries": {n: 88.88 for n in names},
     }
+    assert len(json.dumps(headline)) <= 1000
+    headline["queries"] = {n: 888 for n in names}
     assert len(json.dumps(headline)) <= 1000
 
 
