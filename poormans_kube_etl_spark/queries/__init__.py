@@ -535,9 +535,67 @@ _R07_SWEPT = frozenset(
 
 # name -> round of its LATEST driver row (later sets win); unknown
 # names (newly added queries) default to 0 = never checked.
+# CORRECTNESS_r08: all 50 swept rows (48 hash-green + the 2 sketch
+# rows-only entries, since upgraded to certificates in r9).
+_R08_SWEPT = frozenset(
+    {
+        "approx_distinct_users_by_type",
+        "approx_percentile_quantity",
+        "array_agg_statuses_per_priority",
+        "clean_quantize_embeddings",
+        "dedup_minhash_apply_keepers",
+        "dedup_minhash_clusters",
+        "dedup_minhash_incremental_pairs",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_pairs",
+        "dedup_winnowing_pairs",
+        "dq_null_and_blank_rates",
+        "dq_referential_integrity",
+        "dq_value_range_violations",
+        "events_cohort_retention",
+        "events_funnel_conversion",
+        "events_hourly_seasonality",
+        "events_transition_matrix",
+        "events_zscore_outliers",
+        "fn_array_set_ops",
+        "fn_datetime_suite",
+        "fn_json_construct_extract",
+        "groupingsets_order_revenue",
+        "join_left_customer_order_stats",
+        "join_lineitem_part_supplier",
+        "join_revenue_by_nation",
+        "q1_pricing_summary",
+        "sess_hopping_2h_1h",
+        "sess_tumbling_hourly",
+        "sim_ivf_topk",
+        "sim_kmeans_clusters",
+        "sim_lsh_topk",
+        "sim_topk_bruteforce",
+        "text_bigram_pmi",
+        "text_lang_stats",
+        "text_langid_confusion",
+        "text_langid_heuristic",
+        "text_quality_scores",
+        "text_term_frequencies",
+        "text_tfidf_top_terms",
+        "text_token_stats",
+        "text_unigram_logprob_scores",
+        "train_bpe_ish_token_counts",
+        "train_cdc_chunk_documents",
+        "train_chunk_documents",
+        "train_corpus_build_funnel",
+        "train_decontaminate_ngram",
+        "train_deterministic_shuffle",
+        "train_pack_shards",
+        "train_split_by_hash",
+        "train_stratified_sample",
+    }
+)
+
+
 _LATEST_ROW: dict[str, int] = {}
 for _rnd, _names in enumerate(
-    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT, _R06_SWEPT, _R07_SWEPT),
+    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT, _R06_SWEPT, _R07_SWEPT, _R08_SWEPT),
     start=1,
 ):
     for _n in _names:
