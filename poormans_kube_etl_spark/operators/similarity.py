@@ -114,6 +114,13 @@ def cosine(a: Column, b: Column) -> Column:
 # ~256 MB of row bytes — comfortably inside one executor, well past
 # any legitimate "query set" for these operators.
 _QUERY_BCAST_MAX_ROW_BYTES = 256 << 20
+# Row-count confirmation cap for the stats-say-big case: Catalyst's
+# DEFAULT filter stats don't shrink (a 3-row `vec_id < 3` slice of an
+# sf10 scan inherits the whole scan's sizeInBytes — found by the r9
+# sf10 sweep, where the guard broke a 3-row brute-force query), so an
+# over-budget ESTIMATE is confirmed by a bounded count probe before
+# any fallback/raise. 200k rows of 64-dim vectors ≈ 110 MB broadcast.
+_QUERY_BCAST_MAX_ROWS = 200_000
 
 
 def _query_row_bytes_estimate(df: DataFrame) -> int | None:
@@ -156,17 +163,30 @@ def _broadcast_query_side(
     query side after the check (multi-probe explode, per-cell probes);
     ``estimate_on`` sizes a DIFFERENT frame than the one hinted — the
     user-supplied input rather than a derived plan whose stats multiply
-    through crossJoins/mapInPandas (one budget rule, three call sites)."""
-    est = _query_row_bytes_estimate(df if estimate_on is None else estimate_on)
+    through crossJoins/mapInPandas (one budget rule, three call sites).
+
+    An over-budget ESTIMATE alone never trips the guard: default
+    Catalyst filter stats don't shrink, so a tiny filtered slice of a
+    huge table reads as the whole table (the r9 sf10 sweep caught the
+    guard breaking a 3-row query this way). The estimate is confirmed
+    by a bounded row probe (LIMIT cap+1 → count, early-exiting on huge
+    inputs) — only a CONFIRMED big query side falls back or raises."""
+    probe_on = df if estimate_on is None else estimate_on
+    est = _query_row_bytes_estimate(probe_on)
     if est is None or est * expansion <= _QUERY_BCAST_MAX_ROW_BYTES:
+        return F.broadcast(df)
+    n = probe_on.limit(_QUERY_BCAST_MAX_ROWS + 1).count()
+    if n * expansion <= _QUERY_BCAST_MAX_ROWS:
         return F.broadcast(df)
     if can_shuffle:
         return df
     raise ValueError(
-        f"{op}: query side estimated at ~{est * expansion >> 20} MB of row "
-        f"bytes, past the {_QUERY_BCAST_MAX_ROW_BYTES >> 20} MB broadcast "
-        "budget — chunk the query set, or use lsh_topk/ivf_topk whose "
-        "candidate joins shuffle instead of crossing the full corpus"
+        f"{op}: query side confirmed over the broadcast budget "
+        f"(> {_QUERY_BCAST_MAX_ROWS} rows at expansion {expansion}; stats "
+        f"~{est * expansion >> 20} MB of row bytes vs the "
+        f"{_QUERY_BCAST_MAX_ROW_BYTES >> 20} MB cap) — chunk the query "
+        "set, or use lsh_topk/ivf_topk whose candidate joins shuffle "
+        "instead of crossing the full corpus"
     )
 
 

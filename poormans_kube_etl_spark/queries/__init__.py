@@ -11,8 +11,10 @@ order-insensitive value-hash, so every computed column must carry the
 SAME alias in the Spark builder and the SQL, and float outputs are
 rounded/cast identically on both sides (SURVEY.md §7 "hard parts").
 
-Queries without an oracle (LSH, streaming, iterative) get a rows-only
-check; keep those to genuinely non-SQL-expressible ops.
+Since r9 EVERY registered query carries an oracle — genuinely
+non-SQL-expressible ops use certificate oracles (tolerance-certified
+sketches, md5-replayable LSH twins, exact-integer trace anchors)
+instead of falling back to rows-only checks.
 """
 
 from __future__ import annotations

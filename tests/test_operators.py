@@ -470,7 +470,11 @@ def test_topk_query_broadcast_size_guard(spark, sf_dir, monkeypatch):
     )
     want_ivf = sorted(map(tuple, sim.ivf_topk(emb, queries, 3).collect()))
 
+    # shrink BOTH the stats budget and the row-probe cap: the probe
+    # exists so inflated filter stats alone can't trip the guard
+    # (default Catalyst filter stats don't shrink — r9 sf10 sweep)
     monkeypatch.setattr(sim, "_QUERY_BCAST_MAX_ROW_BYTES", 1)
+    monkeypatch.setattr(sim, "_QUERY_BCAST_MAX_ROWS", 0)
     with pytest.raises(ValueError, match="broadcast budget"):
         sim.brute_force_topk(emb, queries, 3)
     got_lsh_df = sim.lsh_topk(emb, queries, 3, n_planes=4)
@@ -483,6 +487,12 @@ def test_topk_query_broadcast_size_guard(spark, sf_dir, monkeypatch):
     assert sorted(map(tuple, got_ivf_df.collect())) == want_ivf
     # under-budget behavior unchanged: guard restored, broadcast hint on
     monkeypatch.setattr(sim, "_QUERY_BCAST_MAX_ROW_BYTES", 256 << 20)
+    monkeypatch.setattr(sim, "_QUERY_BCAST_MAX_ROWS", 200_000)
+    assert len(sim.brute_force_topk(emb, queries, 3).collect()) > 0
+    # inflated stats + a genuinely tiny query side: the row probe keeps
+    # the broadcast (and brute force keeps working) even when the byte
+    # estimate alone is over budget
+    monkeypatch.setattr(sim, "_QUERY_BCAST_MAX_ROW_BYTES", 1)
     assert len(sim.brute_force_topk(emb, queries, 3).collect()) > 0
 
 
