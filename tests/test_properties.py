@@ -573,3 +573,81 @@ def test_cdc_chunks_partition_the_document(spark, text):
         assert cur.chunk_start == prev.chunk_start + prev.chunk_len
     assert sum(r.chunk_len for r in rows) == len(toks)
     assert " ".join(r.chunk_text for r in rows) == norm
+
+
+@SETTINGS
+@given(
+    st.lists(
+        # tie-heavy small integers: the regime the GK rank certificate
+        # must survive (a value can occupy thousands of ranks)
+        st.integers(min_value=1, max_value=5),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_gk_rank_certificate_accepts_any_valid_sketch(spark, values):
+    """r9 certificate model check: for EVERY data multiset — however
+    tie-heavy — and every quantile, the rank-interval test
+    (count(v<x) < qN+eps*N AND count(v<=x) >= qN-eps*N) must accept the
+    TRUE quantile value (what a within-spec GK sketch returns), and
+    must reject a value whose rank interval sits entirely outside the
+    tolerance band. Models queries/subqueries.approx_percentile_quantity
+    against pure Python."""
+    import math
+
+    eps = 1.0 / 10_000
+    n = len(values)
+    s = sorted(values)
+
+    def ok(x, q):
+        lt = sum(1 for v in values if v < x)
+        le = sum(1 for v in values if v <= x)
+        return (lt < q * n + eps * n) and (le >= q * n - eps * n)
+
+    for q in (0.25, 0.5, 0.75):
+        # the exact lower-rank quantile — any conforming sketch output
+        exact = s[max(0, math.ceil(q * n) - 1)]
+        assert ok(exact, q), (values, q, exact)
+    # a value strictly below the minimum occupies rank interval (0, 0]:
+    # it must FAIL every quantile whose target rank band excludes 0
+    too_small = min(values) - 1
+    assert not ok(too_small, 0.75) or 0 >= 0.75 * n - eps * n
+    # strictly above the maximum: lt = n, must fail when n >= qN+epsN
+    too_big = max(values) + 1
+    assert not ok(too_big, 0.25) or n < 0.25 * n + eps * n
+
+
+def test_spectral_trace_anchor_survives_huge_components(spark):
+    """r9 review follow-up: components large enough to push n*max_abs^2
+    past the int64 fast-path bound must route BOTH exact sums through
+    the arbitrary-precision fallback and still produce the exact
+    trace_q (float of the exact integer), while components past int64
+    itself raise loudly instead of wrapping."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from poormans_kube_etl_spark.operators.mlstats import (
+        _TRACE_SCALE,
+        _spectral_stats,
+    )
+
+    # |x| = 5000 -> s = 5e9, s^2 = 2.5e19 > 2^62: fallback branch
+    vals = [[5000.0, -5000.0], [4999.5, 5000.0], [-4998.25, 0.5]]
+    pdf = pd.DataFrame({"label": [1] * 3, "embedding": vals})
+    out = _spectral_stats(pdf)
+    n = 3
+    s = np.floor(np.array(vals) * float(_TRACE_SCALE) + 0.5).astype(object)
+    expect = float(
+        sum(
+            n * sum(int(x) * int(x) for x in col) - sum(int(x) for x in col) ** 2
+            for col in s.T
+        )
+    )
+    assert out["trace_q"].iloc[0] == expect
+    assert bool(out["sum_eig_ok"].iloc[0]) and bool(out["eig_nonneg"].iloc[0])
+
+    # past int64 after scaling: loud raise, never silent wraparound
+    huge = pd.DataFrame({"label": [1, 1], "embedding": [[1e13], [0.0]]})
+    with pytest.raises(ValueError, match="exceeds int64"):
+        _spectral_stats(huge)
