@@ -161,16 +161,31 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     HLL++'s error is ~Gaussian, so a true sketch essentially never
     trips it, while an off-by-regime bug does). The exact side rides
     only for the certificate — at 100 TB you'd ship the sketch alone;
-    the per-group exact countDistinct here is what the sketch replaces."""
+    the per-group exact countDistinct here is what the sketch replaces.
+
+    Plan shape (r9, measured at sf10): NEVER mix countDistinct with the
+    sketch in one agg — Spark's Expand rewrite keys the first partial
+    on (group, user_id), so the HLL++ buffer is allocated once per
+    DISTINCT PAIR (10M sketch buffers: 45 s combined vs 1.7 s for
+    either aggregate alone, 27×). Instead dedupe pairs with one
+    ordinary shuffle, then run BOTH the sketch and the exact count over
+    the deduped frame — HLL over the distinct set is the same sketch
+    (multiplicity never changes HLL), one buffer per group, and the
+    row count rides along as sum(cnt). 1.9 s at sf10."""
     apply_runtime_confs(spark)
     ev = load_table(spark, sf_dir, "events")
     rsd = 0.01
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        ev.groupBy("event_type")
+        per_user.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-            F.count(F.lit(1)).alias("n"),
+            # per_user rows ARE the distinct pairs; count(user_id)
+            # skips a NULL-user group, matching countDistinct semantics
+            F.count("user_id").alias("exact_users"),
+            F.sum("cnt").cast("bigint").alias("n"),
         )
         .select(
             "event_type",
