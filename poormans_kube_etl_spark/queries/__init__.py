@@ -47,6 +47,7 @@ _MODULES = (
     "analytics",
     "data_quality",
     "jsonl_source",
+    "substring",
 )
 
 
@@ -71,8 +72,9 @@ _loaded = False
 # lead with the queries whose latest driver row is r06 — two rounds of
 # drift over shared helpers; standing rule: queries whose values or
 # oracles changed this round stay in the window):
-# (a) this round's TWO NEW queries (never driver-checked: the two
-#     persisted-index delta-dedup faces) + the four whose VALUES or
+# (a) this round's FIVE NEW queries (never driver-checked: the two
+#     persisted-index delta-dedup faces, the two substring-span dedup
+#     faces, domain mixture sampling) + the four whose VALUES or
 #     ORACLES changed in r9 itself (sketch certificates, md5-perturbed
 #     LSH twins, spectral certificate schema) + the two whose PLANS
 #     were restructured with values meant to be identical (funnel
@@ -80,12 +82,12 @@ _loaded = False
 #     driver row is the proof the restructure preserved values;
 # (b) all 39 r06-latest queries (the stalest cohort; text_fingerprints,
 #     the lone r05 row, is no longer a registered name — folded into
-#     text_rolling_fingerprints in r6, which rides in this cohort);
-# (c) fill to 50 with the alphabetically-first 3 of the 48 r07-latest
-#     queries (the remaining 45, agg_min_by_max_by onward, head the
-#     r10 window).
+#     text_rolling_fingerprints in r6, which rides in this cohort).
 _PRIORITY = [
     # (a) new or changed this round
+    "dedup_substring_spans",
+    "train_scrub_duplicate_spans",
+    "train_domain_mixture_sample",
     "dedup_minhash_index_delta_pairs",
     "dedup_embedding_index_delta_pairs",
     "approx_distinct_users_by_type",
@@ -134,12 +136,13 @@ _PRIORITY = [
     "window_running_revenue",
     "window_sliding_3row_avg",
     "window_top3_orders_per_customer",
-    # (c) r07-latest fill (alphabetical first 3; the 4th seat went to
-    # the round's second new query above)
-    "agg_boolean_family",
-    "agg_filtered_conditional",
-    "agg_histogram_quantity",
 ]
+# (c) the r07-latest alphabetical fill (agg_boolean_family,
+# agg_filtered_conditional, agg_histogram_quantity) was displaced by the
+# session's three never-checked additions (substring-span dedup x2,
+# domain mixture sampling) — never-driver-checked queries outrank
+# re-checks; those three head the r10 window with the rest of the
+# r07-latest cohort.
 
 
 def load_all() -> None:

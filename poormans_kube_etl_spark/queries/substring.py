@@ -1,0 +1,281 @@
+"""Exact duplicate-substring detection and removal across documents —
+the unaligned span-level dedup of Lee et al., "Deduplicating Training
+Data Makes Language Models Better" (ACL 2022), re-expressed as a
+positional-k-gram inverted index instead of a suffix array.
+
+Where the rest of the dedup family works at DOCUMENT granularity
+(exact/minhash/simhash keep or drop whole documents), this family finds
+the shared SUBSTRINGS themselves: any run of >= K tokens that appears
+verbatim in two or more documents, merged into maximal per-document
+spans, and optionally scrubbed out of the text. That is the remaining
+contamination mode whole-document dedup cannot touch — boilerplate
+headers, license blocks, quoted passages embedded in otherwise-unique
+documents.
+
+Distinct from the neighbours it composes with:
+- ``clean_sentence_dedup`` (corpus_cleanup.py) only catches duplication
+  aligned to sentence boundaries; this catches arbitrary offsets.
+- ``dedup_winnowing_pairs`` samples fingerprints to RANK likely-overlap
+  pairs; this is exhaustive and emits the exact spans.
+- ``train_cdc_chunk_documents`` re-chunks for downstream chunk dedup;
+  this removes the duplication in place.
+
+Suffix-array vs k-gram: the paper's suffix array finds duplicates of
+unbounded length in O(corpus) memory-mapped on one big machine; the
+k-gram index trades a fixed minimum match length K for a fully
+shuffle-parallel plan (explode -> aggregate -> join -> window), which is
+the right trade on a 1000-executor cluster. Any duplicated run of
+length L >= K is covered by its L-K+1 duplicated k-grams, so the merged
+islands reconstruct the paper's maximal spans exactly for spans >= K.
+
+Semantics pin: a k-gram counts as duplicated only when it occurs in
+two or more DISTINCT documents (min(doc_id) != max(doc_id) — no
+distinct-count buffer, skew-safe partial aggregation). A k-gram
+repeated only within one document is repetition, not cross-document
+duplication — that is ``clean_repetition_ratio``'s job.
+
+Cross-engine identity: Spark groups k-grams by ``xxhash64`` of the
+token slice (no k-gram string is ever materialized — the same
+generator-hygiene rule as operators/minhash.exploded_shingle_hashes);
+the DuckDB oracle groups by the joined k-gram string. Equal token
+sequences agree exactly; unequal ones collide with probability 2^-64,
+the same assumption every hash-keyed operator in this repo documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.text import normalize_text, tokens
+from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.session import apply_runtime_confs
+from poormans_kube_etl_spark.sources import load_table, spread_small_scan
+
+# Minimum duplicated run, in whitespace tokens. Lee et al. use 50 BPE
+# tokens at web scale; 8 fits the synthetic corpus' ~100-token documents
+# while keeping the same plan shape (K only changes a slice width).
+_K = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    # k-gram explode amplifies ~n_tokens x per row: spread single-row-group
+    # scans first (inert for at-scale inputs — sources.spread_small_scan)
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+
+
+def positional_kgrams(docs: DataFrame, k: int = _K) -> DataFrame:
+    """(doc_id, s, g) rows: one per token position, g = xxhash64 of the
+    k-token slice starting at 0-based position s.
+
+    The slice is hashed INSIDE the per-row transform and only the small
+    (s, g) structs are exploded — slicing after the explode would carry
+    the full token array through every k-gram row (the 25x
+    generator-amplification tax measured on train_cdc_chunk_documents,
+    SCALING.md). Docs shorter than k tokens contribute nothing: a
+    duplicated run shorter than the minimum is below the detection
+    threshold by definition (unlike shingles, there is no
+    degrade-to-whole-doc fallback here).
+    """
+    toked = docs.select("doc_id", tokens(normalize_text("text")).alias("toks")).where(
+        F.size("toks") >= k
+    )
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.xxhash64(F.slice("toks", s + 1, k)).alias("g"),
+        ),
+    )
+    return toked.select("doc_id", F.explode(gram_structs).alias("c")).select(
+        "doc_id", "c.s", "c.g"
+    )
+
+
+def duplicate_spans(docs: DataFrame, k: int = _K) -> DataFrame:
+    """Maximal merged per-document spans covered by cross-document
+    duplicated k-grams: (doc_id, span_start, span_len, n_dup_grams).
+
+    Plan shape (three shuffles, all skew-safe):
+    1. dup-gram set: groupBy(g) with min/max(doc_id) — partial (map-side)
+       aggregation absorbs hot boilerplate grams, unlike the
+       window-over-g formulation, which would buffer an entire hot
+       gram's partition in one WindowExec buffer (the groupBy+join form
+       re-evaluates the k-gram explode once more, a second map pass over
+       the corpus — cheap and bounded; the window form's failure mode is
+       executor OOM on one skewed key).
+    2. hits: shuffle equi-join of positions against the dup-gram set on
+       g — AQE broadcasts the dup set while it fits and skew-splits hot
+       grams past it.
+    3. per-doc interval merge: classic gaps-and-islands — running
+       max(end) over preceding rows opens a new island when the current
+       start clears it; one shuffle on doc_id, window state is O(1) per
+       row (running max + running sum), never a buffered partition.
+    """
+    grams = positional_kgrams(docs, k)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
+        .where(F.col("min_doc") != F.col("max_doc"))
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "s", (F.col("s") + k).alias("e"))
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    islanded = hits.withColumn(
+        "new_isl", F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
+    ).withColumn(
+        "island", F.sum("new_isl").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islanded.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("int").alias("span_start"),
+            (F.max("e") - F.min("s")).cast("int").alias("span_len"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_dup_grams")
+    )
+
+
+# Shared oracle CTEs: positional k-grams -> duplicated grams -> merged
+# islands, the exact SQL twin of duplicate_spans (gram identity is the
+# joined string; Spark's xxhash64 key induces the same partition of
+# positions up to 2^-64 collisions).
+_SPAN_CTES = f"""
+    toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    positions AS (
+      SELECT doc_id, UNNEST(range(0, len(t) - {_K} + 1)) AS s, t
+      FROM toks WHERE len(t) >= {_K}
+    ),
+    keyed AS (
+      SELECT doc_id, CAST(s AS INT) AS s,
+             array_to_string(list_slice(t, s + 1, s + {_K}), ' ') AS g
+      FROM positions
+    ),
+    dup AS (SELECT g FROM keyed GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (
+      SELECT k.doc_id, k.s, k.s + {_K} AS e
+      FROM keyed k JOIN dup d USING (g)
+    ),
+    opened AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+    ),
+    islanded AS (
+      SELECT doc_id, s, e,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM opened
+    ),
+    spans AS (
+      SELECT doc_id, CAST(MIN(s) AS INT) AS span_start,
+             CAST(MAX(e) - MIN(s) AS INT) AS span_len,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+      FROM islanded GROUP BY doc_id, island
+    )
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES}
+    SELECT doc_id, span_start, span_len, n_dup_grams
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every maximal cross-document duplicated token span (>= _K tokens),
+    one row per (doc, span) — the audit view of substring-level
+    contamination a whole-document dedup pass leaves behind."""
+    return duplicate_spans(_docs(spark, sf_dir)).orderBy("doc_id", "span_start")
+
+
+@register(
+    "train_scrub_duplicate_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    per_doc AS (
+      SELECT doc_id,
+             list({{'s': span_start, 'e': span_start + span_len}}) AS sp,
+             CAST(COUNT(*) AS INT) AS n_spans,
+             CAST(SUM(span_len) AS INT) AS n_removed_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INT) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+           COALESCE(array_to_string(
+             list_filter(t.t, (tok, i) ->
+               len(list_filter(COALESCE(p.sp, []),
+                               x -> i - 1 >= x.s AND i - 1 < x.e)) = 0),
+             ' '), '') AS clean_text
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def train_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the span scrub: every document with its duplicated spans
+    cut out (tokens re-joined), plus removal accounting — the corpus a
+    training run would actually consume after substring decontamination.
+
+    Scale shape on top of duplicate_spans: spans aggregate to one
+    (doc_id, span-array) row per affected document — merged spans are
+    disjoint, so a doc carries at most n_tokens/(_K+1)+1 of them, a
+    per-row bound independent of corpus size — then a doc_id equi-join
+    back to the tokenized corpus (AQE broadcasts the span side while the
+    affected-doc fraction is small) and a pure per-row filter lambda
+    does the cut. Untouched documents pass through the left join with
+    zero spans and their text intact (modulo whitespace normalization,
+    which is the canonical form every fingerprint in this repo uses).
+
+    DuckDB's list lambdas index from 1, Spark's from 0 — the oracle
+    shifts with ``i - 1`` rather than pretending the engines agree.
+    A document that is one duplicated span end-to-end scrubs to the
+    empty string on both engines (DuckDB's array_to_string of an empty
+    list is NULL, Spark's array_join is '' — the oracle COALESCEs).
+    """
+    docs = _docs(spark, sf_dir)
+    spans = duplicate_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len")).alias("e"),
+            )
+        ).alias("sp"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("span_len").cast("int").alias("n_removed_tokens"),
+    )
+    toked = docs.select("doc_id", tokens(normalize_text("text")).alias("toks"))
+    joined = toked.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("sp"), F.array().cast("array<struct<s:int,e:int>>")).alias(
+            "sp"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(F.col("n_removed_tokens"), F.lit(0)).alias("n_removed_tokens"),
+    )
+    clean = F.filter(
+        "toks",
+        lambda tok, i: ~F.exists("sp", lambda x: (i >= x["s"]) & (i < x["e"])),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "n_spans",
+        "n_removed_tokens",
+        F.array_join(clean, " ").alias("clean_text"),
+    ).orderBy("doc_id")

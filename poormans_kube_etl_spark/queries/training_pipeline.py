@@ -328,6 +328,96 @@ def train_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_domain_mixture_sample",
+    oracle="""
+    WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang, n_docs,
+             CAST(FLOOR(sqrt(CAST((SELECT MIN(n_docs) FROM counts) AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE)) * 1048576.0) AS BIGINT) AS keep_thr
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN rates r USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)) AS BIGINT) < r.keep_thr
+      GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, r.keep_thr, COALESCE(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k USING (lang)
+    ORDER BY lang
+    """,
+)
+def train_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture sampling (the alpha=0.5 corpus
+    rebalancing of multilingual/multi-source LLM recipes — XLM-R,
+    mT5-style): target share per domain ~ n^alpha, so the per-domain
+    keep rate ~ n^(alpha-1) = sqrt(min_n / n) normalized so the smallest
+    domain keeps everything and larger domains are deterministically
+    down-sampled toward the flattened distribution.
+
+    Cross-engine float discipline: every floating step is an
+    IEEE-correctly-rounded primitive — one bigint->double divide, one
+    sqrt, one multiply by 2^20 (exact scaling), one floor — so Spark and
+    DuckDB compute bit-identical thresholds; the per-doc coin is the
+    first 5 md5 hex chars, uniform on exactly [0, 16^5 = 2^20). No
+    pow(), no multi-term double sums whose reduction order could drift
+    between engines (which is why the rate is normalized by min — an
+    exact integer aggregate — rather than by the sum of fractional
+    shares).
+
+    Scale shape: domain cardinality is tiny by construction (languages/
+    sources, not documents), so the rate table is an explicit broadcast;
+    the sample itself is a pure map filter — a doc's fate depends only
+    on (doc_id, its domain's threshold), stable under corpus growth the
+    same way train_split_by_hash assignments are. The audit counts come
+    from ONE conditional aggregation after the broadcast join, not a
+    filter+count joined back to rates — the joined-back form evaluates
+    the rates subtree twice, and every evaluation re-scans the corpus
+    for the domain counts (a third full pass that showed up as 8
+    exchanges in the first draft's plan; this form is two corpus scans,
+    the information-theoretic minimum — thresholds need the counts
+    before any doc's coin can be judged). The global min over counts is
+    a whole-frame window, not ``counts.agg(min)`` — the scalar-aggregate
+    form re-evaluates the counts subtree (another corpus scan); the
+    window funnels only the #domains-row counts frame through one task
+    (audited in tests/test_plans.py's SinglePartition allowlist).
+    Output is the per-domain audit (before/threshold/after); the
+    sampled corpus is the same broadcast join + coin filter without the
+    final groupBy."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    rates = counts.withColumn(
+        "min_n", F.min("n_docs").over(Window.partitionBy())
+    ).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("min_n").cast("double") / F.col("n_docs").cast("double"))
+            * F.lit(1048576.0)
+        ).alias("keep_thr"),
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10
+    ).cast("bigint")
+    return (
+        docs.select("lang", coin.alias("coin"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            # constant within the group (they ride the broadcast join);
+            # max() not first() so the aggregate stays order-deterministic
+            F.max("n_docs").alias("n_docs"),
+            F.max("keep_thr").alias("keep_thr"),
+            F.sum(F.when(F.col("coin") < F.col("keep_thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "train_cdc_chunk_documents",
     oracle="""
     WITH h AS (

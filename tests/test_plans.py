@@ -89,6 +89,7 @@ _SINGLE_PARTITION_OK = {
     "ref_f2_any_timestamp",  # global any-aggregate (1 row)
     "ref_f7_ingest_file_set",  # oldest-folder limit(1) + membership
     "dedup_exact_stats",  # global dedup accounting (1 row)
+    "train_domain_mixture_sample",  # whole-frame min over per-domain counts (#domains rows)
 }
 
 
@@ -129,6 +130,18 @@ def test_minhash_shuffles_bounded(q):
     # shingle agg + band bucket agg + verify joins — candidate pipeline
     # must stay a small constant number of exchanges, independent of N
     assert shuffle_count(q("dedup_minhash_lsh_pairs")) <= 8
+
+
+def test_substring_dedup_shuffles_bounded(q):
+    # positional k-grams -> dup-gram agg -> hits join -> per-doc islands:
+    # a constant exchange count independent of corpus size; the scrub
+    # adds one per-doc span aggregation + a doc_id join on top
+    assert shuffle_count(q("dedup_substring_spans")) <= 4
+    assert shuffle_count(q("train_scrub_duplicate_spans")) <= 6
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    for name in ("dedup_substring_spans", "train_scrub_duplicate_spans"):
+        assert "CartesianProduct" not in formatted_plan(q(name)), name
 
 
 def test_codegen_covers_flagship(q):
