@@ -66,29 +66,41 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def positional_kgrams(docs: DataFrame, k: int = _K) -> DataFrame:
-    """(doc_id, s, g) rows: one per token position, g = xxhash64 of the
-    k-token slice starting at 0-based position s.
+    """(doc_id, s, g) rows: one per token position, g = a 64-bit
+    fingerprint of the k-token window starting at 0-based position s.
 
-    The slice is hashed INSIDE the per-row transform and only the small
-    (s, g) structs are exploded — slicing after the explode would carry
-    the full token array through every k-gram row (the 25x
-    generator-amplification tax measured on train_cdc_chunk_documents,
-    SCALING.md). Docs shorter than k tokens contribute nothing: a
-    duplicated run shorter than the minimum is below the detection
-    threshold by definition (unlike shingles, there is no
-    degrade-to-whole-doc fallback here).
+    Window fingerprints follow operators/minhash.exploded_shingle_hashes:
+    each token is xxhash64'd ONCE into a materialized long array (its
+    own select — the array-reevaluation trap), and each window is one
+    fixed-width ``xxhash64(th[s], …, th[s+k-1])`` over k array-gets.
+    The first draft hashed ``F.slice(toks, s+1, k)`` per position — a
+    k-token string-array copy per window that measured ~3x this form at
+    sf0.1 (8.4 s vs 2.0-3.3 s warm for the whole spans query, and the
+    copy tax is paid twice: the gram subtree is evaluated once per
+    consumer, see duplicate_spans). Only the small
+    (s, g) structs are exploded — the token/hash arrays never ride the
+    generator (the 25x amplification tax documented on
+    train_cdc_chunk_documents, SCALING.md). Docs shorter than k tokens
+    contribute nothing: a duplicated run shorter than the minimum is
+    below the detection threshold by definition (unlike shingles, there
+    is no degrade-to-whole-doc fallback here).
     """
     toked = docs.select("doc_id", tokens(normalize_text("text")).alias("toks")).where(
         F.size("toks") >= k
     )
+    th = toked.select(
+        "doc_id",
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
+        F.size("toks").alias("n_toks"),
+    )
     gram_structs = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - k),
+        F.sequence(F.lit(0), F.col("n_toks") - k),
         lambda s: F.struct(
             s.cast("int").alias("s"),
-            F.xxhash64(F.slice("toks", s + 1, k)).alias("g"),
+            F.xxhash64(*[F.get("th", s + j) for j in range(k)]).alias("g"),
         ),
     )
-    return toked.select("doc_id", F.explode(gram_structs).alias("c")).select(
+    return th.select("doc_id", F.explode(gram_structs).alias("c")).select(
         "doc_id", "c.s", "c.g"
     )
 
