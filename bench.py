@@ -60,6 +60,10 @@ HEADLINE = [
     "dedup_minhash_index_delta_pairs",
     "dedup_embedding_index_delta_pairs",
     "train_corpus_build_funnel",
+    # r09 (cont.): substring-level dedup (span detection + scrub applied
+    # end-to-end) and temperature-based domain mixture sampling
+    "train_scrub_duplicate_spans",
+    "train_domain_mixture_sample",
 ]
 
 

@@ -194,10 +194,15 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_kmeans_clusters",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# The unrolled 3-iteration Lloyd chain over a caller-supplied ``e``
+# CTE (vec_id, v DOUBLE[]): seeds c0 from the 8 lowest ids, alternates
+# assign (a1..a3, dot-identity distances, lowest-cluster ties) and
+# nano-unit integer centroid means (c1..c3), and lands on the final
+# assignment ``af`` against converged centroids ``c3``. Shared by the
+# kmeans stats query and the SemDeDup pair query so the two replay ONE
+# model — see sim_kmeans_clusters' docstring for why the unroll is
+# engine-exact.
+_KMEANS_UNROLLED_CTES = """
     c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS cv
       FROM e ORDER BY vec_id LIMIT 8
@@ -298,7 +303,14 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rn
         FROM e CROSS JOIN c3 c
       ) WHERE rn = 1
-    )
+    )"""
+
+
+@register(
+    "sim_kmeans_clusters",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_KMEANS_UNROLLED_CTES}
     SELECT af.cluster,
            COUNT(*) AS n_vectors,
            ROUND(sqrt(list_dot_product(c3.cv, c3.cv)), 6) AS centroid_norm
@@ -348,3 +360,108 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster int, centroid_norm double",
     )
     return sizes.join(norms, "cluster").orderBy("cluster")
+
+
+@register(
+    "dedup_semantic_kmeans_pairs",
+    oracle=f"""
+    WITH o AS (
+      SELECT vec_id, embedding AS ov FROM embeddings WHERE vec_id < 50
+    ),
+    tw AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(ov)),
+               j -> CAST(ov[j] * (1.0
+                      + (('0x' || substr(md5(vec_id || ':' || (j - 1)), 1, 8))::BIGINT
+                         % 7) / 100.0) AS REAL)
+             ) AS tv
+      FROM o
+    ),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, tv::DOUBLE[] FROM tw
+    ),
+    {_KMEANS_UNROLLED_CTES},
+    cell_pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b, a.cluster,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+    SELECT a, b, cluster, cos_sim FROM cell_pairs
+    WHERE cos_sim >= 0.9
+    ORDER BY a, b
+    """,
+)
+def dedup_semantic_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    2303.09540): k-means the embedding space, then compare pairs only
+    WITHIN a cluster cell — clustering as the blocking structure, where
+    the LSH family (dedup_embedding_lsh_pairs) uses random-hyperplane
+    bands. Output: within-cell pairs with exact cosine >= 0.9, over the
+    corpus plus the deterministic planted twins (the raw corpus' pair
+    tail sits at cos <= ~0.46 — see _with_planted_near_dups — so the
+    emitted set is exactly the co-celled planted pairs; a twin pair
+    split across cells is SemDeDup's documented recall loss, replayed
+    identically by both engines).
+
+    Oracle: the planted-twin reconstruction CTE (bit-exact md5
+    perturbation, shared with dedup_embedding_lsh_pairs) feeds the
+    unrolled 3-iteration Lloyd chain (shared with sim_kmeans_clusters —
+    one model, two consumers), then a within-cell pair expansion with
+    raw-double cosine parity (_dot_expr's left-to-right fold ==
+    list_dot_product).
+
+    Scale shape: the pair stage shuffles on the cluster id and expands
+    pairs inside each cell, so the cost is sum over cells of |cell|²/2
+    — bounded by choosing k proportional to corpus size (SemDeDup runs
+    k ~ N/10^3..10^4 so cells stay ~constant; the paper's config). k=8
+    here is the oracle-replayable demo constant, NOT the scale setting:
+    kmeans_fit takes k as a parameter and nothing else in the plan
+    depends on it. Assignment itself is the kmeans operator's
+    broadcast-literal map stage (no shuffle), so the end-to-end plan is
+    fit + one cell-keyed exchange + codegen'd pair dots."""
+    from poormans_kube_etl_spark.operators.kmeans import kmeans_fit
+    from poormans_kube_etl_spark.operators.similarity import (
+        _dot_expr,
+        _norm_expr,
+        checked_double_vec,
+    )
+    from poormans_kube_etl_spark.queries.dedup import _with_planted_near_dups
+
+    apply_runtime_confs(spark)
+    emb = _with_planted_near_dups(_emb(spark, sf_dir))
+    _, assigned = kmeans_fit(emb, k=8, max_iter=3)
+    vecs = emb.select("vec_id", checked_double_vec("embedding", _DIM).alias("v"))
+    cell = (
+        assigned.join(vecs, "vec_id")
+        .withColumn("nrm", _norm_expr("v", _DIM))
+        .select("vec_id", "cluster", "v", "nrm")
+    )
+    a, b = cell.alias("ka"), cell.alias("kb")
+    joined = a.join(
+        b,
+        (F.col("ka.cluster") == F.col("kb.cluster"))
+        & (F.col("ka.vec_id") < F.col("kb.vec_id")),
+    ).select(
+        F.col("ka.vec_id").alias("a"),
+        F.col("kb.vec_id").alias("b"),
+        F.col("ka.cluster").alias("cluster"),
+        F.col("ka.v").alias("_va"),
+        F.col("kb.v").alias("_vb"),
+        (F.col("ka.nrm") * F.col("kb.nrm")).alias("_nn"),
+    )
+    # nullif + NaN drop: the sibling scoring-site policy (a zero-norm
+    # vector dies as ANSI 0/0; NaN compares greater than the threshold)
+    sim = _dot_expr("_va", "_vb", _DIM) / F.nullif(F.col("_nn"), F.lit(0.0))
+    return (
+        joined.select("a", "b", "cluster", sim.alias("cos_sim"))
+        .where(
+            F.col("cos_sim").isNotNull()
+            & ~F.isnan("cos_sim")
+            & (F.col("cos_sim") >= 0.9)
+        )
+        .orderBy("a", "b")
+    )

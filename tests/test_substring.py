@@ -161,3 +161,20 @@ def test_mixture_sampler_laws(spark, sf_dir):
     # determinism: a rerun produces identical assignments
     again = all_queries()["train_domain_mixture_sample"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_semdedup_pairs_are_exactly_coceled_planted_twins(spark, sf_dir):
+    """SemDeDup emits only within-cell pairs >= 0.9 — on this corpus
+    (pair tail <= ~0.46 + 50 planted twins) that is exactly the planted
+    pairs whose twin landed in the same k-means cell. At sf0.001 every
+    twin co-cells with its original (measured; cos ~0.999 makes a
+    split vanishingly unlikely), so recall is total."""
+    from poormans_kube_etl_spark.queries import all_queries
+
+    rows = all_queries()["dedup_semantic_kmeans_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.b == r.a + 1_000_000, r  # no background pair sneaks in
+        assert r.cos_sim >= 0.9, r
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        assert len(rows) == 50
