@@ -362,6 +362,22 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(norms, "cluster").orderBy("cluster")
 
 
+def _guard_cell_pair_budget(n: int, k: int, budget: float = 2e8) -> None:
+    """Refuse a SemDeDup pair expansion whose EXPECTED in-cell pair
+    count (balanced-cells estimate n²/2k — skewed clusterings can
+    exceed it, which is why the budget keeps an order-of-magnitude
+    headroom below what the box can actually do) blows the budget.
+    The fix is always the same and the error says so: scale k with the
+    corpus, as the SemDeDup recipe itself prescribes."""
+    est = n * n / (2 * k)
+    if est > budget:
+        raise ValueError(
+            f"SemDeDup cell pair expansion ~{est:.2e} pairs for n={n}, k={k} "
+            f"(budget {budget:.0e}): raise k so cells stay bounded "
+            f"(k ~ n/1e3..1e4 per the SemDeDup recipe)"
+        )
+
+
 @register(
     "dedup_semantic_kmeans_pairs",
     oracle=f"""
@@ -420,9 +436,14 @@ def dedup_semantic_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k ~ N/10^3..10^4 so cells stay ~constant; the paper's config). k=8
     here is the oracle-replayable demo constant, NOT the scale setting:
     kmeans_fit takes k as a parameter and nothing else in the plan
-    depends on it. Assignment itself is the kmeans operator's
-    broadcast-literal map stage (no shuffle), so the end-to-end plan is
-    fit + one cell-keyed exchange + codegen'd pair dots."""
+    depends on it — and _guard_cell_pair_budget refuses loudly when the
+    corpus outgrows the configured k. Assignment itself is the kmeans
+    operator's broadcast-literal map stage (no shuffle), so the
+    end-to-end plan is fit + one cell-keyed exchange + the pair dots.
+    Cost model (measured sf0.1, 2 050 vectors → 262 k in-cell pairs):
+    the exact-cosine pair stage runs at the same ~0.1 ms/pair the
+    sibling dedup_embedding_near_pairs pays — pair COUNT, which the
+    guard bounds, is the whole cost story; everything else is seconds."""
     from poormans_kube_etl_spark.operators.kmeans import kmeans_fit
     from poormans_kube_etl_spark.operators.similarity import (
         _dot_expr,
@@ -433,6 +454,12 @@ def dedup_semantic_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     emb = _with_planted_near_dups(_emb(spark, sf_dir))
+    # one documented plan-time action (the same license as simhash's
+    # plan_blocking / srp_banding corpus counts): refuse the quadratic
+    # cell expansion LOUDLY when k is too small for the corpus, instead
+    # of letting the pair join run for hours — the guard philosophy of
+    # the r9 top-k broadcast bound
+    _guard_cell_pair_budget(emb.count(), k=8)
     _, assigned = kmeans_fit(emb, k=8, max_iter=3)
     vecs = emb.select("vec_id", checked_double_vec("embedding", _DIM).alias("v"))
     cell = (

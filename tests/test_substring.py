@@ -178,3 +178,16 @@ def test_semdedup_pairs_are_exactly_coceled_planted_twins(spark, sf_dir):
         assert r.cos_sim >= 0.9, r
     if sf_dir.rstrip("/").endswith("sf0.001"):
         assert len(rows) == 50
+
+
+def test_semdedup_pair_budget_guard():
+    import pytest as _pt
+
+    from poormans_kube_etl_spark.queries.similarity import (
+        _guard_cell_pair_budget,
+    )
+
+    _guard_cell_pair_budget(20_000, k=8)  # sf1-scale corpus fits
+    with _pt.raises(ValueError, match="raise k"):
+        _guard_cell_pair_budget(2_000_000, k=8)  # 2.5e11 pairs: refuse
+    _guard_cell_pair_budget(2_000_000, k=20_000)  # scaled k: fine
