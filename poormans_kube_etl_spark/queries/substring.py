@@ -133,6 +133,13 @@ def duplicate_spans(docs: DataFrame, k: int = _K) -> DataFrame:
         .select("g")
     )
     hits = grams.join(dup, "g").select("doc_id", "s", (F.col("s") + k).alias("e"))
+    return merge_islands(hits)
+
+
+def merge_islands(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands interval merge of (doc_id, s, e) hit windows into
+    maximal per-doc spans — shared by the self-dedup and incremental
+    faces. One shuffle on doc_id; O(1) window state per row."""
     wd = Window.partitionBy("doc_id").orderBy("s")
     prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
     islanded = hits.withColumn(
@@ -151,11 +158,11 @@ def duplicate_spans(docs: DataFrame, k: int = _K) -> DataFrame:
     )
 
 
-# Shared oracle CTEs: positional k-grams -> duplicated grams -> merged
-# islands, the exact SQL twin of duplicate_spans (gram identity is the
-# joined string; Spark's xxhash64 key induces the same partition of
-# positions up to 2^-64 collisions).
-_SPAN_CTES = f"""
+# Shared oracle CTE pieces: positional k-grams (prefix), merged islands
+# (suffix) — each face supplies its own dup/hits definition in between.
+# Gram identity is the joined string; Spark's xxhash64 key induces the
+# same partition of positions up to 2^-64 collisions.
+_GRAM_CTES = f"""
     toks AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
@@ -169,12 +176,10 @@ _SPAN_CTES = f"""
       SELECT doc_id, CAST(s AS INT) AS s,
              array_to_string(list_slice(t, s + 1, s + {_K}), ' ') AS g
       FROM positions
-    ),
-    dup AS (SELECT g FROM keyed GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
-    hits AS (
-      SELECT k.doc_id, k.s, k.s + {_K} AS e
-      FROM keyed k JOIN dup d USING (g)
-    ),
+    )
+"""
+
+_ISLAND_CTES = f"""
     opened AS (
       SELECT doc_id, s, e,
              CASE WHEN s > COALESCE(MAX(e) OVER (
@@ -196,6 +201,16 @@ _SPAN_CTES = f"""
       FROM islanded GROUP BY doc_id, island
     )
 """
+
+# The self-dedup face: a gram is duplicated when it occurs in >= 2
+# distinct docs; hits are every position of a duplicated gram.
+_SPAN_CTES = f"""{_GRAM_CTES},
+    dup AS (SELECT g FROM keyed GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (
+      SELECT k.doc_id, k.s, k.s + {_K} AS e
+      FROM keyed k JOIN dup d USING (g)
+    ),
+    {_ISLAND_CTES}"""
 
 
 @register(
@@ -291,3 +306,51 @@ def train_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed_tokens",
         F.array_join(clean, " ").alias("clean_text"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_substring_incremental_spans",
+    oracle=f"""
+    WITH {_GRAM_CTES},
+    corpus_grams AS (SELECT DISTINCT g FROM keyed WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT k.doc_id, k.s, k.s + {_K} AS e
+      FROM keyed k JOIN corpus_grams USING (g)
+      WHERE k.doc_id % 10 = 0
+    ),
+    {_ISLAND_CTES}
+    SELECT doc_id, span_start, span_len, n_dup_grams
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring decontamination of a NEW batch against the EXISTING
+    corpus: for each delta document (every 10th doc — the same
+    deterministic daily-delta stand-in as dedup_minhash_incremental_
+    pairs), the maximal token runs >= _K that appear verbatim anywhere
+    in the corpus. The span-level sibling of the incremental MinHash
+    path: a re-crawl or vendor drop is checked for lifted passages
+    BEFORE it enters the corpus, without any corpus self-join.
+
+    Cheaper than the self-dedup face, not just incremental: corpus
+    grams collapse to a DISTINCT membership SET (no positions, no
+    min/max bookkeeping — distinct-aggregate with map-side partials,
+    skew-free), and the join is a semi-join of the small delta's
+    positions against it. At ingest scale the corpus gram set is the
+    persistable artifact (bucket by g, exactly the MinHash-index
+    recipe); each delta then pays only its own tokenize+hash plus one
+    bucket-local membership probe. Delta-vs-delta duplication is
+    deliberately out of scope — that is the self-dedup face run on the
+    delta alone (same contract as the MinHash incremental query).
+    """
+    docs = _docs(spark, sf_dir)
+    delta_grams = positional_kgrams(docs.where(F.col("doc_id") % 10 == 0))
+    corpus_grams = (
+        positional_kgrams(docs.where(F.col("doc_id") % 10 != 0))
+        .select("g")
+        .distinct()
+    )
+    hits = delta_grams.join(corpus_grams, "g").select(
+        "doc_id", "s", (F.col("s") + _K).alias("e")
+    )
+    return merge_islands(hits).orderBy("doc_id", "span_start")

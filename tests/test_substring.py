@@ -191,3 +191,47 @@ def test_semdedup_pair_budget_guard():
     with _pt.raises(ValueError, match="raise k"):
         _guard_cell_pair_budget(2_000_000, k=8)  # 2.5e11 pairs: refuse
     _guard_cell_pair_budget(2_000_000, k=20_000)  # scaled k: fine
+
+
+def test_incremental_spans_contained_in_self_dedup_spans(spark, sf_dir):
+    """Corpus-duplicated grams are a subset of all-duplicated grams, so
+    every incremental span of a delta doc must sit inside some
+    self-dedup span of that doc — and a delta-vs-delta-only overlap
+    must NOT appear in the incremental face."""
+    from poormans_kube_etl_spark.queries import all_queries
+
+    q = all_queries()
+    inc = q["dedup_substring_incremental_spans"](spark, sf_dir).collect()
+    assert inc, "delta docs share known spans with the corpus"
+    full = {}
+    for r in q["dedup_substring_spans"](spark, sf_dir).collect():
+        full.setdefault(r.doc_id, []).append((r.span_start, r.span_start + r.span_len))
+    for r in inc:
+        assert r.doc_id % 10 == 0, r  # only delta docs
+        inside = any(
+            s <= r.span_start and r.span_start + r.span_len <= e
+            for s, e in full.get(r.doc_id, [])
+        )
+        assert inside, r
+
+
+def test_incremental_spans_ignore_delta_vs_delta(spark):
+    from poormans_kube_etl_spark.queries.substring import (
+        _K,
+        merge_islands,
+        positional_kgrams,
+    )
+
+    shared = "x1 x2 x3 x4 x5 x6 x7 x8"
+    docs = spark.createDataFrame(
+        [
+            (10, shared + " a1 a2"),   # delta (10 % 10 == 0)
+            (20, shared + " b1 b2"),   # delta — shares ONLY with doc 10
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # corpus, unrelated
+        ],
+        "doc_id long, text string",
+    )
+    delta = positional_kgrams(docs.where("doc_id % 10 = 0"))
+    corpus = positional_kgrams(docs.where("doc_id % 10 <> 0")).select("g").distinct()
+    hits = delta.join(corpus, "g").selectExpr("doc_id", "s", f"s + {_K} as e")
+    assert merge_islands(hits).count() == 0
