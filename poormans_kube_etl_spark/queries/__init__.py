@@ -72,9 +72,10 @@ _loaded = False
 # lead with the queries whose latest driver row is r06 — two rounds of
 # drift over shared helpers; standing rule: queries whose values or
 # oracles changed this round stay in the window):
-# (a) this round's SEVEN NEW queries (never driver-checked: the two
-#     persisted-index delta-dedup faces, the three substring-span dedup
-#     faces, domain mixture sampling, SemDeDup pairs) + the four whose VALUES or
+# (a) this round's EIGHT NEW queries (never driver-checked: the two
+#     persisted-index delta-dedup faces, the four substring-span dedup
+#     faces incl. the gram-index artifact, domain mixture sampling,
+#     SemDeDup pairs) + the four whose VALUES or
 #     ORACLES changed in r9 itself (sketch certificates, md5-perturbed
 #     LSH twins, spectral certificate schema) + the two whose PLANS
 #     were restructured with values meant to be identical (funnel
@@ -90,6 +91,7 @@ _PRIORITY = [
     "train_domain_mixture_sample",
     "dedup_semantic_kmeans_pairs",
     "dedup_substring_incremental_spans",
+    "dedup_substring_index_delta_spans",
     "dedup_minhash_index_delta_pairs",
     "dedup_embedding_index_delta_pairs",
     "approx_distinct_users_by_type",
@@ -135,16 +137,15 @@ _PRIORITY = [
     "window_first_last_value",
     "window_range_frame_value_band",
     "window_rank_family",
-    "window_running_revenue",
 ]
 # (c) the r07-latest alphabetical fill (agg_boolean_family,
-# agg_filtered_conditional, agg_histogram_quantity) and the two
+# agg_filtered_conditional, agg_histogram_quantity) and the three
 # alphabetically-last (b) entries (window_top3_orders_per_customer,
-# window_sliding_3row_avg) were displaced by the session's five
-# never-checked additions (substring-span dedup x3, domain mixture
-# sampling, SemDeDup pairs) — never-driver-checked queries outrank
-# re-checks; the displaced five head the r10 window with the rest of
-# the r07-latest cohort.
+# window_sliding_3row_avg, window_running_revenue) were displaced by
+# the session's six never-checked additions (substring-span dedup x4,
+# domain mixture sampling, SemDeDup pairs) — never-driver-checked
+# queries outrank re-checks; the displaced six head the r10 window
+# with the rest of the r07-latest cohort.
 
 
 def load_all() -> None:

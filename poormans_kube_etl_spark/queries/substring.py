@@ -44,7 +44,7 @@ the same assumption every hash-keyed operator in this repo documents.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.text import normalize_text, tokens
@@ -65,97 +65,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
-def positional_kgrams(docs: DataFrame, k: int = _K) -> DataFrame:
-    """(doc_id, s, g) rows: one per token position, g = a 64-bit
-    fingerprint of the k-token window starting at 0-based position s.
+# The machinery moved to operators/substring.py when the persisted
+# gram index joined the family (it needs the same gram generation the
+# queries use, and operators must not import from queries). These
+# _K-defaulted faces keep the query-module call shape.
 
-    Window fingerprints follow operators/minhash.exploded_shingle_hashes:
-    each token is xxhash64'd ONCE into a materialized long array (its
-    own select — the array-reevaluation trap), and each window is one
-    fixed-width ``xxhash64(th[s], …, th[s+k-1])`` over k array-gets.
-    The first draft hashed ``F.slice(toks, s+1, k)`` per position — a
-    k-token string-array copy per window that measured ~3x this form at
-    sf0.1 (8.4 s vs 2.0-3.3 s warm for the whole spans query, and the
-    copy tax is paid twice: the gram subtree is evaluated once per
-    consumer, see duplicate_spans). Only the small
-    (s, g) structs are exploded — the token/hash arrays never ride the
-    generator (the 25x amplification tax documented on
-    train_cdc_chunk_documents, SCALING.md). Docs shorter than k tokens
-    contribute nothing: a duplicated run shorter than the minimum is
-    below the detection threshold by definition (unlike shingles, there
-    is no degrade-to-whole-doc fallback here).
-    """
-    toked = docs.select("doc_id", tokens(normalize_text("text")).alias("toks")).where(
-        F.size("toks") >= k
-    )
-    th = toked.select(
-        "doc_id",
-        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
-        F.size("toks").alias("n_toks"),
-    )
-    gram_structs = F.transform(
-        F.sequence(F.lit(0), F.col("n_toks") - k),
-        lambda s: F.struct(
-            s.cast("int").alias("s"),
-            F.xxhash64(*[F.get("th", s + j) for j in range(k)]).alias("g"),
-        ),
-    )
-    return th.select("doc_id", F.explode(gram_structs).alias("c")).select(
-        "doc_id", "c.s", "c.g"
-    )
+
+def positional_kgrams(docs: DataFrame, k: int = _K) -> DataFrame:
+    from poormans_kube_etl_spark.operators.substring import positional_kgrams as op
+
+    return op(docs, k)
 
 
 def duplicate_spans(docs: DataFrame, k: int = _K) -> DataFrame:
-    """Maximal merged per-document spans covered by cross-document
-    duplicated k-grams: (doc_id, span_start, span_len, n_dup_grams).
+    from poormans_kube_etl_spark.operators.substring import duplicate_spans as op
 
-    Plan shape (three shuffles, all skew-safe):
-    1. dup-gram set: groupBy(g) with min/max(doc_id) — partial (map-side)
-       aggregation absorbs hot boilerplate grams, unlike the
-       window-over-g formulation, which would buffer an entire hot
-       gram's partition in one WindowExec buffer (the groupBy+join form
-       re-evaluates the k-gram explode once more, a second map pass over
-       the corpus — cheap and bounded; the window form's failure mode is
-       executor OOM on one skewed key).
-    2. hits: shuffle equi-join of positions against the dup-gram set on
-       g — AQE broadcasts the dup set while it fits and skew-splits hot
-       grams past it.
-    3. per-doc interval merge: classic gaps-and-islands — running
-       max(end) over preceding rows opens a new island when the current
-       start clears it; one shuffle on doc_id, window state is O(1) per
-       row (running max + running sum), never a buffered partition.
-    """
-    grams = positional_kgrams(docs, k)
-    dup = (
-        grams.groupBy("g")
-        .agg(F.min("doc_id").alias("min_doc"), F.max("doc_id").alias("max_doc"))
-        .where(F.col("min_doc") != F.col("max_doc"))
-        .select("g")
-    )
-    hits = grams.join(dup, "g").select("doc_id", "s", (F.col("s") + k).alias("e"))
-    return merge_islands(hits)
+    return op(docs, k)
 
 
 def merge_islands(hits: DataFrame) -> DataFrame:
-    """Gaps-and-islands interval merge of (doc_id, s, e) hit windows into
-    maximal per-doc spans — shared by the self-dedup and incremental
-    faces. One shuffle on doc_id; O(1) window state per row."""
-    wd = Window.partitionBy("doc_id").orderBy("s")
-    prev_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
-    islanded = hits.withColumn(
-        "new_isl", F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0)
-    ).withColumn(
-        "island", F.sum("new_isl").over(wd.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        islanded.groupBy("doc_id", "island")
-        .agg(
-            F.min("s").cast("int").alias("span_start"),
-            (F.max("e") - F.min("s")).cast("int").alias("span_len"),
-            F.count(F.lit(1)).alias("n_dup_grams"),
-        )
-        .select("doc_id", "span_start", "span_len", "n_dup_grams")
-    )
+    from poormans_kube_etl_spark.operators.substring import merge_islands as op
+
+    return op(hits)
 
 
 # Shared oracle CTE pieces: positional k-grams (prefix), merged islands
@@ -354,3 +285,73 @@ def dedup_substring_incremental_spans(spark: SparkSession, sf_dir: str) -> DataF
         "doc_id", "s", (F.col("s") + _K).alias("e")
     )
     return merge_islands(hits).orderBy("doc_id", "span_start")
+
+
+@register(
+    "dedup_substring_index_delta_spans",
+    # the artifact is a pure optimization of the live incremental face,
+    # so the span set must be identical: SAME oracle
+    oracle=f"""
+    WITH {_GRAM_CTES},
+    corpus_grams AS (SELECT DISTINCT g FROM keyed WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT k.doc_id, k.s, k.s + {_K} AS e
+      FROM keyed k JOIN corpus_grams USING (g)
+      WHERE k.doc_id % 10 = 0
+    ),
+    {_ISLAND_CTES}
+    SELECT doc_id, span_start, span_len, n_dup_grams
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index face of substring decontamination: the
+    corpus gram set is written once per session/SF
+    (operators/substring.write_corpus_gram_index — distinct grams
+    bucketed by g, width k in table properties), then the delta (every
+    10th doc) probes the artifact — the corpus is never re-tokenized on
+    the delta path (plan-gated). Same oracle as
+    dedup_substring_incremental_spans: the artifact is a pure
+    optimization, so the span set must be identical."""
+    import hashlib
+    import os
+    import re
+
+    from poormans_kube_etl_spark.operators.substring import (
+        read_corpus_gram_index,
+        substring_spans_indexed,
+        write_corpus_gram_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    # identity = basename + a hash of the FULL normalized path (the
+    # minhash-index lesson: basename alone let two different dirs that
+    # sanitize identically share one index)
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    tag = (
+        re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(norm))
+        + "_"
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    )
+    name = f"pke_ssidx_v1_{tag}"
+    try:
+        # completeness = the whole artifact reads back (table + validated
+        # properties); a crash mid-build must trigger a REBUILD below,
+        # not an eternal error
+        idx = read_corpus_gram_index(spark, name)
+    except Exception:
+        # once per (session, SF): the ingest-time build. mode=overwrite
+        # clears stale /tmp artifacts from earlier processes (the
+        # in-memory catalog forgets tables across sessions) AND any
+        # half-written artifact from a crashed build.
+        write_corpus_gram_index(
+            docs.where(F.col("doc_id") % 10 != 0),
+            name,
+            k=_K,
+            n_buckets=8,
+            path=f"/tmp/pke_ssidx_v1/{tag}",
+            mode="overwrite",
+        )
+        idx = read_corpus_gram_index(spark, name)
+    return substring_spans_indexed(new, idx).orderBy("doc_id", "span_start")
