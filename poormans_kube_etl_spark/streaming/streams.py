@@ -334,3 +334,83 @@ def stream_dedup_against_corpus(
     return foreach_batch_pipeline(
         new_docs_stream, dedup_batch, sink_dir, checkpoint_dir, query_name
     )
+
+
+def stream_substring_screen(
+    new_docs_stream: DataFrame,
+    corpus_docs: DataFrame | None,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    query_name: str = "stream-substring-screen",
+    index=None,
+):
+    """Continuous substring decontamination: each micro-batch of
+    arriving documents is screened for token runs >= k that appear
+    verbatim in the STANDING corpus, and the offending spans land under
+    ``sink_dir`` per batch id (idempotent under replay, same
+    foreach_batch_pipeline discipline as the MinHash stream face) — an
+    ingest gate that quarantines lifted passages BEFORE a shard enters
+    the corpus.
+
+    Two corpus modes (exactly one of ``corpus_docs`` / ``index``):
+
+    - ``corpus_docs`` (raw documents): corpus grams recomputed per
+      batch — fine for small standing corpora and tests.
+    - ``index`` (a ``CorpusGramIndex`` from
+      operators/substring.read_corpus_gram_index): the production
+      shape. Each micro-batch pays only its own tokenize+hash plus one
+      membership probe landing on the gram table's bucket distribution;
+      the corpus is never re-tokenized, batch after batch (2.5x the
+      live face at sf1, SCALING.md). The gram width comes FROM the
+      artifact, so a caller-supplied ``k`` that disagrees is rejected
+      instead of silently screening at the wrong granularity.
+    """
+    from poormans_kube_etl_spark.operators.substring import (
+        merge_islands,
+        positional_kgrams,
+        substring_spans_indexed,
+    )
+
+    if (corpus_docs is None) == (index is None):
+        raise ValueError("pass exactly one of corpus_docs or index")
+    if index is not None:
+        c = index.constants
+        if (c["id_col"], c["text_col"]) != (id_col, text_col):
+            raise ValueError(
+                f"index was built over ({c['id_col']}, {c['text_col']}), "
+                f"stream is configured for ({id_col}, {text_col})"
+            )
+        if k != index.k:
+            raise ValueError(
+                f"k={k} disagrees with the artifact's k={index.k}; the gram "
+                "width is baked into the index — rebuild it to change k"
+            )
+
+        def screen_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            return substring_spans_indexed(
+                batch_df.select(id_col, text_col), index
+            )
+
+    else:
+        corpus_grams = (
+            positional_kgrams(corpus_docs, k, id_col, text_col)
+            .select("g")
+            .distinct()
+        )
+
+        def screen_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+            hits = (
+                positional_kgrams(
+                    batch_df.select(id_col, text_col), k, id_col, text_col
+                )
+                .join(corpus_grams, "g")
+                .select(id_col, "s", (F.col("s") + k).alias("e"))
+            )
+            return merge_islands(hits, id_col)
+
+    return foreach_batch_pipeline(
+        new_docs_stream, screen_batch, sink_dir, checkpoint_dir, query_name
+    )

@@ -364,3 +364,74 @@ def test_stream_dedup_against_persisted_index(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_idx_bands")
         spark.sql("DROP TABLE IF EXISTS t_stream_idx_shingles")
+
+
+def test_stream_substring_screen_live_and_indexed(spark, tmp_path):
+    """The substring ingest gate as a stream: an arriving shard's
+    lifted passage is flagged with its exact span against the standing
+    corpus — once recomputing corpus grams per batch, once probing the
+    persisted gram index (corpus never re-tokenized); both faces agree,
+    and a width disagreeing with the artifact is rejected."""
+    import json
+
+    import pytest
+
+    from poormans_kube_etl_spark.operators.substring import (
+        read_corpus_gram_index,
+        write_corpus_gram_index,
+    )
+    from poormans_kube_etl_spark.streaming.streams import stream_substring_screen
+
+    lifted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, lifted + " corpus tail words here"),
+         (2, "standing corpus content nothing like the rest at all ok")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    with open(src / "shard-000.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": 100, "text": "intro words " + lifted}) + "\n")
+        fh.write(json.dumps({"doc_id": 101, "text": "fresh novel words " * 8}) + "\n")
+
+    def arrivals():
+        return spark.readStream.schema("doc_id long, text string").json(str(src))
+
+    sink_live = str(tmp_path / "spans_live")
+    q = stream_substring_screen(
+        arrivals(), corpus, sink_live, str(tmp_path / "ckpt_live")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    live = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in spark.read.parquet(sink_live).collect()
+    }
+    # doc 100: "intro words" (2 tokens) then the 10 lifted tokens
+    assert live == {(100, 2, 10)}
+
+    write_corpus_gram_index(
+        corpus, "t_stream_ssidx", k=8, path=str(tmp_path / "ssidx"), n_buckets=2
+    )
+    try:
+        index = read_corpus_gram_index(spark, "t_stream_ssidx")
+        sink_idx = str(tmp_path / "spans_idx")
+        q = stream_substring_screen(
+            arrivals(), None, sink_idx, str(tmp_path / "ckpt_idx"), index=index
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        indexed = {
+            (r.doc_id, r.span_start, r.span_len)
+            for r in spark.read.parquet(sink_idx).collect()
+        }
+        assert indexed == live
+        with pytest.raises(ValueError, match="baked into the index"):
+            stream_substring_screen(
+                arrivals(), None, sink_idx, str(tmp_path / "ckpt_k"),
+                k=5, index=index,
+            )
+        with pytest.raises(ValueError, match="exactly one"):
+            stream_substring_screen(
+                arrivals(), corpus, sink_idx, str(tmp_path / "ckpt_b"), index=index
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stream_ssidx_grams")
