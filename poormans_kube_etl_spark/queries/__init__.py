@@ -137,15 +137,22 @@ _PRIORITY = [
     "window_first_last_value",
     "window_range_frame_value_band",
     "window_rank_family",
+    # (c) seats 51+: the (b) entries displaced past the nominal 50 by
+    # this session's six never-checked additions (substring-span dedup
+    # x4, domain mixture sampling, SemDeDup pairs) — never-driver-
+    # checked queries outrank re-checks. The driver sweeps the FIRST
+    # ~50, so these either ride a slightly-wider sweep or head the r10
+    # window; sim_kmeans_clusters rides here too because its oracle
+    # STRING was touched this round (whitespace-only CTE extraction —
+    # values verified identical locally at sf0.01, but the standing
+    # rule is that touched oracles re-earn a driver row). The r07
+    # alphabetical fill (agg_boolean_family, agg_filtered_conditional,
+    # agg_histogram_quantity) heads r10 with the rest of that cohort.
+    "window_running_revenue",
+    "window_sliding_3row_avg",
+    "window_top3_orders_per_customer",
+    "sim_kmeans_clusters",
 ]
-# (c) the r07-latest alphabetical fill (agg_boolean_family,
-# agg_filtered_conditional, agg_histogram_quantity) and the three
-# alphabetically-last (b) entries (window_top3_orders_per_customer,
-# window_sliding_3row_avg, window_running_revenue) were displaced by
-# the session's six never-checked additions (substring-span dedup x4,
-# domain mixture sampling, SemDeDup pairs) — never-driver-checked
-# queries outrank re-checks; the displaced six head the r10 window
-# with the rest of the r07-latest cohort.
 
 
 def load_all() -> None:
