@@ -72,10 +72,10 @@ _loaded = False
 # lead with the queries whose latest driver row is r06 — two rounds of
 # drift over shared helpers; standing rule: queries whose values or
 # oracles changed this round stay in the window):
-# (a) this round's EIGHT NEW queries (never driver-checked: the two
+# (a) this round's NINE NEW queries (never driver-checked: the two
 #     persisted-index delta-dedup faces, the four substring-span dedup
 #     faces incl. the gram-index artifact, domain mixture sampling,
-#     SemDeDup pairs) + the four whose VALUES or
+#     SemDeDup pairs + apply-keepers) + the four whose VALUES or
 #     ORACLES changed in r9 itself (sketch certificates, md5-perturbed
 #     LSH twins, spectral certificate schema) + the two whose PLANS
 #     were restructured with values meant to be identical (funnel
@@ -90,6 +90,7 @@ _PRIORITY = [
     "train_scrub_duplicate_spans",
     "train_domain_mixture_sample",
     "dedup_semantic_kmeans_pairs",
+    "dedup_semantic_apply_keepers",
     "dedup_substring_incremental_spans",
     "dedup_substring_index_delta_spans",
     "dedup_minhash_index_delta_pairs",
@@ -136,11 +137,10 @@ _PRIORITY = [
     "top10_orders_by_price",
     "window_first_last_value",
     "window_range_frame_value_band",
-    "window_rank_family",
     # (c) seats 51+: the (b) entries displaced past the nominal 50 by
-    # this session's six never-checked additions (substring-span dedup
-    # x4, domain mixture sampling, SemDeDup pairs) — never-driver-
-    # checked queries outrank re-checks. The driver sweeps the FIRST
+    # this session's seven never-checked additions (substring-span
+    # dedup x4, domain mixture sampling, SemDeDup pairs + apply) —
+    # never-driver-checked queries outrank re-checks. The driver sweeps the FIRST
     # ~50, so these either ride a slightly-wider sweep or head the r10
     # window; sim_kmeans_clusters rides here too because its oracle
     # STRING was touched this round (whitespace-only CTE extraction —
@@ -148,6 +148,7 @@ _PRIORITY = [
     # rule is that touched oracles re-earn a driver row). The r07
     # alphabetical fill (agg_boolean_family, agg_filtered_conditional,
     # agg_histogram_quantity) heads r10 with the rest of that cohort.
+    "window_rank_family",
     "window_running_revenue",
     "window_sliding_3row_avg",
     "window_top3_orders_per_customer",

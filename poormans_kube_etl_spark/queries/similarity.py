@@ -492,3 +492,87 @@ def dedup_semantic_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+@register(
+    "dedup_semantic_apply_keepers",
+    oracle=f"""
+    WITH RECURSIVE o AS (
+      SELECT vec_id, embedding AS ov FROM embeddings WHERE vec_id < 50
+    ),
+    tw AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(ov)),
+               j -> CAST(ov[j] * (1.0
+                      + (('0x' || substr(md5(vec_id || ':' || (j - 1)), 1, 8))::BIGINT
+                         % 7) / 100.0) AS REAL)
+             ) AS tv
+      FROM o
+    ),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, tv::DOUBLE[] FROM tw
+    ),
+    {_KMEANS_UNROLLED_CTES},
+    cell_pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    prs AS (SELECT a, b FROM cell_pairs WHERE cos_sim >= 0.9),
+    edges AS (
+      SELECT a AS u, b AS v FROM prs
+      UNION
+      SELECT b AS u, a AS v FROM prs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON e2.u = r.v
+    ),
+    removed AS (
+      SELECT u AS doc FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) <> u
+    ),
+    kept_reps AS (
+      SELECT u AS doc FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) = u
+    )
+    SELECT e.vec_id,
+           (k.doc IS NOT NULL) AS kept_representative
+    FROM e
+    LEFT JOIN removed r ON r.doc = e.vec_id
+    LEFT JOIN kept_reps k ON k.doc = e.vec_id
+    WHERE r.doc IS NULL
+    ORDER BY e.vec_id
+    """,
+)
+def dedup_semantic_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup decision APPLIED: the embedding corpus after
+    semantic near-dup removal — transitive closure over the within-cell
+    pairs, min-id keeper per component, non-keepers anti-joined away
+    (the same pairs → clusters → anti-join closure as
+    dedup_minhash_apply_keepers, on the semantic family). The
+    ``kept_representative`` flag marks survivors that stand in for a
+    removed group — the discriminating bit: a query that just returned
+    the corpus unchanged would fail on it. Anti-join and flag-join are
+    keyed on the (small) clustered-doc sets — AQE broadcasts both, so
+    the corpus side never shuffles."""
+    from poormans_kube_etl_spark.operators.graph import dedup_clusters
+    from poormans_kube_etl_spark.queries.dedup import _with_planted_near_dups
+
+    apply_runtime_confs(spark)
+    pairs = dedup_semantic_kmeans_pairs(spark, sf_dir).select("a", "b")
+    clusters = dedup_clusters(pairs)
+    non_keepers = clusters.where(F.col("doc") != F.col("keeper")).select("doc")
+    kept_reps = (
+        clusters.where(F.col("doc") == F.col("keeper")).select("doc").distinct()
+    )
+    emb = _with_planted_near_dups(_emb(spark, sf_dir)).select("vec_id")
+    return (
+        emb.join(non_keepers, emb.vec_id == non_keepers.doc, "left_anti")
+        .join(kept_reps, F.col("vec_id") == kept_reps.doc, "left")
+        .select("vec_id", F.col("doc").isNotNull().alias("kept_representative"))
+        .orderBy("vec_id")
+    )

@@ -235,3 +235,21 @@ def test_incremental_spans_ignore_delta_vs_delta(spark):
     corpus = positional_kgrams(docs.where("doc_id % 10 <> 0")).select("g").distinct()
     hits = delta.join(corpus, "g").selectExpr("doc_id", "s", f"s + {_K} as e")
     assert merge_islands(hits).count() == 0
+
+
+def test_semdedup_apply_keepers_closes_the_pipeline(spark, sf_dir):
+    """Survivors = corpus minus the max-id twin of every planted pair;
+    every original of a pair survives flagged as the kept
+    representative; untouched docs survive unflagged."""
+    from poormans_kube_etl_spark.queries import all_queries
+
+    q = all_queries()
+    pairs = q["dedup_semantic_kmeans_pairs"](spark, sf_dir).collect()
+    survivors = {r.vec_id: r.kept_representative
+                 for r in q["dedup_semantic_apply_keepers"](spark, sf_dir).collect()}
+    assert survivors
+    removed = {r.b for r in pairs}
+    keepers = {r.a for r in pairs}
+    assert removed.isdisjoint(survivors)
+    for v, flagged in survivors.items():
+        assert flagged == (v in keepers), (v, flagged)
