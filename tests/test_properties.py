@@ -651,3 +651,70 @@ def test_spectral_trace_anchor_survives_huge_components(spark):
     huge = pd.DataFrame({"label": [1, 1], "embedding": [[1e13], [0.0]]})
     with pytest.raises(ValueError, match="exceeds int64"):
         _spectral_stats(huge)
+
+
+def _py_duplicate_spans(docs: dict[int, list[str]], k: int):
+    """Independent brute-force model of operators/substring.duplicate_
+    spans: positions of k-grams occurring in >= 2 distinct docs, merged
+    into maximal intervals per doc."""
+    from collections import defaultdict
+
+    where = defaultdict(set)  # gram tuple -> {doc_id}
+    for d, toks in docs.items():
+        for i in range(len(toks) - k + 1):
+            where[tuple(toks[i : i + k])].add(d)
+    spans = {}
+    for d, toks in docs.items():
+        hits = [
+            (i, i + k)
+            for i in range(len(toks) - k + 1)
+            if len(where[tuple(toks[i : i + k])]) >= 2
+        ]
+        merged = []
+        for s, e in hits:  # hits are start-sorted
+            if merged and s <= merged[-1][1]:
+                merged[-1][2] += 1
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e, 1])
+        if merged:
+            spans[d] = [(s, e - s, n) for s, e, n in merged]
+    return spans
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=14
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_substring_spans_match_bruteforce_model(spark, doc_toks, k):
+    """duplicate_spans == an independent Python brute force on random
+    tiny corpora over a 4-token alphabet (dense with collisions, so
+    merges, within-doc repeats, and full-doc spans all get exercised)."""
+    from poormans_kube_etl_spark.operators.substring import duplicate_spans
+
+    docs = {i: t for i, t in enumerate(doc_toks)}
+    frame = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {}
+    for r in duplicate_spans(frame, k).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_len, r.n_dup_grams)
+        )
+    expected = {
+        d: [(s, ln, n) for s, ln, n in sp]
+        for d, sp in _py_duplicate_spans(docs, k).items()
+    }
+    got_sorted = {d: sorted(v) for d, v in got.items()}
+    assert got_sorted == {d: sorted(v) for d, v in expected.items()}
