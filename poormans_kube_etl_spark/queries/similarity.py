@@ -25,6 +25,14 @@ from poormans_kube_etl_spark.sources import load_table
 _N_QUERIES = 3  # query vectors: vec_id < 3
 _K = 5
 _DIM = 64  # testdata embedding width; explicit so builds skip the infer job
+# SemDeDup demo slice: with the oracle-replayable k=8 the cell-pair
+# cost is quadratic in the slice, so the REGISTERED queries run on a
+# capped corpus slice (the dedup_embedding_near_pairs _EMB_PAIR_CAP
+# precedent) — a no-op at the driver's sf0.001/sf0.01 and exactly the
+# sf0.1 corpus, bounding the pair stage (~262k pairs) at every SF the
+# full-registry sweeps run. Production callers scale k with n instead
+# (see _guard_cell_pair_budget).
+_SEMDEDUP_CAP = 2000
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +403,7 @@ def _guard_cell_pair_budget(n: int, k: int, budget: float = 2e8) -> None:
     ),
     e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 2000
       UNION ALL
       SELECT vec_id + 1000000, tv::DOUBLE[] FROM tw
     ),
@@ -453,7 +462,9 @@ def dedup_semantic_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from poormans_kube_etl_spark.queries.dedup import _with_planted_near_dups
 
     apply_runtime_confs(spark)
-    emb = _with_planted_near_dups(_emb(spark, sf_dir))
+    emb = _with_planted_near_dups(
+        _emb(spark, sf_dir).where(F.col("vec_id") < _SEMDEDUP_CAP)
+    )
     # one documented plan-time action (the same license as simhash's
     # plan_blocking / srp_banding corpus counts): refuse the quadratic
     # cell expansion LOUDLY when k is too small for the corpus, instead
@@ -511,6 +522,7 @@ def dedup_semantic_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 2000
       UNION ALL
       SELECT vec_id + 1000000, tv::DOUBLE[] FROM tw
     ),
@@ -569,7 +581,9 @@ def dedup_semantic_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_reps = (
         clusters.where(F.col("doc") == F.col("keeper")).select("doc").distinct()
     )
-    emb = _with_planted_near_dups(_emb(spark, sf_dir)).select("vec_id")
+    emb = _with_planted_near_dups(
+        _emb(spark, sf_dir).where(F.col("vec_id") < _SEMDEDUP_CAP)
+    ).select("vec_id")
     return (
         emb.join(non_keepers, emb.vec_id == non_keepers.doc, "left_anti")
         .join(kept_reps, F.col("vec_id") == kept_reps.doc, "left")
