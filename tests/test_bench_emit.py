@@ -70,11 +70,12 @@ def test_headline_drops_query_map_rather_than_overflow(tmp_path, capsys):
 
 
 def test_real_headline_surface_fits_tail_budget():
-    """The ACTUAL 19-query headline surface must fit the tail budget
-    with the per-query map intact — if a rename/addition pushes it
-    over, this trips before the driver's record silently loses the
-    map."""
-    names = list(json.load(open(os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")))["queries"])
+    """The ACTUAL headline surface (bench.HEADLINE, not the last
+    recorded detail file — a stale BENCH_DETAIL.json must not mask a
+    list that grew past the budget) must fit the tail budget with the
+    per-query map intact — if a rename/addition pushes it over, this
+    trips before the driver's record silently loses the map."""
+    names = list(bench.HEADLINE)
     headline = {
         "metric": "headline_queries_total_sec",
         "value": 8888.8888,
@@ -86,11 +87,13 @@ def test_real_headline_surface_fits_tail_budget():
         # to 1dp/integers if needed, and drops the detail pointer (r9).
         # Worst case that must fit WITHOUT degradation: dd.dd; the
         # degraded floor that must ALWAYS fit: ddd-second integers.
+        # Compact separators mirror emit_results' headline dumps.
         "queries": {n: 88.88 for n in names},
     }
-    assert len(json.dumps(headline)) <= 1000
+    compact = {"separators": (",", ":")}
+    assert len(json.dumps(headline, **compact)) <= 1000
     headline["queries"] = {n: 888 for n in names}
-    assert len(json.dumps(headline)) <= 1000
+    assert len(json.dumps(headline, **compact)) <= 1000
 
 
 def test_detail_file_written_atomically(tmp_path, capsys):
