@@ -85,7 +85,15 @@ _loaded = False
 #     the lone r05 row, is no longer a registered name — folded into
 #     text_rolling_fingerprints in r6, which rides in this cohort).
 _PRIORITY = [
-    # (a) new or changed this round
+    # (a) new or changed this round (later session: containment pairs,
+    # n-gram novelty, source-overlap matrix, gaps-and-islands streaks,
+    # MAD length outliers — never driver-checked, so they outrank
+    # re-checks per the standing rule)
+    "dedup_containment_pairs",
+    "text_ngram_novelty",
+    "text_source_overlap_matrix",
+    "window_gaps_islands_user_streaks",
+    "dq_mad_doc_length_outliers",
     "dedup_substring_spans",
     "train_scrub_duplicate_spans",
     "train_domain_mixture_sample",

@@ -134,3 +134,60 @@ def dq_value_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("tbl", "col")
+
+
+@register(
+    "dq_mad_doc_length_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY source
+    ),
+    dev AS (
+      SELECT d.source, d.n_chars, abs(d.n_chars - m.med) AS ad
+      FROM documents d JOIN med m USING (source)
+    ),
+    mad AS (SELECT source, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY source)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN d.ad > 3 * m.mad THEN 1 END) AS BIGINT) AS n_outliers,
+           MIN(m2.med) AS median_chars,
+           MIN(m.mad) AS mad_chars
+    FROM dev d
+    JOIN mad m USING (source)
+    JOIN med m2 USING (source)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def dq_mad_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier screen: median + MAD instead of
+    mean + stddev (one pathological 100 MB doc drags a z-score gate,
+    not this one). The k·MAD comparison deliberately omits the 1.4826
+    normal-consistency constant: n_chars is integral, so medians and
+    MADs are exact multiples of 0.5 and 3·MAD stays EXACT in binary —
+    the cross-engine comparison can never flip on a ulp.
+
+    Scale shape: two source-keyed percentile aggregations and two
+    broadcast-sized joins (one row per source each); the wide scan is
+    touched twice — at 100 TB you'd persist the (source, n_chars)
+    projection, ~16 bytes/row, before the second pass."""
+    docs = _t(spark, sf_dir, "documents")
+    med = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", "n_chars", F.abs(F.col("n_chars") - F.col("med")).alias("ad"), "med"
+    )
+    mad = dev.groupBy("source").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("ad") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+            F.min("med").alias("median_chars"),
+            F.min("mad").alias("mad_chars"),
+        )
+        .orderBy("source")
+    )

@@ -943,3 +943,63 @@ def dedup_minhash_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
+      FROM documents WHERE doc_id < {_JACCARD_DOC_CAP}
+    ),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN list_transform(range(0, len(t) - 4),
+                                        i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+                    ELSE [array_to_string(t, ' ')] END)) AS s
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b, CAST(i.i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+    WHERE CAST(i.i AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.5
+    ORDER BY a, b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A→B) = |A∩B| / |A| — the
+    quote/subset detector Jaccard misses: a short doc fully embedded in
+    a long one has tiny Jaccard but containment 1.0 (the decision
+    metric of suffix-array dedup reports and of the reference-style
+    "is this file a subset of that ingest" checks). Ordered pairs, so
+    each direction carries its own score.
+
+    Same capped all-shared-shingle join as dedup_ngram_jaccard_pairs
+    (the oracle-small path); the uncapped scale path is the banded
+    MinHash family — containment's scalable estimator would swap the
+    symmetric band key for the same buckets with a per-doc size join,
+    identical shuffle shape. int/int→double division is
+    IEEE-deterministic, hash-stable."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < _JACCARD_DOC_CAP)
+    ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = (F.col("i").cast("double") / F.col("n").cast("double")).alias("containment")
+    return (
+        inter.join(sizes, inter.a == sizes.doc_id)
+        .select("a", "b", cont)
+        .where(F.col("containment") >= 0.5)
+        .orderBy("a", "b")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.operators.minhash import exploded_shingles
 from poormans_kube_etl_spark.operators.text import (
     STOPWORDS_EN,
     fingerprint_md5,
@@ -365,4 +366,119 @@ def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
+    )
+
+
+_SHINGLE5_CTE = """
+    toks AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             UNNEST(list_distinct(
+               CASE WHEN len(t) >= 5
+                    THEN list_transform(range(0, len(t) - 4),
+                                        i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+                    ELSE [array_to_string(t, ' ')] END)) AS s
+      FROM toks
+    )
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLE5_CTE},
+    first AS (SELECT s, MIN(doc_id) AS fd FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(CASE WHEN f.fd = sh.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+           CAST(COUNT(CASE WHEN f.fd = sh.doc_id THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN first f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct word
+    5-grams whose corpus-first occurrence (MIN doc_id — the same
+    keep-first arbitration as exact dedup) is this doc. The
+    memorization-analysis primitive: novelty ~0 means the doc is
+    assembled from already-seen phrasing; ~1 means fresh text.
+
+    Two linear shuffles at any scale — gram→min(doc_id) hash-agg, then
+    a gram-keyed join back (map-side combinable, no pair expansion) and
+    a doc-keyed count. No candidate blowup: every row is (gram, doc),
+    never (doc, doc)."""
+    docs = _docs(spark, sf_dir)
+    ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    novel = F.count(F.when(F.col("fd") == F.col("doc_id"), 1))
+    return (
+        ex.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_source_overlap_matrix",
+    oracle=f"""
+    WITH {_SHINGLE5_CTE},
+    sg AS (SELECT DISTINCT source, s FROM sh),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(LEAST(MIN(sa.n), MIN(sb.n)) AS DOUBLE) AS overlap_coef
+    FROM sg a
+    JOIN sg b ON a.s = b.s AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for each source pair, how
+    many distinct word 5-grams they share, and the overlap coefficient
+    |A∩B| / min(|A|,|B|) — the "which feeds copy from each other"
+    governance view run before mixing sources into a training corpus.
+
+    Scale shape: grams are deduped per SOURCE first (the (source, gram)
+    projection is linear in corpus size), so the self-join fans out at
+    most C(n_sources, 2) rows per gram — n_sources is a catalog-sized
+    constant, never corpus-sized. The output is a tiny S×S matrix."""
+    docs = _docs(spark, sf_dir)
+    ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
+    src = docs.select("doc_id", "source")
+    sg = ex.join(src, "doc_id").select("source", "s").distinct()
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.alias("a")
+    b = sg.alias("b")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .join(F.broadcast(sa), F.col("sa.source") == F.col("a.source"))
+        .join(F.broadcast(sb), F.col("sb.source") == F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_grams"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.least(F.min("sa.n"), F.min("sb.n")).cast("double")
+            ).alias("overlap_coef"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -196,3 +196,60 @@ def window_trailing_1h_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
     ).orderBy("event_id")
+
+
+@register(
+    "window_gaps_islands_user_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    num AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '1970-01-01', d)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      FROM num GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MAX(len) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_gaps_islands_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the classic day_number − row_number() island key (consecutive days
+    share a constant difference; any gap shifts it). The distinct's
+    exchange ships (user, day) pairs AFTER a partial aggregate — at
+    100 TB that map-side combine is what keeps the shuffle small, so it
+    earns its exchange; the window adds one user_id shuffle, and both
+    downstream groupBys reuse it (user_id partitioning already clusters
+    (user_id, island) — Catalyst adds no further exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    num = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff("d", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = num.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )

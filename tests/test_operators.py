@@ -1724,3 +1724,140 @@ def test_incremental_equals_cross_side_of_self_dedup(spark):
         ).collect()
     }
     assert inc == cross and len(inc) > 0
+
+
+# ---------------------------------------------------------------------------
+# r9 (late session): containment / novelty / overlap / streaks / MAD
+# ---------------------------------------------------------------------------
+
+
+def test_containment_detects_subset_doc(spark, tmp_path):
+    """A short doc fully embedded in a long one: containment(short→long)
+    = 1.0 even though Jaccard is far below any dedup threshold — the
+    asymmetry is the operator's whole point."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        exact_jaccard,
+        exploded_shingles,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens = 3 5-grams
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, f"{filler} {quote} {filler}"), (1, quote)], ["doc_id", "text"]
+    )
+    ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
+    sizes = {r.doc_id: r.n for r in ex.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .count()
+        .collect()
+    )
+    cont = {(r.a, r.b): r["count"] / sizes[r.a] for r in inter}
+    assert cont[(1, 0)] == 1.0  # the quote is fully contained
+    assert cont[(0, 1)] < 0.1  # the big doc is NOT contained in the quote
+    # and symmetric Jaccard would have missed it entirely
+    shingled = ex.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
+    pairs = spark.createDataFrame([(0, 1)], ["a", "b"])
+    jac = exact_jaccard(pairs, shingled, "doc_id").collect()[0].jaccard
+    assert jac < 0.1
+
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    """An exact copy of an earlier doc has novelty 0 (every gram's
+    first occurrence is the original); the original keeps 1.0."""
+    from poormans_kube_etl_spark.queries import all_queries
+    import os
+    import tempfile
+
+    text = " ".join(f"t{i}" for i in range(20))
+    other = " ".join(f"u{i}" for i in range(20))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text, "en", "s0", len(text)), (7, text, "en", "s1", len(text)),
+             (3, other, "en", "s0", len(other))],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r.doc_id: r
+            for r in all_queries()["text_ngram_novelty"](spark, d).collect()
+        }
+    assert rows[0].novelty == 1.0
+    assert rows[7].novelty == 0.0  # the copy: min(doc_id) arbitration
+    assert rows[3].novelty == 1.0
+    assert rows[0].n_grams == 16  # 20 tokens -> 16 distinct 5-grams
+
+
+def test_source_overlap_matrix_identical_sources(spark):
+    """Two sources with the same text share every gram (coef 1.0); a
+    disjoint third source never appears in the matrix (inner join)."""
+    from poormans_kube_etl_spark.queries import all_queries
+    import os
+    import tempfile
+
+    text = " ".join(f"t{i}" for i in range(20))
+    other = " ".join(f"u{i}" for i in range(20))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text, "en", "sA", len(text)), (1, text, "en", "sB", len(text)),
+             (2, other, "en", "sC", len(other))],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = all_queries()["text_source_overlap_matrix"](spark, d).collect()
+    assert [(r.source_a, r.source_b) for r in rows] == [("sA", "sB")]
+    assert rows[0].shared_grams == 16 and rows[0].overlap_coef == 1.0
+
+
+def test_gaps_islands_streaks_split_on_gap(spark):
+    """Days 1,2,3 then 5,6 then 9 → streaks (3,2,1); multiple events on
+    one day collapse (the distinct) and cross-user days don't merge."""
+    import datetime as dt
+
+    from poormans_kube_etl_spark.queries.windows_extra import (
+        window_gaps_islands_user_streaks,
+    )
+    import os
+    import tempfile
+
+    def ts(day, h=0):
+        return dt.datetime(2024, 1, day, h, 0, 0)
+
+    rows = [
+        (i, ts(d, h), 1, "view", 1.0, "{}")
+        for i, (d, h) in enumerate([(1, 0), (1, 5), (2, 1), (3, 2), (5, 0), (6, 3), (9, 9)])
+    ] + [(99, ts(4), 2, "view", 1.0, "{}")]  # user 2 active on the gap day
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.user_id: r for r in window_gaps_islands_user_streaks(spark, d).collect()}
+    assert got[1].n_streaks == 3
+    assert got[1].longest_streak == 3
+    assert got[1].active_days == 6
+    assert got[2].n_streaks == 1 and got[2].active_days == 1
+
+
+def test_mad_outliers_robust_to_single_monster_doc(spark):
+    """One enormous doc inside a tight cluster: MAD flags exactly it,
+    and the median/MAD stats barely move (the robustness property a
+    mean/stddev gate lacks)."""
+    from poormans_kube_etl_spark.queries.data_quality import (
+        dq_mad_doc_length_outliers,
+    )
+    import os
+    import tempfile
+
+    lens = [100, 102, 98, 101, 99, 103, 97, 100, 102, 5_000_000]
+    rows = [
+        (i, "x", "en", "srcZ", n) for i, n in enumerate(lens)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = dq_mad_doc_length_outliers(spark, d).collect()[0]
+    assert r.n_docs == 10
+    assert r.n_outliers == 1  # only the monster
+    assert r.median_chars == 100.5  # half-integer exact, unmoved by it
+    assert r.mad_chars <= 3
