@@ -90,6 +90,7 @@ _PRIORITY = [
     # MAD length outliers — never driver-checked, so they outrank
     # re-checks per the standing rule)
     "dedup_containment_pairs",
+    "text_bm25_topk",
     "text_ngram_novelty",
     "text_source_overlap_matrix",
     "window_gaps_islands_user_streaks",

@@ -482,3 +482,119 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# Fixed retrieval query set: corpus-vocabulary terms, inlined in BOTH
+# engines (Spark createDataFrame / SQL VALUES) so the two sides score
+# identical inputs. k1/b are the standard Robertson constants.
+_BM25_QUERIES = (
+    (0, "stream batch window"),
+    (1, "hash join merge"),
+    (2, "fast slow scan"),
+    (3, "customer order row"),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 5
+
+_BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+_NORM_TXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split({_NORM_TXT}, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+    qt AS (
+      SELECT query_id, UNNEST(list_distinct(string_split(qtext, ' '))) AS tok FROM q
+    ),
+    scored AS (
+      SELECT CAST(qt.query_id AS BIGINT) AS query_id, tf.doc_id,
+             round(SUM(
+               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+             ), 6) AS score
+      FROM qt
+      JOIN tf USING (tok)
+      JOIN df USING (tok)
+      JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval — the sparse-lexical complement to the
+    dense ANN paths (sim_topk_*): classic Robertson/Okapi scoring with
+    doc-length normalization, over an inverted (doc, term, tf) index.
+
+    Scale shape: the query-term table is catalog-sized and broadcast;
+    the term-keyed join touches only postings for query terms (an
+    inverted-index probe, never a corpus scan per query); the final
+    selection reuses the two-stage ``_topk_per_query`` merge, so no
+    single reducer ever sees more than O(k·P) survivors per query.
+    Scores are rounded to 6 dp BEFORE ranking so the cross-engine rank
+    comparator (score DESC, doc_id) never flips on a sum-order ulp
+    (ties after rounding break identically on doc_id both sides)."""
+    from poormans_kube_etl_spark.operators.similarity import _topk_per_query
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qdf = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "qtext"])
+    qt = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(F.split("qtext", " "))).alias("tok"),
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    tfn = (
+        F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(tf, "tok")
+        .join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tfn), 6).alias("sim"))
+    )
+    ranked = _topk_per_query(
+        scored.select("query_id", F.col("doc_id").alias("nn_id"), "sim"),
+        _BM25_K,
+    )
+    return ranked.select(
+        "query_id",
+        F.col("nn_id").alias("doc_id"),
+        F.col("sim").alias("score"),
+        "rank",
+    ).orderBy("query_id", "rank")

@@ -1861,3 +1861,31 @@ def test_mad_outliers_robust_to_single_monster_doc(spark):
     assert r.n_outliers == 1  # only the monster
     assert r.median_chars == 100.5  # half-integer exact, unmoved by it
     assert r.mad_chars <= 3
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    """BM25 sanity on a constructed corpus: the doc saturated with the
+    query's terms ranks 1, a doc sharing one term ranks below it, and a
+    doc with no query terms never appears; scores are non-increasing
+    down the ranking."""
+    from poormans_kube_etl_spark.queries import all_queries
+    import os
+    import tempfile
+
+    rows = [
+        (0, "stream batch window stream batch window stream", "en", "s0", 40),
+        (1, "stream foo bar baz qux quux corge grault", "en", "s0", 40),
+        (2, "totally unrelated words only here", "en", "s0", 30),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = all_queries()["text_bm25_topk"](spark, d).collect()
+    q0 = [r for r in got if r.query_id == 0]  # "stream batch window"
+    assert [r.doc_id for r in q0] == [0, 1]  # doc 2 matches nothing
+    assert q0[0].score > q0[1].score
+    assert [r.rank for r in q0] == [1, 2]
+    for rows_q in ({r.query_id for r in got}):
+        qr = [r.score for r in got if r.query_id == rows_q]
+        assert qr == sorted(qr, reverse=True)
