@@ -356,3 +356,37 @@ def test_funnel_documents_scan_feeds_cache_once(q):
         default=len(plan),
     )
     assert first_doc_scan > first_imr, "documents scanned outside the cache"
+
+
+def test_containment_cap_pushed_to_scan(q):
+    """The 200-doc cap must reach the parquet scan — without pushdown
+    the shared-shingle self-join would shingle the whole corpus twice
+    before filtering."""
+    df = q("dedup_containment_pairs")
+    assert has_pushed_filter(df, "documents", "doc_id")
+
+
+def test_bm25_broadcasts_query_terms_no_cartesian_scan(q):
+    """BM25's probe side (query terms, catalog-sized) must ride
+    broadcast joins; the only nested-loop allowed is the 1-row stats
+    crossJoin. Corpus postings must never be nested-loop-joined."""
+    from poormans_kube_etl_spark.plans.inspect import simple_plan
+
+    df = q("text_bm25_topk")
+    assert broadcast_join_count(df) >= 3  # qt, df, stats
+    plan = simple_plan(df)
+    # any BNLJ must be the broadcast 1-row stats join, i.e. at most one
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_source_overlap_dedups_grams_before_self_join(q):
+    """(source, gram) must be distinct-aggregated BEFORE the gram
+    self-join: the aggregate bounds fanout at C(S,2) rows per gram. Two
+    pre-join aggregations (one per side) must appear below the join."""
+    from poormans_kube_etl_spark.plans.inspect import simple_plan
+
+    df = q("text_source_overlap_matrix")
+    plan = simple_plan(df)
+    # the self-join sides each carry a HashAggregate(distinct) below
+    # the SortMergeJoin/ShuffledHashJoin on the gram key
+    assert plan.count("HashAggregate") >= 4  # 2 sides x partial+final

@@ -718,3 +718,55 @@ def test_substring_spans_match_bruteforce_model(spark, doc_toks, k):
     }
     got_sorted = {d: sorted(v) for d, v in got.items()}
     assert got_sorted == {d: sorted(v) for d, v in expected.items()}
+
+
+@SETTINGS
+@given(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=4),                 # user_id
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_gaps_islands_streaks_match_set_model(spark, tmp_path_factory, user_days):
+    """window_gaps_islands_user_streaks vs an independent per-user
+    streak fold over the raw day sets (sorted scan counting breaks) —
+    no window functions, no island arithmetic, so a shared bug can't
+    hide in both."""
+    import datetime as dt
+    import os
+
+    from poormans_kube_etl_spark.queries.windows_extra import (
+        window_gaps_islands_user_streaks,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, days in user_days.items():
+        for d in days:
+            # two events some days: the DISTINCT must collapse them
+            for h in ([9] if d % 3 else [9, 17]):
+                rows.append(
+                    (eid, dt.datetime.combine(base + dt.timedelta(days=d), dt.time(h)),
+                     uid, "view", 1.0, "{}")
+                )
+                eid += 1
+    d = tmp_path_factory.mktemp("streaks")
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "events.parquet"))
+    got = {
+        r.user_id: (r.n_streaks, r.longest_streak, r.active_days)
+        for r in window_gaps_islands_user_streaks(spark, str(d)).collect()
+    }
+    for uid, days in user_days.items():
+        ds = sorted(days)
+        streaks = [1]
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        assert got[uid] == (len(streaks), max(streaks), len(ds))
