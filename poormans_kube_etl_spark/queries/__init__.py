@@ -91,6 +91,7 @@ _PRIORITY = [
     # re-checks per the standing rule)
     "dedup_containment_pairs",
     "text_bm25_topk",
+    "events_markov_stationary",
     "text_ngram_novelty",
     "text_source_overlap_matrix",
     "window_gaps_islands_user_streaks",

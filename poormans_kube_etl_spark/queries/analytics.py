@@ -422,3 +422,108 @@ def orders_pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+_MARKOV_ITERS = 20
+
+
+def _markov_oracle(iters: int = _MARKOV_ITERS) -> str:
+    """Unrolled power-iteration oracle: the recursive form needs
+    aggregation in the recursive term (non-standard), so the fixed
+    iteration count is unrolled into ``iters`` chained CTEs — the same
+    generated-SQL pattern as the MinHash md5 twin."""
+    ctes = [
+        """
+    trans AS (
+      SELECT event_type AS f, next_type AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_type
+        FROM events
+      )
+      WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT f, t, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY f) AS p
+      FROM trans WHERE t IN (SELECT DISTINCT f FROM trans)
+    ),
+    i0 AS (
+      SELECT f AS state, 1.0 / (SELECT COUNT(DISTINCT f) FROM trans) AS p
+      FROM trans GROUP BY f
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""
+    i{k} AS (
+      SELECT m.t AS state, SUM(i{k - 1}.p * m.p) AS p
+      FROM i{k - 1} JOIN m ON m.f = i{k - 1}.state
+      GROUP BY 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT i.state, ROUND(i.p, 6) AS pi,
+           CAST((SELECT SUM(n) FROM trans WHERE f = i.state) AS BIGINT) AS n_out
+    FROM i{iters} i
+    ORDER BY state
+    """
+    )
+
+
+@register("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (power iteration, 20 fixed steps from uniform) — the "where
+    does a user's session end up" summary of events_transition_matrix.
+
+    Scale split: the DISTRIBUTED work is counting transitions over the
+    full event stream (one user_id window + one hash agg — the same
+    plan as events_transition_matrix); what crosses to the driver is
+    the S×S transition-count matrix, where S = |event types| is
+    CATALOG-sized (single digits here; never data-sized) — the same
+    driver-metadata class as the O1 oldest-folder pick. The S-state
+    solve is exact Python floats; both engines round π to 6 dp only at
+    output, so the cross-engine comparison tolerates summation-order
+    ulps but pins every real digit.
+
+    Transitions into states that never emit (no outgoing edge) are
+    dropped and rows renormalized BEFORE iterating — keeps the chain
+    total so no mass silently leaks; at the tested SFs the restriction
+    is a no-op (every type both emits and receives).
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = (
+        ordered.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # S*S rows, S = |event types| (documented above)
+    )
+    from_states = sorted({r.event_type for r in counts})
+    fset = set(from_states)
+    restricted = [
+        (r.event_type, r.next_type, r.n) for r in counts if r.next_type in fset
+    ]
+    row_tot = {}
+    n_out = {}
+    for f_, _, n in restricted:
+        row_tot[f_] = row_tot.get(f_, 0) + n
+    for r in counts:
+        n_out[r.event_type] = n_out.get(r.event_type, 0) + r.n
+    P = {(f_, t_): n / row_tot[f_] for f_, t_, n in restricted}
+    pi = {s: 1.0 / len(from_states) for s in from_states}
+    for _ in range(_MARKOV_ITERS):
+        new: dict[str, float] = {}
+        for (f_, t_), p in P.items():
+            if f_ in pi:
+                new[t_] = new.get(t_, 0.0) + pi[f_] * p
+        pi = new
+    out = [(s, round(p, 6), n_out[s]) for s, p in sorted(pi.items())]
+    return spark.createDataFrame(out, ["state", "pi", "n_out"]).orderBy("state")

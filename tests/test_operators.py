@@ -1889,3 +1889,30 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     for rows_q in ({r.query_id for r in got}):
         qr = [r.score for r in got if r.query_id == rows_q]
         assert qr == sorted(qr, reverse=True)
+
+
+def test_markov_stationary_matches_analytic_two_state(spark):
+    """Constructed 2-state chain P(a→a)=.5, P(a→b)=.5, P(b→a)=1 has the
+    analytic stationary distribution (2/3, 1/3); 20 power iterations
+    from uniform land within (1/2)^20 of it. Event sequence b,a,a,b,a
+    realizes exactly those transition counts (aa=1, ab=1, ba=2)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from poormans_kube_etl_spark.queries.analytics import events_markov_stationary
+
+    seq = ["b", "a", "a", "b", "a"]
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 1, s, 1.0, "{}")
+        for i, s in enumerate(seq)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.state: r for r in events_markov_stationary(spark, d).collect()}
+    assert abs(got["a"].pi - 2 / 3) < 1e-4
+    assert abs(got["b"].pi - 1 / 3) < 1e-4
+    assert got["a"].n_out == 2 and got["b"].n_out == 2
+    assert abs(got["a"].pi + got["b"].pi - 1.0) < 1e-9
