@@ -91,6 +91,13 @@ def _canon_value(v) -> str:
     functions.hash_safe). Floats canonicalize via repr (bit-exact);
     Decimals keep their scale (trailing zeros significant).
 
+    Signed zeros are DISTINGUISHED (repr(-0.0) != repr(0.0)) on
+    purpose: Spark's BigDecimal-backed round() returns +0.0 where
+    DuckDB's round() preserves -0.0, so any rounded output whose series
+    crosses zero must add +0.0 after rounding on BOTH sides (IEEE
+    -0.0 + 0.0 = +0.0; see events_cusum_changepoints) — masking the
+    sign here would hide a divergence the driver's hash may well see.
+
     Every canonical form carries a coarse TYPE TAG (r7 review): the
     untyped forms let str '3' collide with int 3, 'True' with bool
     True, and 'NULL' with SQL NULL — so a CAST-to-string drift between

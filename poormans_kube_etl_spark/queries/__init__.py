@@ -92,6 +92,8 @@ _PRIORITY = [
     "dedup_containment_pairs",
     "text_bm25_topk",
     "events_markov_stationary",
+    "events_cusum_changepoints",
+    "clean_winsorize_lengths",
     "text_ngram_novelty",
     "text_source_overlap_matrix",
     "window_gaps_islands_user_streaks",

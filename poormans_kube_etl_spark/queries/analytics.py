@@ -527,3 +527,57 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         pi = new
     out = [(s, round(p, 6), n_out[s]) for s, p in sorted(pi.items())]
     return spark.createDataFrame(out, ["state", "pi", "n_out"]).orderBy("state")
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT AVG(x) AS mu, stddev_samp(x) AS sd FROM hourly)
+    SELECT h, x,
+           ROUND(SUM(x - s.mu) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING), 6) + 0.0
+             AS cusum,
+           (ABS(ROUND(SUM(x - s.mu) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING), 6))
+              > 4 * s.sd) AS drifted
+    FROM hourly, stats s
+    ORDER BY h
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on the hourly event rate: cumulative sum
+    of (count − global mean), flagged where |CUSUM| exceeds 4·stddev —
+    the classic changepoint monitor for ingest-volume anomalies.
+
+    The running sum's global window DOES plan a SinglePartition
+    exchange — audited: its input is the POST-AGGREGATION hourly frame
+    (rows = distinct hours, time-cardinality — years of data is tens of
+    thousands of rows), never the raw event stream; the heavy count
+    happens in the preceding hash aggregation at full parallelism. The
+    drift flag compares the ROUNDED cusum (membership pinned to
+    canonical precision, same rule as events_zscore_outliers), and the
+    emitted cusum adds +0.0 after rounding on BOTH sides: the series
+    crosses zero, Spark's BigDecimal round returns +0.0 where DuckDB's
+    preserves -0.0, and the driver-strict canonicalizer (float repr)
+    distinguishes the two signed zeros."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    stats = hourly.agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = F.round(F.sum(F.col("x") - F.col("mu")).over(w), 6)
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .select(
+            "h",
+            "x",
+            (cusum + 0.0).alias("cusum"),
+            (F.abs(cusum) > 4 * F.col("sd")).alias("drifted"),
+        )
+        .orderBy("h")
+    )

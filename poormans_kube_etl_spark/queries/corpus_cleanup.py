@@ -488,3 +488,57 @@ def train_corpus_build_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
     ).select("stage", "n_docs", "n_tokens")
     return abc.unionByName(d).orderBy("stage")
+
+
+@register(
+    "clean_winsorize_lengths",
+    oracle="""
+    WITH pct AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           ROUND(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), p.p05), p.p95), 4)
+             AS clipped,
+           (d.n_chars < p.p05 OR d.n_chars > p.p95) AS was_clipped
+    FROM documents d JOIN pct p USING (source)
+    ORDER BY d.doc_id
+    """,
+)
+def clean_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization: clip doc lengths to the [p5, p95]
+    band — the tail-taming companion to the MAD outlier screen (screen
+    flags, winsorize repairs). One percentile aggregation (rows =
+    sources) broadcast back onto the corpus; clipping is a codegen'd
+    least/greatest, zero extra shuffles.
+
+    The clipped OUTPUT rounds to 4 dp (the two engines interpolate
+    quantiles with algebraically different but value-equal formulas — a
+    ulp apart at most). The was_clipped COMPARISON needs no rounding:
+    when the quantile position is fractional the bound lies strictly
+    between integers (a ulp can't cross an integer), and when it is
+    whole both engines return the exact element."""
+    docs = _docs(spark, sf_dir)
+    pct = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.round(
+        F.least(F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")),
+        4,
+    )
+    return (
+        docs.join(F.broadcast(pct), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            clipped.alias("clipped"),
+            ((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95"))).alias(
+                "was_clipped"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1916,3 +1916,52 @@ def test_markov_stationary_matches_analytic_two_state(spark):
     assert abs(got["b"].pi - 1 / 3) < 1e-4
     assert got["a"].n_out == 2 and got["b"].n_out == 2
     assert abs(got["a"].pi + got["b"].pi - 1.0) < 1e-9
+
+
+def test_cusum_matches_hand_computed_series(spark):
+    """Hourly counts [10,10,40,10,10] (mean 16): CUSUM −6,−12,12,6,0 —
+    hand-checkable arithmetic, and the final value returns to ~0 (the
+    telescoping invariant). +0.0 emission means no signed zero ever
+    escapes (Spark round → +0.0, DuckDB → −0.0; the driver hash would
+    see different floats)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from poormans_kube_etl_spark.queries.analytics import events_cusum_changepoints
+
+    rows = []
+    eid = 0
+    for hour, n in enumerate([10, 10, 40, 10, 10]):
+        for j in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, hour, j % 60), 1, "view", 1.0, "{}")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = events_cusum_changepoints(spark, d).collect()
+    assert [r.cusum for r in got] == [-6.0, -12.0, 12.0, 6.0, 0.0]
+    assert all(str(r.cusum)[0] != "-" or r.cusum != 0.0 for r in got)  # no -0.0
+
+
+def test_winsorize_clips_exactly_the_tails(spark):
+    """n_chars 0..20 in one source: exact p05=1, p95=19, so exactly the
+    two extreme docs clip and every interior value is untouched."""
+    import os
+    import tempfile
+
+    from poormans_kube_etl_spark.queries.corpus_cleanup import clean_winsorize_lengths
+
+    rows = [(i, "x", "en", "s0", i) for i in range(21)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in clean_winsorize_lengths(spark, d).collect()}
+    assert got[0].clipped == 1.0 and got[0].was_clipped
+    assert got[20].clipped == 19.0 and got[20].was_clipped
+    assert sum(r.was_clipped for r in got.values()) == 2
+    assert all(got[i].clipped == float(i) for i in range(1, 20))

@@ -90,6 +90,7 @@ _SINGLE_PARTITION_OK = {
     "ref_f7_ingest_file_set",  # oldest-folder limit(1) + membership
     "dedup_exact_stats",  # global dedup accounting (1 row)
     "train_domain_mixture_sample",  # whole-frame min over per-domain counts (#domains rows)
+    "events_cusum_changepoints",  # running sum over the POST-AGG hourly frame (#hours rows)
 }
 
 
