@@ -94,6 +94,10 @@ _PRIORITY = [
     "events_markov_stationary",
     "events_cusum_changepoints",
     "clean_winsorize_lengths",
+    # signed-zero rule applied to zero-crossing rounded outputs (values
+    # meant identical; the driver row is the proof). stats_* already
+    # ride cohort (b) below; pmi was r08-latest so it seats here.
+    "text_bigram_pmi",
     "text_ngram_novelty",
     "text_source_overlap_matrix",
     "window_gaps_islands_user_streaks",

@@ -99,7 +99,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT COUNT(*) AS n FROM bg),
     pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2)
     SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
-           ROUND(ln((CAST(p.c12 AS DOUBLE) * t.n) / (CAST(u1.c1 AS DOUBLE) * u2.c2)), 6) AS pmi
+           ROUND(ln((CAST(p.c12 AS DOUBLE) * t.n) / (CAST(u1.c1 AS DOUBLE) * u2.c2)), 6) + 0.0 AS pmi
     FROM pair p
     JOIN u1 ON u1.w1 = p.w1
     JOIN u2 ON u2.w2 = p.w2
@@ -150,12 +150,15 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c12",
-            F.round(
-                F.log(
-                    (F.col("c12").cast("double") * F.col("n"))
-                    / (F.col("c1").cast("double") * F.col("c2"))
-                ),
-                6,
+            (
+                F.round(
+                    F.log(
+                        (F.col("c12").cast("double") * F.col("n"))
+                        / (F.col("c1").cast("double") * F.col("c2"))
+                    ),
+                    6,
+                )
+                + 0.0  # zero-crossing rounded output: signed-zero rule
             ).alias("pmi"),
         )
         .orderBy(F.col("pmi").desc(), "w1", "w2")

@@ -208,7 +208,7 @@ def percentile_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_price_quantity_corr",
     oracle="""
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
            ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
            ROUND(var_samp(l_discount), 6) AS disc_var
     FROM lineitem
@@ -223,7 +223,7 @@ def stats_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0).alias("qty_price_corr"),
             F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
             F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
         )
@@ -373,8 +373,8 @@ def array_agg_statuses_per_priority(spark: SparkSession, sf_dir: str) -> DataFra
     "stats_regression_by_type",
     oracle="""
     SELECT event_type,
-           ROUND(regr_slope(value, user_id), 6) AS slope,
-           ROUND(regr_intercept(value, user_id), 6) AS intercept,
+           ROUND(regr_slope(value, user_id), 6) + 0.0 AS slope,
+           ROUND(regr_intercept(value, user_id), 6) + 0.0 AS intercept,
            ROUND(regr_r2(value, user_id), 6) AS r2,
            CAST(regr_count(value, user_id) AS BIGINT) AS n
     FROM events
@@ -390,8 +390,8 @@ def stats_regression_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.round(F.regr_slope("value", "user_id"), 6).alias("slope"),
-            F.round(F.regr_intercept("value", "user_id"), 6).alias("intercept"),
+            (F.round(F.regr_slope("value", "user_id"), 6) + 0.0).alias("slope"),
+            (F.round(F.regr_intercept("value", "user_id"), 6) + 0.0).alias("intercept"),
             F.round(F.regr_r2("value", "user_id"), 6).alias("r2"),
             F.regr_count("value", "user_id").cast("bigint").alias("n"),
         )
