@@ -770,3 +770,99 @@ def test_gaps_islands_streaks_match_set_model(spark, tmp_path_factory, user_days
             else:
                 streaks.append(1)
         assert got[uid] == (len(streaks), max(streaks), len(ds))
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_bm25_matches_python_model(spark, tmp_path_factory, docs_tokens):
+    """text_bm25_topk vs a direct-from-the-paper Python BM25 (no shared
+    code, no inverted index): every emitted score must match the model
+    to the query's 6-dp rounding, and the ranking must equal the
+    model's (score DESC, doc_id) order."""
+    import math
+    import os
+
+    from poormans_kube_etl_spark.queries.text_analysis import (
+        _BM25_B,
+        _BM25_K,
+        _BM25_K1,
+        _BM25_QUERIES,
+        text_bm25_topk,
+    )
+
+    corpus = {i: toks for i, toks in enumerate(docs_tokens)}
+    rows = [
+        (i, " ".join(toks), "en", "s0", len(" ".join(toks)))
+        for i, toks in corpus.items()
+    ]
+    d = tmp_path_factory.mktemp("bm25")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "documents.parquet"))
+    got = text_bm25_topk(spark, str(d)).collect()
+
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df: dict[str, int] = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    expected: dict[int, list[tuple[int, float]]] = {}
+    for qid, qtext in _BM25_QUERIES:
+        scores = []
+        for i, toks in corpus.items():
+            s = 0.0
+            matched = False
+            for term in dict.fromkeys(qtext.split(" ")):
+                tf = toks.count(term)
+                if tf == 0:
+                    continue
+                matched = True
+                idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1)
+                s += idf * tf * (_BM25_K1 + 1) / (
+                    tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * len(toks) / avgdl)
+                )
+            if matched:
+                scores.append((i, round(s, 6)))
+        scores.sort(key=lambda p: (-p[1], p[0]))
+        expected[qid] = scores[:_BM25_K]
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    for qid, exp in expected.items():
+        assert by_q.get(qid, []) == exp, (qid, by_q.get(qid), exp)
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=2, max_size=40)
+)
+def test_mad_outliers_match_python_model(spark, tmp_path_factory, lens):
+    """dq_mad_doc_length_outliers vs statistics.median — the exact
+    half-integer arithmetic means the comparison is equality, no
+    tolerance."""
+    import os
+    import statistics
+
+    from poormans_kube_etl_spark.queries.data_quality import (
+        dq_mad_doc_length_outliers,
+    )
+
+    d = tmp_path_factory.mktemp("mad")
+    rows = [(i, "x", "en", "s0", n) for i, n in enumerate(lens)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "documents.parquet"))
+    r = dq_mad_doc_length_outliers(spark, str(d)).collect()[0]
+    med = statistics.median(lens)
+    mad = statistics.median(abs(x - med) for x in lens)
+    n_out = sum(1 for x in lens if abs(x - med) > 3 * mad)
+    assert (r.n_docs, r.n_outliers, r.median_chars, r.mad_chars) == (
+        len(lens), n_out, float(med), float(mad),
+    )
