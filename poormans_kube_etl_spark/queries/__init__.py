@@ -95,9 +95,17 @@ _PRIORITY = [
     "events_cusum_changepoints",
     "clean_winsorize_lengths",
     # signed-zero rule applied to zero-crossing rounded outputs (values
-    # meant identical; the driver row is the proof). stats_* already
-    # ride cohort (b) below; pmi was r08-latest so it seats here.
+    # meant identical; the driver row is the proof). The stats pair is
+    # seated HERE, not left to its cohort-(b) copy: the late-session
+    # insertions push seats 48+ past the nominal 50-query sweep, and
+    # changed-oracle queries must stay inside the window (their (b)
+    # entries below are harmless duplicates — _ordered keeps the first
+    # occurrence).
     "text_bigram_pmi",
+    "stats_price_quantity_corr",
+    "stats_regression_by_type",
+    "sim_ivf_topk",
+    "fn_array_suite",
     "text_ngram_novelty",
     "text_source_overlap_matrix",
     "window_gaps_islands_user_streaks",

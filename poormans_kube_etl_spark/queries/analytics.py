@@ -528,8 +528,18 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f_ in pi:
                 new[t_] = new.get(t_, 0.0) + pi[f_] * p
         pi = new
-    out = [(s, round(p, 6), n_out[s]) for s, p in sorted(pi.items())]
-    return spark.createDataFrame(out, ["state", "pi", "n_out"]).orderBy("state")
+    out = [(s, p, n_out[s]) for s, p in sorted(pi.items())]
+    # Explicit schema: createDataFrame cannot infer one from an empty
+    # list, and a degenerate chain (no state both emits and receives)
+    # legitimately drains pi to {} — the oracle returns zero rows there,
+    # so must we, not a ValueError. Rounding happens in F.round (HALF_UP,
+    # the DuckDB-ROUND-compatible mode every other query uses) — Python's
+    # round() is banker's half-to-even and diverges on exact .5 ties.
+    return (
+        spark.createDataFrame(out, "state string, pi double, n_out bigint")
+        .select("state", F.round("pi", 6).alias("pi"), "n_out")
+        .orderBy("state")
+    )
 
 
 @register(

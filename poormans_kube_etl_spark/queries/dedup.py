@@ -33,6 +33,7 @@ from poormans_kube_etl_spark.operators.text import (
     tokens,
 )
 from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.queries._fragments import shingle5_cte
 from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table, spread_small_scan
 
@@ -112,6 +113,11 @@ def dedup_keep_first_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard_pairs",
+    # NOTE: the toks/sh CTE below is the same shingle construction as
+    # queries/_fragments.py:shingle5_cte — kept inline because the
+    # byte-exact oracle string predates the shared fragment and
+    # rewriting it would rotate this query into the driver window for a
+    # purely textual change. Semantic changes must land in BOTH places.
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
@@ -948,19 +954,7 @@ def dedup_minhash_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_containment_pairs",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t
-      FROM documents WHERE doc_id < {_JACCARD_DOC_CAP}
-    ),
-    sh AS (
-      SELECT doc_id,
-             UNNEST(list_distinct(
-               CASE WHEN len(t) >= 5
-                    THEN list_transform(range(0, len(t) - 4),
-                                        i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
-                    ELSE [array_to_string(t, ' ')] END)) AS s
-      FROM toks
-    ),
+    WITH {shingle5_cte(cols="doc_id", where=f"doc_id < {_JACCARD_DOC_CAP}")},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i

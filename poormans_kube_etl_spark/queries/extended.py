@@ -500,7 +500,7 @@ def sim_label_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN q ON q.query_id = p.query_id
       WHERE e.vec_id <> p.query_id
     )
-    SELECT query_id, nn_id, ROUND(s, 6) AS sim, rank FROM (
+    SELECT query_id, nn_id, ROUND(s, 6) + 0.0 AS sim, rank FROM (
       SELECT query_id, nn_id, s,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY query_id ORDER BY s DESC, nn_id) AS INT) AS rank
@@ -525,7 +525,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ivf_topk(emb, queries, k=5, n_probe=2, dim=64)
     return out.select(
-        "query_id", "nn_id", F.round("sim", 6).alias("sim"), "rank"
+        "query_id", "nn_id", (F.round("sim", 6) + 0.0).alias("sim"), "rank"
     ).orderBy("query_id", "rank")
 
 

@@ -238,11 +238,11 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS vec_sum,
-           ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS vec_max,
-           ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 6) AS vec_min,
-           ROUND((embedding::DOUBLE[])[1], 6) AS first_dim,
-           array_to_string(list_sort(list_transform(embedding[1:3]::DOUBLE[], x -> printf('%.6f', round(x, 6)))), ',') AS head3_sorted,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 6) + 0.0 AS vec_sum,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6) + 0.0 AS vec_max,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 6) + 0.0 AS vec_min,
+           ROUND((embedding::DOUBLE[])[1], 6) + 0.0 AS first_dim,
+           array_to_string(list_sort(list_transform(embedding[1:3]::DOUBLE[], x -> printf('%.6f', round(x, 6) + 0.0))), ',') AS head3_sorted,
            CAST(list_count(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_positive
     FROM embeddings
     ORDER BY vec_id
@@ -257,12 +257,12 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        (
+            F.round(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6) + 0.0
         ).alias("vec_sum"),
-        F.round(F.array_max(v), 6).alias("vec_max"),
-        F.round(F.array_min(v), 6).alias("vec_min"),
-        F.round(F.get(v, 0), 6).alias("first_dim"),
+        (F.round(F.array_max(v), 6) + 0.0).alias("vec_max"),
+        (F.round(F.array_min(v), 6) + 0.0).alias("vec_min"),
+        (F.round(F.get(v, 0), 6) + 0.0).alias("first_dim"),
         # serialized to a string: array-typed finals crash the driver's
         # pandas canonicalizer (r02); %.6f after round(…,6) formats
         # identically on both engines, and the sort is over the strings
@@ -270,7 +270,7 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(
                 F.transform(
                     F.slice(v, 1, 3),
-                    lambda x: F.format_string("%.6f", F.round(x, 6)),
+                    lambda x: F.format_string("%.6f", F.round(x, 6) + 0.0),
                 )
             ),
             ",",

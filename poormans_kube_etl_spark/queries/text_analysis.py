@@ -369,22 +369,9 @@ def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE5_CTE = """
-    toks AS (
-      SELECT doc_id, source,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id, source,
-             UNNEST(list_distinct(
-               CASE WHEN len(t) >= 5
-                    THEN list_transform(range(0, len(t) - 4),
-                                        i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
-                    ELSE [array_to_string(t, ' ')] END)) AS s
-      FROM toks
-    )
-"""
+from poormans_kube_etl_spark.queries._fragments import shingle5_cte
+
+_SHINGLE5_CTE = shingle5_cte(cols="doc_id, source")
 
 
 @register(
@@ -456,11 +443,16 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: grams are deduped per SOURCE first (the (source, gram)
     projection is linear in corpus size), so the self-join fans out at
     most C(n_sources, 2) rows per gram — n_sources is a catalog-sized
-    constant, never corpus-sized. The output is a tiny S×S matrix."""
+    constant, never corpus-sized. The output is a tiny S×S matrix.
+    Shingling runs directly on the (source, text) projection — doc
+    identity is irrelevant here, and recovering `source` via a doc_id
+    join AFTER the ~50× shingle amplification would shuffle the whole
+    exploded table just to drop the key again (r9 review)."""
     docs = _docs(spark, sf_dir)
-    ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
-    src = docs.select("doc_id", "source")
-    sg = ex.join(src, "doc_id").select("source", "s").distinct()
+    ex = exploded_shingles(
+        docs.select("source", "text"), "source", "text", 5
+    ).withColumnRenamed("shingle", "s")
+    sg = ex.distinct()
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sg.alias("a")
     b = sg.alias("b")

@@ -1731,33 +1731,39 @@ def test_incremental_equals_cross_side_of_self_dedup(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_containment_detects_subset_doc(spark, tmp_path):
-    """A short doc fully embedded in a long one: containment(short→long)
-    = 1.0 even though Jaccard is far below any dedup threshold — the
-    asymmetry is the operator's whole point."""
+def test_containment_detects_subset_doc(spark):
+    """Drive the REGISTERED query on a planted subset: the short doc
+    fully embedded in a long one emits containment(short→long) = 1.0,
+    the reverse direction falls below the 0.5 threshold and is absent —
+    and symmetric Jaccard on the same pair is far below any dedup
+    threshold, which is the operator's whole point."""
+    import os
+    import tempfile
+
     from poormans_kube_etl_spark.operators.minhash import (
         exact_jaccard,
         exploded_shingles,
     )
+    from poormans_kube_etl_spark.queries import all_queries
 
     quote = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens = 3 5-grams
     filler = " ".join(f"w{i}" for i in range(40))
-    docs = spark.createDataFrame(
-        [(0, f"{filler} {quote} {filler}"), (1, quote)], ["doc_id", "text"]
-    )
+    rows = [
+        (0, f"{filler} {quote} {filler}", "en", "s0", 300),
+        (1, quote, "en", "s0", len(quote)),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r.a, r.b): r.containment
+            for r in all_queries()["dedup_containment_pairs"](spark, d).collect()
+        }
+    assert got == {(1, 0): 1.0}  # quote→host only; host→quote < 0.5 dropped
+    # symmetric Jaccard would have missed the pair entirely
     ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
-    sizes = {r.doc_id: r.n for r in ex.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .count()
-        .collect()
-    )
-    cont = {(r.a, r.b): r["count"] / sizes[r.a] for r in inter}
-    assert cont[(1, 0)] == 1.0  # the quote is fully contained
-    assert cont[(0, 1)] < 0.1  # the big doc is NOT contained in the quote
-    # and symmetric Jaccard would have missed it entirely
     shingled = ex.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
     pairs = spark.createDataFrame([(0, 1)], ["a", "b"])
     jac = exact_jaccard(pairs, shingled, "doc_id").collect()[0].jaccard

@@ -775,7 +775,18 @@ def test_gaps_islands_streaks_match_set_model(spark, tmp_path_factory, user_days
 @SETTINGS
 @given(
     st.lists(
-        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        # tokens drawn FROM the fixed query vocabulary plus fillers —
+        # a disjoint alphabet would make every score 0 and the whole
+        # property vacuous (r9 review catch: the first draft sampled
+        # 'a'..'f' and asserted [] == [] on every example)
+        st.lists(
+            st.sampled_from(
+                ["stream", "batch", "window", "hash", "join", "merge",
+                 "fast", "scan", "filler1", "filler2"]
+            ),
+            min_size=1,
+            max_size=12,
+        ),
         min_size=2,
         max_size=8,
     )
