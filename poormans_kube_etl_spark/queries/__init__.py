@@ -91,6 +91,7 @@ _PRIORITY = [
     # re-checks per the standing rule)
     "dedup_containment_pairs",
     "text_bm25_topk",
+    "text_bm25_index_topk",
     "events_markov_stationary",
     "events_cusum_changepoints",
     "clean_winsorize_lengths",
@@ -162,16 +163,15 @@ _PRIORITY = [
     "window_first_last_value",
     "window_range_frame_value_band",
     # (c) seats 51+: the (b) entries displaced past the nominal 50 by
-    # this session's seven never-checked additions (substring-span
-    # dedup x4, domain mixture sampling, SemDeDup pairs + apply) —
-    # never-driver-checked queries outrank re-checks. The driver sweeps the FIRST
-    # ~50, so these either ride a slightly-wider sweep or head the r10
-    # window; sim_kmeans_clusters rides here too because its oracle
-    # STRING was touched this round (whitespace-only CTE extraction —
-    # values verified identical locally at sf0.01, but the standing
-    # rule is that touched oracles re-earn a driver row). The r07
-    # alphabetical fill (agg_boolean_family, agg_filtered_conditional,
-    # agg_histogram_quantity) heads r10 with the rest of that cohort.
+    # the round's never-checked/changed additions (14 late-session +
+    # 9 earlier) — never-driver-checked and changed-oracle queries
+    # outrank re-checks. The driver sweeps the FIRST ~50, so these
+    # either ride a slightly-wider sweep or HEAD THE r10 WINDOW
+    # (they'll be 3 rounds stale by then — rotate them first, before
+    # the r07/r08 cohorts); sim_kmeans_clusters rides here too because
+    # its oracle STRING was touched this round (whitespace-only CTE
+    # extraction — values verified identical locally at sf0.01, but
+    # the standing rule is that touched oracles re-earn a driver row).
     "window_rank_family",
     "window_running_revenue",
     "window_sliding_3row_avg",

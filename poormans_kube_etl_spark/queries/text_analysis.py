@@ -493,9 +493,7 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
 _NORM_TXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, UNNEST(string_split({_NORM_TXT}, ' ')) AS tok FROM documents
     ),
@@ -527,8 +525,10 @@ _NORM_TXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
       FROM scored
     ) WHERE rank <= {_BM25_K}
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@register("text_bm25_topk", oracle=_BM25_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval — the sparse-lexical complement to the
     dense ANN paths (sim_topk_*): classic Robertson/Okapi scoring with
@@ -559,18 +559,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.explode(F.array_distinct(F.split("qtext", " "))).alias("tok"),
     )
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    tfn = (
-        F.col("tf")
-        * (_BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + _BM25_K1
-            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
+    from poormans_kube_etl_spark.operators.retrieval_index import bm25_score_expr
+
+    score = bm25_score_expr(_BM25_K1, _BM25_B, F.col("n"), F.col("avgdl"))
     scored = (
         F.broadcast(qt)
         .join(tf, "tok")
@@ -578,13 +569,59 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(idf * tfn), 6).alias("sim"))
+        .agg(F.round(F.sum(score), 6).alias("sim"))
     )
     ranked = _topk_per_query(
         scored.select("query_id", F.col("doc_id").alias("nn_id"), "sim"),
         _BM25_K,
     )
     return ranked.select(
+        "query_id",
+        F.col("nn_id").alias("doc_id"),
+        F.col("sim").alias("score"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+@register("text_bm25_index_topk", oracle=_BM25_ORACLE)
+def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index face of BM25 retrieval (the sparse twin of
+    dedup_minhash_index_delta_pairs): the postings table — with dl/df
+    denormalized and the corpus scalars in table properties — is
+    written once per (session, SF); every query set after that is one
+    broadcast probe of the bucketed postings scan. Same oracle as
+    text_bm25_topk: the artifact path is a pure optimization, so the
+    ranking must be identical."""
+    import hashlib
+    import os
+    import re
+
+    from poormans_kube_etl_spark.operators.retrieval_index import (
+        bm25_topk_indexed,
+        read_corpus_bm25_index,
+        write_corpus_bm25_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # identity = basename + full-normalized-path hash (same collision
+    # rule as the MinHash index face)
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    tag = (
+        re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(norm))
+        + "_"
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    )
+    name = f"pke_bm25idx_v1_{tag}"
+    try:
+        idx = read_corpus_bm25_index(spark, name)
+    except Exception:
+        # once per (session, SF); overwrite clears stale /tmp artifacts
+        # from earlier processes and any half-written build
+        write_corpus_bm25_index(docs, name, mode="overwrite")
+        idx = read_corpus_bm25_index(spark, name)
+    qdf = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "qtext"])
+    out = bm25_topk_indexed(qdf, idx, _BM25_K, k1=_BM25_K1, b=_BM25_B)
+    return out.select(
         "query_id",
         F.col("nn_id").alias("doc_id"),
         F.col("sim").alias("score"),
