@@ -182,9 +182,13 @@ def bm25_topk_indexed(
     (same comparator contract as text_bm25_topk)."""
     from poormans_kube_etl_spark.operators.similarity import _topk_per_query
 
+    # the SAME normalize+tokenize as the postings build: for catalog
+    # query strings this is a no-op, but when a full document plays the
+    # query role (stream_bm25_screen) the two sides must tokenize
+    # identically or postings never match
     qt = queries.select(
         "query_id",
-        F.explode(F.array_distinct(F.split("qtext", " "))).alias("tok"),
+        F.explode(F.array_distinct(tokens(normalize_text("qtext")))).alias("tok"),
     )
     score = bm25_score_expr(
         k1, b, F.lit(index.n_docs), F.lit(index.avgdl)

@@ -616,8 +616,15 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = read_corpus_bm25_index(spark, name)
     except Exception:
         # once per (session, SF); overwrite clears stale /tmp artifacts
-        # from earlier processes and any half-written build
-        write_corpus_bm25_index(docs, name, mode="overwrite")
+        # from earlier processes and any half-written build. EXTERNAL
+        # path like the sibling index faces: a MANAGED table whose
+        # files outlive the in-memory catalog makes the next process's
+        # saveAsTable refuse with LOCATION_ALREADY_EXISTS — external
+        # overwrite replaces the location instead (caught by a fresh-
+        # process sweep against this session's leftover warehouse).
+        write_corpus_bm25_index(
+            docs, name, path=f"/tmp/pke_bm25idx_v1/{tag}", mode="overwrite"
+        )
         idx = read_corpus_bm25_index(spark, name)
     qdf = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "qtext"])
     out = bm25_topk_indexed(qdf, idx, _BM25_K, k1=_BM25_K1, b=_BM25_B)

@@ -414,3 +414,53 @@ def stream_substring_screen(
     return foreach_batch_pipeline(
         new_docs_stream, screen_batch, sink_dir, checkpoint_dir, query_name
     )
+
+
+def stream_bm25_screen(
+    new_docs_stream: DataFrame,
+    index,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 5.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_name: str = "stream-bm25-screen",
+):
+    """Retrieval-based contamination screen: each micro-batch of
+    arriving documents plays the QUERY role against a persisted BM25
+    postings index of a reference corpus (an eval benchmark, a
+    blocklist, yesterday's shard), and every doc whose best match
+    scores >= threshold lands under ``sink_dir`` with the matched
+    reference id — the lexical-overlap ingest gate that complements
+    the exact-substring screen (stream_substring_screen catches
+    verbatim lifts; this face catches paraphrase-adjacent
+    high-overlap text that shares vocabulary without sharing k-gram
+    runs). Same foreach_batch_pipeline idempotency discipline as the
+    other screens (one hive partition dir per batch id, overwrite).
+
+    ``index`` is a ``CorpusBM25Index``
+    (operators/retrieval_index.read_corpus_bm25_index): each batch pays
+    one broadcast probe of the bucketed postings scan — the reference
+    corpus is never re-tokenized, batch after batch. The batch side is
+    broadcast (micro-batches are bounded by the trigger, the documented
+    small-by-construction class). Scoring constants k1/b are query-time
+    here, NOT artifact properties — the same index serves any
+    calibration, so no knob-disagreement guard is needed."""
+    from poormans_kube_etl_spark.operators.retrieval_index import bm25_topk_indexed
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        q = batch_df.select(
+            F.col(id_col).alias("query_id"), F.col(text_col).alias("qtext")
+        )
+        top = bm25_topk_indexed(q, index, 1, k1=k1, b=b)
+        return top.where(F.col("sim") >= threshold).select(
+            F.col("query_id").alias(id_col),
+            F.col("nn_id").alias("matched_id"),
+            F.col("sim").alias("score"),
+        )
+
+    return foreach_batch_pipeline(
+        new_docs_stream, screen_batch, sink_dir, checkpoint_dir, query_name
+    )

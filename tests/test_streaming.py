@@ -435,3 +435,52 @@ def test_stream_substring_screen_live_and_indexed(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_ssidx_grams")
+
+
+def test_stream_bm25_screen_flags_high_overlap_docs(spark, tmp_path):
+    """r9: the persisted BM25 index composed into an ingest gate — an
+    arriving doc sharing most of a reference doc's vocabulary (but not
+    long verbatim runs, so the substring screen would miss it) is
+    flagged with the matched reference id; an unrelated doc passes."""
+    import json
+    import os
+
+    from poormans_kube_etl_spark.operators.retrieval_index import (
+        read_corpus_bm25_index,
+        write_corpus_bm25_index,
+    )
+    from poormans_kube_etl_spark.streaming.streams import stream_bm25_screen
+
+    ref = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3),
+            (2, "completely different reference vocabulary here entirely " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    write_corpus_bm25_index(ref, "t_bm25screen", path=str(tmp_path / "idx"), n_buckets=2, mode="overwrite")
+    idx = read_corpus_bm25_index(spark, "t_bm25screen")
+    try:
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        # shares ref-1's vocabulary in a DIFFERENT order (no verbatim runs)
+        lifted = "kappa alpha iota beta theta gamma eta delta zeta epsilon " * 3
+        with open(src / "shard-000.json", "w") as fh:
+            fh.write(json.dumps({"doc_id": 100, "text": lifted}) + "\n")
+            fh.write(json.dumps({"doc_id": 101, "text": "fresh novel words " * 8}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        sink = str(tmp_path / "flags")
+        q = (
+            stream_bm25_screen(
+                stream, idx, sink, str(tmp_path / "ckpt"), threshold=1.0
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(sink).collect()
+        assert {(r.doc_id, r.matched_id) for r in rows} == {(100, 1)}
+        assert all(r.score >= 1.0 for r in rows)
+        assert os.path.isdir(os.path.join(sink, "batch_id=0"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bm25screen_postings")
