@@ -69,6 +69,12 @@ HEADLINE = [
     # end-to-end) and temperature-based domain mixture sampling
     "train_scrub_duplicate_spans",
     "train_domain_mixture_sample",
+    # r09 (late session): persisted BM25 postings index probe — the
+    # warm pass pays the one-time build (catalog read-back after);
+    # the timed passes measure what a production query set pays. The
+    # 26-name map stays under the 1000-byte tail budget at dd.dd
+    # widths (pinned by test_real_headline_surface_fits_tail_budget).
+    "text_bm25_index_topk",
 ]
 
 

@@ -92,6 +92,8 @@ _PRIORITY = [
     "dedup_containment_pairs",
     "text_bm25_topk",
     "text_bm25_index_topk",
+    "text_oov_rate_topk_vocab",
+    "text_zipf_slope",
     "events_markov_stationary",
     "events_cusum_changepoints",
     "clean_winsorize_lengths",

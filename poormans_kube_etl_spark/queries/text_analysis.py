@@ -634,3 +634,107 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").alias("score"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+_OOV_VOCAB_K = 40
+
+
+@register(
+    "text_oov_rate_topk_vocab",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r FROM counts
+      ) WHERE r <= {_OOV_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+           CAST(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_oov_rate_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus' own
+    top-K token vocabulary — the tokenizer-design signal for how much
+    of each doc a K-entry vocab would shred to <unk>. The vocab
+    selection is deterministic (count DESC, token) so both engines cut
+    the same boundary.
+
+    Scale shape: counts is one map-side-combinable aggregation; the
+    vocab is K rows (broadcast); the per-doc pass is one left join of
+    the exploded tokens against that broadcast and a doc-keyed count —
+    linear in corpus tokens, no pair growth anywhere. The top-K window
+    runs over the VOCABULARY-cardinality counts frame, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    vocab = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _OOV_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            (oov.cast("double") / F.count(F.lit(1)).cast("double")).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT UNNEST(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) + 0.0
+             AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) + 0.0
+             AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: OLS slope of
+    log-frequency on log-rank (natural text ≈ −1; synthetic/templated
+    corpora flatten toward 0 — a cheap distribution-shift fingerprint
+    between corpus snapshots). Rank ties break on the token so both
+    engines rank identically; the regression aggregates run over the
+    VOCABULARY-cardinality ranked frame. Zero-crossing rounded outputs
+    carry the +0.0 signed-zero guard."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(tokens(normalize_text("text"))).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        (F.round(F.regr_slope(lc, lr), 6) + 0.0).alias("zipf_slope"),
+        (F.round(F.regr_r2(lc, lr), 6) + 0.0).alias("fit_r2"),
+    )

@@ -1971,3 +1971,53 @@ def test_winsorize_clips_exactly_the_tails(spark):
     assert got[20].clipped == 19.0 and got[20].was_clipped
     assert sum(r.was_clipped for r in got.values()) == 2
     assert all(got[i].clipped == float(i) for i in range(1, 20))
+
+
+def test_oov_rate_vocab_boundary_is_deterministic(spark):
+    """41 distinct tokens, w00 doubled: the top-40 vocab keeps w00 (c=2)
+    plus w01..w39 (count ties break on the token string), leaving
+    exactly w40 out-of-vocabulary."""
+    import os
+    import tempfile
+
+    from poormans_kube_etl_spark.queries.text_analysis import (
+        text_oov_rate_topk_vocab,
+    )
+
+    text = " ".join([f"w{i:02d}" for i in range(41)] + ["w00"])
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text, "en", "s0", len(text))],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = text_oov_rate_topk_vocab(spark, d).collect()[0]
+    assert r.n_tokens == 42
+    assert r.n_oov == 1  # only w40 misses the 40-entry vocab
+    assert abs(r.oov_rate - 1 / 42) < 1e-12
+
+
+def test_zipf_slope_matches_closed_form_ols(spark):
+    """Token counts 4/2/1 → points (ln r, ln c) for r=1..3; the slope
+    must equal the closed-form OLS estimate."""
+    import math
+    import os
+    import tempfile
+
+    from poormans_kube_etl_spark.queries.text_analysis import text_zipf_slope
+
+    text = " ".join(["a"] * 4 + ["b"] * 2 + ["c"])
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text, "en", "s0", len(text))],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = text_zipf_slope(spark, d).collect()[0]
+    xs = [math.log(i) for i in (1, 2, 3)]
+    ys = [math.log(c) for c in (4, 2, 1)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert r.n_terms == 3
+    assert abs(r.zipf_slope - round(slope, 6)) <= 1e-6
+    assert r.zipf_slope < -1.0  # steeper than Zipf's -1 for this toy corpus
