@@ -152,3 +152,32 @@ def test_canon_rows_is_per_column_typed():
     )
     assert not compare_frames("drift", spark_like, oracle_like).ok
     assert compare_frames("same", spark_like.copy(), spark_like.copy()).ok
+
+
+def test_shingle_fragment_matches_jaccard_inline_copy(tmp_path):
+    """queries/_fragments.shingle5_cte vs the byte-frozen inline copy
+    inside dedup_ngram_jaccard_pairs' oracle: both run over the same
+    documents in DuckDB and must produce the SAME (doc, gram) multiset
+    — the drift guard for the one construction that exists in two
+    textual copies (the inline one is frozen to keep its oracle string
+    byte-stable; see the NOTE at its @register site)."""
+    import duckdb
+
+    from poormans_kube_etl_spark.queries._fragments import shingle5_cte
+    from poormans_kube_etl_spark.queries import all_oracles
+
+    jac = all_oracles()["dedup_ngram_jaccard_pairs"]
+    # lift the inline toks/sh CTE pair exactly as registered
+    inline = jac[jac.index("WITH") + 4 : jac.index(",\n    sizes AS")]
+    docs = [
+        (0, "  A  b\tc d e f g  "),          # messy whitespace + case
+        (1, "short doc"),                      # shorter than the shingle
+        (2, "a b c d e a b c d e a b c d e"),  # repeats → per-doc distinct
+        (3, ""),                               # empty text
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    q_frag = f"WITH {shingle5_cte(cols='doc_id', where='doc_id < 200')} SELECT doc_id, s FROM sh ORDER BY doc_id, s"
+    q_inline = f"WITH {inline} SELECT doc_id, s FROM sh ORDER BY doc_id, s"
+    assert con.execute(q_frag).fetchall() == con.execute(q_inline).fetchall()
