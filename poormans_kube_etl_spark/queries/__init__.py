@@ -94,6 +94,7 @@ _PRIORITY = [
     "text_bm25_index_topk",
     "text_oov_rate_topk_vocab",
     "text_zipf_slope",
+    "dedup_lsh_recall_report",
     "events_markov_stationary",
     "events_cusum_changepoints",
     "clean_winsorize_lengths",

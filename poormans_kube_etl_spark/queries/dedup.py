@@ -997,3 +997,105 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("containment") >= 0.5)
         .orderBy("a", "b")
     )
+
+
+@register(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+    WITH {_minhash_md5_pair_ctes(from_clause=f"(SELECT doc_id, text FROM documents WHERE doc_id < {_JACCARD_DOC_CAP})")},
+    truth_inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT t.a, t.b
+      FROM truth_inter t
+      JOIN sizes sa ON sa.doc_id = t.a
+      JOIN sizes sb ON sb.doc_id = t.b
+      WHERE CAST(t.i AS DOUBLE) / CAST(sa.n + sb.n - t.i AS DOUBLE) >= 0.5
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_detected,
+      (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM pairs p JOIN truth t ON t.a = p.a AND t.b = p.b) AS n_found,
+      CAST((SELECT COUNT(*) FROM pairs p JOIN truth t ON t.a = p.a AND t.b = p.b) AS DOUBLE)
+        / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall,
+      CAST((SELECT COUNT(*) FROM pairs p JOIN truth t ON t.a = p.a AND t.b = p.b) AS DOUBLE)
+        / NULLIF((SELECT COUNT(*) FROM pairs), 0) AS precision
+    """,
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detector's report card, as a query: banded MinHash-LSH
+    (8 bands × 4 rows, the registered dedup_minhash_lsh_pairs config)
+    measured against exact all-pairs ground truth at the SAME
+    similarity definition (Jaccard over the md5-family h0 shingle
+    sets, threshold 0.5). Because the banded path exact-verifies its
+    candidates, detected ⊆ truth: precision is pinned 1.0 and recall
+    isolates pure banding loss — the number a user tunes bands/rows
+    against before trusting the detector at scale.
+
+    The truth side is an all-pairs join, so it rides the same
+    {_JACCARD_DOC_CAP}-doc cap as the other oracle-affordable exact
+    faces; the detector side uses the full banded machinery. Both
+    engines recompute both sides from scratch (the oracle appends a
+    truth CTE pair to the shared md5 chain)."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        exploded_shingle_h0_md5,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _JACCARD_DOC_CAP
+    )
+    ex = exploded_shingle_h0_md5(docs, "doc_id", "text", 3)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h0") == F.col("b.h0")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("i")
+    ).cast("double")
+    truth = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("a"))
+        .join(sb, F.col("sb.doc_id") == F.col("b"))
+        .where(jac >= 0.5)
+        .select("a", "b")
+    )
+    detected = minhash_near_duplicates(
+        docs,
+        "doc_id",
+        "text",
+        shingle_len=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5",
+    ).select("a", "b")
+    found = detected.join(truth, ["a", "b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nd = detected.agg(F.count(F.lit(1)).alias("n_detected"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        nt.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_truth",
+            "n_detected",
+            "n_found",
+            (
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+            (
+                F.col("n_found").cast("double")
+                / F.nullif(F.col("n_detected").cast("double"), F.lit(0.0))
+            ).alias("precision"),
+        )
+    )

@@ -2021,3 +2021,49 @@ def test_zipf_slope_matches_closed_form_ols(spark):
     assert r.n_terms == 3
     assert abs(r.zipf_slope - round(slope, 6)) <= 1e-6
     assert r.zipf_slope < -1.0  # steeper than Zipf's -1 for this toy corpus
+
+
+def test_lsh_recall_report_detected_subset_and_banding_loss(spark):
+    """The report's invariant: detected ⊆ truth (precision 1.0 when
+    anything is detected). And the quantity it exists to expose —
+    banding loss — is real: a single 32-row band (s^32 collision
+    probability) misses a ~0.5-Jaccard pair that 8×4 banding finds."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        minhash_near_duplicates,
+    )
+    from poormans_kube_etl_spark.queries import all_queries
+    import os
+    import tempfile
+
+    base = [f"w{i}" for i in range(40)]
+    # last 8 tokens replaced → h0-shingle Jaccard ≈ 0.65 (deterministic
+    # for the md5 family): high enough for 8×4 banding, far below an
+    # all-mins single-band collision
+    d0 = " ".join(base)
+    d1 = " ".join(base[:32] + [f"x{i}" for i in range(8)])
+    rows = [
+        (0, d0, "en", "s0", len(d0)),
+        (1, d1, "en", "s0", len(d1)),
+        (2, d0, "en", "s0", len(d0)),  # exact dup of 0: jaccard 1.0
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        rep = all_queries()["dedup_lsh_recall_report"](spark, d).collect()[0]
+    assert rep.n_found == rep.n_detected  # detected ⊆ truth, always
+    assert rep.precision in (1.0, None)
+    assert rep.n_truth >= 1  # the exact dup pair at least
+    # banding loss demonstrated operator-side: 1 band of 32 rows finds
+    # only the exact dup; 8×4 finds more of the truth set
+    weak = minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_len=3, num_hashes=32, bands=1,
+        threshold=0.2, hash_family="md5",
+    ).count()
+    strong = minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_len=3, num_hashes=32, bands=8,
+        threshold=0.2, hash_family="md5",
+    ).count()
+    assert weak == 1  # single all-mins band: only the exact dup collides
+    assert strong == 3  # exact dup + the 0.65-pair against both copies
