@@ -396,21 +396,29 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     memorization-analysis primitive: novelty ~0 means the doc is
     assembled from already-seen phrasing; ~1 means fresh text.
 
-    Two linear shuffles at any scale — gram→min(doc_id) hash-agg, then
-    a gram-keyed join back (map-side combinable, no pair expansion) and
-    a doc-keyed count. No candidate blowup: every row is (gram, doc),
-    never (doc, doc)."""
+    No corpus-cardinality join anywhere (r9 late-session restructure,
+    measured at the sf10 census): a doc's novel-gram count is exactly
+    the number of grams whose MIN(doc_id) is that doc, so it reads off
+    the first-occurrence aggregate directly — the original plan joined
+    the FULL exploded gram table back on the gram key (a corpus-tokens
+    shuffle); this one joins two DOC-cardinality aggregates instead.
+    The gram→min agg and the per-doc gram count are both map-side
+    combinable; the left join covers docs with zero novel grams."""
     docs = _docs(spark, sf_dir)
     ex = exploded_shingles(docs, "doc_id", "text", 5).withColumnRenamed("shingle", "s")
     first = ex.groupBy("s").agg(F.min("doc_id").alias("fd"))
-    novel = F.count(F.when(F.col("fd") == F.col("doc_id"), 1))
+    per_doc = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel_per_doc = first.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel_raw")
+    )
+    n_novel = F.coalesce(F.col("n_novel_raw"), F.lit(0))
     return (
-        ex.join(first, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.alias("n_novel"),
-            (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias("novelty"),
+        per_doc.join(novel_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_novel.alias("n_novel"),
+            (n_novel.cast("double") / F.col("n_grams").cast("double")).alias("novelty"),
         )
         .orderBy("doc_id")
     )
