@@ -95,6 +95,7 @@ _PRIORITY = [
     "text_oov_rate_topk_vocab",
     "text_zipf_slope",
     "dedup_lsh_recall_report",
+    "text_kwic_snippets",
     "events_markov_stationary",
     "events_cusum_changepoints",
     "clean_winsorize_lengths",

@@ -746,3 +746,65 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.regr_slope(lc, lr), 6) + 0.0).alias("zipf_slope"),
         (F.round(F.regr_r2(lc, lr), 6) + 0.0).alias("fit_r2"),
     )
+
+
+_KWIC_TERMS = ("spark", "stream", "merge")
+_KWIC_SQL_LIST = "[" + ", ".join(f"'{t}'" for t in _KWIC_TERMS) + "]"
+
+
+@register(
+    "text_kwic_snippets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t
+      FROM documents WHERE doc_id < 100
+    ),
+    hits AS (
+      SELECT doc_id, t,
+             UNNEST(list_filter(range(0, len(t)),
+                                i -> list_contains({_KWIC_SQL_LIST}, t[i + 1]))) AS i
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS pos,
+           t[i + 1] AS term,
+           array_to_string(
+             list_slice(t, GREATEST(i - 2, 0) + 1, LEAST(i + 2, len(t) - 1) + 1),
+             ' ') AS snippet
+    FROM hits
+    ORDER BY doc_id, pos
+    """,
+)
+def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: every occurrence of a catalog
+    term with its ±2-token window — the corpus-inspection view behind
+    "show me how this term is actually used" tooling. All positional
+    work happens INSIDE array expressions (filter positions, then
+    slice) before the explode, so no row ever carries the full token
+    array through a generator (the bigram-PMI hygiene rule). The
+    100-doc cap keeps the oracle's snippet join readable; uncapped the
+    operator is a pure zero-shuffle map stage."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toked = docs.select(
+        "doc_id", tokens(normalize_text("text")).alias("t")
+    )
+    idx = F.sequence(F.lit(0), F.size("t") - 1)
+    hits = F.filter(idx, lambda i: F.get("t", i).isin(*_KWIC_TERMS))
+    start0 = lambda i: F.greatest(i - 2, F.lit(0))
+    end0 = lambda i: F.least(i + 2, F.size("t") - 1)
+    snips = F.transform(
+        hits,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.get("t", i).alias("term"),
+            F.array_join(
+                F.slice("t", start0(i) + 1, end0(i) - start0(i) + 1), " "
+            ).alias("snippet"),
+        ),
+    )
+    return (
+        toked.select("doc_id", F.explode(snips).alias("k"))
+        .select("doc_id", "k.pos", "k.term", "k.snippet")
+        .orderBy("doc_id", "pos")
+    )

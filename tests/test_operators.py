@@ -2067,3 +2067,24 @@ def test_lsh_recall_report_detected_subset_and_banding_loss(spark):
     ).count()
     assert weak == 1  # single all-mins band: only the exact dup collides
     assert strong == 3  # exact dup + the 0.65-pair against both copies
+
+
+def test_kwic_snippets_window_edges(spark):
+    """KWIC windows clamp at both document edges: a term at position 0
+    gets a 3-token right-leaning snippet, one at the end gets the
+    left-leaning mirror, and interior hits get the full ±2 window."""
+    import os
+    import tempfile
+
+    from poormans_kube_etl_spark.queries.text_analysis import text_kwic_snippets
+
+    text = "spark b c d merge f g stream"
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text, "en", "s0", len(text))],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {(r.pos): (r.term, r.snippet) for r in text_kwic_snippets(spark, d).collect()}
+    assert got[0] == ("spark", "spark b c")
+    assert got[4] == ("merge", "c d merge f g")
+    assert got[7] == ("stream", "f g stream")
