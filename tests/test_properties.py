@@ -877,3 +877,37 @@ def test_mad_outliers_match_python_model(spark, tmp_path_factory, lens):
     assert (r.n_docs, r.n_outliers, r.median_chars, r.mad_chars) == (
         len(lens), n_out, float(med), float(mad),
     )
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=1, max_value=9_999), min_size=2, max_size=40)
+)
+def test_winsorize_matches_numpy_percentile_model(spark, tmp_path_factory, lens):
+    """clean_winsorize_lengths vs numpy's linear-interpolation
+    percentile (the same definition Spark's exact percentile and
+    DuckDB's quantile_cont implement): clip values agree to 1e-6 and
+    the was_clipped memberships agree EXACTLY — when the quantile
+    position is fractional the bound is strictly between integers (a
+    ulp can't cross an integer), and when whole, every engine returns
+    the exact element."""
+    import os
+
+    import numpy as np
+
+    from poormans_kube_etl_spark.queries.corpus_cleanup import (
+        clean_winsorize_lengths,
+    )
+
+    d = tmp_path_factory.mktemp("wins")
+    rows = [(i, "x", "en", "s0", n) for i, n in enumerate(lens)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "documents.parquet"))
+    got = {r.doc_id: r for r in clean_winsorize_lengths(spark, str(d)).collect()}
+    p05 = float(np.percentile(lens, 5))
+    p95 = float(np.percentile(lens, 95))
+    for i, n in enumerate(lens):
+        r = got[i]
+        assert abs(r.clipped - round(min(max(float(n), p05), p95), 4)) <= 1e-6
+        assert r.was_clipped == (n < p05 or n > p95)
