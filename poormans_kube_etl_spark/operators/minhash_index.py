@@ -35,6 +35,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.operators.index_artifact import (
+    corpus_fingerprint,
+    load_table_properties,
+    stamp_table_properties,
+)
 from poormans_kube_etl_spark.operators.minhash import (
     _banded,
     bounded_buckets,
@@ -46,7 +51,9 @@ from poormans_kube_etl_spark.operators.minhash import (
 # artifact must be rebuilt, not silently joined against.
 # v2 (r9): buckets pre-aggregated at write time (was raw band rows in
 # the short-lived v1), max_bucket joined the recorded constants.
-INDEX_FORMAT_VERSION = "2"
+# v3 (r10): data-freshness fingerprint required (shared plumbing,
+# operators/index_artifact.py) — v2 artifacts rebuild on first open.
+INDEX_FORMAT_VERSION = "3"
 
 _PROP_PREFIX = "pke.minhash."
 _CONSTANT_KEYS = (
@@ -57,6 +64,7 @@ _CONSTANT_KEYS = (
     "bands",
     "hash_family",
     "max_bucket",
+    "fingerprint",
     "format_version",
 )
 
@@ -134,10 +142,10 @@ def write_corpus_minhash_index(
         "bands": str(bands),
         "hash_family": hash_family,
         "max_bucket": str(max_bucket),
+        "fingerprint": corpus_fingerprint(corpus_docs, id_col),
         "format_version": INDEX_FORMAT_VERSION,
     }
-    kv = ", ".join(f"'{_PROP_PREFIX}{k}'='{v}'" for k, v in props.items())
-    spark.sql(f"ALTER TABLE {name}_buckets SET TBLPROPERTIES ({kv})")
+    stamp_table_properties(spark, f"{name}_buckets", _PROP_PREFIX, props)
 
 
 def read_corpus_minhash_index(spark: SparkSession, name: str) -> CorpusMinhashIndex:
@@ -153,23 +161,15 @@ def read_corpus_minhash_index(spark: SparkSession, name: str) -> CorpusMinhashIn
             "not a corpus minhash index, or a pre-v2 layout; rebuild "
             "with write_corpus_minhash_index"
         ) from e
-    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_buckets").collect()
-    props = {r["key"]: r["value"] for r in rows}
-    constants: dict[str, str] = {}
-    for k in _CONSTANT_KEYS:
-        full = _PROP_PREFIX + k
-        if full not in props:
-            raise ValueError(
-                f"{name}_buckets is missing table property {full!r} — not a "
-                "corpus minhash index (or written by an older layout)"
-            )
-        constants[k] = props[full]
-    if constants["format_version"] != INDEX_FORMAT_VERSION:
-        raise ValueError(
-            f"{name}: index format {constants['format_version']} != "
-            f"supported {INDEX_FORMAT_VERSION}; rebuild with "
-            "write_corpus_minhash_index"
-        )
+    constants = load_table_properties(
+        spark,
+        f"{name}_buckets",
+        _PROP_PREFIX,
+        _CONSTANT_KEYS,
+        family="corpus minhash index",
+        format_version=INDEX_FORMAT_VERSION,
+        builder="write_corpus_minhash_index",
+    )
     return CorpusMinhashIndex(buckets=buckets, shingles=shingles, constants=constants)
 
 

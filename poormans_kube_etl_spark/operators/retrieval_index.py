@@ -28,14 +28,28 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.operators.index_artifact import (
+    corpus_fingerprint,
+    load_table_properties,
+    stamp_table_properties,
+)
 from poormans_kube_etl_spark.operators.text import normalize_text, tokens
 
 # bump when the persisted layout or the postings math changes: a stale
 # artifact must be rebuilt, not silently probed.
-INDEX_FORMAT_VERSION = "1"
+# v2 (r10): data-freshness fingerprint required (shared plumbing,
+# operators/index_artifact.py) — v1 artifacts rebuild on first open.
+INDEX_FORMAT_VERSION = "2"
 
 _PROP_PREFIX = "pke.bm25."
-_CONSTANT_KEYS = ("id_col", "text_col", "n_docs", "avgdl", "format_version")
+_CONSTANT_KEYS = (
+    "id_col",
+    "text_col",
+    "n_docs",
+    "avgdl",
+    "fingerprint",
+    "format_version",
+)
 
 
 @dataclass(frozen=True)
@@ -127,10 +141,14 @@ def write_corpus_bm25_index(
         # repr round-trips the double bit-exactly; int(n) is exact anyway
         "n_docs": str(int(stats["n"])),
         "avgdl": repr(float(stats["avgdl"])) if stats["avgdl"] is not None else "0.0",
+        # NOT n_docs's twin: n_docs counts docs with ≥1 token (the
+        # scoring fact), the fingerprint counts raw corpus rows (the
+        # freshness fact) — an all-empty regeneration changes only the
+        # latter
+        "fingerprint": corpus_fingerprint(corpus_docs, id_col),
         "format_version": INDEX_FORMAT_VERSION,
     }
-    kv = ", ".join(f"'{_PROP_PREFIX}{k}'='{v}'" for k, v in props.items())
-    spark.sql(f"ALTER TABLE {name}_postings SET TBLPROPERTIES ({kv})")
+    stamp_table_properties(spark, f"{name}_postings", _PROP_PREFIX, props)
 
 
 def read_corpus_bm25_index(spark: SparkSession, name: str) -> CorpusBM25Index:
@@ -143,23 +161,15 @@ def read_corpus_bm25_index(spark: SparkSession, name: str) -> CorpusBM25Index:
             f"{name}: postings table not found ({e.__class__.__name__}) — "
             "not a BM25 index; build with write_corpus_bm25_index"
         ) from e
-    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_postings").collect()
-    props = {r["key"]: r["value"] for r in rows}
-    constants: dict[str, str] = {}
-    for k in _CONSTANT_KEYS:
-        full = _PROP_PREFIX + k
-        if full not in props:
-            raise ValueError(
-                f"{name}_postings is missing table property {full!r} — not a "
-                "BM25 index (or written by an older layout)"
-            )
-        constants[k] = props[full]
-    if constants["format_version"] != INDEX_FORMAT_VERSION:
-        raise ValueError(
-            f"{name}: index format {constants['format_version']} != "
-            f"supported {INDEX_FORMAT_VERSION}; rebuild with "
-            "write_corpus_bm25_index"
-        )
+    constants = load_table_properties(
+        spark,
+        f"{name}_postings",
+        _PROP_PREFIX,
+        _CONSTANT_KEYS,
+        family="BM25 index",
+        format_version=INDEX_FORMAT_VERSION,
+        builder="write_corpus_bm25_index",
+    )
     return CorpusBM25Index(postings=postings, constants=constants)
 
 

@@ -32,14 +32,21 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from poormans_kube_etl_spark.operators.index_artifact import (
+    corpus_fingerprint,
+    load_table_properties,
+    stamp_table_properties,
+)
 from poormans_kube_etl_spark.operators.text import normalize_text, tokens
 
 # bump when the persisted layout or gram fingerprint math changes: a
 # stale artifact must be rebuilt, not silently probed.
-INDEX_FORMAT_VERSION = "1"
+# v2 (r10): data-freshness fingerprint required (shared plumbing,
+# operators/index_artifact.py) — v1 artifacts rebuild on first open.
+INDEX_FORMAT_VERSION = "2"
 
 _PROP_PREFIX = "pke.substring."
-_CONSTANT_KEYS = ("id_col", "text_col", "k", "format_version")
+_CONSTANT_KEYS = ("id_col", "text_col", "k", "fingerprint", "format_version")
 
 
 def positional_kgrams(
@@ -176,10 +183,10 @@ def write_corpus_gram_index(
         "id_col": id_col,
         "text_col": text_col,
         "k": str(k),
+        "fingerprint": corpus_fingerprint(corpus_docs, id_col),
         "format_version": INDEX_FORMAT_VERSION,
     }
-    kv = ", ".join(f"'{_PROP_PREFIX}{p}'='{v}'" for p, v in props.items())
-    spark.sql(f"ALTER TABLE {name}_grams SET TBLPROPERTIES ({kv})")
+    stamp_table_properties(spark, f"{name}_grams", _PROP_PREFIX, props)
 
 
 def read_corpus_gram_index(spark: SparkSession, name: str) -> CorpusGramIndex:
@@ -193,22 +200,15 @@ def read_corpus_gram_index(spark: SparkSession, name: str) -> CorpusGramIndex:
             f"{name}: gram table not found ({e.__class__.__name__}) — "
             "not a corpus gram index; build with write_corpus_gram_index"
         ) from e
-    rows = spark.sql(f"SHOW TBLPROPERTIES {name}_grams").collect()
-    props = {r["key"]: r["value"] for r in rows}
-    constants: dict[str, str] = {}
-    for key in _CONSTANT_KEYS:
-        full = _PROP_PREFIX + key
-        if full not in props:
-            raise ValueError(
-                f"{name}_grams is missing table property {full!r} — not a "
-                "corpus gram index (or written by an older layout)"
-            )
-        constants[key] = props[full]
-    if constants["format_version"] != INDEX_FORMAT_VERSION:
-        raise ValueError(
-            f"{name}: index format {constants['format_version']} != supported "
-            f"{INDEX_FORMAT_VERSION}; rebuild with write_corpus_gram_index"
-        )
+    constants = load_table_properties(
+        spark,
+        f"{name}_grams",
+        _PROP_PREFIX,
+        _CONSTANT_KEYS,
+        family="corpus gram index",
+        format_version=INDEX_FORMAT_VERSION,
+        builder="write_corpus_gram_index",
+    )
     return CorpusGramIndex(grams=grams, constants=constants)
 
 

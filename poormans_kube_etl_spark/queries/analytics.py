@@ -554,7 +554,7 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(x - s.mu) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING), 6) + 0.0
              AS cusum,
            (ABS(ROUND(SUM(x - s.mu) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING), 6))
-              > 4 * s.sd) AS drifted
+              > 4 * ROUND(s.sd, 6)) AS drifted
     FROM hourly, stats s
     ORDER BY h
     """,
@@ -569,8 +569,11 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows = distinct hours, time-cardinality — years of data is tens of
     thousands of rows), never the raw event stream; the heavy count
     happens in the preceding hash aggregation at full parallelism. The
-    drift flag compares the ROUNDED cusum (membership pinned to
-    canonical precision, same rule as events_zscore_outliers), and the
+    drift flag compares the ROUNDED cusum against 4·ROUNDED sd —
+    unlike events_zscore_outliers (whose threshold is the exact
+    constant 3), sd's summation order differs between engines, so BOTH
+    operands must be pinned to 6 dp for the boolean to be
+    engine-stable (r9 ADVICE) — and the
     emitted cusum adds +0.0 after rounding on BOTH sides: the series
     crosses zero, Spark's BigDecimal round returns +0.0 where DuckDB's
     preserves -0.0, and the driver-strict canonicalizer (float repr)
@@ -590,7 +593,7 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h",
             "x",
             (cusum + 0.0).alias("cusum"),
-            (F.abs(cusum) > 4 * F.col("sd")).alias("drifted"),
+            (F.abs(cusum) > 4 * F.round(F.col("sd"), 6)).alias("drifted"),
         )
         .orderBy("h")
     )

@@ -446,10 +446,18 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     joins the artifact — the corpus is never re-shingled on the delta
     path (plan-gated by test_indexed_incremental_reuses_persisted_bands).
     Same oracle as dedup_minhash_incremental_pairs: the artifact path
-    is a pure optimization, so the pair set must be identical."""
-    import os
-    import re
+    is a pure optimization, so the pair set must be identical.
 
+    Lifecycle plumbing (tag identity, read-or-rebuild, data-freshness
+    fingerprint) is the shared operators/index_artifact layer — the
+    artifact is re-verified against the live corpus slice on every
+    open, so regenerated parquet at the same path rebuilds instead of
+    silently probing stale bands (r9 ADVICE)."""
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        corpus_fingerprint,
+        get_or_build,
+        sf_dir_tag,
+    )
     from poormans_kube_etl_spark.operators.minhash_index import (
         minhash_incremental_near_duplicates_indexed,
         read_corpus_minhash_index,
@@ -459,32 +467,13 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % 10 == 0)
-    # identity = basename + a hash of the FULL normalized path (r9
-    # review: basename alone let /a/sf1 and /b/sf1 — or sf0.1 and
-    # sf0_1, which sanitize identically — silently share one index)
-    import hashlib
-
-    norm = os.path.normpath(os.path.abspath(sf_dir))
-    tag = (
-        re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(norm))
-        + "_"
-        + hashlib.md5(norm.encode()).hexdigest()[:8]
-    )
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    tag = sf_dir_tag(sf_dir)
     name = f"pke_mhidx_v1_{tag}"
-    try:
-        # completeness = the whole artifact reads back (both tables +
-        # validated properties); a crash mid-build leaves a partial
-        # artifact that must trigger a REBUILD, not an eternal error
-        # (r9 review: a tableExists('_bands') guard made the overwrite
-        # recovery path unreachable)
-        idx = read_corpus_minhash_index(spark, name)
-    except Exception:
-        # once per (session, SF): the ingest-time build. mode=overwrite
-        # clears stale /tmp artifacts from earlier processes (the
-        # in-memory catalog forgets tables across sessions) AND any
-        # half-written artifact from a crashed build.
-        write_corpus_minhash_index(
-            docs.where(F.col("doc_id") % 10 != 0),
+    idx = get_or_build(
+        lambda: read_corpus_minhash_index(spark, name),
+        lambda: write_corpus_minhash_index(
+            corpus,
             name,
             shingle_len=3,
             num_hashes=32,
@@ -493,8 +482,9 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
             n_buckets=8,
             path=f"/tmp/pke_mhidx_v1/{tag}",
             mode="overwrite",
-        )
-        idx = read_corpus_minhash_index(spark, name)
+        ),
+        live_fingerprint=corpus_fingerprint(corpus, "doc_id"),
+    )
     return minhash_incremental_near_duplicates_indexed(new, idx, threshold=0.5).orderBy(
         "a", "b"
     )
@@ -535,11 +525,14 @@ def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataF
     bucket-distributed joins. The DuckDB twin reconstructs the delta
     bit-exactly and emits each planted pair with its exact left-fold
     cosine — the same certificate shape as dedup_embedding_lsh_pairs,
-    with (a=new id, b=corpus id) orientation."""
-    import hashlib
-    import os
-    import re
-
+    with (a=new id, b=corpus id) orientation. Lifecycle plumbing
+    (tag identity, read-or-rebuild, data-freshness fingerprint) is the
+    shared operators/index_artifact layer."""
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        corpus_fingerprint,
+        get_or_build,
+        sf_dir_tag,
+    )
     from poormans_kube_etl_spark.operators.similarity_index import (
         embedding_incremental_near_pairs_indexed,
         read_corpus_srp_index,
@@ -549,25 +542,20 @@ def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataF
     apply_runtime_confs(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     delta = _planted_twins(emb).select("vec_id", "embedding")
-    norm = os.path.normpath(os.path.abspath(sf_dir))
-    tag = (
-        re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(norm))
-        + "_"
-        + hashlib.md5(norm.encode()).hexdigest()[:8]
-    )
+    tag = sf_dir_tag(sf_dir)
     name = f"pke_srpidx_v1_{tag}"
-    try:
-        idx = read_corpus_srp_index(spark, name)
-    except Exception:
-        write_corpus_srp_index(
+    idx = get_or_build(
+        lambda: read_corpus_srp_index(spark, name),
+        lambda: write_corpus_srp_index(
             emb,
             name,
             threshold=0.9,
             n_buckets=8,
             path=f"/tmp/pke_srpidx_v1/{tag}",
             mode="overwrite",
-        )
-        idx = read_corpus_srp_index(spark, name)
+        ),
+        live_fingerprint=corpus_fingerprint(emb, "vec_id"),
+    )
     return embedding_incremental_near_pairs_indexed(delta, idx).orderBy("a", "b")
 
 

@@ -312,11 +312,14 @@ def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataF
     10th doc) probes the artifact — the corpus is never re-tokenized on
     the delta path (plan-gated). Same oracle as
     dedup_substring_incremental_spans: the artifact is a pure
-    optimization, so the span set must be identical."""
-    import hashlib
-    import os
-    import re
-
+    optimization, so the span set must be identical. Lifecycle plumbing
+    (tag identity, read-or-rebuild, data-freshness fingerprint) is the
+    shared operators/index_artifact layer."""
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        corpus_fingerprint,
+        get_or_build,
+        sf_dir_tag,
+    )
     from poormans_kube_etl_spark.operators.substring import (
         read_corpus_gram_index,
         substring_spans_indexed,
@@ -325,33 +328,19 @@ def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataF
 
     docs = _docs(spark, sf_dir)
     new = docs.where(F.col("doc_id") % 10 == 0)
-    # identity = basename + a hash of the FULL normalized path (the
-    # minhash-index lesson: basename alone let two different dirs that
-    # sanitize identically share one index)
-    norm = os.path.normpath(os.path.abspath(sf_dir))
-    tag = (
-        re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(norm))
-        + "_"
-        + hashlib.md5(norm.encode()).hexdigest()[:8]
-    )
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    tag = sf_dir_tag(sf_dir)
     name = f"pke_ssidx_v1_{tag}"
-    try:
-        # completeness = the whole artifact reads back (table + validated
-        # properties); a crash mid-build must trigger a REBUILD below,
-        # not an eternal error
-        idx = read_corpus_gram_index(spark, name)
-    except Exception:
-        # once per (session, SF): the ingest-time build. mode=overwrite
-        # clears stale /tmp artifacts from earlier processes (the
-        # in-memory catalog forgets tables across sessions) AND any
-        # half-written artifact from a crashed build.
-        write_corpus_gram_index(
-            docs.where(F.col("doc_id") % 10 != 0),
+    idx = get_or_build(
+        lambda: read_corpus_gram_index(spark, name),
+        lambda: write_corpus_gram_index(
+            corpus,
             name,
             k=_K,
             n_buckets=8,
             path=f"/tmp/pke_ssidx_v1/{tag}",
             mode="overwrite",
-        )
-        idx = read_corpus_gram_index(spark, name)
+        ),
+        live_fingerprint=corpus_fingerprint(corpus, "doc_id"),
+    )
     return substring_spans_indexed(new, idx).orderBy("doc_id", "span_start")

@@ -543,7 +543,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-length normalization, over an inverted (doc, term, tf) index.
 
     Scale shape: the query-term table is catalog-sized and broadcast;
-    the term-keyed join touches only postings for query terms (an
+    the corpus-derived df table is pruned to query terms BEFORE any
+    broadcast (only the survivor rows ship to executors); the
+    term-keyed join touches only postings for query terms (an
     inverted-index probe, never a corpus scan per query); the final
     selection reuses the two-stage ``_topk_per_query`` merge, so no
     single reducer ever sees more than O(k·P) survivors per query.
@@ -570,10 +572,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from poormans_kube_etl_spark.operators.retrieval_index import bm25_score_expr
 
     score = bm25_score_expr(_BM25_K1, _BM25_B, F.col("n"), F.col("avgdl"))
+    # Prune the corpus-derived document-frequency table to query terms
+    # FIRST (broadcast qt streamed against df — no shuffle), then
+    # broadcast the catalog-sized survivor set into the postings probe.
+    # Never hint broadcast on df itself: vocab df grows with the corpus
+    # and would OOM a 100 TB broadcast (r9 ADVICE).
+    qt_df = F.broadcast(qt).join(df, "tok")
     scored = (
-        F.broadcast(qt)
+        F.broadcast(qt_df)
         .join(tf, "tok")
-        .join(F.broadcast(df), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
@@ -599,11 +606,16 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once per (session, SF); every query set after that is one
     broadcast probe of the bucketed postings scan. Same oracle as
     text_bm25_topk: the artifact path is a pure optimization, so the
-    ranking must be identical."""
-    import hashlib
-    import os
-    import re
-
+    ranking must be identical. Lifecycle plumbing (tag identity,
+    read-or-rebuild, data-freshness fingerprint) is the shared
+    operators/index_artifact layer — regenerated parquet at the same
+    path rebuilds instead of silently probing stale postings (r9
+    ADVICE)."""
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        corpus_fingerprint,
+        get_or_build,
+        sf_dir_tag,
+    )
     from poormans_kube_etl_spark.operators.retrieval_index import (
         bm25_topk_indexed,
         read_corpus_bm25_index,
@@ -611,29 +623,19 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    # identity = basename + full-normalized-path hash (same collision
-    # rule as the MinHash index face)
-    norm = os.path.normpath(os.path.abspath(sf_dir))
-    tag = (
-        re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(norm))
-        + "_"
-        + hashlib.md5(norm.encode()).hexdigest()[:8]
-    )
+    tag = sf_dir_tag(sf_dir)
     name = f"pke_bm25idx_v1_{tag}"
-    try:
-        idx = read_corpus_bm25_index(spark, name)
-    except Exception:
-        # once per (session, SF); overwrite clears stale /tmp artifacts
-        # from earlier processes and any half-written build. EXTERNAL
-        # path like the sibling index faces: a MANAGED table whose
-        # files outlive the in-memory catalog makes the next process's
-        # saveAsTable refuse with LOCATION_ALREADY_EXISTS — external
-        # overwrite replaces the location instead (caught by a fresh-
-        # process sweep against this session's leftover warehouse).
-        write_corpus_bm25_index(
+    idx = get_or_build(
+        lambda: read_corpus_bm25_index(spark, name),
+        # EXTERNAL path like the sibling index faces: a MANAGED table
+        # whose files outlive the in-memory catalog makes the next
+        # process's saveAsTable refuse with LOCATION_ALREADY_EXISTS —
+        # external overwrite replaces the location instead.
+        lambda: write_corpus_bm25_index(
             docs, name, path=f"/tmp/pke_bm25idx_v1/{tag}", mode="overwrite"
-        )
-        idx = read_corpus_bm25_index(spark, name)
+        ),
+        live_fingerprint=corpus_fingerprint(docs, "doc_id"),
+    )
     qdf = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "qtext"])
     out = bm25_topk_indexed(qdf, idx, _BM25_K, k1=_BM25_K1, b=_BM25_B)
     return out.select(
