@@ -32,21 +32,42 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 20,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """DataFrame[node, component] from an undirected edge list.
 
     ``component`` is the minimum node id reachable from ``node`` —
-    deterministic, so the min-id member is the canonical keeper."""
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    deterministic, so the min-id member is the canonical keeper.
+
+    ``pairs_unique``: promise that the input has no duplicate pairs
+    (near-dup detectors emit each a<b pair once by construction) —
+    skips the edge-dedup shuffle. Duplicate edges would be semantically
+    harmless (min-label propagation is idempotent) but inflate every
+    round, so the distinct stays on by default for arbitrary input.
+
+    Round economics (r10, measured in the funnel at sf0.1): the eager
+    actions ARE this operator's cost — the first checkpoint
+    materializes the whole upstream pair pipeline, and every loop round
+    pays one checkpoint. So the seed label frame folds round-1 neighbor
+    propagation into its own build (every node appears as src in the
+    bidirectional edge list, so groupBy(src).min(dst) visits exactly
+    the distinct-node set while already adopting the min neighbor), and
+    convergence is read from a ``chg`` flag computed INSIDE the
+    checkpointed round frame — no separate old-vs-new join per round.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    if not pairs_unique:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint()
+    # seed = round-1 neighbor propagation (see docstring)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("node"), F.least("src", "m").alias("component")
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -59,6 +80,7 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component").alias("old_component"),
             F.least("component", F.coalesce("nbr_component", "component")).alias(
                 "component"
             ),
@@ -72,20 +94,19 @@ def connected_components(
             propagated.join(parents, "component", "left")
             .select(
                 "node",
+                "old_component",
                 F.least("component", F.coalesce("parent", "component")).alias(
                     "component"
                 ),
             )
+            .withColumn("chg", F.col("component") != F.col("old_component"))
+            .drop("old_component")
             .localCheckpoint()  # cut lineage: constant-depth plan per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # the flag rode the checkpoint, so this scans materialized
+        # partitions only — no re-join, no recompute
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -100,8 +121,13 @@ def dedup_clusters(
 ) -> DataFrame:
     """Near-dup pairs → (node, keeper): every clustered doc mapped to
     its cluster's min-id canonical representative. Docs in no pair are
-    absent (they keep themselves)."""
-    cc = connected_components(pairs, a_col, b_col)
+    absent (they keep themselves).
+
+    Assumes detector output — each a<b pair emitted once — so the
+    closure skips its edge-dedup shuffle (duplicates would only cost
+    time, never correctness; call connected_components directly for
+    arbitrary edge lists)."""
+    cc = connected_components(pairs, a_col, b_col, pairs_unique=True)
     return cc.select(
         F.col("node").alias("doc"), F.col("component").alias("keeper")
     )

@@ -897,6 +897,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign each query to its ``n_probe``
     nearest cell centroids, exact-rerank only within those cells.
@@ -904,11 +905,23 @@ def ivf_topk(
     Scale shape: centroids are tiny (cells × dims) → broadcast to score
     query↔centroid; the candidate join touches |probed cells|/|cells| of
     the corpus instead of all of it. Recall < 1 when the true neighbor
-    lives in an unprobed cell — the exact path is brute_force_topk."""
+    lives in an unprobed cell — the exact path is brute_force_topk.
+
+    ``centroids``: a precomputed (cell, centroid) frame — in any real
+    IVF deployment the coarse quantizer is BUILT at ingest and reused
+    per query batch, never re-aggregated per query (r10; same
+    build-once lifecycle as the persisted index families). Must be the
+    output of ``label_centroids`` over the same corpus/cell columns —
+    pass a persisted/cached frame to amortize. Default None recomputes
+    live (value-identical either way)."""
     dim = resolve_dim(embeddings, vec_col, dim)
     embeddings = spread_small_scan(embeddings)  # feeds the centroid
     # aggregate AND the probed-cell rerank scoring
-    cents = label_centroids(embeddings, cell_col, id_col, vec_col, dim)
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(embeddings, cell_col, id_col, vec_col, dim)
+    )
     qs = queries.select(
         F.col(query_id_col).alias("query_id"),
         checked_double_vec(vec_col, dim).alias("q_vec"),
