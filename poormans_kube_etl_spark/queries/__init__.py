@@ -68,86 +68,41 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-9 rotation (VERDICT r08 #1:
-# lead with the queries whose latest driver row is r06 — two rounds of
-# drift over shared helpers; standing rule: queries whose values or
-# oracles changed this round stay in the window):
-# (a) this round's NINE NEW queries (never driver-checked: the two
-#     persisted-index delta-dedup faces, the four substring-span dedup
-#     faces incl. the gram-index artifact, domain mixture sampling,
-#     SemDeDup pairs + apply-keepers) + the four whose VALUES or
-#     ORACLES changed in r9 itself (sketch certificates, md5-perturbed
-#     LSH twins, spectral certificate schema) + the two whose PLANS
-#     were restructured with values meant to be identical (funnel
-#     materialization, bounded incremental bucket aggregation) — the
-#     driver row is the proof the restructure preserved values;
-# (b) all 39 r06-latest queries (the stalest cohort; text_fingerprints,
-#     the lone r05 row, is no longer a registered name — folded into
-#     text_rolling_fingerprints in r6, which rides in this cohort).
-_PRIORITY = [
-    # (a) new or changed this round (later session: containment pairs,
-    # n-gram novelty, source-overlap matrix, gaps-and-islands streaks,
-    # MAD length outliers — never driver-checked, so they outrank
-    # re-checks per the standing rule)
-    "dedup_containment_pairs",
+# ``queries()`` iteration order. Round-10 rotation (VERDICT r09 #1:
+# the 20 r06-latest queries are 3 driver-rounds stale and MUST clear
+# this window; standing rule: queries whose values, oracles, or
+# plans changed this round re-earn a driver row first). Composition:
+# (a) the 11 changed-this-round queries (_CHANGED_THIS_ROUND below —
+#     cusum threshold pinning, BM25 broadcast/lifecycle restructure,
+#     the four index faces' fingerprint lifecycle, the closure-plan
+#     consumers, the IVF centroid cache);
+# (b) all 20 r06-latest queries (the at-the-limit cohort);
+# (c) 19 of the 46 r07-latest queries (alphabetical) to fill 50.
+# Seats 51+: the remaining 27 r07-latest queries — they ride a wider
+# sweep or LEAD the r11 window (tests/test_rotation_guard.py now
+# enforces stalest-first mechanically: no query outside the window
+# may be staler than a non-changed query inside it).
+
+# queries whose values/oracles/plans changed in the CURRENT round —
+# they head _PRIORITY regardless of staleness (the driver row is the
+# proof the change preserved values) and the rotation guard exempts
+# them from the stalest-first ordering check. REWRITE EACH ROUND.
+_CHANGED_THIS_ROUND = [
+    "events_cusum_changepoints",
     "text_bm25_topk",
     "text_bm25_index_topk",
-    "text_oov_rate_topk_vocab",
-    "text_zipf_slope",
-    "dedup_lsh_recall_report",
-    "text_kwic_snippets",
-    "events_markov_stationary",
-    "events_cusum_changepoints",
-    "clean_winsorize_lengths",
-    # signed-zero rule applied to zero-crossing rounded outputs (values
-    # meant identical; the driver row is the proof). The stats pair is
-    # seated HERE, not left to its cohort-(b) copy: the late-session
-    # insertions push seats 48+ past the nominal 50-query sweep, and
-    # changed-oracle queries must stay inside the window (their (b)
-    # entries below are harmless duplicates — _ordered keeps the first
-    # occurrence).
-    "text_bigram_pmi",
-    "stats_price_quantity_corr",
-    "stats_regression_by_type",
-    "sim_ivf_topk",
-    "fn_array_suite",
-    "text_ngram_novelty",
-    "text_source_overlap_matrix",
-    "window_gaps_islands_user_streaks",
-    "dq_mad_doc_length_outliers",
-    "dedup_substring_spans",
-    "train_scrub_duplicate_spans",
-    "train_domain_mixture_sample",
-    "dedup_semantic_kmeans_pairs",
-    "dedup_semantic_apply_keepers",
-    "dedup_substring_incremental_spans",
-    "dedup_substring_index_delta_spans",
     "dedup_minhash_index_delta_pairs",
     "dedup_embedding_index_delta_pairs",
-    "approx_distinct_users_by_type",
-    "approx_percentile_quantity",
-    "dedup_embedding_lsh_pairs",
-    "sim_label_spectral_stats",
+    "dedup_substring_index_delta_spans",
     "train_corpus_build_funnel",
-    "dedup_minhash_incremental_pairs",
+    "dedup_minhash_clusters",
+    "dedup_minhash_apply_keepers",
+    "dedup_semantic_apply_keepers",
+    "sim_ivf_topk",
+]
+
+_PRIORITY = _CHANGED_THIS_ROUND + [
     # (b) r06-latest (alphabetical)
-    "fn_array_suite",
-    "fn_conditional_suite",
-    "fn_map_entries",
-    "fn_null_semantics",
-    "fn_scalar_suite",
-    "fn_string_suite",
-    "fn_variant_props",
-    "join_full_outer_nation_balance",
-    "join_relational_division",
-    "jsonl_quarantine_stats",
-    "mm_binary_stats",
-    "mm_frame_sample_plan",
-    "mm_props_typed",
-    "mm_resize_dims",
-    "orders_pareto_revenue_share",
-    "percentile_quantity_by_flag",
-    "pivot_status_revenue_by_priority",
     "reshape_explode_outer_shingles",
     "reshape_month_spine_gap_fill",
     "reshape_unpivot_part_metrics",
@@ -156,8 +111,6 @@ _PRIORITY = [
     "sess_debounce_10s",
     "sess_range_self_join_5m",
     "sim_label_centroids",
-    "stats_price_quantity_corr",
-    "stats_regression_by_type",
     "subq_correlated_scalar_max_item",
     "subq_exists_high_value_customers",
     "subq_not_in_inactive_parts",
@@ -166,21 +119,58 @@ _PRIORITY = [
     "top10_orders_by_price",
     "window_first_last_value",
     "window_range_frame_value_band",
-    # (c) seats 51+: the (b) entries displaced past the nominal 50 by
-    # the round's never-checked/changed additions (14 late-session +
-    # 9 earlier) — never-driver-checked and changed-oracle queries
-    # outrank re-checks. The driver sweeps the FIRST ~50, so these
-    # either ride a slightly-wider sweep or HEAD THE r10 WINDOW
-    # (they'll be 3 rounds stale by then — rotate them first, before
-    # the r07/r08 cohorts); sim_kmeans_clusters rides here too because
-    # its oracle STRING was touched this round (whitespace-only CTE
-    # extraction — values verified identical locally at sf0.01, but
-    # the standing rule is that touched oracles re-earn a driver row).
     "window_rank_family",
     "window_running_revenue",
     "window_sliding_3row_avg",
     "window_top3_orders_per_customer",
-    "sim_kmeans_clusters",
+    # (c) r07-latest fill to seat 50 (alphabetical)
+    "agg_boolean_family",
+    "agg_filtered_conditional",
+    "agg_histogram_quantity",
+    "agg_min_by_max_by",
+    "agg_mode_by_group",
+    "agg_string_concat_ordered",
+    "clean_quality_rules",
+    "clean_repetition_ratio",
+    "clean_scrub_pii",
+    "clean_sentence_dedup",
+    "clean_sentence_split",
+    "cube_orders_status_priority",
+    "dedup_embedding_near_pairs",
+    "dedup_exact_stats",
+    "dedup_keep_first_by_prefix",
+    "dedup_ngram_jaccard_pairs",
+    "distinct_order_priorities",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    # seats 51+: remaining r07-latest (alphabetical) — r11 leads
+    "mm_decode_features",
+    "mm_frame_sample_hashes",
+    "ref_a3_duration_format",
+    "ref_a4_run_metrics",
+    "ref_dt1_epoch_roundtrip",
+    "ref_e1_token_intersection",
+    "ref_f1_timestamp_folders",
+    "ref_f2_any_timestamp",
+    "ref_f3_marker_rows",
+    "ref_f4_f5_f6_job_filters",
+    "ref_f7_ingest_file_set",
+    "ref_f8_temporal_filter",
+    "ref_folder_lifecycle_summary",
+    "ref_manifest_integrity_join",
+    "ref_o1_oldest_ingest",
+    "ref_p1_p2_path_segments",
+    "ref_p6_json_props",
+    "ref_p7_array_struct_probe",
+    "ref_s2_manifest_gate",
+    "sess_asof_last_signup",
+    "sess_session_window_30m",
+    "set_except_inactive_custkeys",
+    "set_intersect_active_custkeys",
+    "set_union_all_keys",
+    "sim_embedding_norms",
+    "window_lag_order_gap_days",
+    "window_trailing_1h_count",
 ]
 
 
@@ -637,9 +627,65 @@ _R08_SWEPT = frozenset(
 )
 
 
+_R09_SWEPT = frozenset(
+    {
+        "approx_distinct_users_by_type",
+        "approx_percentile_quantity",
+        "clean_winsorize_lengths",
+        "dedup_containment_pairs",
+        "dedup_embedding_index_delta_pairs",
+        "dedup_embedding_lsh_pairs",
+        "dedup_lsh_recall_report",
+        "dedup_minhash_incremental_pairs",
+        "dedup_minhash_index_delta_pairs",
+        "dedup_semantic_apply_keepers",
+        "dedup_semantic_kmeans_pairs",
+        "dedup_substring_incremental_spans",
+        "dedup_substring_index_delta_spans",
+        "dedup_substring_spans",
+        "dq_mad_doc_length_outliers",
+        "events_cusum_changepoints",
+        "events_markov_stationary",
+        "fn_array_suite",
+        "fn_conditional_suite",
+        "fn_map_entries",
+        "fn_null_semantics",
+        "fn_scalar_suite",
+        "fn_string_suite",
+        "fn_variant_props",
+        "join_full_outer_nation_balance",
+        "join_relational_division",
+        "jsonl_quarantine_stats",
+        "mm_binary_stats",
+        "mm_frame_sample_plan",
+        "mm_props_typed",
+        "mm_resize_dims",
+        "orders_pareto_revenue_share",
+        "percentile_quantity_by_flag",
+        "pivot_status_revenue_by_priority",
+        "sim_ivf_topk",
+        "sim_label_spectral_stats",
+        "stats_price_quantity_corr",
+        "stats_regression_by_type",
+        "text_bigram_pmi",
+        "text_bm25_index_topk",
+        "text_bm25_topk",
+        "text_kwic_snippets",
+        "text_ngram_novelty",
+        "text_oov_rate_topk_vocab",
+        "text_source_overlap_matrix",
+        "text_zipf_slope",
+        "train_corpus_build_funnel",
+        "train_domain_mixture_sample",
+        "train_scrub_duplicate_spans",
+        "window_gaps_islands_user_streaks",
+    }
+)
+
+
 _LATEST_ROW: dict[str, int] = {}
 for _rnd, _names in enumerate(
-    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT, _R06_SWEPT, _R07_SWEPT, _R08_SWEPT),
+    (_R01_GREEN, _R02_GREEN, _R03_GREEN, _R04_SWEPT, _R05_SWEPT, _R06_SWEPT, _R07_SWEPT, _R08_SWEPT, _R09_SWEPT),
     start=1,
 ):
     for _n in _names:
