@@ -87,6 +87,36 @@ class IngestParams:
         return "bulk" if self.ingest_type == "bulk" else "delta"
 
 
+@dataclass(frozen=True)
+class DedupIndexMaintenance:
+    """Opt-in dedup-index lifecycle wiring (r10, VERDICT r09 #3): when
+    set, ``finalize()`` folds each committed ingest's documents into a
+    persisted corpus MinHash index, so the NEXT ingest's dedup screen
+    probes an index that already contains this one — index maintenance
+    becomes part of the ingest lifecycle instead of caller homework.
+
+    ``entity`` names the ingested entity whose rows are the documents;
+    ``id_col``/``text_col`` address its committed (string-cast) sink
+    columns. The index lands as EXTERNAL bucketed tables under
+    ``<output_dir>/dedup_index/`` with catalog name ``index_name``.
+    The first committed ingest bootstraps the artifact; later ingests
+    append fragments (operators/index_maintenance.py — linear in the
+    delta); past ``max_fragments`` the maintainer compacts by
+    rebuilding from every committed ingest's sink. A durable per-ingest
+    marker makes the merge idempotent under X5 relaunch."""
+
+    entity: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    index_name: str = "pke_ingest_mhidx"
+    shingle_len: int = 3
+    num_hashes: int = 32
+    bands: int = 8
+    hash_family: str = "xxhash64"
+    n_buckets: int = 8
+    max_fragments: int = 16
+
+
 @dataclass
 class Times:
     """Per-ingest timing accumulator (reference Times class,
@@ -148,6 +178,7 @@ class Orchestrator:
         replica_id: str | None = None,
         claim_ttl_s: float = 1800.0,
         claim_settle_s: float = 0.05,
+        dedup_index: DedupIndexMaintenance | None = None,
     ):
         self.spark = apply_runtime_confs(spark)
         # Resolve RELATIVE dirs against the Python cwd ONCE, up front
@@ -193,6 +224,7 @@ class Orchestrator:
         self.replica_id = replica_id
         self.claim_ttl_s = claim_ttl_s
         self.claim_settle_s = claim_settle_s
+        self.dedup_index = dedup_index
         self.timer = Times()
         self.errored: str | None = None  # X7 error state
         # consecutive transient scan failures (listing/gating); reset on
@@ -767,7 +799,75 @@ class Orchestrator:
         metrics.write.mode("overwrite").parquet(
             f"{self.output_dir}/ingest_metrics/{params.ingest_name}"
         )
+        # index maintenance runs LAST: the ingest is already committed
+        # (folder gone, metrics landed), so a maintenance failure halts
+        # the pipeline loudly (X7 class) without un-committing anything,
+        # and the durable marker makes a relaunch resume exactly here.
+        if self.dedup_index is not None:
+            self._maintain_dedup_index(params)
         self.timer.reset()
+
+    def _dedup_index_marker(self, ingest_name: str) -> str:
+        return f"{self.output_dir}/dedup_index/_merged/{ingest_name}"
+
+    def _maintain_dedup_index(self, params: IngestParams) -> None:
+        """Fold the committed ingest's documents into the persisted
+        corpus MinHash index (see DedupIndexMaintenance). The delta is
+        read from this ingest's COMMITTED index sink — the landing
+        folder is already deleted (K2 runs first), and indexing what
+        was committed is the correct semantics anyway. Idempotent under
+        X5 relaunch via a durable per-ingest marker."""
+        from poormans_kube_etl_spark.operators.index_maintenance import (
+            merge_delta_into_minhash_index,
+        )
+        from poormans_kube_etl_spark.operators.minhash_index import (
+            read_corpus_minhash_index,
+            write_corpus_minhash_index,
+        )
+
+        cfg = self.dedup_index
+        marker = self._dedup_index_marker(params.ingest_name)
+        if ingest_sources.path_exists(self.spark, marker):
+            return  # this ingest is already merged (relaunch path)
+        delta = self.spark.read.parquet(
+            f"{self.output_dir}/index/{params.ingest_name}/{cfg.entity}"
+        ).select(cfg.id_col, cfg.text_col)
+        build_kwargs = dict(
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            shingle_len=cfg.shingle_len,
+            num_hashes=cfg.num_hashes,
+            bands=cfg.bands,
+            hash_family=cfg.hash_family,
+            n_buckets=cfg.n_buckets,
+            path=f"{self.output_dir}/dedup_index/minhash",
+            mode="overwrite",
+        )
+        try:
+            read_corpus_minhash_index(self.spark, cfg.index_name)
+            have_index = True
+        except Exception:
+            have_index = False
+        if not have_index:
+            # first committed ingest bootstraps the artifact
+            write_corpus_minhash_index(delta, cfg.index_name, **build_kwargs)
+        else:
+            report = merge_delta_into_minhash_index(
+                delta, cfg.index_name, max_fragments=cfg.max_fragments
+            )
+            if report["needs_compaction"]:
+                # rebuild from every committed ingest's sink — the
+                # recorded compaction policy; fragment count resets
+                corpus = self.spark.read.parquet(
+                    f"{self.output_dir}/index/*/{cfg.entity}"
+                ).select(cfg.id_col, cfg.text_col)
+                write_corpus_minhash_index(corpus, cfg.index_name, **build_kwargs)
+        fs, jpath = ingest_sources.hadoop_fs(self.spark, marker)
+        out = fs.create(jpath, True)
+        try:
+            out.write(bytearray(b"merged"))
+        finally:
+            out.close()
 
     def _folder_vanished(self, params: IngestParams) -> bool:
         """True when the ingest folder no longer exists — the signature
