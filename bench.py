@@ -345,6 +345,13 @@ def main() -> None:
     # r6→r7 "+10% headline" was unreadable because nothing recorded
     # whether 10% was inside normal jitter. A delta smaller than the
     # spread is noise; a delta well past it is code.
+    # r10 caveat on reading ``builds``: for ITERATIVE operators
+    # (train_corpus_build_funnel's closure) the query builder runs
+    # eager actions — localCheckpoint rounds, convergence probes — so
+    # their "build" time is real cluster execution, not driver py4j
+    # (profiled r10: the funnel's 5 s "build" was 3.5 s of minhash
+    # pair pipeline inside the first checkpoint; exprcache had nothing
+    # left to save there).
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     spreads: dict[str, float] = {}

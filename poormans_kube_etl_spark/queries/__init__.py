@@ -83,11 +83,15 @@ _loaded = False
 # enforces stalest-first mechanically: no query outside the window
 # may be staler than a non-changed query inside it).
 
-# queries whose values/oracles/plans changed in the CURRENT round —
-# they head _PRIORITY regardless of staleness (the driver row is the
-# proof the change preserved values) and the rotation guard exempts
-# them from the stalest-first ordering check. REWRITE EACH ROUND.
+# queries whose values/oracles/plans changed — or that are NEW — in
+# the CURRENT round: they head _PRIORITY regardless of staleness (the
+# driver row is the proof the change preserved values; a new query has
+# no row at all) and the rotation guard exempts them from the
+# stalest-first ordering check. REWRITE EACH ROUND.
 _CHANGED_THIS_ROUND = [
+    # new this round (never driver-checked)
+    "dq_encoding_anomalies",
+    "train_padding_waste",
     "events_cusum_changepoints",
     "text_bm25_topk",
     "text_bm25_index_topk",

@@ -191,3 +191,71 @@ def dq_mad_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dq_encoding_anomalies",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(length(text)
+                          - length(regexp_replace(text, '[ -~]', '', 'g')))
+                        AS DOUBLE)
+                 / CAST(SUM(length(text)) AS DOUBLE), 6) AS non_ascii_rate,
+           CAST(COUNT(CASE WHEN position(chr(65533) IN text) > 0 THEN 1 END)
+                AS BIGINT) AS repl_char_docs,
+           CAST(SUM(length(text) - length(replace(text, chr(195) || chr(169), '')))
+                / 2 AS BIGINT) AS mojibake_hits,
+           CAST(SUM(length(regexp_replace(text,
+                    '[^\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))) AS BIGINT)
+                AS ctrl_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dq_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health screen — the C4/RefinedWeb-class gate
+    that catches double-encoded UTF-8 (mojibake), lossy transcodes
+    (U+FFFD replacement chars), and binary bleed (control chars) before
+    they poison a training corpus. Signals:
+
+    - ``non_ascii_rate``: chars outside printable ASCII over all chars
+      (the one signal that is NON-zero on healthy multilingual text —
+      it anchors the oracle compare with real values; the anomaly
+      counters being zero on clean corpora is itself the assertion).
+    - ``repl_char_docs``: docs containing U+FFFD.
+    - ``mojibake_hits``: occurrences of the "Ã©" digraph (the UTF-8
+      bytes of é re-decoded as Latin-1) — counted by length-difference
+      after replace, NOT regex, so both engines count identically.
+    - ``ctrl_chars``: C0 control characters excluding tab/newline/CR.
+
+    All counters are exact integer aggregates; the one ratio divides
+    two exact integers, so the 6-dp round can never flip cross-engine.
+    Scale shape: one map pass over text + one source-keyed aggregation
+    — no joins, no windows, partial aggregation absorbs everything."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    non_ascii = n_chars - F.length(F.regexp_replace("text", "[ -~]", ""))
+    moji = F.lit("Ã©")
+    moji_hits = (n_chars - F.length(F.replace(F.col("text"), moji, F.lit("")))) / 2
+    ctrl = F.length(
+        F.regexp_replace("text", "[^\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_chars).cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum(non_ascii).cast("double") / F.sum(n_chars).cast("double"), 6
+            ).alias("non_ascii_rate"),
+            F.count(F.when(F.contains("text", F.lit("�")), 1)).alias(
+                "repl_char_docs"
+            ),
+            F.sum(moji_hits).cast("bigint").alias("mojibake_hits"),
+            F.sum(ctrl).cast("bigint").alias("ctrl_chars"),
+        )
+        .orderBy("source")
+    )

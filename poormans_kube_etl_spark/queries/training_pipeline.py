@@ -548,3 +548,67 @@ def train_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_start")
     )
+
+
+_PAD_SEQ_LEN = 2048
+
+
+@register(
+    "train_padding_waste",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(CEIL(n_chars / {_PAD_SEQ_LEN}.0) AS BIGINT)) AS BIGINT)
+             AS n_sequences,
+           CAST(SUM(CAST(CEIL(n_chars / {_PAD_SEQ_LEN}.0) AS BIGINT)) * {_PAD_SEQ_LEN}
+                - SUM(n_chars) AS BIGINT) AS padded_chars,
+           ROUND(CAST(SUM(CAST(CEIL(n_chars / {_PAD_SEQ_LEN}.0) AS BIGINT)) * {_PAD_SEQ_LEN}
+                        - SUM(n_chars) AS DOUBLE)
+                 / CAST(SUM(CAST(CEIL(n_chars / {_PAD_SEQ_LEN}.0) AS BIGINT))
+                        * {_PAD_SEQ_LEN} AS DOUBLE), 6) AS padding_rate,
+           CAST(CEIL(SUM(n_chars) / {_PAD_SEQ_LEN}.0) AS BIGINT) AS packed_sequences
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def train_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence-padding accounting at a fixed training
+    sequence budget (_PAD_SEQ_LEN = 2048 chars as the token proxy): how many
+    fixed-length sequences a no-cross-doc-packing loader would emit,
+    how much of that budget is padding, and the packed-baseline
+    sequence count (cross-doc packing, train_pack_shards' regime) the
+    waste is measured against. THE capacity-planning number for a
+    training run — padding_rate is the fraction of compute spent on
+    pad tokens under the naive loader.
+
+    Every output is integer arithmetic (ceil of an exact double
+    division of ints < 2^53) except padding_rate, which divides two
+    exact integers — the 6-dp round can never flip cross-engine.
+    Scale shape: one source-keyed aggregation over the (source,
+    n_chars) projection; the text column is never read (column
+    pruning reaches the scan)."""
+    docs = _docs(spark, sf_dir)
+    seqs = F.ceil(F.col("n_chars") / float(_PAD_SEQ_LEN)).cast("bigint")
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(seqs).cast("bigint").alias("n_sequences"),
+    )
+    padded = F.col("n_sequences") * _PAD_SEQ_LEN - F.col("total_chars")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_sequences",
+        padded.cast("bigint").alias("padded_chars"),
+        F.round(
+            padded.cast("double")
+            / (F.col("n_sequences") * _PAD_SEQ_LEN).cast("double"),
+            6,
+        ).alias("padding_rate"),
+        F.ceil(F.col("total_chars") / float(_PAD_SEQ_LEN))
+        .cast("bigint")
+        .alias("packed_sequences"),
+    ).orderBy("source")
