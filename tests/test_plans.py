@@ -391,3 +391,22 @@ def test_source_overlap_dedups_grams_before_self_join(q):
     # the self-join sides each carry a HashAggregate(distinct) below
     # the SortMergeJoin/ShuffledHashJoin on the gram key
     assert plan.count("HashAggregate") >= 4  # 2 sides x partial+final
+
+
+def test_padding_waste_never_reads_text(q):
+    """train_padding_waste aggregates (source, n_chars) only — at
+    100 TB the text column dominates the table, so the scan MUST prune
+    it (the query's documented scale contract)."""
+    cols = read_columns(q("train_padding_waste"), "documents")
+    assert cols and "text" not in cols
+    assert "source" in cols and "n_chars" in cols
+
+
+def test_encoding_anomalies_single_aggregation_no_joins(q):
+    """dq_encoding_anomalies is one map pass + one source-keyed
+    aggregation: exactly one shuffle (the groupBy), no joins, no
+    Python row UDFs."""
+    df = q("dq_encoding_anomalies")
+    assert shuffle_count(df) <= 2  # groupBy + the output orderBy
+    assert broadcast_join_count(df) == 0 and sort_merge_join_count(df) == 0
+    assert not has_python_row_udf(df)
