@@ -97,22 +97,40 @@ class DedupIndexMaintenance:
 
     ``entity`` names the ingested entity whose rows are the documents;
     ``id_col``/``text_col`` address its committed (string-cast) sink
-    columns. The index lands as EXTERNAL bucketed tables under
-    ``<output_dir>/dedup_index/`` with catalog name ``index_name``.
-    The first committed ingest bootstraps the artifact; later ingests
-    append fragments (operators/index_maintenance.py — linear in the
-    delta); past ``max_fragments`` the maintainer compacts by
-    rebuilding from every committed ingest's sink. A durable per-ingest
-    marker makes the merge idempotent under X5 relaunch."""
+    columns. Indexes land as EXTERNAL bucketed tables under
+    ``<output_dir>/dedup_index/``; ``families`` picks which artifacts
+    stay warm:
+
+    - ``"minhash"`` (catalog name ``index_name``): bootstrap on first
+      commit, delta-sized fragment appends after, compact-by-rebuild
+      past ``max_fragments``.
+    - ``"gram"`` (``<index_name>_gram``): same append/compact cycle
+      for the substring-decontamination gram set (width ``gram_k``).
+    - ``"bm25"`` (``<index_name>_bm25``): REBUILT from every committed
+      ingest's sink on each commit — df/n_docs/avgdl are global facts
+      denormalized onto every posting row, so there is no
+      append-shaped merge (operators/index_maintenance.py policy).
+
+    The SRP embedding family is deliberately absent: the orchestrator's
+    CSV/JSONL entities carry no vector column — callers with an
+    embedding sink drive ``merge_delta_into_srp_index`` themselves.
+
+    A durable per-ingest marker (written after ALL families merge)
+    makes maintenance idempotent under X5 relaunch; a crash between a
+    family's append and the marker re-appends that family's fragment
+    on relaunch — duplicate fragments cost join fan-out until the next
+    compaction, never correctness (the append-merge invariant)."""
 
     entity: str
     id_col: str = "doc_id"
     text_col: str = "text"
     index_name: str = "pke_ingest_mhidx"
+    families: tuple = ("minhash",)
     shingle_len: int = 3
     num_hashes: int = 32
     bands: int = 8
     hash_family: str = "xxhash64"
+    gram_k: int = 8
     n_buckets: int = 8
     max_fragments: int = 16
 
@@ -810,58 +828,101 @@ class Orchestrator:
     def _dedup_index_marker(self, ingest_name: str) -> str:
         return f"{self.output_dir}/dedup_index/_merged/{ingest_name}"
 
+    def _committed_docs(self, pattern: str):
+        cfg = self.dedup_index
+        return self.spark.read.parquet(
+            f"{self.output_dir}/index/{pattern}/{cfg.entity}"
+        ).select(cfg.id_col, cfg.text_col)
+
     def _maintain_dedup_index(self, params: IngestParams) -> None:
-        """Fold the committed ingest's documents into the persisted
-        corpus MinHash index (see DedupIndexMaintenance). The delta is
-        read from this ingest's COMMITTED index sink — the landing
+        """Fold the committed ingest's documents into the configured
+        persisted index families (see DedupIndexMaintenance). The delta
+        is read from this ingest's COMMITTED index sink — the landing
         folder is already deleted (K2 runs first), and indexing what
         was committed is the correct semantics anyway. Idempotent under
         X5 relaunch via a durable per-ingest marker."""
         from poormans_kube_etl_spark.operators.index_maintenance import (
+            merge_delta_into_gram_index,
             merge_delta_into_minhash_index,
+            rebuild_corpus_bm25_index,
         )
         from poormans_kube_etl_spark.operators.minhash_index import (
             read_corpus_minhash_index,
             write_corpus_minhash_index,
+        )
+        from poormans_kube_etl_spark.operators.substring import (
+            read_corpus_gram_index,
+            write_corpus_gram_index,
         )
 
         cfg = self.dedup_index
         marker = self._dedup_index_marker(params.ingest_name)
         if ingest_sources.path_exists(self.spark, marker):
             return  # this ingest is already merged (relaunch path)
-        delta = self.spark.read.parquet(
-            f"{self.output_dir}/index/{params.ingest_name}/{cfg.entity}"
-        ).select(cfg.id_col, cfg.text_col)
-        build_kwargs = dict(
-            id_col=cfg.id_col,
-            text_col=cfg.text_col,
-            shingle_len=cfg.shingle_len,
-            num_hashes=cfg.num_hashes,
-            bands=cfg.bands,
-            hash_family=cfg.hash_family,
-            n_buckets=cfg.n_buckets,
-            path=f"{self.output_dir}/dedup_index/minhash",
-            mode="overwrite",
-        )
-        try:
-            read_corpus_minhash_index(self.spark, cfg.index_name)
-            have_index = True
-        except Exception:
-            have_index = False
-        if not have_index:
-            # first committed ingest bootstraps the artifact
-            write_corpus_minhash_index(delta, cfg.index_name, **build_kwargs)
-        else:
-            report = merge_delta_into_minhash_index(
-                delta, cfg.index_name, max_fragments=cfg.max_fragments
+        delta = self._committed_docs(params.ingest_name)
+        root = f"{self.output_dir}/dedup_index"
+
+        def bootstrap_or_merge(read, build_from, merge):
+            """The shared family cycle: bootstrap on first commit,
+            append-merge after, compact-by-rebuild past the budget."""
+            try:
+                read()
+                have = True
+            except Exception:
+                have = False
+            if not have:
+                build_from(delta)
+            elif merge()["needs_compaction"]:
+                build_from(self._committed_docs("*"))
+
+        if "minhash" in cfg.families:
+            mh_kwargs = dict(
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                shingle_len=cfg.shingle_len,
+                num_hashes=cfg.num_hashes,
+                bands=cfg.bands,
+                hash_family=cfg.hash_family,
+                n_buckets=cfg.n_buckets,
+                path=f"{root}/minhash",
+                mode="overwrite",
             )
-            if report["needs_compaction"]:
-                # rebuild from every committed ingest's sink — the
-                # recorded compaction policy; fragment count resets
-                corpus = self.spark.read.parquet(
-                    f"{self.output_dir}/index/*/{cfg.entity}"
-                ).select(cfg.id_col, cfg.text_col)
-                write_corpus_minhash_index(corpus, cfg.index_name, **build_kwargs)
+            bootstrap_or_merge(
+                lambda: read_corpus_minhash_index(self.spark, cfg.index_name),
+                lambda docs: write_corpus_minhash_index(
+                    docs, cfg.index_name, **mh_kwargs
+                ),
+                lambda: merge_delta_into_minhash_index(
+                    delta, cfg.index_name, max_fragments=cfg.max_fragments
+                ),
+            )
+        if "gram" in cfg.families:
+            g_name = f"{cfg.index_name}_gram"
+            g_kwargs = dict(
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                k=cfg.gram_k,
+                n_buckets=cfg.n_buckets,
+                path=f"{root}/gram",
+                mode="overwrite",
+            )
+            bootstrap_or_merge(
+                lambda: read_corpus_gram_index(self.spark, g_name),
+                lambda docs: write_corpus_gram_index(docs, g_name, **g_kwargs),
+                lambda: merge_delta_into_gram_index(
+                    delta, g_name, max_fragments=cfg.max_fragments
+                ),
+            )
+        if "bm25" in cfg.families:
+            # rebuild-from-all-sinks every commit: the family's policy
+            rebuild_corpus_bm25_index(
+                self._committed_docs("*"),
+                f"{cfg.index_name}_bm25",
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                n_buckets=cfg.n_buckets,
+                path=f"{root}/bm25",
+            )
         fs, jpath = ingest_sources.hadoop_fs(self.spark, marker)
         out = fs.create(jpath, True)
         try:

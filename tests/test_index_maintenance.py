@@ -77,14 +77,21 @@ def orch(spark, tmp_path):
             id_col="doc_id",
             text_col="body",
             index_name="t_ing_mhidx",
+            families=("minhash", "gram", "bm25"),
             num_hashes=16,
             bands=4,
+            gram_k=8,
             n_buckets=2,
         ),
     )
     yield o
-    spark.sql("DROP TABLE IF EXISTS t_ing_mhidx_buckets")
-    spark.sql("DROP TABLE IF EXISTS t_ing_mhidx_shingles")
+    for t in (
+        "t_ing_mhidx_buckets",
+        "t_ing_mhidx_shingles",
+        "t_ing_mhidx_gram_grams",
+        "t_ing_mhidx_bm25_postings",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def _delta_frame(spark, rows):
@@ -141,6 +148,28 @@ def test_finalize_maintains_index_across_ingests(spark, orch):
     _assert_probe_scans_only_index(screen_c)
     pairs_c = {(r["a"], r["b"]) for r in screen_c.collect()}
     assert ("301", "202") in pairs_c
+
+    # sibling families rode the same lifecycle: the gram set knows B's
+    # new doc verbatim, and the BM25 rebuild counts all four docs
+    from poormans_kube_etl_spark.operators.retrieval_index import (
+        read_corpus_bm25_index,
+    )
+    from poormans_kube_etl_spark.operators.substring import (
+        read_corpus_gram_index,
+        substring_spans_indexed,
+    )
+
+    gidx = read_corpus_gram_index(spark, "t_ing_mhidx_gram")
+    # the gram artifact records its own id/text cols ("doc_id"/"body")
+    twin = spark.createDataFrame(
+        [("302", "a genuinely new document about connected component closure")],
+        f"{gidx.id_col} string, body string",
+    )
+    spans = substring_spans_indexed(twin, gidx).collect()
+    assert spans and spans[0]["span_len"] >= gidx.k
+
+    bidx = read_corpus_bm25_index(spark, "t_ing_mhidx_bm25")
+    assert bidx.n_docs == 4
 
 
 def test_gram_index_merge_makes_delta_probe_visible(spark, sf_dir, tmp_path):
