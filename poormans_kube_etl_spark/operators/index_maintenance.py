@@ -236,3 +236,33 @@ def rebuild_corpus_bm25_index(corpus_docs: DataFrame, name: str, **write_kwargs)
     write_kwargs.setdefault("mode", "overwrite")
     write_corpus_bm25_index(corpus_docs, name, **write_kwargs)
     return {"fragments": 0, "needs_compaction": False}
+
+
+def merge_delta_into_fp_index(
+    delta_docs: DataFrame,
+    name: str,
+    *,
+    max_fragments: int = DEFAULT_MAX_FRAGMENTS,
+) -> dict:
+    """Append a committed delta's (fp, keeper) rows to a persisted
+    exact-dedup fingerprint index (operators/exact_index.py). A
+    fingerprint now in several fragments yields several keeper
+    candidates; the probe's own MIN resolves them, so the append is
+    correctness-invariant (the family rule)."""
+    from poormans_kube_etl_spark.operators.exact_index import (
+        _PROP_PREFIX,
+        corpus_fps,
+        read_corpus_fp_index,
+    )
+
+    spark = delta_docs.sparkSession
+    idx = read_corpus_fp_index(spark, name)
+    c = idx.constants
+    fps = corpus_fps(delta_docs, c["id_col"], c["text_col"])
+    nb = _table_num_buckets(spark, f"{name}_fps")
+    fps.write.mode("append").bucketBy(nb, "fp").saveAsTable(f"{name}_fps")
+    # freshness refresh would need the full corpus frame (the fp table
+    # has no per-doc rows) — like the gram family, the fragments trail
+    # is this family's staleness signal until the next compaction
+    fragments = _bump_fragments(spark, f"{name}_fps", _PROP_PREFIX)
+    return {"fragments": fragments, "needs_compaction": fragments > max_fragments}

@@ -72,12 +72,12 @@ _loaded = False
 # the 20 r06-latest queries are 3 driver-rounds stale and MUST clear
 # this window; standing rule: queries whose values, oracles, or
 # plans changed this round re-earn a driver row first). Composition:
-# (a) the 11 changed-this-round queries (_CHANGED_THIS_ROUND below —
-#     cusum threshold pinning, BM25 broadcast/lifecycle restructure,
-#     the four index faces' fingerprint lifecycle, the closure-plan
-#     consumers, the IVF centroid cache);
+# (a) the 14 new-or-changed-this-round queries (_CHANGED_THIS_ROUND
+#     below — three NEW faces, cusum threshold pinning, BM25
+#     broadcast/lifecycle restructure, the index faces' fingerprint
+#     lifecycle, the closure-plan consumers, the IVF centroid cache);
 # (b) all 20 r06-latest queries (the at-the-limit cohort);
-# (c) 19 of the 46 r07-latest queries (alphabetical) to fill 50.
+# (c) 16 of the 46 r07-latest queries (alphabetical) inside seat 50.
 # Seats 51+: the remaining 27 r07-latest queries — they ride a wider
 # sweep or LEAD the r11 window (tests/test_rotation_guard.py now
 # enforces stalest-first mechanically: no query outside the window
@@ -92,6 +92,7 @@ _CHANGED_THIS_ROUND = [
     # new this round (never driver-checked)
     "dq_encoding_anomalies",
     "train_padding_waste",
+    "dedup_exact_index_delta",
     "events_cusum_changepoints",
     "text_bm25_topk",
     "text_bm25_index_topk",

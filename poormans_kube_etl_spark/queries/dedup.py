@@ -1087,3 +1087,66 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@register(
+    "dedup_exact_index_delta",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM corpus GROUP BY fp),
+    delta AS (
+      SELECT doc_id AS doc, md5({_NORM_SQL}) AS fp
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT d.doc, MIN(k.keeper) AS keeper
+    FROM delta d JOIN keepers k USING (fp)
+    GROUP BY d.doc
+    ORDER BY doc
+    """,
+)
+def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index face of EXACT dedup — the fifth index family
+    (r10), and the most common production incremental screen: which
+    delta documents already exist verbatim (modulo whitespace/case) in
+    the committed corpus, and who is each one's canonical keeper. The
+    keeper-resolved fingerprint set is written once per (session, SF),
+    bucketed by fp (operators/exact_index.py); each delta pays its own
+    md5 pass plus one fp-keyed join landing on the stored bucket
+    distribution — the corpus text is never re-read (plan-gated by
+    test_exact_indexed_probe_never_scans_corpus_text).
+
+    Lifecycle plumbing (tag identity, read-or-rebuild, data-freshness
+    fingerprint) is the shared operators/index_artifact layer — the
+    unification's claim that a new family is a page, demonstrated."""
+    from poormans_kube_etl_spark.operators.exact_index import (
+        exact_duplicates_indexed,
+        read_corpus_fp_index,
+        write_corpus_fp_index,
+    )
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        corpus_fingerprint,
+        get_or_build,
+        sf_dir_tag,
+    )
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    tag = sf_dir_tag(sf_dir)
+    name = f"pke_fpidx_v1_{tag}"
+    idx = get_or_build(
+        lambda: read_corpus_fp_index(spark, name),
+        lambda: write_corpus_fp_index(
+            corpus,
+            name,
+            n_buckets=8,
+            path=f"/tmp/pke_fpidx_v1/{tag}",
+            mode="overwrite",
+        ),
+        live_fingerprint=corpus_fingerprint(corpus, "doc_id"),
+    )
+    return exact_duplicates_indexed(new, idx).orderBy("doc")

@@ -110,6 +110,9 @@ class DedupIndexMaintenance:
       ingest's sink on each commit — df/n_docs/avgdl are global facts
       denormalized onto every posting row, so there is no
       append-shaped merge (operators/index_maintenance.py policy).
+    - ``"exact"`` (``<index_name>_fp``): the keeper-resolved
+      fingerprint set (operators/exact_index.py), same append/compact
+      cycle — the cheapest and most common incremental screen.
 
     The SRP embedding family is deliberately absent: the orchestrator's
     CSV/JSONL entities carry no vector column — callers with an
@@ -911,6 +914,30 @@ class Orchestrator:
                 lambda docs: write_corpus_gram_index(docs, g_name, **g_kwargs),
                 lambda: merge_delta_into_gram_index(
                     delta, g_name, max_fragments=cfg.max_fragments
+                ),
+            )
+        if "exact" in cfg.families:
+            from poormans_kube_etl_spark.operators.exact_index import (
+                read_corpus_fp_index,
+                write_corpus_fp_index,
+            )
+            from poormans_kube_etl_spark.operators.index_maintenance import (
+                merge_delta_into_fp_index,
+            )
+
+            fp_name = f"{cfg.index_name}_fp"
+            fp_kwargs = dict(
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                n_buckets=cfg.n_buckets,
+                path=f"{root}/exact",
+                mode="overwrite",
+            )
+            bootstrap_or_merge(
+                lambda: read_corpus_fp_index(self.spark, fp_name),
+                lambda docs: write_corpus_fp_index(docs, fp_name, **fp_kwargs),
+                lambda: merge_delta_into_fp_index(
+                    delta, fp_name, max_fragments=cfg.max_fragments
                 ),
             )
         if "bm25" in cfg.families:

@@ -77,7 +77,7 @@ def orch(spark, tmp_path):
             id_col="doc_id",
             text_col="body",
             index_name="t_ing_mhidx",
-            families=("minhash", "gram", "bm25"),
+            families=("minhash", "gram", "bm25", "exact"),
             num_hashes=16,
             bands=4,
             gram_k=8,
@@ -90,6 +90,7 @@ def orch(spark, tmp_path):
         "t_ing_mhidx_shingles",
         "t_ing_mhidx_gram_grams",
         "t_ing_mhidx_bm25_postings",
+        "t_ing_mhidx_fp_fps",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -170,6 +171,24 @@ def test_finalize_maintains_index_across_ingests(spark, orch):
 
     bidx = read_corpus_bm25_index(spark, "t_ing_mhidx_bm25")
     assert bidx.n_docs == 4
+
+    # exact family: a verbatim copy of A's doc resolves to A's id even
+    # though B's identical doc (201) was merged later — MIN keeper
+    from poormans_kube_etl_spark.operators.exact_index import (
+        exact_duplicates_indexed,
+        read_corpus_fp_index,
+    )
+
+    fpidx = read_corpus_fp_index(spark, "t_ing_mhidx_fp")
+    probe = spark.createDataFrame(
+        [("401", "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id string, body string",
+    )
+    got = {
+        r["doc"]: r["keeper"]
+        for r in exact_duplicates_indexed(probe, fpidx).collect()
+    }
+    assert got == {"401": "101"}
 
 
 def test_gram_index_merge_makes_delta_probe_visible(spark, sf_dir, tmp_path):
