@@ -597,3 +597,127 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@register(
+    "events_daily_jsd_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT d, CAST(SUM(n) AS BIGINT) AS nd FROM daily GROUP BY d),
+    pairs AS (
+      SELECT a.d AS d1, b.d AS d2, a.nd AS n1, b.nd AS n2
+      FROM tot a JOIN tot b ON b.d = a.d + INTERVAL 1 DAY
+    ),
+    ty AS (
+      SELECT DISTINCT pr.d2, dd.event_type
+      FROM pairs pr JOIN daily dd ON dd.d = pr.d1 OR dd.d = pr.d2
+    ),
+    terms AS (
+      SELECT pr.d2 AS day,
+             COALESCE(p.n, 0) / CAST(pr.n1 AS DOUBLE) AS pp,
+             COALESCE(q.n, 0) / CAST(pr.n2 AS DOUBLE) AS qq
+      FROM pairs pr
+      JOIN ty ON ty.d2 = pr.d2
+      LEFT JOIN daily p ON p.d = pr.d1 AND p.event_type = ty.event_type
+      LEFT JOIN daily q ON q.d = pr.d2 AND q.event_type = ty.event_type
+    )
+    SELECT day,
+           ROUND(SUM(
+             CASE WHEN pp > 0
+                  THEN 0.5 * pp * ln(pp / ((pp + qq) / 2)) ELSE 0 END
+             + CASE WHEN qq > 0
+                    THEN 0.5 * qq * ln(qq / ((pp + qq) / 2)) ELSE 0 END
+           ), 6) + 0.0 AS jsd
+    FROM terms GROUP BY day ORDER BY day
+    """,
+)
+def events_daily_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day Jensen-Shannon divergence of the event-type
+    distribution — the distribution-drift monitor a training-data
+    pipeline runs on its ingest mix (CUSUM watches VOLUME; this
+    watches SHAPE). Each day's JSD is against the previous day;
+    missing types contribute their zero-probability terms as 0 (the
+    JSD convention), so type churn is measured, not crashed on.
+
+    Cross-engine design: probabilities are exact integer divisions,
+    the mixture m=(p+q)/2 is exact IEEE arithmetic, and the only
+    transcendental (ln) can differ by an ulp between engines — masked
+    by the 6-dp round; +0.0 guards the signed-zero of an identical-
+    distribution day pair whose tiny fp residue rounds to -0.0.
+
+    Scale shape: every frame past the first aggregation is
+    (days × types) catalog-cardinality — daily counts, day totals,
+    consecutive-day self-join, per-pair type spine (two equi-joins +
+    union instead of an OR-join, keeping the plan hash-joinable) —
+    so the raw event stream is touched exactly once."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("d").agg(F.sum("n").cast("bigint").alias("nd"))
+    pairs = (
+        tot.alias("a")
+        .join(
+            tot.alias("b"),
+            F.col("b.d") == F.col("a.d") + F.expr("INTERVAL 1 DAY"),
+        )
+        .select(
+            F.col("a.d").alias("d1"),
+            F.col("b.d").alias("d2"),
+            F.col("a.nd").alias("n1"),
+            F.col("b.nd").alias("n2"),
+        )
+    )
+    ty = (
+        pairs.alias("pr")
+        .join(daily.alias("dd"), F.col("dd.d") == F.col("pr.d1"))
+        .select(F.col("pr.d2").alias("d2"), F.col("dd.event_type").alias("event_type"))
+        .unionByName(
+            pairs.alias("pr")
+            .join(daily.alias("dd"), F.col("dd.d") == F.col("pr.d2"))
+            .select(
+                F.col("pr.d2").alias("d2"),
+                F.col("dd.event_type").alias("event_type"),
+            )
+        )
+        .distinct()
+    )
+    terms = (
+        pairs.alias("pr")
+        .join(ty.alias("ty"), F.col("ty.d2") == F.col("pr.d2"))
+        .join(
+            daily.alias("p"),
+            (F.col("p.d") == F.col("pr.d1"))
+            & (F.col("p.event_type") == F.col("ty.event_type")),
+            "left",
+        )
+        .join(
+            daily.alias("q"),
+            (F.col("q.d") == F.col("pr.d2"))
+            & (F.col("q.event_type") == F.col("ty.event_type")),
+            "left",
+        )
+        .select(
+            F.col("pr.d2").alias("day"),
+            (F.coalesce(F.col("p.n"), F.lit(0)) / F.col("pr.n1").cast("double")).alias(
+                "pp"
+            ),
+            (F.coalesce(F.col("q.n"), F.lit(0)) / F.col("pr.n2").cast("double")).alias(
+                "qq"
+            ),
+        )
+    )
+    m = (F.col("pp") + F.col("qq")) / 2
+    term = F.when(
+        F.col("pp") > 0, 0.5 * F.col("pp") * F.log(F.col("pp") / m)
+    ).otherwise(0.0) + F.when(
+        F.col("qq") > 0, 0.5 * F.col("qq") * F.log(F.col("qq") / m)
+    ).otherwise(0.0)
+    return (
+        terms.groupBy("day")
+        .agg((F.round(F.sum(term), 6) + 0.0).alias("jsd"))
+        .orderBy("day")
+    )
