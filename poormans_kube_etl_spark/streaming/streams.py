@@ -464,3 +464,42 @@ def stream_bm25_screen(
     return foreach_batch_pipeline(
         new_docs_stream, screen_batch, sink_dir, checkpoint_dir, query_name
     )
+
+
+def stream_exact_screen(
+    new_docs_stream: DataFrame,
+    index,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "stream-exact-screen",
+):
+    """Exact-duplicate ingest gate — the CHEAPEST screen, and the one
+    every pipeline runs first: each micro-batch of arriving documents
+    probes the persisted keeper-resolved fingerprint index
+    (operators/exact_index.read_corpus_fp_index), and every doc whose
+    normalized text already exists in the corpus lands under
+    ``sink_dir`` with its canonical keeper id. Verbatim re-uploads die
+    here for the cost of one md5 per doc and one fp-keyed join landing
+    on the stored bucket distribution; the near-dup screens
+    (stream_dedup_against_corpus, stream_substring_screen,
+    stream_bm25_screen) only ever see what survives. Same
+    foreach_batch_pipeline idempotency discipline as the sibling
+    screens (one hive partition dir per batch id, overwrite)."""
+    from poormans_kube_etl_spark.operators.exact_index import (
+        exact_duplicates_indexed,
+    )
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        renamed = batch_df.select(
+            F.col(id_col).alias(index.constants["id_col"]),
+            F.col(text_col).alias(index.constants["text_col"]),
+        )
+        return exact_duplicates_indexed(renamed, index).select(
+            F.col("doc").alias(id_col), "keeper"
+        )
+
+    return foreach_batch_pipeline(
+        new_docs_stream, screen_batch, sink_dir, checkpoint_dir, query_name
+    )

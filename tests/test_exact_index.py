@@ -98,3 +98,43 @@ def test_merge_append_resolves_keeper_by_min(spark, tmp_path):
         assert got == {100: 3, 101: 7}
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fpidx_m_fps")
+
+
+def test_stream_exact_screen_flags_verbatim_reuploads(spark, tmp_path):
+    """The fp index composed into the first-line streaming ingest gate:
+    a verbatim re-upload (case/whitespace-mangled) is flagged with its
+    canonical keeper; novel docs pass."""
+    import json
+
+    from poormans_kube_etl_spark.streaming.streams import stream_exact_screen
+
+    ref = spark.createDataFrame(
+        [(1, "the reference document body"), (2, "another corpus text")],
+        "doc_id long, text string",
+    )
+    write_corpus_fp_index(
+        ref, "t_fpscreen", path=str(tmp_path / "idx"), n_buckets=2, mode="overwrite"
+    )
+    idx = read_corpus_fp_index(spark, "t_fpscreen")
+    try:
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        with open(src / "shard-000.json", "w") as fh:
+            # same normalized text: extra whitespace + case mangling
+            fh.write(
+                json.dumps({"doc_id": 100, "text": "  The   REFERENCE document body "})
+                + "\n"
+            )
+            fh.write(json.dumps({"doc_id": 101, "text": "a brand new doc"}) + "\n")
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        sink = str(tmp_path / "flags")
+        q = (
+            stream_exact_screen(stream, idx, sink, str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(sink).collect()
+        assert {(r.doc_id, r.keeper) for r in rows} == {(100, 1)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fpscreen_fps")
