@@ -199,8 +199,7 @@ def dq_mad_doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-           ROUND(CAST(SUM(length(text)
-                          - length(regexp_replace(text, '[ -~]', '', 'g')))
+           ROUND(CAST(SUM(length(regexp_replace(text, '[ -~]', '', 'g')))
                         AS DOUBLE)
                  / CAST(SUM(length(text)) AS DOUBLE), 6) AS non_ascii_rate,
            CAST(COUNT(CASE WHEN position(chr(65533) IN text) > 0 THEN 1 END)
@@ -237,7 +236,12 @@ def dq_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no joins, no windows, partial aggregation absorbs everything."""
     docs = _t(spark, sf_dir, "documents")
     n_chars = F.length("text")
-    non_ascii = n_chars - F.length(F.regexp_replace("text", "[ -~]", ""))
+    # what REMAINS after stripping printable ASCII is the non-ASCII
+    # count (r10 property test caught the inverted n_chars-minus form —
+    # a semantic bug the oracle was blind to, since both engines shared
+    # the same wrong formula: the independent-model test is the guard
+    # the oracle compare cannot be)
+    non_ascii = F.length(F.regexp_replace("text", "[ -~]", ""))
     moji = F.lit("Ã©")
     moji_hits = (n_chars - F.length(F.replace(F.col("text"), moji, F.lit("")))) / 2
     ctrl = F.length(

@@ -911,3 +911,132 @@ def test_winsorize_matches_numpy_percentile_model(spark, tmp_path_factory, lens)
         r = got[i]
         assert abs(r.clipped - round(min(max(float(n), p05), p95), 4)) <= 1e-6
         assert r.was_clipped == (n < p05 or n > p95)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=3)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_jsd_drift_matches_python_model(spark, tmp_path_factory, day_type):
+    """events_daily_jsd_drift vs a direct math.log model: exact
+    integer-division probabilities both sides, so the only slack is
+    transcendental/sum-order ulps — 2e-6 covers the 6-dp round."""
+    import datetime
+    import math
+    import os
+    from collections import Counter
+
+    from poormans_kube_etl_spark.queries.analytics import events_daily_jsd_drift
+
+    d = tmp_path_factory.mktemp("jsd")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=day, hours=1), 1, f"t{ty}", 0.0, "{}")
+        for i, (day, ty) in enumerate(day_type)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(str(d), "events.parquet"))
+
+    got = {r.day.date(): r.jsd for r in events_daily_jsd_drift(spark, str(d)).collect()}
+
+    daily: dict[int, Counter] = {}
+    for day, ty in day_type:
+        daily.setdefault(day, Counter())[ty] += 1
+    expected: dict[datetime.date, float] = {}
+    for day in sorted(daily):
+        if day + 1 not in daily:
+            continue
+        p_c, q_c = daily[day], daily[day + 1]
+        np_, nq = sum(p_c.values()), sum(q_c.values())
+        jsd = 0.0
+        for ty in set(p_c) | set(q_c):
+            pp, qq = p_c.get(ty, 0) / np_, q_c.get(ty, 0) / nq
+            m = (pp + qq) / 2
+            if pp > 0:
+                jsd += 0.5 * pp * math.log(pp / m)
+            if qq > 0:
+                jsd += 0.5 * qq * math.log(qq / m)
+        expected[(base + datetime.timedelta(days=day + 1)).date()] = jsd
+    assert set(got) == set(expected)
+    for day, e in expected.items():
+        assert abs(got[day] - e) <= 2e-6, (day, got[day], e)
+
+
+@SETTINGS
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=40)
+)
+def test_padding_waste_matches_integer_model(spark, tmp_path_factory, lens):
+    """train_padding_waste vs exact Python integer arithmetic — every
+    output but the rate is an integer, so the comparison is equality."""
+    import math
+    import os
+
+    from poormans_kube_etl_spark.queries.training_pipeline import (
+        _PAD_SEQ_LEN,
+        train_padding_waste,
+    )
+
+    d = tmp_path_factory.mktemp("pad")
+    rows = [(i, "x", "en", "s0", n) for i, n in enumerate(lens)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    r = train_padding_waste(spark, str(d)).collect()[0]
+    n_seq = sum(math.ceil(n / _PAD_SEQ_LEN) for n in lens)
+    padded = n_seq * _PAD_SEQ_LEN - sum(lens)
+    assert (r.n_docs, r.total_chars, r.n_sequences, r.padded_chars) == (
+        len(lens), sum(lens), n_seq, padded,
+    )
+    assert abs(r.padding_rate - padded / (n_seq * _PAD_SEQ_LEN)) <= 1e-6
+    assert r.packed_sequences == math.ceil(sum(lens) / _PAD_SEQ_LEN)
+
+
+_ENC_ALPHABET = list("ab YZ9.\t\n") + ["é", "Ã", "©", "�", "\x01", "\x0b", "中"]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.text(alphabet=_ENC_ALPHABET, min_size=1, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_encoding_anomalies_match_python_model(spark, tmp_path_factory, texts):
+    """dq_encoding_anomalies vs a character-level Python model over an
+    adversarial alphabet (mojibake digraph pieces, U+FFFD, C0 controls,
+    CJK): all counters are exact integers; the one ratio gets 1e-6."""
+    import os
+
+    from poormans_kube_etl_spark.queries.data_quality import dq_encoding_anomalies
+
+    d = tmp_path_factory.mktemp("enc")
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    r = dq_encoding_anomalies(spark, str(d)).collect()[0]
+    n_chars = sum(len(t) for t in texts)
+    non_ascii = sum(1 for t in texts for ch in t if not (" " <= ch <= "~"))
+    repl_docs = sum(1 for t in texts if "�" in t)
+    moji = sum(t.count("Ã©") for t in texts)
+    ctrl = sum(
+        1
+        for t in texts
+        for ch in t
+        if ord(ch) <= 0x1F and ch not in ("\t", "\n", "\r")
+    )
+    assert (r.n_docs, r.n_chars, r.repl_char_docs, r.mojibake_hits, r.ctrl_chars) == (
+        len(texts), n_chars, repl_docs, moji, ctrl,
+    )
+    assert abs(r.non_ascii_rate - non_ascii / n_chars) <= 1e-6
