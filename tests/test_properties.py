@@ -1040,3 +1040,142 @@ def test_encoding_anomalies_match_python_model(spark, tmp_path_factory, texts):
         len(texts), n_chars, repl_docs, moji, ctrl,
     )
     assert abs(r.non_ascii_rate - non_ascii / n_chars) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# r10 oracle-blind-class sweep: queries whose Spark plan and DuckDB
+# oracle were HAND-ROLLED IN PARALLEL share any misconception (the
+# inverted non-ASCII incident above); each gets an independent
+# pure-Python model. Word-based corpora: some English function words
+# (the heuristic signal), some content words.
+
+_WORDS = ["the", "and", "of", "banana", "spark", "zebra", "qux"]
+
+
+def _write_docs(spark, tmp_path_factory, texts, label):
+    import os
+
+    d = tmp_path_factory.mktemp(label)
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    return str(d)
+
+
+_TEXTS = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(_TEXTS)
+def test_repetition_ratio_matches_python_model(spark, tmp_path_factory, texts):
+    import re
+
+    from poormans_kube_etl_spark.queries.corpus_cleanup import clean_repetition_ratio
+
+    d = _write_docs(spark, tmp_path_factory, texts, "rep")
+    got = {r.doc_id: r for r in clean_repetition_ratio(spark, d).collect()}
+    for i, t in enumerate(texts):
+        toks = re.sub(r"\s+", " ", t).strip().lower().split(" ")
+        if len(toks) >= 3:
+            grams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        else:
+            grams = [" ".join(toks)]
+        r = got[i]
+        assert (r.n_grams, r.n_distinct) == (len(grams), len(set(grams)))
+        assert abs(r.rep_ratio - (1.0 - len(set(grams)) / len(grams))) <= 1e-6
+
+
+@SETTINGS
+@given(_TEXTS)
+def test_quality_and_langid_match_python_model(spark, tmp_path_factory, texts):
+    from poormans_kube_etl_spark.operators.text import STOPWORDS_EN
+    from poormans_kube_etl_spark.queries.text_analysis import (
+        text_langid_heuristic,
+        text_quality_scores,
+    )
+
+    d = _write_docs(spark, tmp_path_factory, texts, "qual")
+    q = {r.doc_id: r for r in text_quality_scores(spark, d).collect()}
+    l = {r.doc_id: r for r in text_langid_heuristic(spark, d).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # RAW split: the query's documented tokenizer
+        stop = sum(1 for w in toks if w in STOPWORDS_EN)
+        assert (q[i].n_tokens, q[i].stop_cnt) == (len(toks), stop)
+        assert q[i].quality_ok == (len(toks) >= 10 and stop > 0)
+        assert abs(q[i].stop_ratio - stop / len(toks)) <= 1e-6
+        pred = "en" if stop >= 2 else "unk"
+        assert (l[i].predicted_lang, l[i].label_match) == (pred, pred == "en")
+
+
+@SETTINGS
+@given(_TEXTS)
+def test_unigram_logprob_matches_python_model(spark, tmp_path_factory, texts):
+    import math
+    import re
+    from collections import Counter
+
+    from poormans_kube_etl_spark.queries.text_analysis import (
+        text_unigram_logprob_scores,
+    )
+
+    d = _write_docs(spark, tmp_path_factory, texts, "ulp")
+    got = {r.doc_id: r for r in text_unigram_logprob_scores(spark, d).collect()}
+    norm = [re.sub(r"\s+", " ", t).strip().lower().split(" ") for t in texts]
+    counts = Counter(w for toks in norm for w in toks)
+    tot = sum(counts.values())
+    for i, toks in enumerate(norm):
+        r = got[i]
+        assert r.n_toks == len(toks)
+        exp = sum(math.log2(counts[w] / tot) for w in toks) / len(toks)
+        assert abs(r.avg_logprob - exp) <= 2e-6, (i, r.avg_logprob, exp)
+
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True))
+def test_split_by_hash_matches_python_md5_model(spark, tmp_path_factory, ids):
+    import hashlib
+    import os
+    from collections import Counter
+
+    from poormans_kube_etl_spark.queries.training_pipeline import (
+        train_split_by_hash,
+        train_stratified_sample,
+    )
+
+    d = str(tmp_path_factory.mktemp("split"))
+    rows = [(i, "x", "en" if i % 2 == 0 else "zz", "s0", 1) for i in ids]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+
+    exp = Counter()
+    for i in ids:
+        b = bucket(i)
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        exp[(split, "en" if i % 2 == 0 else "zz")] += 1
+    got = {
+        (r.split, r.lang): r.n_docs for r in train_split_by_hash(spark, d).collect()
+    }
+    assert got == dict(exp)
+
+    kept = {
+        r.doc_id for r in train_stratified_sample(spark, d).collect()
+    }
+    exp_kept = {
+        i
+        for i in ids
+        if (i % 2 == 0 and bucket(i) < 10) or (i % 2 == 1 and bucket(i) < 50)
+    }
+    assert kept == exp_kept
