@@ -72,8 +72,8 @@ _loaded = False
 # the 20 r06-latest queries are 3 driver-rounds stale and MUST clear
 # this window; standing rule: queries whose values, oracles, or
 # plans changed this round re-earn a driver row first). Composition:
-# (a) the 15 new-or-changed-this-round queries (_CHANGED_THIS_ROUND
-#     below — four NEW faces, cusum threshold pinning, BM25
+# (a) the 17 new-or-changed-this-round queries (_CHANGED_THIS_ROUND
+#     below — six NEW faces, cusum threshold pinning, BM25
 #     broadcast/lifecycle restructure, the index faces' fingerprint
 #     lifecycle, the closure-plan consumers, the IVF centroid cache);
 # (b) all 20 r06-latest queries (the at-the-limit cohort);
@@ -94,6 +94,8 @@ _CHANGED_THIS_ROUND = [
     "train_padding_waste",
     "dedup_exact_index_delta",
     "events_daily_jsd_drift",
+    "mm_binary_dedup_groups",
+    "train_dedup_impact_by_source",
     "events_cusum_changepoints",
     "text_bm25_topk",
     "text_bm25_index_topk",

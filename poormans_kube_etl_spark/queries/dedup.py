@@ -1100,6 +1100,10 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta AS (
       SELECT doc_id AS doc, md5({_NORM_SQL}) AS fp
       FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000,
+             md5(lower(trim(regexp_replace('  ' || upper(text), '\\s+', ' ', 'g'))))
+      FROM documents WHERE doc_id % 25 = 0 AND doc_id % 10 <> 0
     )
     SELECT d.doc, MIN(k.keeper) AS keeper
     FROM delta d JOIN keepers k USING (fp)
@@ -1120,7 +1124,14 @@ def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Lifecycle plumbing (tag identity, read-or-rebuild, data-freshness
     fingerprint) is the shared operators/index_artifact layer — the
-    unification's claim that a new family is a page, demonstrated."""
+    unification's claim that a new family is a page, demonstrated.
+
+    The delta carries BOTH planted matches and non-matching controls:
+    the synthetic corpus has zero natural exact duplicates, so every
+    25th corpus doc rides the delta as a MANGLED twin (leading spaces
+    + uppercase — byte-different, normalization-identical, the
+    planted-twins convention) under doc_id+1e6, while the %10==0 docs
+    prove non-duplicates pass the gate silently."""
     from poormans_kube_etl_spark.operators.exact_index import (
         exact_duplicates_indexed,
         read_corpus_fp_index,
@@ -1134,8 +1145,13 @@ def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
-    new = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text").unionByName(
+        corpus.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text")).alias("text"),
+        )
+    )
     tag = sf_dir_tag(sf_dir)
     name = f"pke_fpidx_v1_{tag}"
     idx = get_or_build(

@@ -138,3 +138,59 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
     return decode_image_features(binary, "content", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "mm_binary_dedup_groups",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+    ),
+    h AS (
+      SELECT doc_id, sha256(text) AS sha FROM corpus
+    )
+    SELECT sha,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_redundant
+    FROM h
+    GROUP BY sha
+    HAVING COUNT(*) > 1
+    ORDER BY keeper
+    """,
+)
+def mm_binary_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum dedup over the BINARY payload — THE first pass every
+    multimodal (image/audio/video) corpus runs: byte-identical blobs
+    collapse on their sha256, keeper = min id, before any expensive
+    perceptual/embedding near-dup. The text column plays the blob role
+    here (the container has no image libs — same stand-in as the other
+    mm_* faces); the plan is the real thing: one hash per blob computed
+    map-side, one hash-keyed aggregation, no blob ever shuffled twice
+    (only the 32-byte digest rides the exchange — at 100 TB of media
+    THAT is the entire design: bytes stay where they were scanned).
+
+    The synthetic corpus has zero natural byte duplicates, so every
+    25th doc is planted VERBATIM under doc_id+1e6 on both engines
+    (queries/_fragments.py planted-twins convention) — the result is
+    exactly the planted groups, not an empty vacuous pass."""
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    h = corpus.select("doc_id", F.sha2("text", 256).alias("sha"))
+    return (
+        h.groupBy("sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_redundant"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("keeper")
+    )

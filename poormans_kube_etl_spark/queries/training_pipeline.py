@@ -612,3 +612,98 @@ def train_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("packed_sequences"),
     ).orderBy("source")
+
+
+@register(
+    "train_dedup_impact_by_source",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, '  ' || upper(text), source
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    fp AS (
+      SELECT doc_id, source,
+             len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS n_toks,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM corpus
+    ),
+    keep AS (SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f)
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fp.n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN fp.doc_id <> k.keeper THEN 1 END) AS BIGINT)
+             AS docs_removed,
+           CAST(COALESCE(SUM(CASE WHEN fp.doc_id <> k.keeper THEN fp.n_toks END), 0)
+                AS BIGINT) AS tokens_removed,
+           ROUND(CAST(COUNT(CASE WHEN fp.doc_id <> k.keeper THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS doc_removal_rate
+    FROM fp JOIN keep k USING (f)
+    GROUP BY fp.source
+    ORDER BY fp.source
+    """,
+)
+def train_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the dedup pass BITES, by source — the accounting view a
+    data lead reads next to the corpus-build funnel: per source, how
+    many documents and tokens exact dedup (min-id keeper per
+    normalized fingerprint) removes, and the removal rate. A source
+    with an outsized rate is a scraper re-crawling itself; a source
+    with zero removals and huge volume deserves a near-dup look
+    instead. Composes the SAME fingerprint + keeper primitives as the
+    exact-dedup faces, so the report can never disagree with the
+    dedup that actually runs.
+
+    Scale shape: one map pass (fingerprint + token count), one
+    fingerprint-keyed aggregation for keepers, one fingerprint-keyed
+    join back (AQE broadcasts the keeper side while it fits), one
+    source-keyed aggregation. The removal counters are exact integers;
+    the one rate divides two exact integers (6-dp round can't flip).
+
+    The synthetic corpus has zero natural exact duplicates, so every
+    25th doc is planted MANGLED (leading spaces + uppercase — byte-
+    different, normalization-identical) under doc_id+1e6 on both
+    engines: the report's removal columns measure the planted twins
+    AND prove the normalize-then-fingerprint path, instead of passing
+    vacuously on all-zero counters."""
+    from poormans_kube_etl_spark.operators.text import (
+        fingerprint_md5,
+        normalize_text,
+        tokens,
+    )
+
+    base = _docs(spark, sf_dir)
+    docs = base.select("doc_id", "text", "source").unionByName(
+        base.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text")).alias("text"),
+            "source",
+        )
+    )
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(normalize_text("text"))).alias("n_toks"),
+        fingerprint_md5("text").alias("f"),
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    removed = F.col("doc_id") != F.col("keeper")
+    return (
+        fp.join(keep, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.count(F.when(removed, 1)).alias("docs_removed"),
+            F.coalesce(F.sum(F.when(removed, F.col("n_toks"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.round(
+                F.count(F.when(removed, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("doc_removal_rate"),
+        )
+        .orderBy("source")
+    )
