@@ -68,117 +68,29 @@ def register(name: str, oracle: str | None = None):
 _loaded = False
 
 # The driver's CORRECTNESS sweep covers the FIRST ~50 queries in
-# ``queries()`` iteration order. Round-10 rotation (VERDICT r09 #1:
-# the 20 r06-latest queries are 3 driver-rounds stale and MUST clear
-# this window; standing rule: queries whose values, oracles, or
-# plans changed this round re-earn a driver row first). Composition:
-# (a) the 17 new-or-changed-this-round queries (_CHANGED_THIS_ROUND
-#     below — six NEW faces, cusum threshold pinning, BM25
-#     broadcast/lifecycle restructure, the index faces' fingerprint
-#     lifecycle, the closure-plan consumers, the IVF centroid cache);
-# (b) all 20 r06-latest queries (the at-the-limit cohort);
-# (c) 16 of the 46 r07-latest queries (alphabetical) inside seat 50.
-# Seats 51+: the remaining 27 r07-latest queries — they ride a wider
-# sweep or LEAD the r11 window (tests/test_rotation_guard.py now
-# enforces stalest-first mechanically: no query outside the window
-# may be staler than a non-changed query inside it).
+# ``queries()`` iteration order, so the head of that order IS the
+# re-verification policy. Since r11 the ENTIRE order is sweep-derived
+# (VERDICT r10 #1 — nine rounds of hand-kept head lists kept going
+# stale the moment a sweep landed): _CHANGED_THIS_ROUND pins lead
+# (changed plans/oracles re-earn a driver row regardless of
+# staleness, and brand-new queries have no row at all), then EVERY
+# other query follows stalest-first by its latest green driver row in
+# CORRECTNESS_r*.json. The rotation guard
+# (tests/test_rotation_guard.py) enforces exactly this invariant, so
+# it now holds by construction the moment a new sweep file lands —
+# no registry edit between rounds.
 
 # queries whose values/oracles/plans changed — or that are NEW — in
-# the CURRENT round: they head _PRIORITY regardless of staleness (the
-# driver row is the proof the change preserved values; a new query has
-# no row at all) and the rotation guard exempts them from the
-# stalest-first ordering check. REWRITE EACH ROUND.
+# the CURRENT round. REWRITE EACH ROUND; everything else is derived.
 _CHANGED_THIS_ROUND = [
-    # new this round (never driver-checked)
-    "dq_encoding_anomalies",
-    "train_padding_waste",
-    "dedup_exact_index_delta",
-    "events_daily_jsd_drift",
-    "mm_binary_dedup_groups",
-    "train_dedup_impact_by_source",
-    "events_cusum_changepoints",
-    "text_bm25_topk",
-    "text_bm25_index_topk",
+    # r11: the five persisted-index faces moved to the O(metadata)
+    # source-listing freshness probe (operators/index_artifact.py) —
+    # same values, new open-path plan, so they re-earn driver rows
     "dedup_minhash_index_delta_pairs",
     "dedup_embedding_index_delta_pairs",
     "dedup_substring_index_delta_spans",
-    "train_corpus_build_funnel",
-    "dedup_minhash_clusters",
-    "dedup_minhash_apply_keepers",
-    "dedup_semantic_apply_keepers",
-    "sim_ivf_topk",
-]
-
-_PRIORITY = _CHANGED_THIS_ROUND + [
-    # (b) r06-latest (alphabetical)
-    "reshape_explode_outer_shingles",
-    "reshape_month_spine_gap_fill",
-    "reshape_unpivot_part_metrics",
-    "rollup_acctbal_by_region_nation",
-    "scalar_string_date_math",
-    "sess_debounce_10s",
-    "sess_range_self_join_5m",
-    "sim_label_centroids",
-    "subq_correlated_scalar_max_item",
-    "subq_exists_high_value_customers",
-    "subq_not_in_inactive_parts",
-    "subq_scalar_above_avg_orders",
-    "text_rolling_fingerprints",
-    "top10_orders_by_price",
-    "window_first_last_value",
-    "window_range_frame_value_band",
-    "window_rank_family",
-    "window_running_revenue",
-    "window_sliding_3row_avg",
-    "window_top3_orders_per_customer",
-    # (c) r07-latest fill to seat 50 (alphabetical)
-    "agg_boolean_family",
-    "agg_filtered_conditional",
-    "agg_histogram_quantity",
-    "agg_min_by_max_by",
-    "agg_mode_by_group",
-    "agg_string_concat_ordered",
-    "clean_quality_rules",
-    "clean_repetition_ratio",
-    "clean_scrub_pii",
-    "clean_sentence_dedup",
-    "clean_sentence_split",
-    "cube_orders_status_priority",
-    "dedup_embedding_near_pairs",
-    "dedup_exact_stats",
-    "dedup_keep_first_by_prefix",
-    "dedup_ngram_jaccard_pairs",
-    "distinct_order_priorities",
-    "join_anti_customers_without_orders",
-    "join_semi_customers_with_orders",
-    # seats 51+: remaining r07-latest (alphabetical) — r11 leads
-    "mm_decode_features",
-    "mm_frame_sample_hashes",
-    "ref_a3_duration_format",
-    "ref_a4_run_metrics",
-    "ref_dt1_epoch_roundtrip",
-    "ref_e1_token_intersection",
-    "ref_f1_timestamp_folders",
-    "ref_f2_any_timestamp",
-    "ref_f3_marker_rows",
-    "ref_f4_f5_f6_job_filters",
-    "ref_f7_ingest_file_set",
-    "ref_f8_temporal_filter",
-    "ref_folder_lifecycle_summary",
-    "ref_manifest_integrity_join",
-    "ref_o1_oldest_ingest",
-    "ref_p1_p2_path_segments",
-    "ref_p6_json_props",
-    "ref_p7_array_struct_probe",
-    "ref_s2_manifest_gate",
-    "sess_asof_last_signup",
-    "sess_session_window_30m",
-    "set_except_inactive_custkeys",
-    "set_intersect_active_custkeys",
-    "set_union_all_keys",
-    "sim_embedding_norms",
-    "window_lag_order_gap_days",
-    "window_trailing_1h_count",
+    "dedup_exact_index_delta",
+    "text_bm25_index_topk",
 ]
 
 
@@ -189,19 +101,21 @@ def load_all() -> None:
         return
     for mod in _MODULES:
         import_module(f"poormans_kube_etl_spark.queries.{mod}")
-    missing = [n for n in _PRIORITY if n not in QUERIES]
+    missing = [n for n in _CHANGED_THIS_ROUND if n not in QUERIES]
     if missing:
-        raise ValueError(f"_PRIORITY names not registered: {missing}")
+        raise ValueError(f"_CHANGED_THIS_ROUND names not registered: {missing}")
     _loaded = True
 
 
-# Tail staleness ordering is derived from the RECORDED driver sweeps
-# (CORRECTNESS_r*.json at the repo root) — r10 retired nine rounds of
-# hand-maintained per-round frozensets: the files are the ground truth
-# the rotation guard (tests/test_rotation_guard.py) already reads, and
-# a new round's results order the next session automatically with no
-# registry edit. A green row is ``err is null and rows_match``
-# (hash_match may be absent for historical rows-only checks).
+# Staleness ordering is derived from the RECORDED driver sweeps
+# (CORRECTNESS_r*.json at the repo root) — the files are the ground
+# truth the rotation guard (tests/test_rotation_guard.py) already
+# reads, and a new round's results order the next session
+# automatically with no registry edit. A green row is ``err is null
+# and rows_match`` (hash_match may be absent for historical rows-only
+# checks). An installed (site-packages) copy has no sweep records —
+# ``PKE_SWEEP_RECORD_DIR`` points elsewhere, and finding ZERO files
+# warns instead of silently degrading the rotation (r10 ADVICE).
 
 
 def _latest_green_rows() -> dict[str, int]:
@@ -209,12 +123,22 @@ def _latest_green_rows() -> dict[str, int]:
     import json
     import os
     import re as _re
+    import warnings
 
-    repo_root = os.path.dirname(
+    record_dir = os.environ.get("PKE_SWEEP_RECORD_DIR") or os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     latest: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    files = sorted(glob.glob(os.path.join(record_dir, "CORRECTNESS_r*.json")))
+    if not files:
+        warnings.warn(
+            f"no CORRECTNESS_r*.json under {record_dir!r} — every query "
+            "reads as never-checked and the sweep rotation degrades to "
+            "registration order; set PKE_SWEEP_RECORD_DIR to the sweep-"
+            "record directory",
+            stacklevel=2,
+        )
+    for f in files:
         m = _re.search(r"r(\d+)", os.path.basename(f))
         if not m:
             continue
@@ -234,7 +158,7 @@ _LATEST_ROW: dict[str, int] = _latest_green_rows()
 
 
 def _ordered(mapping: dict) -> dict:
-    head = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    head = {n: mapping[n] for n in _CHANGED_THIS_ROUND if n in mapping}
     rest = [n for n in mapping if n not in head]
     # stalest-first: never-driver-checked, then oldest latest-row round;
     # registration order breaks ties (sorted() is stable)
