@@ -862,19 +862,39 @@ class Orchestrator:
         marker = self._dedup_index_marker(params.ingest_name)
         if ingest_sources.path_exists(self.spark, marker):
             return  # this ingest is already merged (relaunch path)
+        if not ingest_sources.path_exists(
+            self.spark, f"{self.output_dir}/index/{params.ingest_name}/{cfg.entity}"
+        ):
+            # an ingest that carried no rows of the configured entity is
+            # a perfectly normal shape (entity sets derive from the files
+            # present) — reading its absent sink would raise and set X7.
+            # Nothing to merge; still stamp the marker so a relaunch
+            # doesn't retry forever (r10 ADVICE medium).
+            self._write_dedup_index_marker(marker)
+            return
         delta = self._committed_docs(params.ingest_name)
         root = f"{self.output_dir}/dedup_index"
 
         def bootstrap_or_merge(read, build_from, merge):
             """The shared family cycle: bootstrap on first commit,
-            append-merge after, compact-by-rebuild past the budget."""
+            append-merge after, compact-by-rebuild past the budget.
+
+            Bootstrap reads the FULL committed corpus, never the delta
+            alone (r10 ADVICE high): after an X5 relaunch the fresh
+            session's in-memory catalog has forgotten the index tables,
+            so read() fails even though the accumulated artifact parquet
+            exists — a delta-only build_from (mode=overwrite) would then
+            silently replace the whole corpus index, and the durable
+            _merged markers would prevent the lost ingests from ever
+            re-merging. On a true first commit the glob IS the delta, so
+            the two are equivalent there."""
             try:
                 read()
                 have = True
             except Exception:
                 have = False
             if not have:
-                build_from(delta)
+                build_from(self._committed_docs("*"))
             elif merge()["needs_compaction"]:
                 build_from(self._committed_docs("*"))
 
@@ -950,6 +970,9 @@ class Orchestrator:
                 n_buckets=cfg.n_buckets,
                 path=f"{root}/bm25",
             )
+        self._write_dedup_index_marker(marker)
+
+    def _write_dedup_index_marker(self, marker: str) -> None:
         fs, jpath = ingest_sources.hadoop_fs(self.spark, marker)
         out = fs.create(jpath, True)
         try:

@@ -295,6 +295,102 @@ def test_bm25_maintenance_policy_is_rebuild(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_mnt_bm25_postings")
 
 
+def make_other_folder(landing: str, ts: str) -> str:
+    """An ingest that carries NO rows of the configured 'doc' entity —
+    a perfectly normal shape (entity sets derive from the files
+    present)."""
+    folder = os.path.join(landing, "pending", ts)
+    os.makedirs(os.path.join(folder, "other"), exist_ok=True)
+    files = {
+        "other/other_headers.csv.gz": _gz_csv([["id", "val"]]),
+        "other/other_sample.csv.gz": _gz_csv([(1, "x"), (2, "y")]),
+    }
+    manifest = []
+    for name, content in files.items():
+        with open(os.path.join(folder, name), "wb") as f:
+            f.write(content)
+        manifest.append(
+            {"FileName": name, "SHA256": hashlib.sha256(content).hexdigest()}
+        )
+    open(os.path.join(folder, "bulk.txt"), "w").write("")
+    with open(os.path.join(folder, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return folder
+
+
+def test_bootstrap_after_catalog_loss_rebuilds_full_corpus(spark, orch):
+    """r10 ADVICE (high): after an X5 relaunch a fresh session's
+    in-memory catalog has forgotten the index tables, so the family
+    read() fails even though the artifact parquet exists. Bootstrapping
+    from the CURRENT delta alone would mode=overwrite the whole corpus
+    index down to delta-only content — and the durable _merged markers
+    would prevent ingests A/B from ever re-merging, silently losing
+    known duplicates. Bootstrap must rebuild from the full committed
+    corpus."""
+    make_doc_folder(orch.landing_dir, "1538055240", DOCS_A)
+    assert orch.run_once() is not None
+    make_doc_folder(orch.landing_dir, "1538055999", DOCS_B)
+    assert orch.run_once() is not None
+    assert orch.errored is None
+
+    # simulate the relaunch's catalog loss: external tables dropped from
+    # the catalog (files remain), read() now fails
+    for t in (
+        "t_ing_mhidx_buckets",
+        "t_ing_mhidx_shingles",
+        "t_ing_mhidx_gram_grams",
+        "t_ing_mhidx_bm25_postings",
+        "t_ing_mhidx_fp_fps",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    docs_c = [(301, "relaunch era document about parquet footer statistics")]
+    make_doc_folder(orch.landing_dir, "1538056999", docs_c)
+    assert orch.run_once() is not None
+    assert orch.errored is None
+
+    idx = read_corpus_minhash_index(spark, "t_ing_mhidx")
+    indexed = {r["doc"] for r in idx.shingles.select("doc").collect()}
+    assert indexed == {"101", "102", "201", "202", "301"}, (
+        "catalog-loss bootstrap lost committed ingests"
+    )
+    # and the earlier ingests' duplicates are still probe-visible
+    probe = _delta_frame(
+        spark, [("401", "the quick brown fox jumps over the lazy dog tonight")]
+    )
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_incremental_near_duplicates_indexed(
+            probe, idx, threshold=0.5
+        ).collect()
+    }
+    assert ("401", "101") in pairs and ("401", "201") in pairs
+
+
+def test_ingest_without_configured_entity_skips_maintenance(spark, orch):
+    """r10 ADVICE (medium): an ingest that carries no rows of the
+    configured entity must not halt the pipeline (X7) on the absent
+    sink path — maintenance is skipped, the durable marker still lands
+    (idempotence), and the next doc-carrying ingest merges normally."""
+    from poormans_kube_etl_spark.sources import ingest as ingest_sources
+
+    make_other_folder(orch.landing_dir, "1538055240")
+    assert orch.run_once() is not None
+    assert orch.errored is None
+    assert ingest_sources.path_exists(
+        spark, orch._dedup_index_marker("1538055240")
+    ), "entity-less ingest must still stamp its merged marker"
+    # no index was bootstrapped from nothing
+    with pytest.raises(ValueError):
+        read_corpus_minhash_index(spark, "t_ing_mhidx")
+
+    make_doc_folder(orch.landing_dir, "1538055999", DOCS_A)
+    assert orch.run_once() is not None
+    assert orch.errored is None
+    idx = read_corpus_minhash_index(spark, "t_ing_mhidx")
+    assert {r["doc"] for r in idx.shingles.select("doc").collect()} == {"101", "102"}
+
+
 def test_maintenance_is_idempotent_under_relaunch(spark, orch):
     from poormans_kube_etl_spark.streaming.orchestrator import IngestParams
 
