@@ -71,6 +71,7 @@ def write_corpus_fp_index(
     n_buckets: int = 64,
     path: str | None = None,
     mode: str = "errorifexists",
+    source_fingerprint: str | None = None,
 ) -> None:
     """Hash the corpus ONCE and land the keeper-resolved fingerprint
     set, bucketed by fp."""
@@ -90,6 +91,11 @@ def write_corpus_fp_index(
             "text_col": text_col,
             "fingerprint": corpus_fingerprint(corpus_docs, id_col),
             "format_version": INDEX_FORMAT_VERSION,
+            **(
+                {"source_fingerprint": source_fingerprint}
+                if source_fingerprint is not None
+                else {}
+            ),
         },
     )
 

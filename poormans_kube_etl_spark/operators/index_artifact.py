@@ -17,19 +17,34 @@ What the shared layer owns:
   value containing a single quote previously broke (or injected into)
   the statement. Values are now ``''``-escaped and table/index names
   must match a strict identifier pattern before any SQL is built.
-- **Corpus freshness fingerprint** (r9 ADVICE): ``format_version``
+- **Corpus freshness, two tiers** (r10 VERDICT #2): ``format_version``
   guards the LAYOUT, never the DATA — a warm session (or persistent
   metastore) whose backing parquet was regenerated would silently
-  probe a stale index. Every writer now stamps a cheap data
-  fingerprint (row count + max id, one column-pruned aggregate over
-  the corpus frame) and ``get_or_build`` re-verifies it against the
-  live corpus on every open, rebuilding on mismatch. The probe-side
-  cost is one count/max over the id column — parquet footer stats
-  territory, nothing like the index build it replaces.
+  probe a stale index.
+
+  * The PROBE-path check is ``source_files_fingerprint`` — an
+    O(metadata) driver-side filesystem listing (file names + sizes +
+    mtimes) of the parquet the corpus was read from, stamped at build
+    time and compared on every open. Regeneration at the same path
+    changes part-file names (Spark writes embed UUIDs), sizes, or
+    mtimes, so it is caught WITHOUT touching a single data byte — at
+    100 TB this is the same LIST every query already pays at planning
+    time, where the r10 count+max aggregate was a per-open
+    single-column corpus scan (the exact property the index families
+    exist to avoid).
+  * The count+max DATA fingerprint (``corpus_fingerprint``) remains
+    stamped by every writer and kept exact across append-merges via
+    ``composed_fingerprint`` (O(delta) — count and max compose), but
+    on the probe path it is now an OPT-IN deep check
+    (``PKE_INDEX_DEEP_VERIFY=1``) for out-of-band regeneration modes
+    a listing cannot see (e.g. a byte-identical-layout rewrite).
 - **The get-or-build lifecycle** shared by all query faces: read the
-  artifact; on ANY read failure (missing table, missing/foreign
-  properties, version skew, half-written build) rebuild with
-  ``mode=overwrite`` and read again; on fingerprint mismatch, same.
+  artifact; on the loaders' DELIBERATE rejections (missing table,
+  missing/foreign properties, version skew, half-written build — all
+  raised as ValueError) rebuild with ``mode=overwrite`` and read
+  again; on fingerprint mismatch, same. Unexpected read failures
+  (metastore hiccups, permission errors) propagate instead of
+  triggering a silent expensive rebuild (r10 ADVICE).
 - **Stable identity tags** for per-(session, SF) artifact names:
   basename + md5 of the full normalized path (basename alone let
   ``/a/sf1`` and ``/b/sf1`` — or ``sf0.1`` and ``sf0_1``, which
@@ -52,9 +67,13 @@ from pyspark.sql import functions as F
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
-# the property key every family stamps the data fingerprint under
-# (inside its own family prefix)
+# the property key every family stamps the count+max DATA fingerprint
+# under (inside its own family prefix) — the deep check
 FINGERPRINT_KEY = "fingerprint"
+# the O(metadata) source-listing fingerprint — the probe-path check.
+# OPTIONAL on read: pre-r11 artifacts lack it and self-heal by one
+# rebuild on their first fingerprint-checked open.
+SOURCE_FINGERPRINT_KEY = "source_fingerprint"
 
 
 def validate_identifier(name: str, what: str = "table name") -> str:
@@ -115,6 +134,10 @@ def load_table_properties(
                 f"{builder}"
             )
         constants[k] = props[full]
+    # optional, shared across families: the probe-path source listing
+    # stamp — absent on pre-r11 artifacts (self-heals by one rebuild)
+    if prefix + SOURCE_FINGERPRINT_KEY in props:
+        constants[SOURCE_FINGERPRINT_KEY] = props[prefix + SOURCE_FINGERPRINT_KEY]
     if constants["format_version"] != format_version:
         raise ValueError(
             f"{table}: index format {constants['format_version']} != "
@@ -139,6 +162,75 @@ def corpus_fingerprint(frame: DataFrame, id_col: str) -> str:
     return f"{row['n']}:{row['mx']}"
 
 
+def composed_fingerprint(stamped: str, delta: DataFrame, id_col: str) -> str:
+    """Fold an append-merged DELTA into a stamped count+max fingerprint
+    without rescanning the corpus: count adds, max composes through
+    ``greatest`` (computed in the id's NATURAL type — same rule as
+    corpus_fingerprint). O(delta), and the fingerprint BASIS stays
+    identical at build and at every merge — raw indexed source rows —
+    for every family (r10 ADVICE: the minhash merge restamped from the
+    shingles table, silently changing semantics after the first merge,
+    while gram/fp merges left the stamp stale entirely)."""
+    n_old_s, mx_old = stamped.split(":", 1)
+    typ = delta.schema[id_col].dataType
+    old_lit = (
+        F.lit(None).cast(typ) if mx_old == "None" else F.lit(mx_old).cast(typ)
+    )
+    row = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.greatest(F.col(id_col), old_lit)).cast("string").alias("mx"),
+    ).collect()[0]
+    mx = row["mx"] if row["mx"] is not None else mx_old
+    return f"{int(n_old_s) + row['n']}:{mx}"
+
+
+def source_files_fingerprint(spark: SparkSession, *paths: str) -> str:
+    """O(metadata) freshness stamp: md5 over the sorted
+    ``path:length:mtime`` listing of every DATA file under the given
+    paths (globs allowed; hidden ``_``/``.`` files skipped to match
+    Spark's data visibility). A driver-side filesystem LIST through the
+    Hadoop API — no Spark job, no data bytes — so it runs identically
+    on file://, s3a:// and hdfs://. Regenerated parquet at the same
+    path changes part-file names (Spark embeds UUIDs), sizes, or
+    mtimes; appends/truncations change the file set. The one mode a
+    listing cannot see — a rewrite preserving every name, size and
+    mtime — is what ``PKE_INDEX_DEEP_VERIFY=1`` exists for."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    entries: list[str] = []
+
+    def _add(st) -> None:
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            return
+        entries.append(
+            f"{st.getPath().toUri().getPath()}:{st.getLen()}"
+            f":{st.getModificationTime()}"
+        )
+
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(hconf)
+        statuses = fs.globStatus(jpath)
+        if statuses is None or len(statuses) == 0:
+            entries.append(f"{p}:ABSENT")
+            continue
+        for st in statuses:
+            if not st.isDirectory():
+                _add(st)
+                continue
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                _add(it.next())
+    entries.sort()
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()
+
+
+def deep_verify_enabled() -> bool:
+    """Opt-in for the O(corpus) count+max check on the probe path."""
+    return os.environ.get("PKE_INDEX_DEEP_VERIFY", "") not in ("", "0")
+
+
 def sf_dir_tag(sf_dir: str) -> str:
     """Artifact-name identity for a data directory: sanitized basename
     + md5 of the FULL normalized path (collision rule shared by all
@@ -156,28 +248,50 @@ def get_or_build(
     build: Callable[[], None],
     *,
     live_fingerprint: str | None = None,
+    fingerprint_key: str = FINGERPRINT_KEY,
+    deep_fingerprint: Callable[[], str] | None = None,
 ) -> Any:
     """The artifact lifecycle every query face shares.
 
-    ``read`` must raise on ANY incomplete/foreign/version-skewed
-    artifact (the loaders above do); ``build`` must write with
-    ``mode='overwrite'`` so a half-written artifact from a crashed
-    build — or a stale one from an earlier process whose tables the
-    in-memory catalog forgot — is replaced, not an eternal error.
+    ``read`` must raise ValueError on any incomplete/foreign/version-
+    skewed artifact (the loaders above reject with exactly that);
+    ``build`` must write with ``mode='overwrite'`` so a half-written
+    artifact from a crashed build — or a stale one from an earlier
+    process whose tables the in-memory catalog forgot — is replaced,
+    not an eternal error. Any OTHER read failure (metastore hiccup,
+    permission error) propagates: a transient fault must surface, not
+    silently fund a full rebuild (r10 ADVICE); and if the rebuild
+    itself fails, the original read failure rides along as __cause__.
 
-    When ``live_fingerprint`` is given (corpus_fingerprint over the
-    frame the artifact is SUPPOSED to index), a successfully-read
-    artifact whose stamped fingerprint differs is rebuilt: the
+    ``live_fingerprint`` is the freshness check on the PROBE path —
+    since r11 the faces pass ``source_files_fingerprint`` (O(metadata))
+    under ``fingerprint_key=SOURCE_FINGERPRINT_KEY``; a successfully-
+    read artifact whose stamped value differs is rebuilt: the
     regenerated-data-at-same-path staleness mode (r9 ADVICE).
+
+    ``deep_fingerprint`` is the opt-in O(corpus) count+max check
+    (lazy — only computed when ``PKE_INDEX_DEEP_VERIFY=1``), compared
+    against the stamped ``FINGERPRINT_KEY`` the writers/merges keep
+    exact.
     """
     try:
         idx = read()
-    except Exception:
-        build()
-        return read()
-    if live_fingerprint is not None:
-        stamped = getattr(idx, "constants", {}).get(FINGERPRINT_KEY)
-        if stamped != live_fingerprint:
+    except ValueError as read_err:
+        try:
             build()
-            idx = read()
+        except Exception as build_err:
+            raise build_err from read_err
+        return read()
+
+    def _stale(key: str, live: str) -> bool:
+        return getattr(idx, "constants", {}).get(key) != live
+
+    rebuild = live_fingerprint is not None and _stale(
+        fingerprint_key, live_fingerprint
+    )
+    if not rebuild and deep_fingerprint is not None and deep_verify_enabled():
+        rebuild = _stale(FINGERPRINT_KEY, deep_fingerprint())
+    if rebuild:
+        build()
+        idx = read()
     return idx

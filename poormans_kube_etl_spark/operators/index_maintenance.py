@@ -30,8 +30,15 @@ pure (frame in, tables appended).
 Scale: every merge is linear in the DELTA — signatures/grams are
 computed for delta rows only, appended onto the stored bucket
 distribution (same bucketBy spec, validated against the catalog), and
-the fingerprint refresh aggregates the index's own doc table, never
-the raw corpus.
+the freshness stamps COMPOSE (index_artifact.composed_fingerprint:
+count adds, max folds through greatest) so no merge ever rescans the
+corpus. One fingerprint basis per family, applied identically at
+build and merge time: raw indexed source rows (r10 ADVICE — the
+minhash merge used to restamp from the shingles table, silently
+changing semantics after the first merge, while gram/fp merges left
+the stamp stale entirely). Callers that know the source listing pass
+``source_fingerprint`` so the O(metadata) probe-path stamp stays
+fresh across merges too.
 """
 
 from __future__ import annotations
@@ -40,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.index_artifact import (
-    corpus_fingerprint,
+    composed_fingerprint,
     stamp_table_properties,
     validate_identifier,
 )
@@ -77,11 +84,31 @@ def _bump_fragments(spark: SparkSession, table: str, prefix: str) -> int:
     return fragments
 
 
+def _restamp_freshness(
+    spark: SparkSession,
+    table: str,
+    prefix: str,
+    old_fingerprint: str,
+    delta: DataFrame,
+    id_col: str,
+    source_fingerprint: str | None,
+) -> None:
+    """Shared post-merge freshness refresh: the deep count+max stamp
+    composes with the delta (O(delta), basis unchanged), and the
+    probe-path source-listing stamp is replaced when the caller knows
+    the merged source listing."""
+    props = {"fingerprint": composed_fingerprint(old_fingerprint, delta, id_col)}
+    if source_fingerprint is not None:
+        props["source_fingerprint"] = source_fingerprint
+    stamp_table_properties(spark, table, prefix, props)
+
+
 def merge_delta_into_minhash_index(
     delta_docs: DataFrame,
     name: str,
     *,
     max_fragments: int = DEFAULT_MAX_FRAGMENTS,
+    source_fingerprint: str | None = None,
 ) -> dict:
     """Append a committed delta's band buckets + shingle sets to a
     persisted MinHash index (operators/minhash_index.py), using the
@@ -124,13 +151,9 @@ def merge_delta_into_minhash_index(
         sh.write.mode("append").bucketBy(nb_sh, "doc").saveAsTable(f"{name}_shingles")
     finally:
         signed.unpersist()
-    # freshness stamp now reflects corpus + delta; the shingles table
-    # IS the indexed doc set, so no raw-corpus rescan is needed
-    stamp_table_properties(
-        spark,
-        f"{name}_buckets",
-        _PROP_PREFIX,
-        {"fingerprint": corpus_fingerprint(spark.table(f"{name}_shingles"), "doc")},
+    _restamp_freshness(
+        spark, f"{name}_buckets", _PROP_PREFIX,
+        c["fingerprint"], delta_docs, c["id_col"], source_fingerprint,
     )
     fragments = _bump_fragments(spark, f"{name}_buckets", _PROP_PREFIX)
     return {"fragments": fragments, "needs_compaction": fragments > max_fragments}
@@ -141,6 +164,7 @@ def merge_delta_into_srp_index(
     name: str,
     *,
     max_fragments: int = DEFAULT_MAX_FRAGMENTS,
+    source_fingerprint: str | None = None,
 ) -> dict:
     """Append a committed delta's SRP band buckets + vectors to a
     persisted embedding index (operators/similarity_index.py).
@@ -175,15 +199,9 @@ def merge_delta_into_srp_index(
     vecs.write.mode("append").bucketBy(nb_v, c["id_col"]).saveAsTable(
         f"{name}_vectors"
     )
-    stamp_table_properties(
-        spark,
-        f"{name}_buckets",
-        _PROP_PREFIX,
-        {
-            "fingerprint": corpus_fingerprint(
-                spark.table(f"{name}_vectors"), c["id_col"]
-            )
-        },
+    _restamp_freshness(
+        spark, f"{name}_buckets", _PROP_PREFIX,
+        c["fingerprint"], delta_embeddings, c["id_col"], source_fingerprint,
     )
     fragments = _bump_fragments(spark, f"{name}_buckets", _PROP_PREFIX)
     return {"fragments": fragments, "needs_compaction": fragments > max_fragments}
@@ -194,6 +212,7 @@ def merge_delta_into_gram_index(
     name: str,
     *,
     max_fragments: int = DEFAULT_MAX_FRAGMENTS,
+    source_fingerprint: str | None = None,
 ) -> dict:
     """Append a committed delta's distinct k-grams to a persisted gram
     index (operators/substring.py). Cross-fragment duplicate grams are
@@ -215,10 +234,13 @@ def merge_delta_into_gram_index(
     )
     nb = _table_num_buckets(spark, f"{name}_grams")
     grams.write.mode("append").bucketBy(nb, "g").saveAsTable(f"{name}_grams")
-    # the gram table has no per-doc rows, so the fingerprint refresh
-    # needs the caller's corpus view; bump fragments and leave the
-    # fingerprint to the next rebuild (recorded policy: the gram
-    # index's freshness signal is its fragments trail)
+    # the gram table has no per-doc rows, but the stamp COMPOSES from
+    # the delta alone — no corpus view needed (pre-r11 this family's
+    # fingerprint went stale on every merge)
+    _restamp_freshness(
+        spark, f"{name}_grams", _PROP_PREFIX,
+        c["fingerprint"], delta_docs, c["id_col"], source_fingerprint,
+    )
     fragments = _bump_fragments(spark, f"{name}_grams", _PROP_PREFIX)
     return {"fragments": fragments, "needs_compaction": fragments > max_fragments}
 
@@ -243,6 +265,7 @@ def merge_delta_into_fp_index(
     name: str,
     *,
     max_fragments: int = DEFAULT_MAX_FRAGMENTS,
+    source_fingerprint: str | None = None,
 ) -> dict:
     """Append a committed delta's (fp, keeper) rows to a persisted
     exact-dedup fingerprint index (operators/exact_index.py). A
@@ -261,8 +284,11 @@ def merge_delta_into_fp_index(
     fps = corpus_fps(delta_docs, c["id_col"], c["text_col"])
     nb = _table_num_buckets(spark, f"{name}_fps")
     fps.write.mode("append").bucketBy(nb, "fp").saveAsTable(f"{name}_fps")
-    # freshness refresh would need the full corpus frame (the fp table
-    # has no per-doc rows) — like the gram family, the fragments trail
-    # is this family's staleness signal until the next compaction
+    # the fp table is keeper-collapsed (no per-doc rows), but the stamp
+    # COMPOSES from the delta alone — no corpus frame needed
+    _restamp_freshness(
+        spark, f"{name}_fps", _PROP_PREFIX,
+        c["fingerprint"], delta_docs, c["id_col"], source_fingerprint,
+    )
     fragments = _bump_fragments(spark, f"{name}_fps", _PROP_PREFIX)
     return {"fragments": fragments, "needs_compaction": fragments > max_fragments}

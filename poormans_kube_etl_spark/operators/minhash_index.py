@@ -97,6 +97,7 @@ def write_corpus_minhash_index(
     n_buckets: int = 64,
     path: str | None = None,
     mode: str = "errorifexists",
+    source_fingerprint: str | None = None,
 ) -> None:
     """Compute corpus signatures ONCE and land them as the two bucketed
     tables described in the module docstring. One signature pass feeds
@@ -145,6 +146,8 @@ def write_corpus_minhash_index(
         "fingerprint": corpus_fingerprint(corpus_docs, id_col),
         "format_version": INDEX_FORMAT_VERSION,
     }
+    if source_fingerprint is not None:
+        props["source_fingerprint"] = source_fingerprint
     stamp_table_properties(spark, f"{name}_buckets", _PROP_PREFIX, props)
 
 

@@ -106,6 +106,7 @@ def write_corpus_bm25_index(
     n_buckets: int = 64,
     path: str | None = None,
     mode: str = "errorifexists",
+    source_fingerprint: str | None = None,
 ) -> None:
     """Tokenize the corpus ONCE and land the postings table described
     in the module docstring. The corpus scalars (n_docs, avgdl) are one
@@ -148,6 +149,8 @@ def write_corpus_bm25_index(
         "fingerprint": corpus_fingerprint(corpus_docs, id_col),
         "format_version": INDEX_FORMAT_VERSION,
     }
+    if source_fingerprint is not None:
+        props["source_fingerprint"] = source_fingerprint
     stamp_table_properties(spark, f"{name}_postings", _PROP_PREFIX, props)
 
 

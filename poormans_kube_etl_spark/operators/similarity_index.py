@@ -89,6 +89,7 @@ def write_corpus_srp_index(
     n_buckets: int = 64,
     path: str | None = None,
     mode: str = "errorifexists",
+    source_fingerprint: str | None = None,
 ) -> None:
     """Band the corpus ONCE (auto-planned from the corpus size at
     ``threshold`` unless the pair is given explicitly — same joint-
@@ -153,6 +154,8 @@ def write_corpus_srp_index(
         "fingerprint": corpus_fingerprint(corpus_embeddings, id_col),
         "format_version": INDEX_FORMAT_VERSION,
     }
+    if source_fingerprint is not None:
+        props["source_fingerprint"] = source_fingerprint
     stamp_table_properties(spark, f"{name}_buckets", _PROP_PREFIX, props)
 
 

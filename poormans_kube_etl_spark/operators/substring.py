@@ -166,6 +166,7 @@ def write_corpus_gram_index(
     n_buckets: int = 64,
     path: str | None = None,
     mode: str = "errorifexists",
+    source_fingerprint: str | None = None,
 ) -> None:
     """Tokenize + gram the corpus ONCE and land the DISTINCT gram set
     as ``<name>_grams``, bucketed by g — the delta's membership probe
@@ -186,6 +187,8 @@ def write_corpus_gram_index(
         "fingerprint": corpus_fingerprint(corpus_docs, id_col),
         "format_version": INDEX_FORMAT_VERSION,
     }
+    if source_fingerprint is not None:
+        props["source_fingerprint"] = source_fingerprint
     stamp_table_properties(spark, f"{name}_grams", _PROP_PREFIX, props)
 
 

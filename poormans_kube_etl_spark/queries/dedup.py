@@ -35,7 +35,7 @@ from poormans_kube_etl_spark.operators.text import (
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.queries._fragments import shingle5_cte
 from poormans_kube_etl_spark.session import apply_runtime_confs
-from poormans_kube_etl_spark.sources import load_table, spread_small_scan
+from poormans_kube_etl_spark.sources import load_table, spread_small_scan, table_path
 
 # Caps keep the O(pairs) oracle affordable at sf0.1; Spark side uses the
 # same caps so both engines see identical inputs. The uncapped scale
@@ -454,9 +454,11 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     open, so regenerated parquet at the same path rebuilds instead of
     silently probing stale bands (r9 ADVICE)."""
     from poormans_kube_etl_spark.operators.index_artifact import (
+        SOURCE_FINGERPRINT_KEY,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
+        source_files_fingerprint,
     )
     from poormans_kube_etl_spark.operators.minhash_index import (
         minhash_incremental_near_duplicates_indexed,
@@ -470,6 +472,7 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     tag = sf_dir_tag(sf_dir)
     name = f"pke_mhidx_v1_{tag}"
+    src_fp = source_files_fingerprint(spark, table_path(sf_dir, "documents"))
     idx = get_or_build(
         lambda: read_corpus_minhash_index(spark, name),
         lambda: write_corpus_minhash_index(
@@ -482,8 +485,11 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
             n_buckets=8,
             path=f"/tmp/pke_mhidx_v1/{tag}",
             mode="overwrite",
+            source_fingerprint=src_fp,
         ),
-        live_fingerprint=corpus_fingerprint(corpus, "doc_id"),
+        live_fingerprint=src_fp,
+        fingerprint_key=SOURCE_FINGERPRINT_KEY,
+        deep_fingerprint=lambda: corpus_fingerprint(corpus, "doc_id"),
     )
     return minhash_incremental_near_duplicates_indexed(new, idx, threshold=0.5).orderBy(
         "a", "b"
@@ -529,9 +535,11 @@ def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataF
     (tag identity, read-or-rebuild, data-freshness fingerprint) is the
     shared operators/index_artifact layer."""
     from poormans_kube_etl_spark.operators.index_artifact import (
+        SOURCE_FINGERPRINT_KEY,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
+        source_files_fingerprint,
     )
     from poormans_kube_etl_spark.operators.similarity_index import (
         embedding_incremental_near_pairs_indexed,
@@ -544,6 +552,7 @@ def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataF
     delta = _planted_twins(emb).select("vec_id", "embedding")
     tag = sf_dir_tag(sf_dir)
     name = f"pke_srpidx_v1_{tag}"
+    src_fp = source_files_fingerprint(spark, table_path(sf_dir, "embeddings"))
     idx = get_or_build(
         lambda: read_corpus_srp_index(spark, name),
         lambda: write_corpus_srp_index(
@@ -553,8 +562,11 @@ def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataF
             n_buckets=8,
             path=f"/tmp/pke_srpidx_v1/{tag}",
             mode="overwrite",
+            source_fingerprint=src_fp,
         ),
-        live_fingerprint=corpus_fingerprint(emb, "vec_id"),
+        live_fingerprint=src_fp,
+        fingerprint_key=SOURCE_FINGERPRINT_KEY,
+        deep_fingerprint=lambda: corpus_fingerprint(emb, "vec_id"),
     )
     return embedding_incremental_near_pairs_indexed(delta, idx).orderBy("a", "b")
 
@@ -1138,9 +1150,11 @@ def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_corpus_fp_index,
     )
     from poormans_kube_etl_spark.operators.index_artifact import (
+        SOURCE_FINGERPRINT_KEY,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
+        source_files_fingerprint,
     )
 
     apply_runtime_confs(spark)
@@ -1154,6 +1168,7 @@ def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = sf_dir_tag(sf_dir)
     name = f"pke_fpidx_v1_{tag}"
+    src_fp = source_files_fingerprint(spark, table_path(sf_dir, "documents"))
     idx = get_or_build(
         lambda: read_corpus_fp_index(spark, name),
         lambda: write_corpus_fp_index(
@@ -1162,7 +1177,10 @@ def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_buckets=8,
             path=f"/tmp/pke_fpidx_v1/{tag}",
             mode="overwrite",
+            source_fingerprint=src_fp,
         ),
-        live_fingerprint=corpus_fingerprint(corpus, "doc_id"),
+        live_fingerprint=src_fp,
+        fingerprint_key=SOURCE_FINGERPRINT_KEY,
+        deep_fingerprint=lambda: corpus_fingerprint(corpus, "doc_id"),
     )
     return exact_duplicates_indexed(new, idx).orderBy("doc")

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from poormans_kube_etl_spark.operators.text import normalize_text, tokens
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
-from poormans_kube_etl_spark.sources import load_table, spread_small_scan
+from poormans_kube_etl_spark.sources import load_table, spread_small_scan, table_path
 
 # Minimum duplicated run, in whitespace tokens. Lee et al. use 50 BPE
 # tokens at web scale; 8 fits the synthetic corpus' ~100-token documents
@@ -316,9 +316,11 @@ def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataF
     (tag identity, read-or-rebuild, data-freshness fingerprint) is the
     shared operators/index_artifact layer."""
     from poormans_kube_etl_spark.operators.index_artifact import (
+        SOURCE_FINGERPRINT_KEY,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
+        source_files_fingerprint,
     )
     from poormans_kube_etl_spark.operators.substring import (
         read_corpus_gram_index,
@@ -331,6 +333,7 @@ def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataF
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     tag = sf_dir_tag(sf_dir)
     name = f"pke_ssidx_v1_{tag}"
+    src_fp = source_files_fingerprint(spark, table_path(sf_dir, "documents"))
     idx = get_or_build(
         lambda: read_corpus_gram_index(spark, name),
         lambda: write_corpus_gram_index(
@@ -340,7 +343,10 @@ def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataF
             n_buckets=8,
             path=f"/tmp/pke_ssidx_v1/{tag}",
             mode="overwrite",
+            source_fingerprint=src_fp,
         ),
-        live_fingerprint=corpus_fingerprint(corpus, "doc_id"),
+        live_fingerprint=src_fp,
+        fingerprint_key=SOURCE_FINGERPRINT_KEY,
+        deep_fingerprint=lambda: corpus_fingerprint(corpus, "doc_id"),
     )
     return substring_spans_indexed(new, idx).orderBy("doc_id", "span_start")

@@ -23,7 +23,7 @@ from poormans_kube_etl_spark.operators.text import (
 )
 from poormans_kube_etl_spark.queries import register
 from poormans_kube_etl_spark.session import apply_runtime_confs
-from poormans_kube_etl_spark.sources import load_table, spread_small_scan
+from poormans_kube_etl_spark.sources import load_table, spread_small_scan, table_path
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 
@@ -612,9 +612,11 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path rebuilds instead of silently probing stale postings (r9
     ADVICE)."""
     from poormans_kube_etl_spark.operators.index_artifact import (
+        SOURCE_FINGERPRINT_KEY,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
+        source_files_fingerprint,
     )
     from poormans_kube_etl_spark.operators.retrieval_index import (
         bm25_topk_indexed,
@@ -625,6 +627,7 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tag = sf_dir_tag(sf_dir)
     name = f"pke_bm25idx_v1_{tag}"
+    src_fp = source_files_fingerprint(spark, table_path(sf_dir, "documents"))
     idx = get_or_build(
         lambda: read_corpus_bm25_index(spark, name),
         # EXTERNAL path like the sibling index faces: a MANAGED table
@@ -632,9 +635,12 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # process's saveAsTable refuse with LOCATION_ALREADY_EXISTS —
         # external overwrite replaces the location instead.
         lambda: write_corpus_bm25_index(
-            docs, name, path=f"/tmp/pke_bm25idx_v1/{tag}", mode="overwrite"
+            docs, name, path=f"/tmp/pke_bm25idx_v1/{tag}", mode="overwrite",
+            source_fingerprint=src_fp,
         ),
-        live_fingerprint=corpus_fingerprint(docs, "doc_id"),
+        live_fingerprint=src_fp,
+        fingerprint_key=SOURCE_FINGERPRINT_KEY,
+        deep_fingerprint=lambda: corpus_fingerprint(docs, "doc_id"),
     )
     qdf = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "qtext"])
     out = bm25_topk_indexed(qdf, idx, _BM25_K, k1=_BM25_K1, b=_BM25_B)

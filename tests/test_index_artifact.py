@@ -138,6 +138,150 @@ def test_get_or_build_builds_when_read_fails():
     assert state["built"] and idx.constants["fingerprint"] == "fp"
 
 
+def test_source_files_fingerprint_is_metadata_only_and_sensitive(spark, tmp_path):
+    """The r11 probe-path freshness check: a driver-side listing —
+    stable across re-reads, changed by any rewrite/append at the same
+    path, and defined (not an error) for an absent path."""
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        source_files_fingerprint,
+    )
+
+    p = str(tmp_path / "corpus.parquet")
+    spark.range(100).write.mode("overwrite").parquet(p)
+    fp1 = source_files_fingerprint(spark, p)
+    assert fp1 == source_files_fingerprint(spark, p)  # stable
+    spark.range(100).write.mode("overwrite").parquet(p)
+    # regenerated at the same path: part names (UUIDs) change
+    assert source_files_fingerprint(spark, p) != fp1
+    absent = source_files_fingerprint(spark, str(tmp_path / "nope.parquet"))
+    assert absent != fp1 and absent == source_files_fingerprint(
+        spark, str(tmp_path / "nope.parquet")
+    )
+    # multiple paths compose (order-insensitively via the sort)
+    q = str(tmp_path / "other.parquet")
+    spark.range(3).write.parquet(q)
+    assert source_files_fingerprint(spark, p, q) == source_files_fingerprint(
+        spark, q, p
+    )
+
+
+def test_composed_fingerprint_matches_full_recompute(spark):
+    """Append-merge freshness: composing the stamped count+max with a
+    delta-only aggregate must equal recomputing over the union — the
+    basis (raw indexed source rows) never drifts across merges."""
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        composed_fingerprint,
+    )
+
+    a = spark.range(10).select(F.col("id").alias("doc_id"))
+    delta = spark.range(20, 25).select(F.col("id").alias("doc_id"))
+    stamped = corpus_fingerprint(a, "doc_id")
+    assert composed_fingerprint(stamped, delta, "doc_id") == corpus_fingerprint(
+        a.unionByName(delta), "doc_id"
+    )
+    # delta below the stamped max: max must NOT regress
+    low = spark.range(2).select(F.col("id").alias("doc_id"))
+    assert composed_fingerprint(stamped, low, "doc_id") == corpus_fingerprint(
+        a.unionByName(low), "doc_id"
+    )
+    # empty delta: unchanged
+    empty = a.where(F.lit(False))
+    assert composed_fingerprint(stamped, empty, "doc_id") == stamped
+    # string ids compose lexicographically, same as corpus_fingerprint
+    s = spark.createDataFrame([("a",), ("c",)], "doc_id string")
+    sd = spark.createDataFrame([("b",)], "doc_id string")
+    assert composed_fingerprint(
+        corpus_fingerprint(s, "doc_id"), sd, "doc_id"
+    ) == corpus_fingerprint(s.unionByName(sd), "doc_id")
+
+
+def test_get_or_build_deep_verify_is_opt_in(monkeypatch):
+    """The O(corpus) count+max check runs ONLY under
+    PKE_INDEX_DEEP_VERIFY=1; the probe path pays the source-listing
+    comparison alone."""
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        SOURCE_FINGERPRINT_KEY,
+    )
+
+    class Idx:
+        constants = {"fingerprint": "stale-data", "source_fingerprint": "src"}
+
+    state = {"builds": 0, "deep_calls": 0}
+
+    def build():
+        state["builds"] += 1
+        Idx.constants = dict(Idx.constants, fingerprint="fresh-data")
+
+    def deep():
+        state["deep_calls"] += 1
+        return "fresh-data"
+
+    monkeypatch.delenv("PKE_INDEX_DEEP_VERIFY", raising=False)
+    get_or_build(
+        lambda: Idx(), build,
+        live_fingerprint="src", fingerprint_key=SOURCE_FINGERPRINT_KEY,
+        deep_fingerprint=deep,
+    )
+    assert state == {"builds": 0, "deep_calls": 0}  # lazy AND gated off
+
+    monkeypatch.setenv("PKE_INDEX_DEEP_VERIFY", "1")
+    get_or_build(
+        lambda: Idx(), build,
+        live_fingerprint="src", fingerprint_key=SOURCE_FINGERPRINT_KEY,
+        deep_fingerprint=deep,
+    )
+    assert state == {"builds": 1, "deep_calls": 1}  # stale data caught
+
+
+def test_get_or_build_propagates_unexpected_read_errors():
+    """A transient fault (metastore hiccup, permission error) must
+    surface, not silently fund a full rebuild (r10 ADVICE)."""
+    state = {"builds": 0}
+
+    def read():
+        raise RuntimeError("metastore hiccup")
+
+    def build():
+        state["builds"] += 1
+
+    with pytest.raises(RuntimeError, match="metastore hiccup"):
+        get_or_build(read, build)
+    assert state["builds"] == 0
+
+
+def test_get_or_build_chains_read_cause_into_build_failure():
+    def read():
+        raise ValueError("missing table")
+
+    def build():
+        raise RuntimeError("disk full")
+
+    with pytest.raises(RuntimeError, match="disk full") as exc:
+        get_or_build(read, build)
+    assert isinstance(exc.value.__cause__, ValueError)
+
+
+def test_index_face_open_pays_no_corpus_aggregate(spark, sf_dir, monkeypatch):
+    """VERDICT r10 #2 gate: with a fresh artifact on disk, opening an
+    index query face must not run the O(corpus) count+max aggregate —
+    freshness is the O(metadata) source listing."""
+    import poormans_kube_etl_spark.operators.index_artifact as ia
+    from poormans_kube_etl_spark.queries import QUERIES, load_all
+
+    load_all()
+    face = QUERIES["dedup_exact_index_delta"]
+    face(spark, sf_dir).collect()  # ensures the artifact exists + is stamped
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "corpus_fingerprint (O(corpus) aggregate) ran on the probe path"
+        )
+
+    monkeypatch.delenv("PKE_INDEX_DEEP_VERIFY", raising=False)
+    monkeypatch.setattr(ia, "corpus_fingerprint", boom)
+    assert face(spark, sf_dir).count() > 0  # warm open: listing check only
+
+
 def test_sf_dir_tag_distinguishes_sanitization_collisions(tmp_path):
     d1 = tmp_path / "sf0.1"
     d2 = tmp_path / "sf0_1"
