@@ -874,6 +874,16 @@ class Orchestrator:
             return
         delta = self._committed_docs(params.ingest_name)
         root = f"{self.output_dir}/dedup_index"
+        # the committed corpus's O(metadata) listing stamp: builds and
+        # merges both record it, so a later get_or_build probe of these
+        # artifacts compares listings instead of scanning the corpus
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            source_files_fingerprint,
+        )
+
+        src_fp = source_files_fingerprint(
+            self.spark, f"{self.output_dir}/index/*/{cfg.entity}"
+        )
 
         def bootstrap_or_merge(read, build_from, merge):
             """The shared family cycle: bootstrap on first commit,
@@ -909,6 +919,7 @@ class Orchestrator:
                 n_buckets=cfg.n_buckets,
                 path=f"{root}/minhash",
                 mode="overwrite",
+                source_fingerprint=src_fp,
             )
             bootstrap_or_merge(
                 lambda: read_corpus_minhash_index(self.spark, cfg.index_name),
@@ -916,7 +927,8 @@ class Orchestrator:
                     docs, cfg.index_name, **mh_kwargs
                 ),
                 lambda: merge_delta_into_minhash_index(
-                    delta, cfg.index_name, max_fragments=cfg.max_fragments
+                    delta, cfg.index_name, max_fragments=cfg.max_fragments,
+                    source_fingerprint=src_fp,
                 ),
             )
         if "gram" in cfg.families:
@@ -928,12 +940,14 @@ class Orchestrator:
                 n_buckets=cfg.n_buckets,
                 path=f"{root}/gram",
                 mode="overwrite",
+                source_fingerprint=src_fp,
             )
             bootstrap_or_merge(
                 lambda: read_corpus_gram_index(self.spark, g_name),
                 lambda docs: write_corpus_gram_index(docs, g_name, **g_kwargs),
                 lambda: merge_delta_into_gram_index(
-                    delta, g_name, max_fragments=cfg.max_fragments
+                    delta, g_name, max_fragments=cfg.max_fragments,
+                    source_fingerprint=src_fp,
                 ),
             )
         if "exact" in cfg.families:
@@ -952,12 +966,14 @@ class Orchestrator:
                 n_buckets=cfg.n_buckets,
                 path=f"{root}/exact",
                 mode="overwrite",
+                source_fingerprint=src_fp,
             )
             bootstrap_or_merge(
                 lambda: read_corpus_fp_index(self.spark, fp_name),
                 lambda docs: write_corpus_fp_index(docs, fp_name, **fp_kwargs),
                 lambda: merge_delta_into_fp_index(
-                    delta, fp_name, max_fragments=cfg.max_fragments
+                    delta, fp_name, max_fragments=cfg.max_fragments,
+                    source_fingerprint=src_fp,
                 ),
             )
         if "bm25" in cfg.families:
@@ -969,6 +985,7 @@ class Orchestrator:
                 text_col=cfg.text_col,
                 n_buckets=cfg.n_buckets,
                 path=f"{root}/bm25",
+                source_fingerprint=src_fp,
             )
         self._write_dedup_index_marker(marker)
 

@@ -121,6 +121,8 @@ def test_finalize_maintains_index_across_ingests(spark, orch):
     idx = read_corpus_minhash_index(spark, "t_ing_mhidx")
     indexed_a = {r["doc"] for r in idx.shingles.select("doc").collect()}
     assert indexed_a == {"101", "102"}
+    # the O(metadata) probe stamp rides the lifecycle (r11)
+    assert "source_fingerprint" in idx.constants
 
     # ingest B's dedup screen probes an index that already contains A —
     # and the probe plan never re-shingles the corpus
@@ -138,6 +140,10 @@ def test_finalize_maintains_index_across_ingests(spark, orch):
     idx2 = read_corpus_minhash_index(spark, "t_ing_mhidx")
     indexed_ab = {r["doc"] for r in idx2.shingles.select("doc").collect()}
     assert indexed_ab == {"101", "102", "201", "202"}
+    # merge refreshed BOTH freshness stamps: the source listing grew a
+    # folder, and the deep count+max composed with the delta (4 docs)
+    assert idx2.constants["source_fingerprint"] != idx.constants["source_fingerprint"]
+    assert idx2.constants["fingerprint"].startswith("4:")
 
     # a later delta near-dup of B's NEW doc now collides — proof the
     # merge made ingest B probe-visible, not just re-readable
