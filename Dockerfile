@@ -24,7 +24,14 @@ RUN pip install --no-cache-dir pillow
 
 COPY poormans_kube_etl_spark /opt/pke/poormans_kube_etl_spark
 COPY deploy /opt/pke/deploy
-RUN chmod +x /opt/pke/deploy/submit.sh
+RUN chmod +x /opt/pke/deploy/submit.sh /opt/pke/deploy/fetch_s3_jars.sh
+# fetch-once s3a classpath (deploy/fetch_s3_jars.sh): the apache/spark
+# base image already ships hadoop-aws under $SPARK_HOME/jars on the
+# -hadoop3 tags; for tags that don't, this pulls the matching pair at
+# BUILD time (the only network-having moment) so run_s3_smoke.sh and
+# s3a:// landing dirs work in the running container. Failure-tolerant:
+# an air-gapped build still produces a working image minus s3a.
+RUN /opt/pke/deploy/fetch_s3_jars.sh || echo "fetch_s3_jars: skipped (no network?)"
 ENV PYTHONPATH=/opt/pke
 
 # Non-root like the reference (Dockerfile:18 `USER 1000`); the apache

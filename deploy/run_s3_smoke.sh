@@ -16,17 +16,26 @@
 #      credentials are accepted by moto; the defaults below work.
 #
 # All options need hadoop-aws on the Spark classpath — the deploy
-# image ships it; against the pip pyspark wheel pass
-# HADOOP_AWS_PACKAGE=org.apache.hadoop:hadoop-aws:<hadoop version> and
-# this script forwards it via PYSPARK_SUBMIT_ARGS --packages. (The
-# wheel alone cannot run this smoke: S3AFileSystem is not on its
-# classpath, which is why the dev container records a SKIP.)
+# image ships it; against the pip pyspark wheel either
+#   (a) run deploy/fetch_s3_jars.sh ONCE where network exists — the
+#       jars land in deploy/jars/ and are added via --jars below, or
+#   (b) pass HADOOP_AWS_PACKAGE=org.apache.hadoop:hadoop-aws:<hadoop
+#       version>, forwarded via PYSPARK_SUBMIT_ARGS --packages (needs
+#       network at run time).
+# (The wheel alone cannot run this smoke: S3AFileSystem is not on its
+# classpath and the dev container has no network to fetch it, which is
+# why the dev container records a SKIP.)
 set -eu
 
 cd "$(dirname "$0")/.."
 
 if [ -n "${HADOOP_AWS_PACKAGE:-}" ]; then
     PYSPARK_SUBMIT_ARGS="--packages ${HADOOP_AWS_PACKAGE} ${PYSPARK_SUBMIT_ARGS:-pyspark-shell}"
+    export PYSPARK_SUBMIT_ARGS
+elif ls deploy/jars/*.jar >/dev/null 2>&1; then
+    # fetched-once jars (deploy/fetch_s3_jars.sh)
+    JARS=$(ls deploy/jars/*.jar | tr '\n' ',' | sed 's/,$//')
+    PYSPARK_SUBMIT_ARGS="--jars ${JARS} ${PYSPARK_SUBMIT_ARGS:-pyspark-shell}"
     export PYSPARK_SUBMIT_ARGS
 fi
 
