@@ -91,6 +91,9 @@ _CHANGED_THIS_ROUND = [
     "dedup_substring_index_delta_spans",
     "dedup_exact_index_delta",
     "text_bm25_index_topk",
+    # new this round (never driver-checked)
+    "train_split_leakage_report",
+    "train_dataset_card",
 ]
 
 

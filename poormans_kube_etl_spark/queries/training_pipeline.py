@@ -14,8 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from poormans_kube_etl_spark.operators.text import normalize_text, token_count, tokens
+from poormans_kube_etl_spark.operators.text import (
+    fingerprint_md5,
+    normalize_text,
+    token_count,
+    tokens,
+)
 from poormans_kube_etl_spark.queries import register
+from poormans_kube_etl_spark.queries._fragments import shingle5_cte
 from poormans_kube_etl_spark.session import apply_runtime_confs
 from poormans_kube_etl_spark.sources import load_table, spread_small_scan
 
@@ -43,6 +49,7 @@ def hash_bucket(col, buckets: int = 100):
 
 
 _BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
 @register(
@@ -704,6 +711,138 @@ def train_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)).cast("double"),
                 6,
             ).alias("doc_removal_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "train_split_leakage_report",
+    oracle=f"""
+    WITH {shingle5_cte()},
+    assigned AS (
+      SELECT doc_id, s, {_BUCKET_SQL} AS b FROM sh
+    ),
+    train_g AS (SELECT DISTINCT s FROM assigned WHERE b < 80),
+    test_docs AS (
+      SELECT doc_id, source FROM documents
+      WHERE {_BUCKET_SQL} >= 90
+    ),
+    leaked AS (
+      SELECT DISTINCT a.doc_id FROM assigned a JOIN train_g g ON a.s = g.s
+      WHERE a.b >= 90
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(COUNT(l.doc_id) AS BIGINT) AS n_leaked_docs,
+           CAST(ROUND(COUNT(l.doc_id) * 1.0 / COUNT(*), 4) AS DOUBLE) AS leak_rate
+    FROM test_docs t LEFT JOIN leaked l ON t.doc_id = l.doc_id
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def train_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (NEW r11): after hash-splitting the corpus
+    (same 80/10/10 rule as train_split_by_hash), how many TEST docs
+    share a word-5-gram with ANY train doc, per source? This is the
+    check a corpus release runs after decontamination — hash splits
+    prevent doc-level leakage by construction, but near-duplicate and
+    boilerplate text leaks at the n-gram level right through them.
+
+    Scale shape: the bucket assignment is a pure expression over the
+    gram rows (md5 of the id — NO join against an assignment table, the
+    gram stream never re-keys), the train-gram set is one gram-keyed
+    distinct, and the test side semi-joins it on the same key. Both
+    sides of the gram join are corpus-proportional here (test = 10% by
+    construction), so the join stays a shuffle join under AQE; at
+    100 TB the leak report's cost is the decontamination scan it
+    shares a shape with, ~2 gram passes over the corpus."""
+    from poormans_kube_etl_spark.operators.minhash import exploded_shingles
+
+    docs = _docs(spark, sf_dir)
+    ex = exploded_shingles(docs.select("doc_id", "text"), "doc_id", "text", 5)
+    exb = ex.select(
+        "doc_id",
+        F.col("shingle").alias("s"),
+        hash_bucket(F.col("doc_id")).alias("b"),
+    )
+    train_g = exb.where(F.col("b") < 80).select("s").distinct()
+    leaked = (
+        exb.where(F.col("b") >= 90)
+        .join(train_g, "s", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_lk", F.lit(1))
+    )
+    test_docs = docs.where(hash_bucket(F.col("doc_id")) >= 90).select(
+        "doc_id", "source"
+    )
+    return (
+        test_docs.join(leaked, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.count("_lk").alias("n_leaked_docs"),
+            F.round(
+                F.count("_lk").cast("double") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("leak_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "train_dataset_card",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(ROUND(AVG(n_chars), 2) AS DOUBLE) AS mean_chars,
+           CAST(ROUND(1.0 - COUNT(DISTINCT md5({_NORM_SQL})) * 1.0 / COUNT(*), 4) AS DOUBLE)
+             AS exact_dup_rate,
+           CAST(ROUND(AVG(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 4) AS DOUBLE)
+             AS short_doc_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (NEW r11): the one-table summary a
+    corpus release ships — volume (docs, whitespace tokens), language
+    spread, mean length, normalized exact-dup rate, and the
+    short-document share that length filters would drop. Everything a
+    consumer checks before mixing the source into a training run.
+
+    One map-stage projection (tokenize + fingerprint are per-row
+    expressions) into one hash aggregate keyed by source — catalog
+    cardinality out, no second corpus pass, no join. At 100 TB this is
+    the cheapest full-corpus shape there is: the same scan a row count
+    pays, plus per-row md5."""
+    docs = _docs(spark, sf_dir)
+    short = (F.col("n_chars") < 100).cast("double")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(tokens(normalize_text("text"))).alias("n_toks"),
+            fingerprint_md5("text").alias("f"),
+            short.alias("is_short"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_toks").cast("bigint").alias("total_ws_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("f").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("exact_dup_rate"),
+            F.round(F.avg("is_short"), 4).alias("short_doc_rate"),
         )
         .orderBy("source")
     )
