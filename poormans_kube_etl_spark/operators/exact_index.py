@@ -98,6 +98,12 @@ def write_corpus_fp_index(
             ),
         },
     )
+    if path is not None:
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            write_artifact_manifest,
+        )
+
+        write_artifact_manifest(spark, path, (f"{name}_fps",))
 
 
 def read_corpus_fp_index(spark: SparkSession, name: str) -> CorpusFpIndex:

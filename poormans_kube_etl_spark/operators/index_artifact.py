@@ -231,6 +231,174 @@ def deep_verify_enabled() -> bool:
     return os.environ.get("PKE_INDEX_DEEP_VERIFY", "") not in ("", "0")
 
 
+# ---------------------------------------------------------------------------
+# Cross-session durability: the attach manifest (r11).
+#
+# TBLPROPERTIES live in the session catalog, not in the parquet — so a
+# FRESH process used to fail read() and pay a full corpus REBUILD even
+# though every artifact byte survived under the external path. At
+# 100 TB that rebuild is the most expensive no-op the engine can run.
+# Writers now persist a self-describing manifest (schema, bucket spec,
+# properties, table names) beside the data; `attach_artifact`
+# re-creates the catalog entries over the existing files (CREATE TABLE
+# … CLUSTERED BY … LOCATION — Spark re-derives bucket ids from the
+# part-file names) and re-stamps the properties. A fresh session's
+# first open becomes O(metadata): manifest read + two DDL statements.
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "_pke_artifact.json"
+_MANIFEST_FORMAT = 1
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jpath
+
+
+def _describe_table(spark: SparkSession, table: str) -> dict:
+    """Catalog facts an attach needs: location, bucket spec, schema,
+    and every pke.* property."""
+    validate_identifier(table)
+    desc = {
+        r["col_name"].strip(): r["data_type"].strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if r["col_name"]
+    }
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        if r["key"].startswith("pke.")
+    }
+    schema = spark.table(table).schema
+    return {
+        "name": table,
+        "location": desc["Location"],
+        "n_buckets": int(desc["Num Buckets"]),
+        "bucket_cols": [
+            c.strip(" `")
+            for c in desc["Bucket Columns"].strip("[]").split(",")
+        ],
+        "schema": [[f.name, f.dataType.simpleString()] for f in schema.fields],
+        "properties": props,
+    }
+
+
+def write_artifact_manifest(
+    spark: SparkSession, path: str, tables: tuple[str, ...]
+) -> None:
+    """Persist the family's catalog metadata beside its data files
+    (``<path>/_pke_artifact.json``, tmp+rename). Call AFTER the tables
+    are written and stamped — the manifest snapshots the catalog, so a
+    merge that restamps properties must refresh it
+    (refresh_artifact_manifest) or a later attach resurrects stale
+    stamps."""
+    import json
+
+    manifest = {
+        "format": _MANIFEST_FORMAT,
+        "tables": [_describe_table(spark, t) for t in tables],
+    }
+    fs, root = _fs_for(spark, path)
+    jvm = spark.sparkContext._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise OSError(f"manifest rename failed under {path}")
+
+
+def refresh_artifact_manifest(spark: SparkSession, table: str) -> None:
+    """Re-snapshot a family's manifest after a merge restamped its
+    properties. The artifact root is the parent of the table's
+    location; if no manifest exists there (warehouse-managed tables,
+    pre-r11 artifacts), this is a silent no-op — those artifacts keep
+    their rebuild-on-fresh-session behavior."""
+    import json
+    import posixpath
+
+    info = _describe_table(spark, table)
+    root = posixpath.dirname(info["location"].rstrip("/"))
+    fs, _ = _fs_for(spark, root)
+    jvm = spark.sparkContext._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(root, MANIFEST_NAME)
+    if not fs.exists(mpath):
+        return
+    stream = fs.open(mpath)
+    try:
+        manifest = json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    manifest["tables"] = [
+        info if t["name"] == table else t for t in manifest["tables"]
+    ]
+    tmp = jvm.org.apache.hadoop.fs.Path(root, MANIFEST_NAME + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    finally:
+        out.close()
+    fs.delete(mpath, False)
+    if not fs.rename(tmp, mpath):
+        raise OSError(f"manifest rename failed under {root}")
+
+
+def attach_artifact(spark: SparkSession, path: str) -> bool:
+    """Re-create a persisted artifact's catalog entries from its
+    manifest — the fresh-session fast path. Returns False when no
+    manifest exists (caller falls back to build). Every identifier from
+    the manifest is validated before any SQL is assembled, and the
+    schema is rebuilt from (name, simpleString) pairs — a tampered
+    manifest cannot smuggle SQL through DDL. Tables already in the
+    catalog are left untouched (attach is idempotent)."""
+    import json
+
+    fs, _ = _fs_for(spark, path)
+    jvm = spark.sparkContext._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(path, MANIFEST_NAME)
+    if not fs.exists(mpath):
+        return False
+    stream = fs.open(mpath)
+    try:
+        manifest = json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    if manifest.get("format") != _MANIFEST_FORMAT:
+        return False  # unknown layout: let the caller rebuild
+    type_re = re.compile(r"^[a-z0-9_<>,(): ]+$")  # simpleString grammar;
+    # no quotes/semicolons, so a tampered manifest cannot break out of
+    # the column list
+    for t in manifest["tables"]:
+        name = validate_identifier(t["name"])
+        if spark.catalog.tableExists(name):
+            continue
+        for _c, dt in t["schema"]:
+            if not type_re.match(dt):
+                raise ValueError(f"manifest type {dt!r} is not a plain type string")
+        cols = ", ".join(
+            f"{validate_identifier(c, 'column')} {dt}" for c, dt in t["schema"]
+        )
+        bucket_cols = ", ".join(
+            validate_identifier(c, "bucket column") for c in t["bucket_cols"]
+        )
+        n_buckets = int(t["n_buckets"])
+        loc = _escape_prop(t["location"])
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_cols}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        if t["properties"]:
+            # keys are stored fully prefixed (pke.<family>.<k>)
+            stamp_table_properties(spark, name, "", t["properties"])
+    return True
+
+
 def sf_dir_tag(sf_dir: str) -> str:
     """Artifact-name identity for a data directory: sanitized basename
     + md5 of the FULL normalized path (collision rule shared by all
@@ -250,6 +418,7 @@ def get_or_build(
     live_fingerprint: str | None = None,
     fingerprint_key: str = FINGERPRINT_KEY,
     deep_fingerprint: Callable[[], str] | None = None,
+    attach: Callable[[], bool] | None = None,
 ) -> Any:
     """The artifact lifecycle every query face shares.
 
@@ -273,15 +442,32 @@ def get_or_build(
     (lazy — only computed when ``PKE_INDEX_DEEP_VERIFY=1``), compared
     against the stamped ``FINGERPRINT_KEY`` the writers/merges keep
     exact.
+
+    ``attach`` (usually ``lambda: attach_artifact(spark, path)``) runs
+    between a failed read and the rebuild: a fresh session whose
+    catalog forgot the tables re-creates them from the persisted
+    manifest — O(metadata) — instead of paying the corpus build. The
+    attached artifact still passes through the same fingerprint checks,
+    so attaching can never resurrect stale data silently. A torn or
+    foreign manifest (ValueError, which JSONDecodeError subclasses)
+    falls through to build; unexpected faults propagate.
     """
     try:
         idx = read()
     except ValueError as read_err:
-        try:
-            build()
-        except Exception as build_err:
-            raise build_err from read_err
-        return read()
+        idx = None
+        if attach is not None:
+            try:
+                if attach():
+                    idx = read()
+            except ValueError:
+                idx = None
+        if idx is None:
+            try:
+                build()
+            except Exception as build_err:
+                raise build_err from read_err
+            return read()
 
     def _stale(key: str, live: str) -> bool:
         return getattr(idx, "constants", {}).get(key) != live

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.index_artifact import (
     composed_fingerprint,
+    refresh_artifact_manifest,
     stamp_table_properties,
     validate_identifier,
 )
@@ -156,6 +157,7 @@ def merge_delta_into_minhash_index(
         c["fingerprint"], delta_docs, c["id_col"], source_fingerprint,
     )
     fragments = _bump_fragments(spark, f"{name}_buckets", _PROP_PREFIX)
+    refresh_artifact_manifest(spark, f"{name}_buckets")
     return {"fragments": fragments, "needs_compaction": fragments > max_fragments}
 
 
@@ -204,6 +206,7 @@ def merge_delta_into_srp_index(
         c["fingerprint"], delta_embeddings, c["id_col"], source_fingerprint,
     )
     fragments = _bump_fragments(spark, f"{name}_buckets", _PROP_PREFIX)
+    refresh_artifact_manifest(spark, f"{name}_buckets")
     return {"fragments": fragments, "needs_compaction": fragments > max_fragments}
 
 
@@ -242,6 +245,7 @@ def merge_delta_into_gram_index(
         c["fingerprint"], delta_docs, c["id_col"], source_fingerprint,
     )
     fragments = _bump_fragments(spark, f"{name}_grams", _PROP_PREFIX)
+    refresh_artifact_manifest(spark, f"{name}_grams")
     return {"fragments": fragments, "needs_compaction": fragments > max_fragments}
 
 
@@ -291,4 +295,5 @@ def merge_delta_into_fp_index(
         c["fingerprint"], delta_docs, c["id_col"], source_fingerprint,
     )
     fragments = _bump_fragments(spark, f"{name}_fps", _PROP_PREFIX)
+    refresh_artifact_manifest(spark, f"{name}_fps")
     return {"fragments": fragments, "needs_compaction": fragments > max_fragments}

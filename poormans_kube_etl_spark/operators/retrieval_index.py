@@ -152,6 +152,12 @@ def write_corpus_bm25_index(
     if source_fingerprint is not None:
         props["source_fingerprint"] = source_fingerprint
     stamp_table_properties(spark, f"{name}_postings", _PROP_PREFIX, props)
+    if path is not None:
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            write_artifact_manifest,
+        )
+
+        write_artifact_manifest(spark, path, (f"{name}_postings",))
 
 
 def read_corpus_bm25_index(spark: SparkSession, name: str) -> CorpusBM25Index:

@@ -157,6 +157,14 @@ def write_corpus_srp_index(
     if source_fingerprint is not None:
         props["source_fingerprint"] = source_fingerprint
     stamp_table_properties(spark, f"{name}_buckets", _PROP_PREFIX, props)
+    if path is not None:
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            write_artifact_manifest,
+        )
+
+        write_artifact_manifest(
+            spark, path, (f"{name}_buckets", f"{name}_vectors")
+        )
 
 
 def read_corpus_srp_index(spark: SparkSession, name: str) -> CorpusSrpIndex:

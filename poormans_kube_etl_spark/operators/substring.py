@@ -190,6 +190,12 @@ def write_corpus_gram_index(
     if source_fingerprint is not None:
         props["source_fingerprint"] = source_fingerprint
     stamp_table_properties(spark, f"{name}_grams", _PROP_PREFIX, props)
+    if path is not None:
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            write_artifact_manifest,
+        )
+
+        write_artifact_manifest(spark, path, (f"{name}_grams",))
 
 
 def read_corpus_gram_index(spark: SparkSession, name: str) -> CorpusGramIndex:

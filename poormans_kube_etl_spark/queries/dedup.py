@@ -455,6 +455,7 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     silently probing stale bands (r9 ADVICE)."""
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
+        attach_artifact,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
@@ -490,6 +491,7 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         live_fingerprint=src_fp,
         fingerprint_key=SOURCE_FINGERPRINT_KEY,
         deep_fingerprint=lambda: corpus_fingerprint(corpus, "doc_id"),
+        attach=lambda: attach_artifact(spark, f"/tmp/pke_mhidx_v1/{tag}"),
     )
     return minhash_incremental_near_duplicates_indexed(new, idx, threshold=0.5).orderBy(
         "a", "b"
@@ -536,6 +538,7 @@ def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataF
     shared operators/index_artifact layer."""
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
+        attach_artifact,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
@@ -567,6 +570,7 @@ def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataF
         live_fingerprint=src_fp,
         fingerprint_key=SOURCE_FINGERPRINT_KEY,
         deep_fingerprint=lambda: corpus_fingerprint(emb, "vec_id"),
+        attach=lambda: attach_artifact(spark, f"/tmp/pke_srpidx_v1/{tag}"),
     )
     return embedding_incremental_near_pairs_indexed(delta, idx).orderBy("a", "b")
 
@@ -1151,6 +1155,7 @@ def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
+        attach_artifact,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
@@ -1182,5 +1187,6 @@ def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         live_fingerprint=src_fp,
         fingerprint_key=SOURCE_FINGERPRINT_KEY,
         deep_fingerprint=lambda: corpus_fingerprint(corpus, "doc_id"),
+        attach=lambda: attach_artifact(spark, f"/tmp/pke_fpidx_v1/{tag}"),
     )
     return exact_duplicates_indexed(new, idx).orderBy("doc")

@@ -317,6 +317,7 @@ def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataF
     shared operators/index_artifact layer."""
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
+        attach_artifact,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
@@ -348,5 +349,6 @@ def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataF
         live_fingerprint=src_fp,
         fingerprint_key=SOURCE_FINGERPRINT_KEY,
         deep_fingerprint=lambda: corpus_fingerprint(corpus, "doc_id"),
+        attach=lambda: attach_artifact(spark, f"/tmp/pke_ssidx_v1/{tag}"),
     )
     return substring_spans_indexed(new, idx).orderBy("doc_id", "span_start")

@@ -613,6 +613,7 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE)."""
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
+        attach_artifact,
         corpus_fingerprint,
         get_or_build,
         sf_dir_tag,
@@ -641,6 +642,7 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         live_fingerprint=src_fp,
         fingerprint_key=SOURCE_FINGERPRINT_KEY,
         deep_fingerprint=lambda: corpus_fingerprint(docs, "doc_id"),
+        attach=lambda: attach_artifact(spark, f"/tmp/pke_bm25idx_v1/{tag}"),
     )
     qdf = spark.createDataFrame(list(_BM25_QUERIES), ["query_id", "qtext"])
     out = bm25_topk_indexed(qdf, idx, _BM25_K, k1=_BM25_K1, b=_BM25_B)

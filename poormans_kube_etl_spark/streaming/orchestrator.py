@@ -885,24 +885,39 @@ class Orchestrator:
             self.spark, f"{self.output_dir}/index/*/{cfg.entity}"
         )
 
-        def bootstrap_or_merge(read, build_from, merge):
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            attach_artifact,
+        )
+
+        def bootstrap_or_merge(read, build_from, merge, attach_path):
             """The shared family cycle: bootstrap on first commit,
             append-merge after, compact-by-rebuild past the budget.
 
-            Bootstrap reads the FULL committed corpus, never the delta
-            alone (r10 ADVICE high): after an X5 relaunch the fresh
-            session's in-memory catalog has forgotten the index tables,
-            so read() fails even though the accumulated artifact parquet
-            exists — a delta-only build_from (mode=overwrite) would then
-            silently replace the whole corpus index, and the durable
-            _merged markers would prevent the lost ingests from ever
-            re-merging. On a true first commit the glob IS the delta, so
-            the two are equivalent there."""
-            try:
-                read()
-                have = True
-            except Exception:
-                have = False
+            After an X5 relaunch the fresh session's in-memory catalog
+            has forgotten the index tables even though every artifact
+            byte survived — first try re-ATTACHING the catalog entries
+            from the persisted manifest (O(metadata), r11) and merge as
+            usual. Only when no artifact can be attached does bootstrap
+            rebuild — and then from the FULL committed corpus, never
+            the delta alone (r10 ADVICE high: a delta-only build_from
+            with mode=overwrite silently replaced the whole corpus
+            index while the durable _merged markers prevented the lost
+            ingests from ever re-merging). On a true first commit the
+            glob IS the delta, so the two are equivalent there."""
+
+            def readable() -> bool:
+                try:
+                    read()
+                    return True
+                except Exception:
+                    return False
+
+            have = readable()
+            if not have:
+                try:
+                    have = attach_artifact(self.spark, attach_path) and readable()
+                except Exception:
+                    have = False
             if not have:
                 build_from(self._committed_docs("*"))
             elif merge()["needs_compaction"]:
@@ -930,6 +945,7 @@ class Orchestrator:
                     delta, cfg.index_name, max_fragments=cfg.max_fragments,
                     source_fingerprint=src_fp,
                 ),
+                f"{root}/minhash",
             )
         if "gram" in cfg.families:
             g_name = f"{cfg.index_name}_gram"
@@ -949,6 +965,7 @@ class Orchestrator:
                     delta, g_name, max_fragments=cfg.max_fragments,
                     source_fingerprint=src_fp,
                 ),
+                f"{root}/gram",
             )
         if "exact" in cfg.families:
             from poormans_kube_etl_spark.operators.exact_index import (
@@ -975,6 +992,7 @@ class Orchestrator:
                     delta, fp_name, max_fragments=cfg.max_fragments,
                     source_fingerprint=src_fp,
                 ),
+                f"{root}/exact",
             )
         if "bm25" in cfg.families:
             # rebuild-from-all-sinks every commit: the family's policy

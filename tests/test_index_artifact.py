@@ -282,6 +282,232 @@ def test_index_face_open_pays_no_corpus_aggregate(spark, sf_dir, monkeypatch):
     assert face(spark, sf_dir).count() > 0  # warm open: listing check only
 
 
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_attach_artifact_recreates_catalog_from_manifest(spark, sf_dir, tmp_path):
+    """Cross-session durability (r11): TBLPROPERTIES live in the
+    session catalog, so a fresh process used to pay a full corpus
+    REBUILD over perfectly good artifact files. The persisted manifest
+    re-creates the catalog entries — schema, bucket spec, properties —
+    over the existing parquet, and the probe plan keeps the bucketed
+    layout (same exchange count as the original saveAsTable plan)."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.exact_index import (
+        exact_duplicates_indexed,
+        read_corpus_fp_index,
+        write_corpus_fp_index,
+    )
+    from poormans_kube_etl_spark.operators.index_artifact import attach_artifact
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    probe = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "fpidx")
+    try:
+        write_corpus_fp_index(
+            corpus, "t_att_fp", n_buckets=4, path=path,
+            mode="overwrite", source_fingerprint="srcfp",
+        )
+        idx0 = read_corpus_fp_index(spark, "t_att_fp")
+        before = {
+            (r["doc"], r["keeper"])
+            for r in exact_duplicates_indexed(probe, idx0).collect()
+        }
+        plan0 = (
+            exact_duplicates_indexed(probe, idx0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+        _drop(spark, "t_att_fp_fps")  # the fresh-session catalog state
+        with pytest.raises(ValueError):
+            read_corpus_fp_index(spark, "t_att_fp")
+
+        assert attach_artifact(spark, path) is True
+        idx1 = read_corpus_fp_index(spark, "t_att_fp")
+        # constants round-trip through the manifest, stamps included
+        assert idx1.constants == idx0.constants
+        assert idx1.constants["source_fingerprint"] == "srcfp"
+        after = {
+            (r["doc"], r["keeper"])
+            for r in exact_duplicates_indexed(probe, idx1).collect()
+        }
+        assert after == before and before  # same answers, non-empty
+        plan1 = (
+            exact_duplicates_indexed(probe, idx1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan1.count("Exchange") == plan0.count("Exchange"), (
+            "re-attached table lost its bucketed layout"
+        )
+        # idempotent: a second attach over a live catalog is a no-op
+        assert attach_artifact(spark, path) is True
+        # absent manifest: signals build-needed instead of raising
+        assert attach_artifact(spark, str(tmp_path / "nothing")) is False
+    finally:
+        _drop(spark, "t_att_fp_fps")
+
+
+def test_get_or_build_attaches_before_rebuilding(spark, sf_dir, tmp_path):
+    """The lifecycle integration: a fresh session's get_or_build must
+    take the O(metadata) attach path — the build closure raising proves
+    no corpus rebuild ran."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.exact_index import (
+        read_corpus_fp_index,
+        write_corpus_fp_index,
+    )
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        SOURCE_FINGERPRINT_KEY,
+        attach_artifact,
+        get_or_build,
+    )
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "fpidx2")
+    try:
+        write_corpus_fp_index(
+            docs, "t_att_gb", n_buckets=4, path=path,
+            mode="overwrite", source_fingerprint="livefp",
+        )
+        _drop(spark, "t_att_gb_fps")
+
+        def forbidden_build():
+            raise AssertionError("rebuild ran despite an attachable manifest")
+
+        idx = get_or_build(
+            lambda: read_corpus_fp_index(spark, "t_att_gb"),
+            forbidden_build,
+            live_fingerprint="livefp",
+            fingerprint_key=SOURCE_FINGERPRINT_KEY,
+            attach=lambda: attach_artifact(spark, path),
+        )
+        assert idx.constants["source_fingerprint"] == "livefp"
+        # but a STALE attached artifact still rebuilds: freshness checks
+        # run after attach, so attaching can't resurrect stale data
+        _drop(spark, "t_att_gb_fps")
+        state = {"rebuilt": False}
+
+        def rebuild():
+            state["rebuilt"] = True
+            write_corpus_fp_index(
+                docs, "t_att_gb", n_buckets=4, path=path,
+                mode="overwrite", source_fingerprint="NEWfp",
+            )
+
+        idx = get_or_build(
+            lambda: read_corpus_fp_index(spark, "t_att_gb"),
+            rebuild,
+            live_fingerprint="NEWfp",
+            fingerprint_key=SOURCE_FINGERPRINT_KEY,
+            attach=lambda: attach_artifact(spark, path),
+        )
+        assert state["rebuilt"] and idx.constants["source_fingerprint"] == "NEWfp"
+    finally:
+        _drop(spark, "t_att_gb_fps")
+
+
+def test_merge_refreshes_manifest_for_later_attach(spark, sf_dir, tmp_path):
+    """A merge restamps properties (composed fingerprint, fragments) —
+    the manifest must snapshot them, or a relaunch attach would
+    resurrect pre-merge stamps and spuriously rebuild."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.index_artifact import attach_artifact
+    from poormans_kube_etl_spark.operators.index_maintenance import (
+        merge_delta_into_fp_index,
+    )
+    from poormans_kube_etl_spark.operators.exact_index import (
+        read_corpus_fp_index,
+        write_corpus_fp_index,
+    )
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    path = str(tmp_path / "fpidx3")
+    try:
+        write_corpus_fp_index(
+            corpus, "t_att_mg", n_buckets=4, path=path, mode="overwrite"
+        )
+        merge_delta_into_fp_index(delta, "t_att_mg", source_fingerprint="merged-src")
+        merged_constants = read_corpus_fp_index(spark, "t_att_mg").constants
+        _drop(spark, "t_att_mg_fps")
+        assert attach_artifact(spark, path) is True
+        attached = read_corpus_fp_index(spark, "t_att_mg").constants
+        assert attached == merged_constants
+        assert attached["source_fingerprint"] == "merged-src"
+        # the composed deep stamp equals a recompute over corpus+delta
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            corpus_fingerprint,
+        )
+
+        assert attached["fingerprint"] == corpus_fingerprint(docs, "doc_id")
+    finally:
+        _drop(spark, "t_att_mg_fps")
+
+
+def test_attach_rejects_tampered_manifest(spark, tmp_path):
+    """A manifest is on-disk input: identifiers and type strings are
+    validated before any SQL is assembled."""
+    import json
+
+    from poormans_kube_etl_spark.operators.index_artifact import (
+        MANIFEST_NAME,
+        attach_artifact,
+    )
+
+    path = tmp_path / "evil"
+    path.mkdir()
+    (path / MANIFEST_NAME).write_text(
+        json.dumps(
+            {
+                "format": 1,
+                "tables": [
+                    {
+                        "name": "t_evil",
+                        "location": str(path / "fps"),
+                        "n_buckets": 2,
+                        "bucket_cols": ["fp"],
+                        "schema": [["fp", "string) LOCATION '/x'; DROP TABLE y; --"]],
+                        "properties": {},
+                    }
+                ],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="not a plain type string"):
+        attach_artifact(spark, str(path))
+    (path / MANIFEST_NAME).write_text(
+        json.dumps(
+            {
+                "format": 1,
+                "tables": [
+                    {
+                        "name": "x; DROP TABLE y",
+                        "location": str(path / "fps"),
+                        "n_buckets": 2,
+                        "bucket_cols": ["fp"],
+                        "schema": [["fp", "string"]],
+                        "properties": {},
+                    }
+                ],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="identifier"):
+        attach_artifact(spark, str(path))
+
+
 def test_sf_dir_tag_distinguishes_sanitization_collisions(tmp_path):
     d1 = tmp_path / "sf0.1"
     d2 = tmp_path / "sf0_1"
