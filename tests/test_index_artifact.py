@@ -306,7 +306,8 @@ def test_attach_artifact_recreates_catalog_from_manifest(spark, sf_dir, tmp_path
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
-    probe = docs.where(F.col("doc_id") % 50 == 0).select(
+    # twins of docs that ARE in the corpus (%25==0 ∧ %10!=0 is non-empty)
+    probe = corpus.where(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     path = str(tmp_path / "fpidx")
