@@ -340,7 +340,11 @@ def test_bootstrap_after_catalog_loss_rebuilds_full_corpus(spark, orch):
     assert orch.errored is None
 
     # simulate the relaunch's catalog loss: external tables dropped from
-    # the catalog (files remain), read() now fails
+    # the catalog (files remain), read() now fails. ALSO delete the
+    # r11 attach manifests — this test pins the REBUILD fallback (the
+    # r10 ADVICE-high fix); the attach fast path has its own test below.
+    import glob as _glob
+
     for t in (
         "t_ing_mhidx_buckets",
         "t_ing_mhidx_shingles",
@@ -349,6 +353,8 @@ def test_bootstrap_after_catalog_loss_rebuilds_full_corpus(spark, orch):
         "t_ing_mhidx_fp_fps",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for m in _glob.glob(f"{orch.output_dir}/dedup_index/*/_pke_artifact.json"):
+        os.remove(m)
 
     docs_c = [(301, "relaunch era document about parquet footer statistics")]
     make_doc_folder(orch.landing_dir, "1538056999", docs_c)
@@ -371,6 +377,45 @@ def test_bootstrap_after_catalog_loss_rebuilds_full_corpus(spark, orch):
         ).collect()
     }
     assert ("401", "101") in pairs and ("401", "201") in pairs
+
+
+def test_relaunch_attaches_instead_of_rebuilding(spark, orch, monkeypatch):
+    """The r11 fast path: with the persisted manifests intact, a
+    relaunch re-ATTACHES the catalog entries (O(metadata)) and the next
+    ingest merges as a delta — no corpus rebuild. Forbidding the
+    writers proves it."""
+    make_doc_folder(orch.landing_dir, "1538055240", DOCS_A)
+    assert orch.run_once() is not None
+    make_doc_folder(orch.landing_dir, "1538055999", DOCS_B)
+    assert orch.run_once() is not None
+    assert orch.errored is None
+
+    for t in (
+        "t_ing_mhidx_buckets",
+        "t_ing_mhidx_shingles",
+        "t_ing_mhidx_gram_grams",
+        "t_ing_mhidx_bm25_postings",
+        "t_ing_mhidx_fp_fps",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    import poormans_kube_etl_spark.operators.minhash_index as mhi
+    import poormans_kube_etl_spark.operators.substring as sub
+
+    def forbidden(*a, **k):
+        raise AssertionError("corpus rebuild ran despite attachable manifests")
+
+    monkeypatch.setattr(mhi, "write_corpus_minhash_index", forbidden)
+    monkeypatch.setattr(sub, "write_corpus_gram_index", forbidden)
+    # (bm25 rebuilds every commit by policy; exact/gram/minhash attach)
+
+    docs_c = [(301, "attach era document about manifest metadata")]
+    make_doc_folder(orch.landing_dir, "1538056999", docs_c)
+    assert orch.run_once() is not None
+    assert orch.errored is None
+    idx = read_corpus_minhash_index(spark, "t_ing_mhidx")
+    indexed = {r["doc"] for r in idx.shingles.select("doc").collect()}
+    assert indexed == {"101", "102", "201", "202", "301"}
 
 
 def test_ingest_without_configured_entity_skips_maintenance(spark, orch):
