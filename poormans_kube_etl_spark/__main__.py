@@ -13,6 +13,9 @@
         sweep every registered query (the driver's correctness gate)
     python -m poormans_kube_etl_spark list
         list registered queries (★ oracle-checked / ○ rows-only)
+    python -m poormans_kube_etl_spark index-status PATH [--attach]
+        inspect a persisted index artifact's manifest, stamps and
+        fragment trail; --attach re-creates its catalog entries
 """
 
 from __future__ import annotations
@@ -53,6 +56,17 @@ def _build_parser() -> argparse.ArgumentParser:
     v.add_argument("name", nargs="?", help="query name, or omit with --all")
     v.add_argument("--all", action="store_true", help="sweep every registered query")
     v.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    ix = sub.add_parser(
+        "index-status",
+        help="inspect a persisted index artifact's manifest and stamps",
+    )
+    ix.add_argument("path", help="artifact root dir (holds _pke_artifact.json)")
+    ix.add_argument(
+        "--attach",
+        action="store_true",
+        help="also re-create the catalog entries in this session",
+    )
 
     sub.add_parser("list", help="list registered queries")
     return p
@@ -111,6 +125,52 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
         qs[args.name](spark, args.sf_dir).show(args.rows, truncate=False)
+        return 0
+
+    if args.cmd == "index-status":
+        # operator observability for the persisted index families: what
+        # is on disk, which constants it was built with, how many merge
+        # fragments it carries — all O(metadata), no table scan
+        import json as _json
+
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            MANIFEST_NAME,
+            _fs_for,
+            attach_artifact,
+        )
+
+        fs, _root = _fs_for(spark, args.path)
+        jvm = spark.sparkContext._jvm
+        mpath = jvm.org.apache.hadoop.fs.Path(args.path, MANIFEST_NAME)
+        if not fs.exists(mpath):
+            print(f"no {MANIFEST_NAME} under {args.path}", file=sys.stderr)
+            return 1
+        stream = fs.open(mpath)
+        try:
+            manifest = _json.loads(bytes(stream.readAllBytes()).decode())
+        finally:
+            stream.close()
+        if args.attach:
+            attach_artifact(spark, args.path)
+        for t in manifest["tables"]:
+            n_files, n_bytes = 0, 0
+            loc = jvm.org.apache.hadoop.fs.Path(t["location"])
+            if fs.exists(loc):
+                it = fs.listFiles(loc, True)
+                while it.hasNext():
+                    st = it.next()
+                    if not st.getPath().getName().startswith(("_", ".")):
+                        n_files += 1
+                        n_bytes += st.getLen()
+            in_catalog = spark.catalog.tableExists(t["name"])
+            print(
+                f"{t['name']}: {'attached' if in_catalog else 'detached'}, "
+                f"{n_files} files / {n_bytes:,} bytes, "
+                f"bucketed by ({', '.join(t['bucket_cols'])}) "
+                f"into {t['n_buckets']}"
+            )
+            for k in sorted(t["properties"]):
+                print(f"  {k} = {t['properties'][k]}")
         return 0
 
     if args.cmd == "verify":

@@ -59,3 +59,34 @@ def test_run_once_rejects_stream_flags():
         ["watch", "--landing", "x", "--output", "y", "--stream", "--checkpoint", "c"]
     )
     assert args.stream and args.checkpoint == "c"
+
+
+def test_cli_index_status(spark, sf_dir, tmp_path, capsys):
+    """index-status (r11): inspect a persisted artifact's manifest —
+    detached/attached state, file counts, bucket spec, stamps — and
+    optionally re-attach it into this session."""
+    from pyspark.sql import functions as F
+
+    from poormans_kube_etl_spark.operators.exact_index import write_corpus_fp_index
+    from poormans_kube_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "fpidx")
+    try:
+        write_corpus_fp_index(
+            docs, "t_cli_fp", n_buckets=2, path=path,
+            mode="overwrite", source_fingerprint="clifp",
+        )
+        spark.sql("DROP TABLE IF EXISTS t_cli_fp_fps")
+        assert main(["index-status", path]) == 0
+        out = capsys.readouterr().out
+        assert "t_cli_fp_fps: detached" in out
+        assert "bucketed by (fp) into 2" in out
+        assert "pke.exactfp.source_fingerprint = clifp" in out
+        assert main(["index-status", path, "--attach"]) == 0
+        assert "t_cli_fp_fps: attached" in capsys.readouterr().out
+        assert spark.catalog.tableExists("t_cli_fp_fps")
+        # a dir without a manifest reports failure, not a stack trace
+        assert main(["index-status", str(tmp_path / "none")]) == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cli_fp_fps")
