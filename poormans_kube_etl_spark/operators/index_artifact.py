@@ -388,11 +388,17 @@ def attach_artifact(spark: SparkSession, path: str) -> bool:
         )
         n_buckets = int(t["n_buckets"])
         loc = _escape_prop(t["location"])
-        spark.sql(
-            f"CREATE TABLE {name} ({cols}) USING PARQUET "
-            f"CLUSTERED BY ({bucket_cols}) INTO {n_buckets} BUCKETS "
-            f"LOCATION '{loc}'"
-        )
+        try:
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({bucket_cols}) INTO {n_buckets} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+        except Exception:
+            # two sessions attaching the same artifact race on CREATE;
+            # the loser is fine as long as the table now exists
+            if not spark.catalog.tableExists(name):
+                raise
         if t["properties"]:
             # keys are stored fully prefixed (pke.<family>.<k>)
             stamp_table_properties(spark, name, "", t["properties"])
