@@ -448,11 +448,14 @@ def dedup_minhash_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     Same oracle as dedup_minhash_incremental_pairs: the artifact path
     is a pure optimization, so the pair set must be identical.
 
-    Lifecycle plumbing (tag identity, read-or-rebuild, data-freshness
-    fingerprint) is the shared operators/index_artifact layer — the
-    artifact is re-verified against the live corpus slice on every
-    open, so regenerated parquet at the same path rebuilds instead of
-    silently probing stale bands (r9 ADVICE)."""
+    Lifecycle plumbing (tag identity, attach-or-rebuild, freshness
+    stamps) is the shared operators/index_artifact layer — every open
+    compares the O(metadata) source-file listing (r11; the count+max
+    deep check is opt-in via PKE_INDEX_DEEP_VERIFY), so regenerated
+    parquet at the same path rebuilds instead of silently probing
+    stale bands, a fresh session re-attaches the artifact from its
+    persisted manifest instead of rebuilding, and no corpus aggregate
+    runs on the probe path (plan-gated)."""
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
         attach_artifact,
@@ -534,8 +537,8 @@ def dedup_embedding_index_delta_pairs(spark: SparkSession, sf_dir: str) -> DataF
     bit-exactly and emits each planted pair with its exact left-fold
     cosine — the same certificate shape as dedup_embedding_lsh_pairs,
     with (a=new id, b=corpus id) orientation. Lifecycle plumbing
-    (tag identity, read-or-rebuild, data-freshness fingerprint) is the
-    shared operators/index_artifact layer."""
+    (tag identity, attach-or-rebuild, O(metadata) source-listing
+    freshness — r11) is the shared operators/index_artifact layer."""
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
         attach_artifact,
@@ -1138,9 +1141,10 @@ def dedup_exact_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — the corpus text is never re-read (plan-gated by
     test_exact_indexed_probe_never_scans_corpus_text).
 
-    Lifecycle plumbing (tag identity, read-or-rebuild, data-freshness
-    fingerprint) is the shared operators/index_artifact layer — the
-    unification's claim that a new family is a page, demonstrated.
+    Lifecycle plumbing (tag identity, attach-or-rebuild, O(metadata)
+    source-listing freshness — r11) is the shared
+    operators/index_artifact layer — the unification's claim that a
+    new family is a page, demonstrated.
 
     The delta carries BOTH planted matches and non-matching controls:
     the synthetic corpus has zero natural exact duplicates, so every

@@ -313,8 +313,8 @@ def dedup_substring_index_delta_spans(spark: SparkSession, sf_dir: str) -> DataF
     the delta path (plan-gated). Same oracle as
     dedup_substring_incremental_spans: the artifact is a pure
     optimization, so the span set must be identical. Lifecycle plumbing
-    (tag identity, read-or-rebuild, data-freshness fingerprint) is the
-    shared operators/index_artifact layer."""
+    (tag identity, attach-or-rebuild, O(metadata) source-listing
+    freshness — r11) is the shared operators/index_artifact layer."""
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
         attach_artifact,

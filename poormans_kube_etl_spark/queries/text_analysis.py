@@ -607,10 +607,11 @@ def text_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast probe of the bucketed postings scan. Same oracle as
     text_bm25_topk: the artifact path is a pure optimization, so the
     ranking must be identical. Lifecycle plumbing (tag identity,
-    read-or-rebuild, data-freshness fingerprint) is the shared
-    operators/index_artifact layer — regenerated parquet at the same
-    path rebuilds instead of silently probing stale postings (r9
-    ADVICE)."""
+    attach-or-rebuild, O(metadata) source-listing freshness — r11) is
+    the shared operators/index_artifact layer — regenerated parquet at
+    the same path rebuilds instead of silently probing stale postings,
+    and a fresh session re-attaches the postings from the persisted
+    manifest instead of re-tokenizing the corpus."""
     from poormans_kube_etl_spark.operators.index_artifact import (
         SOURCE_FINGERPRINT_KEY,
         attach_artifact,
