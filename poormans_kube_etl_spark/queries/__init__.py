@@ -94,6 +94,8 @@ _CHANGED_THIS_ROUND = [
     # new this round (never driver-checked)
     "train_split_leakage_report",
     "train_dataset_card",
+    "text_hapax_rate",
+    "train_context_length_histogram",
 ]
 
 

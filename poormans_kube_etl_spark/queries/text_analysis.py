@@ -819,3 +819,58 @@ def text_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "k.pos", "k.term", "k.snippet")
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "text_hapax_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             UNNEST(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS DOUBLE)
+             AS hapax_rate
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax legomena share (NEW r11): the fraction of a
+    source's vocabulary seen exactly once — the classic
+    vocabulary-freshness statistic (a crawler stuck re-fetching
+    boilerplate shows a collapsing hapax rate; OCR noise shows an
+    exploding one). Complements text_zipf_slope / text_oov_rate on the
+    same token stream.
+
+    One explode into a (source, token)-keyed count, then a
+    source-keyed rollup — both partial-aggregated map-side; nothing
+    but catalog-cardinality rows leave the second shuffle. Linear in
+    corpus tokens at any SF."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(tokens(normalize_text("text"))).alias("tok")
+    )
+    c = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("hapax_rate"),
+        )
+        .orderBy("source")
+    )

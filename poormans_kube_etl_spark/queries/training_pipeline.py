@@ -846,3 +846,66 @@ def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "train_context_length_histogram",
+    oracle=f"""
+    WITH n AS (
+      SELECT CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    b AS (SELECT n_toks, CAST(FLOOR(LOG2(n_toks)) AS INT) AS bkt FROM n),
+    tot AS (SELECT COUNT(*) AS docs, SUM(n_toks) AS toks FROM b)
+    SELECT CAST(POWER(2, bkt) AS BIGINT) AS bucket_lo,
+           CAST(POWER(2, bkt + 1) - 1 AS BIGINT) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(ROUND(COUNT(*) * 1.0 / (SELECT docs FROM tot), 4) AS DOUBLE) AS doc_share,
+           CAST(ROUND(SUM(n_toks) * 1.0 / (SELECT toks FROM tot), 4) AS DOUBLE) AS token_share
+    FROM b
+    GROUP BY bkt
+    ORDER BY bucket_lo
+    """,
+)
+def train_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two context-length histogram (NEW r11): how many docs
+    (and what token share) land in each [2^k, 2^(k+1)) whitespace-token
+    band — the first question sequence-length planning asks before
+    picking a context window and a packing budget (train_pack_shards /
+    train_padding_waste quantify the consequences of the choice this
+    histogram informs).
+
+    One map-stage token count, one hash aggregate on the bucket key
+    (≤ ~40 buckets exist for any corpus), plus a 1-row total joined by
+    crossJoin of a broadcast scalar — no window, no second corpus
+    pass. floor(log2(n)) is exact at the band edges (powers of two are
+    exact in doubles on both engines)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.select(
+        F.size(tokens(normalize_text("text"))).cast("bigint").alias("n_toks")
+    )
+    b = n.select("n_toks", F.floor(F.log2("n_toks")).cast("int").alias("bkt"))
+    hist = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    tot = hist.agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("toks")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.pow(F.lit(2.0), F.col("bkt")).cast("bigint").alias("bucket_lo"),
+            (F.pow(F.lit(2.0), F.col("bkt") + 1) - 1).cast("bigint").alias("bucket_hi"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n_docs").cast("double") / F.col("docs"), 4).alias(
+                "doc_share"
+            ),
+            F.round(F.col("n_tokens").cast("double") / F.col("toks"), 4).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("bucket_lo")
+    )
