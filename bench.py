@@ -93,18 +93,25 @@ def _acquire_artifact_lock():
     same SF forces get_or_build rebuilds on every timed rep — r10's
     text_bm25_index_topk recorded 3.05 s for a 1.2 s query exactly this
     way. Failing LOUDLY beats recording a contaminated row. Returns the
-    open handle (the lock lives as long as the process holds it)."""
+    open handle (the lock lives as long as the process holds it).
+
+    Open mode is ``a+`` (ADVICE r11): ``w`` truncated the HOLDER's
+    recorded pid before flock was even attempted — destroying the
+    diagnostic breadcrumb exactly when contention occurs — and a stale
+    /tmp lock file owned by another user raised a raw PermissionError
+    from open() instead of the curated message. The pid is written only
+    AFTER the flock succeeds."""
     import fcntl
 
-    fh = open(ARTIFACT_LOCK_PATH, "w")
     try:
+        fh = open(ARTIFACT_LOCK_PATH, "a+")
         fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
+    except OSError as e:
         raise SystemExit(
-            f"bench: {ARTIFACT_LOCK_PATH} is held by another process — "
-            "a concurrent Spark session on the same SF's index artifacts "
-            "makes every timed pass rebuild them (the r10 contamination "
-            "mode). Re-run the bench alone."
+            f"bench: {ARTIFACT_LOCK_PATH} is held by another process (or "
+            f"unopenable: {e}) — a concurrent Spark session on the same "
+            "SF's index artifacts makes every timed pass rebuild them "
+            "(the r10 contamination mode). Re-run the bench alone."
         )
     fh.seek(0)
     fh.truncate()
@@ -406,17 +413,25 @@ def main() -> None:
         build_best = float("inf")
         jobs_in_build = 0
         for _pass in range(3):
-            j0 = _jobs_so_far(spark) if _pass == 0 else 0
+            # jobs are sampled on EVERY pass and the reported count is
+            # the one from the pass that produced build_best (ADVICE
+            # r11): sampling pass 0 only flagged faces eager forever
+            # when just their FIRST builder call did one-time
+            # get_or_build construction, permanently excluding them
+            # from jobs==0 round-over-round build comparisons even
+            # though the recorded build_best was pure plan time.
+            j0 = _jobs_so_far(spark)
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             t1 = time.perf_counter()
-            if _pass == 0:
-                jobs_in_build = _jobs_so_far(spark) - j0
+            jobs_this_pass = _jobs_so_far(spark) - j0
             _execute(df)
             took = time.perf_counter() - t0
             best = min(best, took)
             worst = max(worst, took)
-            build_best = min(build_best, t1 - t0)
+            if t1 - t0 < build_best:
+                build_best = t1 - t0
+                jobs_in_build = jobs_this_pass
         timings[name] = round(best, 4)
         builds[name] = round(build_best, 4)
         build_jobs[name] = jobs_in_build
@@ -523,9 +538,10 @@ def main() -> None:
         ),
         "stages": stages,
         "builds": builds,
-        # jobs submitted during the builder call (first timed pass):
-        # 0 -> "builds" is py4j plan time; >0 -> eager execution inside
-        # the builder (funnel/index faces), not chatter (r10 #7 split)
+        # jobs submitted during the builder call — sampled every pass,
+        # reported from the pass that produced build_best (r12, ADVICE
+        # r11): 0 -> "builds" is py4j plan time; >0 -> eager execution
+        # inside the builder (funnel faces), not chatter (r10 #7 split)
         "build_eager_jobs": {n: j for n, j in build_jobs.items() if j > 0},
         "sf": sf_val,
     }

@@ -194,7 +194,17 @@ def source_files_fingerprint(spark: SparkSession, *paths: str) -> str:
     path changes part-file names (Spark embeds UUIDs), sizes, or
     mtimes; appends/truncations change the file set. The one mode a
     listing cannot see — a rewrite preserving every name, size and
-    mtime — is what ``PKE_INDEX_DEEP_VERIFY=1`` exists for."""
+    mtime — is what ``PKE_INDEX_DEEP_VERIFY=1`` exists for.
+
+    Scheme-less relative paths are anchored on the PYTHON cwd (r12,
+    ADVICE r11 medium): Hadoop resolves them against the JVM's
+    launch-frozen cwd, so after a chdir the build and the probe would
+    both hash the same WRONG (usually ABSENT) listing — the stamp
+    always matches and the freshness check is silently inert, exactly
+    the staleness mode it exists to catch. Same anchoring rule as
+    sources.ingest.hadoop_fs (the r4/r7 read-path fix)."""
+    from poormans_kube_etl_spark.sources.ingest import _resolve_relative
+
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     entries: list[str] = []
@@ -209,7 +219,7 @@ def source_files_fingerprint(spark: SparkSession, *paths: str) -> str:
         )
 
     for p in paths:
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        jpath = jvm.org.apache.hadoop.fs.Path(_resolve_relative(p))
         fs = jpath.getFileSystem(hconf)
         statuses = fs.globStatus(jpath)
         if statuses is None or len(statuses) == 0:
@@ -251,8 +261,13 @@ _MANIFEST_FORMAT = 1
 
 
 def _fs_for(spark: SparkSession, path: str):
+    # same Python-cwd anchoring as source_files_fingerprint (ADVICE r11
+    # medium): a relative artifact root must address the directory the
+    # Python-side writers used, not the JVM's launch-frozen cwd
+    from poormans_kube_etl_spark.sources.ingest import _resolve_relative
+
     jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jpath = jvm.org.apache.hadoop.fs.Path(_resolve_relative(path))
     return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jpath
 
 

@@ -906,17 +906,24 @@ class Orchestrator:
             glob IS the delta, so the two are equivalent there."""
 
             def readable() -> bool:
+                # ValueError is the loaders' DELIBERATE rejection class
+                # (missing table / foreign properties / version skew —
+                # index_artifact contract). Anything else is a real
+                # fault (metastore hiccup, permission error) and must
+                # surface as an orchestrator error, not silently fund a
+                # full committed-corpus rebuild (ADVICE r11 — the same
+                # taxonomy get_or_build adopted in r10).
                 try:
                     read()
                     return True
-                except Exception:
+                except ValueError:
                     return False
 
             have = readable()
             if not have:
                 try:
                     have = attach_artifact(self.spark, attach_path) and readable()
-                except Exception:
+                except ValueError:
                     have = False
             if not have:
                 build_from(self._committed_docs("*"))
