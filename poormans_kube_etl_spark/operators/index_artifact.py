@@ -242,6 +242,64 @@ def deep_verify_enabled() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Warm-open memoization of the source listing (r12, VERDICT r11 #2).
+#
+# source_files_fingerprint is O(file-count): honest at sf10, but at
+# 100 TB a ~10^5–10^6-object S3 LIST per face open, ×5 families, is
+# seconds-to-minutes of sequential paging — and a bench/ production
+# session opens the same faces over the same immutable corpus paths
+# hundreds of times. The fingerprint of a given path set is therefore
+# memoized per process: the FIRST open pays the listing, every warm
+# open compares cached strings (zero FS calls — gated the same way the
+# corpus-aggregate gate works).
+#
+# What this demotes, deliberately: an out-of-band regeneration of the
+# corpus DURING a session is no longer caught by a warm open in that
+# same session (it is caught by the next process, by any cold open, or
+# by PKE_INDEX_DEEP_VERIFY=1). The writers that legitimately change a
+# corpus mid-session — the orchestrator's commit path, test fixtures —
+# either stamp their own version token (orchestrator, r12) or call
+# invalidate_source_fingerprints. PKE_SRC_FP_CACHE=0 disables the memo
+# entirely.
+# ---------------------------------------------------------------------------
+
+_SRC_FP_CACHE: dict[tuple[str, ...], str] = {}
+
+
+def _cache_key(paths: tuple[str, ...]) -> tuple[str, ...]:
+    from poormans_kube_etl_spark.sources.ingest import _resolve_relative
+
+    return tuple(_resolve_relative(p) for p in paths)
+
+
+def cached_source_files_fingerprint(spark: SparkSession, *paths: str) -> str:
+    """``source_files_fingerprint`` behind the per-process memo above —
+    the PROBE-path entry point for query faces over immutable corpus
+    directories. Writers and anything that mutates the listed paths
+    must use ``source_files_fingerprint`` directly (always fresh) or
+    invalidate first."""
+    if os.environ.get("PKE_SRC_FP_CACHE", "") == "0":
+        return source_files_fingerprint(spark, *paths)
+    key = _cache_key(tuple(paths))
+    hit = _SRC_FP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    fp = source_files_fingerprint(spark, *paths)
+    _SRC_FP_CACHE[key] = fp
+    return fp
+
+
+def invalidate_source_fingerprints(*paths: str) -> None:
+    """Drop memoized listings. With no arguments, clears the whole
+    cache (test fixtures that regenerate data in bulk); with paths,
+    clears exactly those entries."""
+    if not paths:
+        _SRC_FP_CACHE.clear()
+        return
+    _SRC_FP_CACHE.pop(_cache_key(tuple(paths)), None)
+
+
+# ---------------------------------------------------------------------------
 # Cross-session durability: the attach manifest (r11).
 #
 # TBLPROPERTIES live in the session catalog, not in the parquet — so a

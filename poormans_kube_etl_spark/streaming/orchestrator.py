@@ -902,6 +902,32 @@ class Orchestrator:
             names.append(n)
         return sorted(names)
 
+    @staticmethod
+    def _corpus_token_for(settled: list[str]) -> str:
+        return (
+            "ingests-v1:"
+            + hashlib.md5("\n".join(settled).encode()).hexdigest()
+        )
+
+    def corpus_version_token(self) -> str:
+        """The committed corpus's freshness stamp (r12, VERDICT r11
+        #2): a digest of the SETTLED ingest-name set. The orchestrator
+        owns every corpus commit, so set membership IS the corpus
+        version — recomputing it costs one O(ingest-count) directory
+        listing plus two existence probes per ingest, where the r11
+        ``source_files_fingerprint`` LIST of ``index/*/<entity>`` was
+        O(file-count) per face open and per commit (~10^5–10^6 S3
+        objects at 100 TB, paged sequentially, ×5 families). A set
+        digest is preferred over a bare monotone counter because any
+        prober can RECOMPUTE it from the filesystem and compare against
+        the artifact's stamp — no counter file to read-modify-write,
+        and maintenance passes that merge nothing never need a restamp.
+        The mode this cannot see — an out-of-band in-place rewrite of a
+        committed sink (nothing in the lifecycle does one) — is the
+        deep-verify fallback's job, the same trade the r11 listing
+        stamp made against byte-identical rewrites."""
+        return self._corpus_token_for(self._settled_ingest_names())
+
     def _maintain_dedup_index(self, params: IngestParams) -> None:
         """Fold the committed ingest's documents into the configured
         persisted index families (see DedupIndexMaintenance). The delta
@@ -932,7 +958,6 @@ class Orchestrator:
         re-appends what the build already covered."""
         from poormans_kube_etl_spark.operators.index_artifact import (
             attach_artifact,
-            source_files_fingerprint,
         )
         from poormans_kube_etl_spark.operators.index_maintenance import (
             merge_delta_into_gram_index,
@@ -978,15 +1003,12 @@ class Orchestrator:
         )
         lease.acquire(timeout_s=cfg.lease_timeout_s)
         try:
-            # settled set + listing stamp computed UNDER the lease: the
-            # stamp is what later get_or_build probes compare instead of
-            # scanning the corpus, and the set is what full builds read
-            # and stamp markers for (see _settled_ingest_names)
+            # settled set + freshness stamp computed UNDER the lease
+            # (see corpus_version_token for the stamp's design and cost
+            # argument — O(ingest-count), not the O(file-count) LIST the
+            # pre-r12 source_files_fingerprint paid per commit)
             settled = self._settled_ingest_names()
-            src_fp = source_files_fingerprint(
-                self.spark,
-                *[f"{self.output_dir}/index/{n}/{cfg.entity}" for n in settled],
-            )
+            src_fp = self._corpus_token_for(settled)
 
             def bootstrap_or_merge(family, read, build_from, merge, attach_path):
                 """The shared family cycle: bootstrap on first commit,

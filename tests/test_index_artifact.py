@@ -165,6 +165,60 @@ def test_source_files_fingerprint_is_metadata_only_and_sensitive(spark, tmp_path
     )
 
 
+def test_cached_source_fingerprint_memoizes_and_invalidates(spark, tmp_path):
+    """r12 (VERDICT r11 #2): the probe-path listing is memoized per
+    process — a warm call pays zero FS work; invalidation and the
+    PKE_SRC_FP_CACHE=0 kill switch restore fresh listings."""
+    import poormans_kube_etl_spark.operators.index_artifact as ia
+
+    p = str(tmp_path / "corpus.parquet")
+    spark.range(10).write.mode("overwrite").parquet(p)
+    fp1 = ia.cached_source_files_fingerprint(spark, p)
+    spark.range(10).write.mode("overwrite").parquet(p)  # regenerate
+    # warm call: served from the memo, regeneration deliberately unseen
+    assert ia.cached_source_files_fingerprint(spark, p) == fp1
+    # invalidation drops the entry; the next call lists fresh
+    ia.invalidate_source_fingerprints(p)
+    fp2 = ia.cached_source_files_fingerprint(spark, p)
+    assert fp2 != fp1
+    # kill switch bypasses the memo entirely
+    spark.range(10).write.mode("overwrite").parquet(p)
+    import os as _os
+
+    _os.environ["PKE_SRC_FP_CACHE"] = "0"
+    try:
+        assert ia.cached_source_files_fingerprint(spark, p) != fp2
+    finally:
+        del _os.environ["PKE_SRC_FP_CACHE"]
+    ia.invalidate_source_fingerprints()
+
+
+def test_index_face_warm_open_pays_no_fs_listing(spark, sf_dir, monkeypatch):
+    """VERDICT r11 #2 gate (the listing twin of the corpus-aggregate
+    gate below): once a face has opened its artifact in this process,
+    re-opening it must run NEITHER the O(corpus) aggregate NOR the
+    O(file-count) source listing — freshness is a cached-string
+    compare."""
+    import poormans_kube_etl_spark.operators.index_artifact as ia
+    from poormans_kube_etl_spark.queries import QUERIES, load_all
+
+    load_all()
+    face = QUERIES["dedup_exact_index_delta"]
+    face(spark, sf_dir).collect()  # artifact built + listing memoized
+
+    def boom(*a, **k):
+        raise AssertionError("an FS listing ran on a warm face open")
+
+    monkeypatch.delenv("PKE_INDEX_DEEP_VERIFY", raising=False)
+    monkeypatch.delenv("PKE_SRC_FP_CACHE", raising=False)
+    monkeypatch.setattr(ia, "source_files_fingerprint", boom)
+    monkeypatch.setattr(
+        ia, "corpus_fingerprint",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("corpus agg ran")),
+    )
+    assert face(spark, sf_dir).count() > 0
+
+
 def test_composed_fingerprint_matches_full_recompute(spark):
     """Append-merge freshness: composing the stamped count+max with a
     delta-only aggregate must equal recomputing over the union — the

@@ -234,6 +234,12 @@ def test_two_replicas_concurrent_maintenance_equals_serial(spark, tmp_path):
         fcon = read_corpus_fp_index(spark, "t_con_mhidx_fp").constants
         assert fcon["fingerprint"] == "6:302"
 
+        # the O(ingest-count) corpus-version token (r12, VERDICT r11
+        # #2): the stamp on the artifact is recomputable by any prober
+        # from the settled ingest set — no file-level LIST involved
+        assert con["source_fingerprint"] == a.corpus_version_token()
+        assert ser["source_fingerprint"] == s.corpus_version_token()
+
         # the manifest refresh was not torn: a fresh-catalog attach
         # restores the artifact with the same constants
         from poormans_kube_etl_spark.operators.index_artifact import (
