@@ -83,18 +83,21 @@ _loaded = False
 # queries whose values/oracles/plans changed — or that are NEW — in
 # the CURRENT round. REWRITE EACH ROUND; everything else is derived.
 _CHANGED_THIS_ROUND = [
-    # r11: the five persisted-index faces moved to the O(metadata)
-    # source-listing freshness probe (operators/index_artifact.py) —
-    # same values, new open-path plan, so they re-earn driver rows
+    # new in r12 (never driver-checked): the tokenizer-fidelity
+    # variants of the length/packing faces (VERDICT r11 #6)
+    "train_pack_shards_subword",
+    "train_padding_waste_subword",
+    "train_context_length_histogram_subword",
+    # r12: the five persisted-index faces' warm-open path changed again
+    # (memoized source listing — VERDICT r11 #2), so they re-earn rows
     "dedup_minhash_index_delta_pairs",
     "dedup_embedding_index_delta_pairs",
     "dedup_substring_index_delta_spans",
     "dedup_exact_index_delta",
     "text_bm25_index_topk",
-    # new this round (never driver-checked)
-    "train_split_leakage_report",
-    "train_dataset_card",
-    "text_hapax_rate",
+    # r12: parameterized (token-fn) — same default values, new plans
+    "train_pack_shards",
+    "train_padding_waste",
     "train_context_length_histogram",
 ]
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from poormans_kube_etl_spark.operators.text import (
     fingerprint_md5,
     normalize_text,
+    subword_count,
     token_count,
     tokens,
 )
@@ -50,6 +51,13 @@ def hash_bucket(col, buckets: int = 100):
 
 _BUCKET_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100"
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# the DuckDB twin of operators.text.subword_count — Σ_w ceil(len(w)/4)
+# over whitespace words of the normalized text (the public
+# ~4-chars-per-token BPE calibration, applied per word)
+_SUBWORD_SQL = (
+    f"list_sum(list_transform(string_split({_NORM_SQL}, ' '), "
+    "w -> CAST(CEIL(length(w) / 4.0) AS BIGINT)))"
+)
 
 
 @register(
@@ -302,35 +310,90 @@ def train_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1
     """,
 )
-def train_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_pack_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    size_fn=None,
+    budget: float = 50_000.0,
+    unit: str = "chars",
+) -> DataFrame:
     """Greedy shard packing: deterministically shuffle (hash order),
-    then bin documents into ~50k-char training shards by start offset —
-    the step that turns a corpus into fixed-budget training files.
+    then bin documents into fixed-budget training shards by start
+    offset — the step that turns a corpus into training files.
     The global running sum uses the two-pass prefix-sum operator
     (operators/ordering.py), NOT a single-partition window, so packing
     scales to the full corpus; the shard assignment itself is a pure
-    map expression over the cumulative offset."""
+    map expression over the cumulative offset.
+
+    Tokenizer fidelity (r12, VERDICT r11 #6): ``size_fn(docs) ->
+    Column`` picks the budget unit. Default None keeps the
+    DuckDB-parity char proxy (n_chars, budget 50k); the registered
+    subword variant below budgets in estimated BPE tokens instead —
+    whitespace/char proxies undersize BPE workloads ~1.3–1.5×."""
     from poormans_kube_etl_spark.operators.ordering import with_global_order
 
-    budget = 50_000.0
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", "n_chars", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    raw = _docs(spark, sf_dir)
+    size_col = (F.col("n_chars") if size_fn is None else size_fn(raw)).cast(
+        "bigint"
+    )
+    docs = raw.select(
+        "doc_id",
+        size_col.alias("n_units"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
     )
     packed = with_global_order(
-        docs, [F.col("_h"), F.col("doc_id")], rank_col="_pos", cumsum={"n_chars": "cum_chars"}
+        docs, [F.col("_h"), F.col("doc_id")], rank_col="_pos", cumsum={"n_units": "cum_units"}
     ).withColumn(
         "shard_id",
-        F.floor((F.col("cum_chars") - F.col("n_chars")) / F.lit(budget)).cast("bigint"),
+        F.floor((F.col("cum_units") - F.col("n_units")) / F.lit(budget)).cast("bigint"),
     )
     return (
         packed.groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_units").cast("bigint").alias(f"total_{unit}"),
             F.min("doc_id").cast("bigint").alias("first_doc"),
             F.max("doc_id").cast("bigint").alias("last_doc"),
         )
         .orderBy("shard_id")
+    )
+
+
+@register(
+    "train_pack_shards_subword",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST({_SUBWORD_SQL} AS BIGINT) AS n_units FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_units,
+             SUM(n_units) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_units
+      FROM sized
+    )
+    SELECT CAST(FLOOR((cum_units - n_units) / 12800.0) AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_units) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM ordered
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def train_pack_shards_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train_pack_shards budgeted in ESTIMATED BPE TOKENS
+    (operators.text.subword_count — Σ_w ceil(len(w)/4) per word) at
+    12,800 tokens per shard (~the 50k-char budget at the 4-chars/token
+    calibration). Same two-pass prefix-sum scale shape; only the size
+    measure changes, so the cost delta is one aggregate expression per
+    row in the first map stage."""
+    return train_pack_shards(
+        spark,
+        sf_dir,
+        size_fn=lambda d: subword_count(normalize_text("text")),
+        budget=12_800.0,
+        unit="tokens",
     )
 
 
@@ -580,45 +643,100 @@ _PAD_SEQ_LEN = 2048
     ORDER BY source
     """,
 )
-def train_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_padding_waste(
+    spark: SparkSession,
+    sf_dir: str,
+    size_fn=None,
+    seq_len: int = _PAD_SEQ_LEN,
+    unit: str = "chars",
+) -> DataFrame:
     """Per-source sequence-padding accounting at a fixed training
-    sequence budget (_PAD_SEQ_LEN = 2048 chars as the token proxy): how many
-    fixed-length sequences a no-cross-doc-packing loader would emit,
-    how much of that budget is padding, and the packed-baseline
-    sequence count (cross-doc packing, train_pack_shards' regime) the
-    waste is measured against. THE capacity-planning number for a
-    training run — padding_rate is the fraction of compute spent on
-    pad tokens under the naive loader.
+    sequence budget (default _PAD_SEQ_LEN = 2048 chars as the token
+    proxy): how many fixed-length sequences a no-cross-doc-packing
+    loader would emit, how much of that budget is padding, and the
+    packed-baseline sequence count (cross-doc packing,
+    train_pack_shards' regime) the waste is measured against. THE
+    capacity-planning number for a training run — padding_rate is the
+    fraction of compute spent on pad tokens under the naive loader.
+
+    Tokenizer fidelity (r12, VERDICT r11 #6): ``size_fn(docs) ->
+    Column`` picks the budget unit (None = the char proxy; the subword
+    variant below estimates BPE tokens at a 512-token budget).
 
     Every output is integer arithmetic (ceil of an exact double
     division of ints < 2^53) except padding_rate, which divides two
     exact integers — the 6-dp round can never flip cross-engine.
-    Scale shape: one source-keyed aggregation over the (source,
-    n_chars) projection; the text column is never read (column
-    pruning reaches the scan)."""
+    Scale shape: one source-keyed aggregation over a per-row map
+    projection; with the default char proxy the text column is never
+    read (column pruning reaches the scan)."""
     docs = _docs(spark, sf_dir)
-    seqs = F.ceil(F.col("n_chars") / float(_PAD_SEQ_LEN)).cast("bigint")
-    agg = docs.groupBy("source").agg(
+    size_col = (F.col("n_chars") if size_fn is None else size_fn(docs)).cast(
+        "bigint"
+    )
+    sized = docs.select("source", size_col.alias("n_units"))
+    seqs = F.ceil(F.col("n_units") / float(seq_len)).cast("bigint")
+    agg = sized.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_units").cast("bigint").alias(f"total_{unit}"),
         F.sum(seqs).cast("bigint").alias("n_sequences"),
     )
-    padded = F.col("n_sequences") * _PAD_SEQ_LEN - F.col("total_chars")
+    padded = F.col("n_sequences") * seq_len - F.col(f"total_{unit}")
     return agg.select(
         "source",
         "n_docs",
-        "total_chars",
+        f"total_{unit}",
         "n_sequences",
-        padded.cast("bigint").alias("padded_chars"),
+        padded.cast("bigint").alias(f"padded_{unit}"),
         F.round(
             padded.cast("double")
-            / (F.col("n_sequences") * _PAD_SEQ_LEN).cast("double"),
+            / (F.col("n_sequences") * seq_len).cast("double"),
             6,
         ).alias("padding_rate"),
-        F.ceil(F.col("total_chars") / float(_PAD_SEQ_LEN))
+        F.ceil(F.col(f"total_{unit}") / float(seq_len))
         .cast("bigint")
         .alias("packed_sequences"),
     ).orderBy("source")
+
+
+_PAD_SEQ_TOKENS = 512  # the 2048-char budget at the 4-chars/token calibration
+
+
+@register(
+    "train_padding_waste_subword",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, CAST({_SUBWORD_SQL} AS BIGINT) AS n_units FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_units) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(CEIL(n_units / {_PAD_SEQ_TOKENS}.0) AS BIGINT)) AS BIGINT)
+             AS n_sequences,
+           CAST(SUM(CAST(CEIL(n_units / {_PAD_SEQ_TOKENS}.0) AS BIGINT)) * {_PAD_SEQ_TOKENS}
+                - SUM(n_units) AS BIGINT) AS padded_tokens,
+           ROUND(CAST(SUM(CAST(CEIL(n_units / {_PAD_SEQ_TOKENS}.0) AS BIGINT)) * {_PAD_SEQ_TOKENS}
+                        - SUM(n_units) AS DOUBLE)
+                 / CAST(SUM(CAST(CEIL(n_units / {_PAD_SEQ_TOKENS}.0) AS BIGINT))
+                        * {_PAD_SEQ_TOKENS} AS DOUBLE), 6) AS padding_rate,
+           CAST(CEIL(SUM(n_units) / {_PAD_SEQ_TOKENS}.0) AS BIGINT) AS packed_sequences
+    FROM sized
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def train_padding_waste_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train_padding_waste in ESTIMATED BPE TOKENS (subword_count) at a
+    512-token sequence budget — what the capacity plan looks like when
+    the tokenizer is honest about long words. The char proxy's
+    padding_rate systematically flatters sources with short documents;
+    this face re-prices them."""
+    return train_padding_waste(
+        spark,
+        sf_dir,
+        size_fn=lambda d: subword_count(normalize_text("text")),
+        seq_len=_PAD_SEQ_TOKENS,
+        unit="tokens",
+    )
 
 
 @register(
@@ -868,13 +986,21 @@ def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bucket_lo
     """,
 )
-def train_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_context_length_histogram(
+    spark: SparkSession, sf_dir: str, token_fn=None
+) -> DataFrame:
     """Power-of-two context-length histogram (NEW r11): how many docs
-    (and what token share) land in each [2^k, 2^(k+1)) whitespace-token
-    band — the first question sequence-length planning asks before
-    picking a context window and a packing budget (train_pack_shards /
+    (and what token share) land in each [2^k, 2^(k+1)) token band —
+    the first question sequence-length planning asks before picking a
+    context window and a packing budget (train_pack_shards /
     train_padding_waste quantify the consequences of the choice this
     histogram informs).
+
+    Tokenizer fidelity (r12, VERDICT r11 #6): ``token_fn(docs) ->
+    Column`` swaps the counter. None keeps the DuckDB-parity
+    whitespace count; the subword variant below uses the per-word BPE
+    estimate (clamped to ≥1 so log2 stays defined for degenerate
+    empty-text rows).
 
     One map-stage token count, one hash aggregate on the bucket key
     (≤ ~40 buckets exist for any corpus), plus a 1-row total joined by
@@ -882,9 +1008,12 @@ def train_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     pass. floor(log2(n)) is exact at the band edges (powers of two are
     exact in doubles on both engines)."""
     docs = _docs(spark, sf_dir)
-    n = docs.select(
-        F.size(tokens(normalize_text("text"))).cast("bigint").alias("n_toks")
+    cnt = (
+        F.size(tokens(normalize_text("text"))).cast("bigint")
+        if token_fn is None
+        else F.greatest(token_fn(docs).cast("bigint"), F.lit(1))
     )
+    n = docs.select(cnt.alias("n_toks"))
     b = n.select("n_toks", F.floor(F.log2("n_toks")).cast("int").alias("bkt"))
     hist = b.groupBy("bkt").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -908,4 +1037,38 @@ def train_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
         .orderBy("bucket_lo")
+    )
+
+
+@register(
+    "train_context_length_histogram_subword",
+    oracle=f"""
+    WITH n AS (
+      SELECT GREATEST(CAST({_SUBWORD_SQL} AS BIGINT), 1) AS n_toks
+      FROM documents
+    ),
+    b AS (SELECT n_toks, CAST(FLOOR(LOG2(n_toks)) AS INT) AS bkt FROM n),
+    tot AS (SELECT COUNT(*) AS docs, SUM(n_toks) AS toks FROM b)
+    SELECT CAST(POWER(2, bkt) AS BIGINT) AS bucket_lo,
+           CAST(POWER(2, bkt + 1) - 1 AS BIGINT) AS bucket_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(ROUND(COUNT(*) * 1.0 / (SELECT docs FROM tot), 4) AS DOUBLE) AS doc_share,
+           CAST(ROUND(SUM(n_toks) * 1.0 / (SELECT toks FROM tot), 4) AS DOUBLE) AS token_share
+    FROM b
+    GROUP BY bkt
+    ORDER BY bucket_lo
+    """,
+)
+def train_context_length_histogram_subword(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """train_context_length_histogram counted in ESTIMATED BPE TOKENS
+    (subword_count): whitespace counting undersizes BPE workloads
+    ~1.3–1.5×, which shifts documents across the power-of-two band
+    edges — exactly the bands a context-window decision reads."""
+    return train_context_length_histogram(
+        spark,
+        sf_dir,
+        token_fn=lambda d: subword_count(normalize_text("text")),
     )

@@ -55,6 +55,27 @@ def test_word_shingles_model(spark, toks, n):
 
 
 @SETTINGS
+@given(st.text(alphabet="abcdefghijklmnopqr .,", min_size=0, max_size=120))
+def test_subword_count_matches_python_model(spark, text):
+    """r12 (VERDICT r11 #6): the BPE-calibration token estimate is
+    Σ_w ceil(len(w)/4) over the NORMALIZED whitespace words — checked
+    against an independent Python model, including empty/whitespace-only
+    degenerates (0 tokens) and long unbroken words (multiple pieces)."""
+    import math
+
+    from poormans_kube_etl_spark.operators.text import (
+        normalize_text,
+        subword_count,
+    )
+
+    df = spark.createDataFrame([(text,)], "t string")
+    [row] = df.select(subword_count(normalize_text("t")).alias("n")).collect()
+    norm = " ".join(text.lower().split())
+    expected = sum(math.ceil(len(w) / 4) for w in norm.split(" "))
+    assert row.n == expected
+
+
+@SETTINGS
 @given(st.text(alphabet="abcdefgh ", min_size=1, max_size=80))
 def test_minhash_identical_docs_always_pair(spark, text):
     from poormans_kube_etl_spark.operators.minhash import minhash_near_duplicates
