@@ -80,6 +80,97 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, '  ' || upper(text)
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, upper(text) || '   '
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    c AS (
+      SELECT md5({_NORM_SQL}) AS f, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM corpus GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cluster_size) AS docs FROM c)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(cluster_size * COUNT(*) * 1.0 / (SELECT docs FROM tot), 4)
+                AS DOUBLE) AS doc_share
+    FROM c
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (NEW r12) — the audit view a
+    dedup pass ships with: how many fingerprint clusters exist at each
+    size, how many documents they hold, and each size band's share of
+    the corpus. A heavy tail here (a handful of 10^4-member clusters)
+    is boilerplate/scraper pathology that keeper-based dedup flattens
+    to one doc per cluster; all-size-1 means exact dedup has nothing
+    left and near-dup is the next lever. Composes the same
+    normalize→md5 fingerprint as the exact-dedup faces, so the audit
+    can never disagree with the dedup that runs.
+
+    The synthetic corpus has no natural exact duplicates, so twins are
+    planted on BOTH engines (the train_dedup_impact_by_source pattern):
+    every 25th doc mangled once (leading spaces + upper) and every 50th
+    a second time (trailing spaces) — the histogram exercises sizes
+    1/2/3, not a vacuous single row.
+
+    Scale shape: one map pass (fingerprint), one fingerprint-keyed
+    count (partial-aggregates map-side), one ≤handful-of-keys size agg,
+    one broadcast scalar for the shares — the cheapest full-corpus
+    shapes, no window, no join."""
+    base = _docs(spark, sf_dir)
+    corpus = (
+        base.select("doc_id", "text")
+        .unionByName(
+            base.where(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("  "), F.upper("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+            )
+        )
+    )
+    clusters = corpus.groupBy(fingerprint_md5("text").alias("f")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    hist = clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    tot = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters")).alias("docs")
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.col("docs"),
+                4,
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
     "dedup_keep_first_by_prefix",
     oracle=f"""
     SELECT fp_prefix5,

@@ -323,6 +323,77 @@ def test_partial_family_crash_resumes_without_duplicate_append(
         _drop(spark, "t_crs_mhidx")
 
 
+def test_lease_timeout_is_the_x7_halt_class(spark, tmp_path):
+    """A replica that cannot acquire the maintenance lease within
+    lease_timeout_s raises (TimeoutError) out of finalize — run_once
+    latches the durable X7 halt. The ingest itself is already committed
+    (folder deleted, metrics written), so after the blocking peer goes
+    away, clearing the halt and re-entering maintenance completes the
+    merge from the per-ingest markers."""
+    import dataclasses
+
+    o = _orch(spark, tmp_path, "tmo", "t_tmo_mhidx", families=("minhash",))
+    o.dedup_index = dataclasses.replace(o.dedup_index, lease_timeout_s=0.3)
+    try:
+        # a LIVE foreign lease on the index root
+        blocker = FsLease(
+            spark,
+            f"{o.output_dir}/dedup_index/_MAINT_LEASE",
+            "peer-that-never-yields",
+            ttl_s=3600.0,
+            settle_s=0.0,
+        )
+        assert blocker.try_acquire()
+        make_doc_folder(o.landing_dir, "1538055240", DOCS_0)
+        with pytest.raises(TimeoutError):
+            o.run_once()
+        assert o.errored is not None  # X7 latched
+        # commit already happened: folder gone, metrics row landed
+        assert o.list_keys() == []
+        assert o.metrics().count() == 1
+        # peer releases; operator clears the halt; maintenance resumes
+        blocker.release()
+        o.clear_halt()
+        o._maintain_dedup_index(IngestParams("1538055240", "bulk"))
+        idx = read_corpus_minhash_index(spark, "t_tmo_mhidx")
+        assert {r.doc for r in idx.shingles.select("doc").collect()} == {
+            "101", "102",
+        }
+    finally:
+        _drop(spark, "t_tmo_mhidx")
+
+
+def test_stream_mode_runs_maintenance_under_lease(spark, tmp_path):
+    """Stream-mode sweeps share finalize() with poll mode, so the
+    dedup_index lifecycle (lease + per-family markers) must ride the
+    availableNow stream too — pinned here because the existing stream
+    e2es never enable dedup_index."""
+    o = _orch(spark, tmp_path, "stream", "t_str_mhidx", families=("minhash",))
+    try:
+        make_doc_folder(o.landing_dir, "1538055240", DOCS_0)
+        make_doc_folder(o.landing_dir, "1538055300", DOCS_1)
+        q = o.run_stream(str(tmp_path / "stream" / "ckpt"), available_now=True)
+        q.awaitTermination(300)
+        assert o.errored is None
+        idx = read_corpus_minhash_index(spark, "t_str_mhidx")
+        assert {r.doc for r in idx.shingles.select("doc").collect()} == {
+            "101", "102", "201", "202",
+        }
+        # bootstrap + one delta merge, lease released
+        from poormans_kube_etl_spark.operators.index_maintenance import (
+            read_fragments,
+        )
+        from poormans_kube_etl_spark.operators.minhash_index import _PROP_PREFIX
+        from poormans_kube_etl_spark.sources import ingest as ingest_sources
+
+        assert read_fragments(spark, "t_str_mhidx_buckets", _PROP_PREFIX) == 1
+        assert not ingest_sources.path_exists(
+            spark, f"{o.output_dir}/dedup_index/_MAINT_LEASE"
+        )
+    finally:
+        _drop(spark, "t_str_mhidx")
+
+
 def test_full_build_stamps_markers_for_every_covered_ingest(spark, tmp_path):
     """A bootstrap that reads the full settled corpus covers every
     settled ingest — their per-family markers are stamped so a peer (or
