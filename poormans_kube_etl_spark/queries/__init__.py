@@ -89,6 +89,7 @@ _CHANGED_THIS_ROUND = [
     "train_padding_waste_subword",
     "train_context_length_histogram_subword",
     "dedup_cluster_size_histogram",
+    "train_epoch_repeat_plan",
     # r12: the five persisted-index faces' warm-open path changed again
     # (memoized source listing — VERDICT r11 #2), so they re-earn rows
     "dedup_minhash_index_delta_pairs",

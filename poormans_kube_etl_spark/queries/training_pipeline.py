@@ -1072,3 +1072,75 @@ def train_context_length_histogram_subword(
         sf_dir,
         token_fn=lambda d: subword_count(normalize_text("text")),
     )
+
+
+_EPOCH_BUDGET = 2_000_000  # whitespace tokens the training run will consume
+_EPOCH_CAP = 4  # max epochs per source before repetition stops helping
+
+
+@register(
+    "train_epoch_repeat_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    n AS (SELECT COUNT(*) AS ns FROM t)
+    SELECT source, n_docs, n_tokens,
+           CAST(FLOOR({_EPOCH_BUDGET} / (SELECT ns FROM n)) AS BIGINT)
+             AS budget_tokens,
+           CAST(LEAST(n_tokens * {_EPOCH_CAP},
+                      CAST(FLOOR({_EPOCH_BUDGET} / (SELECT ns FROM n)) AS BIGINT))
+                AS BIGINT) AS planned_tokens,
+           CAST(ROUND(CAST(LEAST(n_tokens * {_EPOCH_CAP},
+                      CAST(FLOOR({_EPOCH_BUDGET} / (SELECT ns FROM n)) AS BIGINT))
+                AS DOUBLE) / n_tokens, 4) AS DOUBLE) AS epochs,
+           n_tokens * {_EPOCH_CAP}
+             < CAST(FLOOR({_EPOCH_BUDGET} / (SELECT ns FROM n)) AS BIGINT) AS capped
+    FROM t
+    ORDER BY source
+    """,
+)
+def train_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch plan (NEW r12): given a training token
+    budget split equally across sources, how many tokens (and epochs)
+    each source contributes when repetition is capped at 4 epochs — the
+    public data-constrained-scaling guidance that up to ~4 epochs of
+    repeated data is near-as-good as fresh, and beyond that returns
+    decay fast. ``capped`` sources are the ones that cannot fill their
+    budget share even at the cap — the shortfall is what a data lead
+    reallocates to larger sources or new collection.
+
+    Every comparison and planned count is INTEGER arithmetic
+    (n_tokens·4 vs floor(budget/ns)) so the hash can never flip
+    cross-engine; ``epochs`` is the one display double (4-dp round of
+    an exact-int ratio). Scale shape: one map-stage token count, one
+    source-keyed aggregate, a broadcast 1-row source count — the
+    dataset-card shape with a planning layer on top."""
+    docs = _docs(spark, sf_dir)
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(normalize_text("text"))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    ns = t.agg(F.count(F.lit(1)).alias("ns"))
+    budget = F.floor(F.lit(_EPOCH_BUDGET) / F.col("ns")).cast("bigint")
+    planned = F.least(F.col("n_tokens") * _EPOCH_CAP, budget)
+    return (
+        t.crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            budget.alias("budget_tokens"),
+            planned.cast("bigint").alias("planned_tokens"),
+            F.round(
+                planned.cast("double") / F.col("n_tokens").cast("double"), 4
+            ).alias("epochs"),
+            (F.col("n_tokens") * _EPOCH_CAP < budget).alias("capped"),
+        )
+        .orderBy("source")
+    )
