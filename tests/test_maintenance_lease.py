@@ -135,6 +135,52 @@ def test_lease_stale_break_and_blocking_acquire(spark, tmp_path):
     assert b.owns() and not a.owns()
 
 
+def test_lease_stress_mutual_exclusion(spark, tmp_path):
+    """N contenders hammering one lease: the critical section is never
+    concurrently occupied, and every contender eventually gets through.
+    (The known residual — near-simultaneous rename arbitration on
+    non-atomic-rename stores — does not apply to the local FS, so on
+    file:// the lease must be EXACT.)"""
+    path = str(tmp_path / "L")
+    n_threads, rounds = 6, 4
+    inside = []
+    max_inside = []
+    guard = threading.Lock()
+    failures = []
+
+    def contend(i: int) -> None:
+        lease = FsLease(spark, path, f"replica-{i}", ttl_s=60.0, settle_s=0.0)
+        done = 0
+        deadline = time.monotonic() + 120
+        while done < rounds and time.monotonic() < deadline:
+            if not lease.try_acquire():
+                time.sleep(0.01)
+                continue
+            with guard:
+                inside.append(i)
+                max_inside.append(len(inside))
+            time.sleep(0.005)  # hold the critical section briefly
+            with guard:
+                inside.remove(i)
+            lease.release()
+            done += 1
+            time.sleep(0.005)
+        if done < rounds:
+            failures.append(f"replica-{i} starved ({done}/{rounds})")
+
+    threads = [
+        threading.Thread(target=contend, args=(i,)) for i in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures, failures
+    assert max(max_inside) == 1, (
+        f"critical section concurrently occupied (max {max(max_inside)})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # The VERDICT r11 #1 'done' criterion: two replicas committing ingests
 # CONCURRENTLY with dedup_index enabled produce the exact serial index.
