@@ -113,10 +113,16 @@ class DedupIndexMaintenance:
     - ``"exact"`` (``<index_name>_fp``): the keeper-resolved
       fingerprint set (operators/exact_index.py), same append/compact
       cycle — the cheapest and most common incremental screen.
-
-    The SRP embedding family is deliberately absent: the orchestrator's
-    CSV/JSONL entities carry no vector column — callers with an
-    embedding sink drive ``merge_delta_into_srp_index`` themselves.
+    - ``"srp"`` (``<index_name>_srp``, r12): the embedding near-dup
+      family, for deployments whose ingests carry a VECTOR entity —
+      ``vec_entity`` names it, ``vec_id_col``/``vec_col`` address its
+      GRAPH-sink columns (the graph sink preserves source types; the
+      index sink casts everything to string, so it cannot feed a
+      vector family). Same bootstrap/append/compact cycle, banding
+      auto-planned at ``srp_threshold`` from the settled corpus size.
+      An ingest that carries no vector entity stamps the family's
+      marker as a no-op, exactly like a doc-less ingest does for the
+      text families.
 
     Durable PER-FAMILY per-ingest markers (r12, ADVICE r11 — stamped
     immediately after each family's merge) make maintenance idempotent
@@ -144,6 +150,14 @@ class DedupIndexMaintenance:
     n_buckets: int = 8
     max_fragments: int = 16
     lease_timeout_s: float = 1800.0
+    # the vector entity feeding the "srp" family (None = family off)
+    vec_entity: str | None = None
+    vec_id_col: str = "vec_id"
+    vec_col: str = "embedding"
+    srp_threshold: float = 0.9
+
+    # the families whose deltas come from the doc entity's INDEX sink
+    TEXT_FAMILIES = ("minhash", "gram", "exact", "bm25")
 
 
 @dataclass
@@ -875,15 +889,23 @@ class Orchestrator:
         paths = [f"{self.output_dir}/index/{n}/{cfg.entity}" for n in names]
         return self.spark.read.parquet(*paths).select(cfg.id_col, cfg.text_col)
 
-    def _settled_ingest_names(self) -> list[str]:
-        """Ingests whose index sink AND metrics row both exist — the
-        metrics row lands after the sink commit (finalize order), so
-        its presence proves the sink is fully committed, never a peer's
-        mid-write _temporary state. Full index builds cover exactly
-        this set; a peer mid-pipeline is excluded and merges its own
-        delta under the lease later."""
+    def _committed_vecs_for(self, names: list[str]):
+        """The committed VECTOR corpus (srp family) from the graph
+        sink, same explicit-list pinning rule."""
         cfg = self.dedup_index
-        fs, jp = ingest_sources.hadoop_fs(self.spark, f"{self.output_dir}/index")
+        paths = [
+            f"{self.output_dir}/graph/nodes/{n}/{cfg.vec_entity}" for n in names
+        ]
+        return self.spark.read.parquet(*paths).select(cfg.vec_id_col, cfg.vec_col)
+
+    def _settled_names_under(self, root: str, leaf: str) -> list[str]:
+        """Ingests whose ``{root}/<name>/{leaf}`` sink AND metrics row
+        both exist — the metrics row lands after the sink commits
+        (finalize order), so its presence proves the sink is fully
+        committed, never a peer's mid-write _temporary state. Full
+        index builds cover exactly this set; a peer mid-pipeline is
+        excluded and merges its own delta under the lease later."""
+        fs, jp = ingest_sources.hadoop_fs(self.spark, root)
         if not fs.exists(jp):
             return []
         names = []
@@ -891,9 +913,7 @@ class Orchestrator:
             n = st.getPath().getName()
             if n.startswith("_") or n.startswith("."):
                 continue
-            if not ingest_sources.path_exists(
-                self.spark, f"{self.output_dir}/index/{n}/{cfg.entity}"
-            ):
+            if not ingest_sources.path_exists(self.spark, f"{root}/{n}/{leaf}"):
                 continue
             if not ingest_sources.path_exists(
                 self.spark, f"{self.output_dir}/ingest_metrics/{n}"
@@ -901,6 +921,19 @@ class Orchestrator:
                 continue
             names.append(n)
         return sorted(names)
+
+    def _settled_ingest_names(self) -> list[str]:
+        """The doc-entity settled set (text families)."""
+        return self._settled_names_under(
+            f"{self.output_dir}/index", self.dedup_index.entity
+        )
+
+    def _settled_vec_ingest_names(self) -> list[str]:
+        """The vector-entity settled set (srp family) — the GRAPH sink,
+        which preserves source column types."""
+        return self._settled_names_under(
+            f"{self.output_dir}/graph/nodes", self.dedup_index.vec_entity
+        )
 
     @staticmethod
     def _corpus_token_for(settled: list[str]) -> str:
@@ -980,19 +1013,30 @@ class Orchestrator:
             return  # pre-r12 all-merged FILE marker (relaunch path)
         if all(f in merged for f in cfg.families):
             return  # every family already folded this ingest in
-        if not ingest_sources.path_exists(
+        have_docs = ingest_sources.path_exists(
             self.spark, f"{self.output_dir}/index/{params.ingest_name}/{cfg.entity}"
-        ):
-            # an ingest that carried no rows of the configured entity is
-            # a perfectly normal shape (entity sets derive from the files
-            # present) — reading its absent sink would raise and set X7.
-            # Nothing to merge; still stamp the legacy all-merged marker
-            # so a relaunch doesn't retry forever (r10 ADVICE medium).
-            self._write_dedup_index_marker(
-                self._dedup_index_marker(params.ingest_name)
-            )
+        )
+        have_vecs = cfg.vec_entity is not None and ingest_sources.path_exists(
+            self.spark,
+            f"{self.output_dir}/graph/nodes/{params.ingest_name}/{cfg.vec_entity}",
+        )
+        # Families this ingest carries NOTHING for are stamped as no-op
+        # merges, outside the lease (per-ingest markers are
+        # single-writer — the folder claim makes this ingest ours
+        # alone). An ingest without a configured entity is a perfectly
+        # normal shape (entity sets derive from the files present, r10
+        # ADVICE medium); reading its absent sink would raise and set
+        # X7. The stamp keeps relaunches from retrying forever.
+        for f in cfg.families:
+            if f in merged:
+                continue
+            if (f == "srp" and not have_vecs) or (f != "srp" and not have_docs):
+                self._write_dedup_index_marker(
+                    self._family_marker(params.ingest_name, f)
+                )
+                merged.add(f)
+        if all(f in merged for f in cfg.families):
             return
-        delta = self._committed_docs(params.ingest_name)
         root = f"{self.output_dir}/dedup_index"
         lease = FsLease(
             self.spark,
@@ -1003,14 +1047,14 @@ class Orchestrator:
         )
         lease.acquire(timeout_s=cfg.lease_timeout_s)
         try:
-            # settled set + freshness stamp computed UNDER the lease
+            # settled sets + freshness stamps computed UNDER the lease
             # (see corpus_version_token for the stamp's design and cost
             # argument — O(ingest-count), not the O(file-count) LIST the
             # pre-r12 source_files_fingerprint paid per commit)
-            settled = self._settled_ingest_names()
-            src_fp = self._corpus_token_for(settled)
 
-            def bootstrap_or_merge(family, read, build_from, merge, attach_path):
+            def bootstrap_or_merge(
+                family, read, build_from, merge, attach_path, settled, full_corpus
+            ):
                 """The shared family cycle: bootstrap on first commit,
                 append-merge after, compact-by-rebuild past the budget.
 
@@ -1053,10 +1097,10 @@ class Orchestrator:
                         have = False
                 full_build = False
                 if not have:
-                    build_from(self._committed_docs_for(settled))
+                    build_from(full_corpus())
                     full_build = True
                 elif merge()["needs_compaction"]:
-                    build_from(self._committed_docs_for(settled))
+                    build_from(full_corpus())
                     full_build = True
                 # stamp AFTER the work lands: a merge covers this
                 # ingest; a full build covers every settled ingest
@@ -1064,7 +1108,14 @@ class Orchestrator:
                     self._write_dedup_index_marker(self._family_marker(n, family))
                 lease.renew()
 
-            if "minhash" in cfg.families:
+            settled: list[str] = []
+            src_fp = ""
+            if have_docs:
+                settled = self._settled_ingest_names()
+                src_fp = self._corpus_token_for(settled)
+                delta = self._committed_docs(params.ingest_name)
+                text_full = lambda: self._committed_docs_for(settled)  # noqa: E731
+            if have_docs and "minhash" in cfg.families:
                 mh_kwargs = dict(
                     id_col=cfg.id_col,
                     text_col=cfg.text_col,
@@ -1088,8 +1139,10 @@ class Orchestrator:
                         source_fingerprint=src_fp,
                     ),
                     f"{root}/minhash",
+                    settled,
+                    text_full,
                 )
-            if "gram" in cfg.families:
+            if have_docs and "gram" in cfg.families:
                 g_name = f"{cfg.index_name}_gram"
                 g_kwargs = dict(
                     id_col=cfg.id_col,
@@ -1109,8 +1162,10 @@ class Orchestrator:
                         source_fingerprint=src_fp,
                     ),
                     f"{root}/gram",
+                    settled,
+                    text_full,
                 )
-            if "exact" in cfg.families:
+            if have_docs and "exact" in cfg.families:
                 from poormans_kube_etl_spark.operators.exact_index import (
                     read_corpus_fp_index,
                     write_corpus_fp_index,
@@ -1137,8 +1192,10 @@ class Orchestrator:
                         source_fingerprint=src_fp,
                     ),
                     f"{root}/exact",
+                    settled,
+                    text_full,
                 )
-            if "bm25" in cfg.families and not ingest_sources.path_exists(
+            if have_docs and "bm25" in cfg.families and not ingest_sources.path_exists(
                 self.spark, self._family_marker(params.ingest_name, "bm25")
             ):
                 # rebuild-from-all-settled-sinks every commit: the
@@ -1156,6 +1213,43 @@ class Orchestrator:
                 for n in settled:
                     self._write_dedup_index_marker(self._family_marker(n, "bm25"))
                 lease.renew()
+            if have_vecs and "srp" in cfg.families:
+                from poormans_kube_etl_spark.operators.index_maintenance import (
+                    merge_delta_into_srp_index,
+                )
+                from poormans_kube_etl_spark.operators.similarity_index import (
+                    read_corpus_srp_index,
+                    write_corpus_srp_index,
+                )
+
+                vec_settled = self._settled_vec_ingest_names()
+                vec_fp = self._corpus_token_for(vec_settled)
+                vdelta = self.spark.read.parquet(
+                    f"{self.output_dir}/graph/nodes/{params.ingest_name}/"
+                    f"{cfg.vec_entity}"
+                ).select(cfg.vec_id_col, cfg.vec_col)
+                srp_name = f"{cfg.index_name}_srp"
+                srp_kwargs = dict(
+                    threshold=cfg.srp_threshold,
+                    id_col=cfg.vec_id_col,
+                    vec_col=cfg.vec_col,
+                    n_buckets=cfg.n_buckets,
+                    path=f"{root}/srp",
+                    mode="overwrite",
+                    source_fingerprint=vec_fp,
+                )
+                bootstrap_or_merge(
+                    "srp",
+                    lambda: read_corpus_srp_index(self.spark, srp_name),
+                    lambda vecs: write_corpus_srp_index(vecs, srp_name, **srp_kwargs),
+                    lambda: merge_delta_into_srp_index(
+                        vdelta, srp_name, max_fragments=cfg.max_fragments,
+                        source_fingerprint=vec_fp,
+                    ),
+                    f"{root}/srp",
+                    vec_settled,
+                    lambda: self._committed_vecs_for(vec_settled),
+                )
         finally:
             lease.release()
 

@@ -135,6 +135,112 @@ def test_lease_stale_break_and_blocking_acquire(spark, tmp_path):
     assert b.owns() and not a.owns()
 
 
+def make_vec_folder(landing: str, ts: str, rows) -> str:
+    """A JSONL VECTOR entity folder (``emb``): the srp family's input.
+    The graph sink preserves the array<float> column; the schema
+    sidecar is the JSONL contract (control file, outside the manifest's
+    *.gz verify glob)."""
+    folder = os.path.join(landing, "pending", ts)
+    os.makedirs(os.path.join(folder, "emb"), exist_ok=True)
+    lines = "\n".join(
+        json.dumps({"vec_id": i, "embedding": v}) for i, v in rows
+    )
+    content = gzip.compress(lines.encode())
+    with open(os.path.join(folder, "emb", "emb_data.jsonl.gz"), "wb") as f:
+        f.write(content)
+    with open(os.path.join(folder, "emb", "emb_schema.txt"), "w") as f:
+        f.write("vec_id bigint, embedding array<float>")
+    manifest = [
+        {
+            "FileName": "emb/emb_data.jsonl.gz",
+            "SHA256": hashlib.sha256(content).hexdigest(),
+        }
+    ]
+    open(os.path.join(folder, "bulk.txt"), "w").write("")
+    with open(os.path.join(folder, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return folder
+
+
+def test_srp_family_rides_the_ingest_lifecycle(spark, tmp_path):
+    """r12: deployments whose ingests carry a VECTOR entity get the
+    embedding near-dup family maintained in the lifecycle like the text
+    families — bootstrap on first commit, delta append after, per-family
+    marker idempotence — with the delta read from the GRAPH sink (type-
+    preserving), and doc-only ingests stamping the family as a no-op."""
+    import dataclasses
+
+    from poormans_kube_etl_spark.operators.similarity_index import (
+        embedding_incremental_near_pairs_indexed,
+        read_corpus_srp_index,
+    )
+    from poormans_kube_etl_spark.sources import ingest as ingest_sources
+
+    o = _orch(spark, tmp_path, "srp", "t_srp_mhidx", families=("minhash", "srp"))
+    o.dedup_index = dataclasses.replace(o.dedup_index, vec_entity="emb")
+    base = [1.0, 0.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.9]
+    try:
+        # ingest A: three vectors -> srp bootstrap (doc families no-op)
+        vecs_a = [(1, base), (2, [-x for x in base]), (3, [0.2] * 8)]
+        make_vec_folder(o.landing_dir, "1538055240", vecs_a)
+        assert o.run_once() is not None
+        assert o.errored is None
+        idx = read_corpus_srp_index(spark, "t_srp_mhidx_srp")
+        assert {
+            r.vec_id for r in idx.vectors.select("vec_id").collect()
+        } == {1, 2, 3}
+        # minhash (a text family) was stamped as a no-op for this
+        # vector-only ingest
+        assert ingest_sources.path_exists(
+            spark, o._family_marker("1538055240", "minhash")
+        )
+
+        # ingest B: a twin of A's vector 1 (new id) + one new vector ->
+        # delta merge; the cross-ingest near pair is probe-visible
+        vecs_b = [(11, base), (12, [0.0] * 7 + [1.0])]
+        make_vec_folder(o.landing_dir, "1538055300", vecs_b)
+        assert o.run_once() is not None
+        assert o.errored is None
+        idx2 = read_corpus_srp_index(spark, "t_srp_mhidx_srp")
+        assert {
+            r.vec_id for r in idx2.vectors.select("vec_id").collect()
+        } == {1, 2, 3, 11, 12}
+        twin = spark.createDataFrame(
+            [(100, base)], "vec_id bigint, embedding array<float>"
+        )
+        pairs = embedding_incremental_near_pairs_indexed(twin, idx2).collect()
+        hits = {r["b"] for r in pairs if r["cos_sim"] > 0.999}
+        assert {1, 11} <= hits, pairs  # both ingests' copies collide
+        from poormans_kube_etl_spark.operators.index_maintenance import (
+            read_fragments,
+        )
+        from poormans_kube_etl_spark.operators.similarity_index import (
+            _PROP_PREFIX as _SRP_PREFIX,
+        )
+
+        assert read_fragments(spark, "t_srp_mhidx_srp_buckets", _SRP_PREFIX) == 1
+        # relaunch-style re-entry: per-family marker makes it a no-op
+        before = spark.table("t_srp_mhidx_srp_vectors").count()
+        o._maintain_dedup_index(IngestParams("1538055300", "bulk"))
+        assert spark.table("t_srp_mhidx_srp_vectors").count() == before
+
+        # a DOC-only ingest stamps srp as a no-op and merges minhash
+        make_doc_folder(o.landing_dir, "1538055360", DOCS_0)
+        assert o.run_once() is not None
+        assert o.errored is None
+        assert ingest_sources.path_exists(
+            spark, o._family_marker("1538055360", "srp")
+        )
+        idx_mh = read_corpus_minhash_index(spark, "t_srp_mhidx")
+        assert {r.doc for r in idx_mh.shingles.select("doc").collect()} == {
+            "101", "102",
+        }
+    finally:
+        _drop(spark, "t_srp_mhidx")
+        for t in ("t_srp_mhidx_srp_buckets", "t_srp_mhidx_srp_vectors"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_lease_stress_mutual_exclusion(spark, tmp_path):
     """N contenders hammering one lease: the critical section is never
     concurrently occupied, and every contender eventually gets through.
