@@ -156,9 +156,6 @@ class DedupIndexMaintenance:
     vec_col: str = "embedding"
     srp_threshold: float = 0.9
 
-    # the families whose deltas come from the doc entity's INDEX sink
-    TEXT_FAMILIES = ("minhash", "gram", "exact", "bm25")
-
 
 @dataclass
 class Times:
@@ -960,6 +957,11 @@ class Orchestrator:
         deep-verify fallback's job, the same trade the r11 listing
         stamp made against byte-identical rewrites."""
         return self._corpus_token_for(self._settled_ingest_names())
+
+    def vec_corpus_version_token(self) -> str:
+        """The srp family's twin of corpus_version_token — over the
+        settled VECTOR ingest set (r12)."""
+        return self._corpus_token_for(self._settled_vec_ingest_names())
 
     def _maintain_dedup_index(self, params: IngestParams) -> None:
         """Fold the committed ingest's documents into the configured

@@ -219,6 +219,8 @@ def test_srp_family_rides_the_ingest_lifecycle(spark, tmp_path):
         )
 
         assert read_fragments(spark, "t_srp_mhidx_srp_buckets", _SRP_PREFIX) == 1
+        # the srp family stamps the VECTOR settled set's version token
+        assert idx2.constants["source_fingerprint"] == o.vec_corpus_version_token()
         # relaunch-style re-entry: per-family marker makes it a no-op
         before = spark.table("t_srp_mhidx_srp_vectors").count()
         o._maintain_dedup_index(IngestParams("1538055300", "bulk"))
