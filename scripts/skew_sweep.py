@@ -45,8 +45,11 @@ BOILERPLATE = (
     "permission of the original publisher all rights reserved"
 )
 
-# gram-groupBy faces + capped-bucket pair faces + one persisted-index
-# face (its artifact caps must bind at build time too)
+# gram-groupBy faces + capped-bucket pair faces + persisted-index
+# faces (their artifact caps must bind at build time too). The two
+# embedding faces exercise the VECTOR skew axis: a planted
+# identical-vector cluster is the hottest possible SRP bucket (every
+# band collides), the load bounded_buckets' cap exists for.
 FACES = (
     "train_scrub_duplicate_spans",
     "train_split_leakage_report",
@@ -54,6 +57,8 @@ FACES = (
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_minhash_index_delta_pairs",
+    "dedup_embedding_lsh_pairs",
+    "dedup_embedding_index_delta_pairs",
 )
 
 
@@ -75,11 +80,28 @@ def skew_documents(docs):
     )
 
 
+def skew_embeddings(emb):
+    """Vector skew: ~5% of vectors replaced by ONE constant vector —
+    a single cluster whose members collide in EVERY SRP band (identical
+    vectors), the over-hot-bucket load the bounded accumulation cap
+    drops by design (pairs inside a boilerplate cluster are exact-dedup
+    work, not ANN work)."""
+    hot = F.pmod(F.xxhash64("vec_id"), F.lit(20)) < 1
+    const_vec = F.array(
+        *[F.lit(((i * 37) % 13 - 6) / 7.0).cast("float") for i in range(64)]
+    )
+    return emb.withColumn(
+        "embedding", F.when(hot, const_vec).otherwise(F.col("embedding"))
+    )
+
+
 def build_fixture(spark, dst: str) -> None:
     from scale_testdata import scale_table
 
     docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     skewed = skew_documents(scale_table(docs01, "documents", 10))
+    emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    skewed_emb = skew_embeddings(scale_table(emb01, "embeddings", 10))
     n_out = spark.sparkContext.defaultParallelism
     tmp = dst + ".tmp"
     if os.path.isdir(tmp):
@@ -89,6 +111,12 @@ def build_fixture(spark, dst: str) -> None:
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(f"{tmp}/documents.parquet")
+    )
+    (
+        skewed_emb.repartitionByRange(n_out, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/embeddings.parquet")
     )
     if os.path.isdir(dst):
         shutil.rmtree(dst)
