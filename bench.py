@@ -246,16 +246,67 @@ def _attach_open_stage(spark, sf_dir: str) -> dict:
     for _ in range(3):
         for t in (f"{name}_buckets", f"{name}_shingles"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-        t0 = time.perf_counter()
-        ok = attach_artifact(spark, path)
-        read_corpus_minhash_index(spark, name)
-        took = time.perf_counter() - t0
+        # ValueError is the attach/read contract's deliberate rejection
+        # class (missing/old-format manifest, foreign properties). The
+        # stage dropped the catalog tables above, so letting it escape
+        # would CRASH the whole bench run instead of recording the
+        # degraded row it exists to report (ADVICE r12): catch it, flag
+        # attached=false, skip the rep's timing.
+        try:
+            t0 = time.perf_counter()
+            ok = attach_artifact(spark, path)
+            read_corpus_minhash_index(spark, name)
+            took = time.perf_counter() - t0
+        except ValueError:
+            attached = False
+            continue
         attached = attached and bool(ok)
         best, worst = min(best, took), max(worst, took)
-    return {
-        "attach_open_sec": round(best, 4),
-        "spread": round((worst - best) / best, 4) if best > 0 else 0.0,
+    out = {
+        "attach_open_sec": round(best, 4) if best < float("inf") else None,
+        "spread": (
+            round((worst - best) / best, 4)
+            if 0 < best < float("inf")
+            else 0.0
+        ),
         "attached": attached,
+    }
+    return out
+
+
+def _calibration_stage(spark) -> dict:
+    """Fixed JVM-side workload (r13, VERDICT r12 #2): a constant-size,
+    SF-independent, query-code-independent aggregate — spark.range →
+    xxhash64 → 1024-key groupBy — timed with the same warm1+min3
+    protocol as the headline. Its round-over-round ratio measures BOX
+    drift (CPU contention, thermals, kernel/JVM changes), not code:
+    r11→r12's uniform +10-20% build+exec inflation on untouched queries
+    needed archaeology against the build/exec split to be diagnosed as
+    environmental; dividing a headline delta by the same round-pair's
+    calibration ratio makes that diagnosis a lookup. The workload is
+    wholly whole-stage-codegen (no Python, no I/O, one small shuffle),
+    so it prices exactly the JVM+scheduler substrate every query rides."""
+    from pyspark.sql import functions as F
+
+    def build():
+        return (
+            spark.range(0, 100_000_000, 1, 32)
+            .select((F.col("id") % 1024).alias("k"), F.xxhash64("id").alias("h"))
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+
+    _execute(build())  # warm pass: janino/JIT, same as the headline loop
+    best, worst = float("inf"), 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _execute(build())
+        took = time.perf_counter() - t0
+        best, worst = min(best, took), max(worst, took)
+    return {
+        "calibration_sec": round(best, 4),
+        "spread": round((worst - best) / best, 4) if best > 0 else 0.0,
+        "rows": 100_000_000,
     }
 
 
@@ -477,7 +528,12 @@ def main() -> None:
         spreads[name] = round((worst - best) / best, 4) if best > 0 else 0.0
         worsts[name] = worst
 
+    # Calibration FIRST among the stages, immediately after the timed
+    # loop: the number should price the same box state the headline
+    # just ran under, before the heavyweight stage splits perturb it.
+    calibration = _calibration_stage(spark)
     stages = _dedup_stage_split(spark, sf_dir)
+    stages["calibration"] = calibration
     stages["skew_salted_join"] = _skew_join_stage(spark, sf_dir)
     stages["bucketed_join"] = _bucketed_join_stage(spark, sf_dir)
     # the minhash index artifact exists and is stamped: its headline

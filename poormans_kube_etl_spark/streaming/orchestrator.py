@@ -135,7 +135,24 @@ class DedupIndexMaintenance:
     merges, property restamps and manifest refreshes;
     ``lease_timeout_s`` bounds how long a replica waits behind a peer
     before treating the pass as failed (X7 class — the markers let a
-    relaunch resume)."""
+    relaunch resume).
+
+    ``compaction`` (r13, VERDICT r12 #7) picks what happens when a
+    family's fragment trail exceeds ``max_fragments``:
+
+    - ``"inline"``: rebuild from the full settled corpus inside the
+      finalize path, under the same lease — fine at test scale, but at
+      100 TB that rebuild is hours during which every replica's
+      maintenance blocks on the lease and then halts via
+      ``lease_timeout_s``.
+    - ``"defer"``: finalize stays O(delta) — the merge lands, a durable
+      ``_needs_compaction/<family>`` flag is raised, and the rebuild
+      waits for an explicit maintenance window:
+      ``Orchestrator.compact_dedup_indexes()`` (or the ``compact`` CLI
+      verb), which rebuilds exactly the flagged families under its own
+      lease acquisition. Until then queries pay fragment fan-out —
+      bounded, monotone, and priced by the ``fragments`` count the
+      maintainer reports — never wrong answers (append invariant)."""
 
     entity: str
     id_col: str = "doc_id"
@@ -150,6 +167,7 @@ class DedupIndexMaintenance:
     n_buckets: int = 8
     max_fragments: int = 16
     lease_timeout_s: float = 1800.0
+    compaction: str = "inline"  # or "defer" — see class docstring
     # the vector entity feeding the "srp" family (None = family off)
     vec_entity: str | None = None
     vec_id_col: str = "vec_id"
@@ -963,6 +981,171 @@ class Orchestrator:
         settled VECTOR ingest set (r12)."""
         return self._corpus_token_for(self._settled_vec_ingest_names())
 
+    def _family_writer(self, family: str, root: str, source_fingerprint: str):
+        """The FULL-CORPUS builder for one index family — one callable
+        taking the corpus DataFrame and writing the family's artifact
+        with this deployment's parameters. Shared by the bootstrap /
+        inline-compaction path (``_maintain_dedup_index``) and the
+        explicit maintenance-window rebuild (``compact_dedup_indexes``,
+        r13) so the two can never drift in banding/bucketing/stamping
+        parameters."""
+        cfg = self.dedup_index
+        if family == "minhash":
+            from poormans_kube_etl_spark.operators.minhash_index import (
+                write_corpus_minhash_index,
+            )
+
+            return lambda docs: write_corpus_minhash_index(
+                docs,
+                cfg.index_name,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                shingle_len=cfg.shingle_len,
+                num_hashes=cfg.num_hashes,
+                bands=cfg.bands,
+                hash_family=cfg.hash_family,
+                n_buckets=cfg.n_buckets,
+                path=f"{root}/minhash",
+                mode="overwrite",
+                source_fingerprint=source_fingerprint,
+            )
+        if family == "gram":
+            from poormans_kube_etl_spark.operators.substring import (
+                write_corpus_gram_index,
+            )
+
+            return lambda docs: write_corpus_gram_index(
+                docs,
+                f"{cfg.index_name}_gram",
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                k=cfg.gram_k,
+                n_buckets=cfg.n_buckets,
+                path=f"{root}/gram",
+                mode="overwrite",
+                source_fingerprint=source_fingerprint,
+            )
+        if family == "exact":
+            from poormans_kube_etl_spark.operators.exact_index import (
+                write_corpus_fp_index,
+            )
+
+            return lambda docs: write_corpus_fp_index(
+                docs,
+                f"{cfg.index_name}_fp",
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                n_buckets=cfg.n_buckets,
+                path=f"{root}/exact",
+                mode="overwrite",
+                source_fingerprint=source_fingerprint,
+            )
+        if family == "srp":
+            from poormans_kube_etl_spark.operators.similarity_index import (
+                write_corpus_srp_index,
+            )
+
+            return lambda vecs: write_corpus_srp_index(
+                vecs,
+                f"{cfg.index_name}_srp",
+                threshold=cfg.srp_threshold,
+                id_col=cfg.vec_id_col,
+                vec_col=cfg.vec_col,
+                n_buckets=cfg.n_buckets,
+                path=f"{root}/srp",
+                mode="overwrite",
+                source_fingerprint=source_fingerprint,
+            )
+        raise ValueError(f"no full-corpus writer for family {family!r}")
+
+    # ---- deferred compaction (r13, VERDICT r12 #7) ----
+
+    def _compaction_flag(self, family: str) -> str:
+        return f"{self.output_dir}/dedup_index/_needs_compaction/{family}"
+
+    def _flag_compaction(self, family: str) -> None:
+        """Durably record that ``family``'s fragment trail exceeded the
+        budget — written UNDER the maintenance lease, read by
+        ``compact_dedup_indexes``. Idempotent overwrite."""
+        self._write_dedup_index_marker(self._compaction_flag(family))
+
+    def compaction_pending(self) -> list[str]:
+        """Families whose deferred compaction is still outstanding."""
+        return [
+            f
+            for f in self.dedup_index.families
+            if ingest_sources.path_exists(self.spark, self._compaction_flag(f))
+        ]
+
+    def compact_dedup_indexes(self, force: bool = False) -> dict[str, bool]:
+        """Explicit maintenance-window compaction (r13, VERDICT r12 #7):
+        rebuild every family whose ``_needs_compaction`` flag is raised
+        (all families when ``force``) from the FULL settled corpus,
+        under this pass's own lease acquisition — the finalize path with
+        ``compaction="defer"`` never rebuilds inline, so a 100 TB
+        deployment schedules this off the ingest critical path (a
+        nightly Job, the ``compact`` CLI verb) instead of blocking every
+        replica's maintenance behind an hours-long rebuild and halting
+        them via ``lease_timeout_s``.
+
+        Same guarantees as a bootstrap build: reads the settled ingest
+        set pinned by explicit paths, stamps every covered ingest's
+        per-family marker (so a waiting peer never re-appends what the
+        rebuild covered), renews the lease after each family and aborts
+        (X7 class) if the lease is lost. Returns
+        ``{family: rebuilt?}``; ``bm25`` is skipped — its policy is
+        rebuild-on-every-commit, there is no fragment trail to
+        compact."""
+        from poormans_kube_etl_spark.streaming.lease import FsLease
+
+        cfg = self.dedup_index
+        root = f"{self.output_dir}/dedup_index"
+        lease = FsLease(
+            self.spark,
+            f"{root}/_MAINT_LEASE",
+            self.replica_id,
+            ttl_s=self.claim_ttl_s,
+            settle_s=self.claim_settle_s,
+        )
+        lease.acquire(timeout_s=cfg.lease_timeout_s)
+        compacted: dict[str, bool] = {}
+        try:
+            doc_settled: list[str] | None = None
+            doc_fp = ""
+            for family in cfg.families:
+                if family == "bm25":
+                    continue
+                if not (
+                    force
+                    or ingest_sources.path_exists(
+                        self.spark, self._compaction_flag(family)
+                    )
+                ):
+                    compacted[family] = False
+                    continue
+                if family == "srp":
+                    settled = self._settled_vec_ingest_names()
+                    fp = self._corpus_token_for(settled)
+                    corpus = self._committed_vecs_for(settled)
+                else:
+                    if doc_settled is None:
+                        doc_settled = self._settled_ingest_names()
+                        doc_fp = self._corpus_token_for(doc_settled)
+                    settled, fp = doc_settled, doc_fp
+                    corpus = self._committed_docs_for(settled)
+                if not settled:
+                    compacted[family] = False
+                    continue  # nothing committed: nothing to rebuild
+                self._family_writer(family, root, fp)(corpus)
+                for n in settled:
+                    self._write_dedup_index_marker(self._family_marker(n, family))
+                ingest_sources.delete_path(self.spark, self._compaction_flag(family))
+                compacted[family] = True
+                self._renew_or_abort(lease, family)
+            return compacted
+        finally:
+            lease.release()
+
     def _maintain_dedup_index(self, params: IngestParams) -> None:
         """Fold the committed ingest's documents into the configured
         persisted index families (see DedupIndexMaintenance). The delta
@@ -1001,11 +1184,9 @@ class Orchestrator:
         )
         from poormans_kube_etl_spark.operators.minhash_index import (
             read_corpus_minhash_index,
-            write_corpus_minhash_index,
         )
         from poormans_kube_etl_spark.operators.substring import (
             read_corpus_gram_index,
-            write_corpus_gram_index,
         )
         from poormans_kube_etl_spark.streaming.lease import FsLease
 
@@ -1102,13 +1283,21 @@ class Orchestrator:
                     build_from(full_corpus())
                     full_build = True
                 elif merge()["needs_compaction"]:
-                    build_from(full_corpus())
-                    full_build = True
+                    if cfg.compaction == "defer":
+                        # finalize stays O(delta) (r13, VERDICT r12
+                        # #7): raise the durable flag and leave the
+                        # rebuild to the explicit maintenance window
+                        # (compact_dedup_indexes) — fragment fan-out
+                        # until then, never a blocked lease
+                        self._flag_compaction(family)
+                    else:
+                        build_from(full_corpus())
+                        full_build = True
                 # stamp AFTER the work lands: a merge covers this
                 # ingest; a full build covers every settled ingest
                 for n in settled if full_build else [params.ingest_name]:
                     self._write_dedup_index_marker(self._family_marker(n, family))
-                lease.renew()
+                self._renew_or_abort(lease, family)
 
             settled: list[str] = []
             src_fp = ""
@@ -1118,24 +1307,10 @@ class Orchestrator:
                 delta = self._committed_docs(params.ingest_name)
                 text_full = lambda: self._committed_docs_for(settled)  # noqa: E731
             if have_docs and "minhash" in cfg.families:
-                mh_kwargs = dict(
-                    id_col=cfg.id_col,
-                    text_col=cfg.text_col,
-                    shingle_len=cfg.shingle_len,
-                    num_hashes=cfg.num_hashes,
-                    bands=cfg.bands,
-                    hash_family=cfg.hash_family,
-                    n_buckets=cfg.n_buckets,
-                    path=f"{root}/minhash",
-                    mode="overwrite",
-                    source_fingerprint=src_fp,
-                )
                 bootstrap_or_merge(
                     "minhash",
                     lambda: read_corpus_minhash_index(self.spark, cfg.index_name),
-                    lambda docs: write_corpus_minhash_index(
-                        docs, cfg.index_name, **mh_kwargs
-                    ),
+                    self._family_writer("minhash", root, src_fp),
                     lambda: merge_delta_into_minhash_index(
                         delta, cfg.index_name, max_fragments=cfg.max_fragments,
                         source_fingerprint=src_fp,
@@ -1146,19 +1321,10 @@ class Orchestrator:
                 )
             if have_docs and "gram" in cfg.families:
                 g_name = f"{cfg.index_name}_gram"
-                g_kwargs = dict(
-                    id_col=cfg.id_col,
-                    text_col=cfg.text_col,
-                    k=cfg.gram_k,
-                    n_buckets=cfg.n_buckets,
-                    path=f"{root}/gram",
-                    mode="overwrite",
-                    source_fingerprint=src_fp,
-                )
                 bootstrap_or_merge(
                     "gram",
                     lambda: read_corpus_gram_index(self.spark, g_name),
-                    lambda docs: write_corpus_gram_index(docs, g_name, **g_kwargs),
+                    self._family_writer("gram", root, src_fp),
                     lambda: merge_delta_into_gram_index(
                         delta, g_name, max_fragments=cfg.max_fragments,
                         source_fingerprint=src_fp,
@@ -1170,25 +1336,16 @@ class Orchestrator:
             if have_docs and "exact" in cfg.families:
                 from poormans_kube_etl_spark.operators.exact_index import (
                     read_corpus_fp_index,
-                    write_corpus_fp_index,
                 )
                 from poormans_kube_etl_spark.operators.index_maintenance import (
                     merge_delta_into_fp_index,
                 )
 
                 fp_name = f"{cfg.index_name}_fp"
-                fp_kwargs = dict(
-                    id_col=cfg.id_col,
-                    text_col=cfg.text_col,
-                    n_buckets=cfg.n_buckets,
-                    path=f"{root}/exact",
-                    mode="overwrite",
-                    source_fingerprint=src_fp,
-                )
                 bootstrap_or_merge(
                     "exact",
                     lambda: read_corpus_fp_index(self.spark, fp_name),
-                    lambda docs: write_corpus_fp_index(docs, fp_name, **fp_kwargs),
+                    self._family_writer("exact", root, src_fp),
                     lambda: merge_delta_into_fp_index(
                         delta, fp_name, max_fragments=cfg.max_fragments,
                         source_fingerprint=src_fp,
@@ -1214,14 +1371,13 @@ class Orchestrator:
                 )
                 for n in settled:
                     self._write_dedup_index_marker(self._family_marker(n, "bm25"))
-                lease.renew()
+                self._renew_or_abort(lease, "bm25")
             if have_vecs and "srp" in cfg.families:
                 from poormans_kube_etl_spark.operators.index_maintenance import (
                     merge_delta_into_srp_index,
                 )
                 from poormans_kube_etl_spark.operators.similarity_index import (
                     read_corpus_srp_index,
-                    write_corpus_srp_index,
                 )
 
                 vec_settled = self._settled_vec_ingest_names()
@@ -1231,19 +1387,10 @@ class Orchestrator:
                     f"{cfg.vec_entity}"
                 ).select(cfg.vec_id_col, cfg.vec_col)
                 srp_name = f"{cfg.index_name}_srp"
-                srp_kwargs = dict(
-                    threshold=cfg.srp_threshold,
-                    id_col=cfg.vec_id_col,
-                    vec_col=cfg.vec_col,
-                    n_buckets=cfg.n_buckets,
-                    path=f"{root}/srp",
-                    mode="overwrite",
-                    source_fingerprint=vec_fp,
-                )
                 bootstrap_or_merge(
                     "srp",
                     lambda: read_corpus_srp_index(self.spark, srp_name),
-                    lambda vecs: write_corpus_srp_index(vecs, srp_name, **srp_kwargs),
+                    self._family_writer("srp", root, vec_fp),
                     lambda: merge_delta_into_srp_index(
                         vdelta, srp_name, max_fragments=cfg.max_fragments,
                         source_fingerprint=vec_fp,
@@ -1254,6 +1401,31 @@ class Orchestrator:
                 )
         finally:
             lease.release()
+
+    @staticmethod
+    def _renew_or_abort(lease, family: str) -> None:
+        """Per-family lease renewal that HONORS the renewal verdict
+        (r13, VERDICT r12 #1 / ADVICE r12 medium): ``FsLease.renew``
+        now re-arbitrates and returns False when a peer legitimately
+        broke a TTL-expired lease — a stalled holder must abort its
+        maintenance pass at that point, not keep merging concurrently
+        with the new owner. The abort is the same ``TimeoutError``
+        class ``FsLease.acquire`` raises, so it lands in X7 exactly
+        like a lease-wait timeout: the ingest is already committed,
+        the just-finished family's marker is already stamped, and the
+        per-family markers let a relaunch resume from the next family.
+        Damage from the section that overran ttl_s is bounded by the
+        append invariant (duplicate fragments, fan-out-only) — the
+        point of aborting is that no FURTHER family merges race the
+        new lease owner."""
+        if not lease.renew():
+            raise TimeoutError(
+                f"maintenance lease {lease.path} lost after the "
+                f"'{family}' family (section exceeded ttl_s="
+                f"{lease.ttl_s}s and a peer broke the lease); "
+                f"aborting the maintenance pass — durable per-family "
+                f"markers make a relaunch resume from the next family"
+            )
 
     def _write_dedup_index_marker(self, marker: str) -> None:
         fs, jpath = ingest_sources.hadoop_fs(self.spark, marker)

@@ -18,9 +18,11 @@ Skew model (deterministic, xxhash64-seeded):
   (queries/substring.py) and df-based BM25 pruning exist for.
 
 Usage: ``python scripts/skew_sweep.py [--regen]`` — writes the fixture
-to ``.benchdata/sf1skew`` (documents only; the measured faces read no
-other table), generates ``.benchdata/sf1`` first if absent, then prints
-one JSON line per face with uniform-vs-skewed seconds and the ratio.
+to ``.benchdata/sf1skew`` (documents plus a skewed embeddings table —
+the vector-skew axis added in r12: the two embedding faces in FACES
+read it; no other table is written or read), generates
+``.benchdata/sf1`` first if absent, then prints one JSON line per face
+with uniform-vs-skewed seconds and the ratio.
 Run it ALONE (same artifact-contention rule as bench.py — the index
 faces build per-sf-tag artifacts under /tmp).
 """

@@ -135,6 +135,153 @@ def test_lease_stale_break_and_blocking_acquire(spark, tmp_path):
     assert b.owns() and not a.owns()
 
 
+def test_renew_cannot_steal_a_broken_lease(spark, tmp_path):
+    """r13 (VERDICT r12 #1): a holder that stalls past ttl_s gets its
+    lease legitimately broken by a peer; the stalled holder's next
+    renew() must READ the marker and LOSE — the pre-r13 blind overwrite
+    stamped the stalled holder's id back over the new owner's, putting
+    BOTH replicas into concurrent maintenance for the rest of the
+    pass."""
+    path = str(tmp_path / "L")
+    a = FsLease(spark, path, "replica-a", ttl_s=0.3, settle_s=0.0)
+    b = FsLease(spark, path, "replica-b", ttl_s=0.3, settle_s=0.0)
+    assert a.try_acquire() is True
+    time.sleep(0.5)  # a stalls mid-section past ttl_s
+    assert b.try_acquire() is True  # peer breaks the expired lease
+    assert a.renew() is False  # the stalled holder loses...
+    assert b.owns() and not a.owns()  # ...and never overwrote b's marker
+    a.release()  # must no-op: a is not the owner
+    assert b.owns() and b.renew() is True
+    b.release()
+
+
+def test_stalled_holder_aborts_maintenance_pass_into_x7(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (VERDICT r12 #1, done-criterion): one family's merge overruns
+    ttl_s, a peer breaks and acquires the lease mid-pass — the stalled
+    holder's per-family renew now returns False and the pass ABORTS
+    (TimeoutError → X7 halt) instead of racing the new owner through the
+    remaining families. The finished family's marker is stamped, the
+    un-run family's is not, and a relaunch resumes exactly there without
+    duplicate appends."""
+    import dataclasses
+
+    import poormans_kube_etl_spark.operators.index_maintenance as maint
+    from poormans_kube_etl_spark.sources import ingest as ingest_sources
+
+    o = _orch(spark, tmp_path, "stall", "t_stl_mhidx", families=("minhash", "exact"))
+    o.claim_ttl_s = 0.4  # lease ttl: one family section must renew within this
+    o.dedup_index = dataclasses.replace(o.dedup_index, lease_timeout_s=5.0)
+    lease_path = f"{o.output_dir}/dedup_index/_MAINT_LEASE"
+    peer = FsLease(spark, lease_path, "peer-breaker", ttl_s=0.4, settle_s=0.0)
+    try:
+        make_doc_folder(o.landing_dir, "1538055240", DOCS_0)
+        assert o.run_once() is not None  # bootstrap (no contender: green)
+
+        real_merge = maint.merge_delta_into_minhash_index
+
+        def stalled_merge(*a, **k):
+            out = real_merge(*a, **k)
+            time.sleep(0.6)  # overrun ttl_s mid-section...
+            assert peer.try_acquire() is True  # ...and a peer breaks in
+            return out
+
+        monkeypatch.setattr(
+            maint, "merge_delta_into_minhash_index", stalled_merge
+        )
+        make_doc_folder(o.landing_dir, "1538055300", DOCS_1)
+        with pytest.raises(TimeoutError, match="maintenance lease"):
+            o.run_once()
+        assert o.errored is not None  # X7 latched, durable halt
+        # the overrunning family finished and is stamped; the next
+        # family never ran (no concurrent merge against the new owner)
+        assert ingest_sources.path_exists(
+            spark, o._family_marker("1538055300", "minhash")
+        )
+        assert not ingest_sources.path_exists(
+            spark, o._family_marker("1538055300", "exact")
+        )
+        # the loser's release() did NOT delete the peer's lease
+        assert ingest_sources.read_small_text(spark, lease_path) == "peer-breaker"
+
+        # peer finishes; operator clears the halt; relaunch resumes from
+        # the exact family only — minhash is not re-appended
+        peer.release()
+        monkeypatch.setattr(maint, "merge_delta_into_minhash_index", real_merge)
+        n_shingles = spark.table("t_stl_mhidx_shingles").count()
+        o.clear_halt()
+        o._maintain_dedup_index(IngestParams("1538055300", "bulk"))
+        assert spark.table("t_stl_mhidx_shingles").count() == n_shingles
+        assert ingest_sources.path_exists(
+            spark, o._family_marker("1538055300", "exact")
+        )
+        # the resumed family's delta landed: the new doc's fp is present
+        assert any(k == "202" for _, k in _fp_rows(spark, "t_stl_mhidx"))
+        assert not ingest_sources.path_exists(spark, lease_path)
+    finally:
+        _drop(spark, "t_stl_mhidx")
+
+
+def test_deferred_compaction_lifecycle(spark, tmp_path):
+    """r13 (VERDICT r12 #7): with ``compaction="defer"`` a
+    budget-exceeded merge raises the durable flag and finalize stays
+    O(delta) — no inline full-corpus rebuild holding the lease for
+    hours at 100 TB. The explicit maintenance window
+    (``compact_dedup_indexes`` / the ``compact`` CLI verb) performs the
+    rebuild under its own lease acquisition, stamps every settled
+    ingest's marker, clears the flag, and is idempotent."""
+    import dataclasses
+
+    from poormans_kube_etl_spark.operators.index_maintenance import read_fragments
+    from poormans_kube_etl_spark.operators.minhash_index import _PROP_PREFIX
+    from poormans_kube_etl_spark.sources import ingest as ingest_sources
+
+    o = _orch(spark, tmp_path, "defer", "t_dfr_mhidx", families=("minhash",))
+    o.dedup_index = dataclasses.replace(
+        o.dedup_index, max_fragments=0, compaction="defer"
+    )
+    buckets_t = "t_dfr_mhidx_buckets"
+    try:
+        make_doc_folder(o.landing_dir, "1538055240", DOCS_0)
+        assert o.run_once() is not None  # bootstrap: fragments=0, no flag
+        assert o.compaction_pending() == []
+
+        # budget-exceeded merge DEFERS: delta lands, flag raised, no rebuild
+        make_doc_folder(o.landing_dir, "1538055300", DOCS_1)
+        assert o.run_once() is not None
+        assert o.errored is None  # finalize completed
+        assert read_fragments(spark, buckets_t, _PROP_PREFIX) == 1  # not compacted
+        assert o.compaction_pending() == ["minhash"]
+        assert _shingle_docs(spark, "t_dfr_mhidx") == {"101", "102", "201", "202"}
+        assert ingest_sources.path_exists(
+            spark, o._family_marker("1538055300", "minhash")
+        )
+
+        # explicit maintenance window: rebuild under its own lease
+        assert o.compact_dedup_indexes() == {"minhash": True}
+        assert read_fragments(spark, buckets_t, _PROP_PREFIX) == 0  # compacted
+        assert o.compaction_pending() == []
+        assert _shingle_docs(spark, "t_dfr_mhidx") == {"101", "102", "201", "202"}
+        idx = read_corpus_minhash_index(spark, "t_dfr_mhidx")
+        assert idx.constants["fingerprint"] == "4:202"  # composed once
+        assert not ingest_sources.path_exists(
+            spark, f"{o.output_dir}/dedup_index/_MAINT_LEASE"
+        )
+        # idempotent: nothing pending → no rebuild
+        assert o.compact_dedup_indexes() == {"minhash": False}
+
+        # the ingest lifecycle continues normally after compaction
+        make_doc_folder(o.landing_dir, "1538055360", DOCS_2)
+        assert o.run_once() is not None
+        assert o.errored is None
+        assert _shingle_docs(spark, "t_dfr_mhidx") == {
+            "101", "102", "201", "202", "301", "302",
+        }
+    finally:
+        _drop(spark, "t_dfr_mhidx")
+
+
 def make_vec_folder(landing: str, ts: str, rows) -> str:
     """A JSONL VECTOR entity folder (``emb``): the srp family's input.
     The graph sink preserves the array<float> column; the schema
