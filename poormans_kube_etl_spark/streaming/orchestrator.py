@@ -981,6 +981,112 @@ class Orchestrator:
         settled VECTOR ingest set (r12)."""
         return self._corpus_token_for(self._settled_vec_ingest_names())
 
+    def index_freshness_report(self, deep: bool = False) -> dict[str, dict]:
+        """Operator-facing freshness probe for the maintained index
+        families (r13, VERDICT r12 #5), mirroring the two-tier
+        get_or_build taxonomy from the query-face side:
+
+        - **token** (always): the artifact's stamped
+          ``source_fingerprint`` vs the recomputed corpus-version token
+          — O(ingest-count), catches every LIFECYCLE-driven corpus
+          change (a settled ingest added or removed).
+        - **deep** (``deep=True``): recompute the count:max aggregate
+          over the committed sinks and compare against the artifact's
+          composed ``fingerprint`` — one column-pruned O(corpus)
+          aggregate per corpus, catching the one mode the token is
+          blind to: an out-of-band IN-PLACE rewrite of a committed sink
+          (same settled names, different bytes). Nothing in the
+          lifecycle performs such a rewrite; this is the audit for
+          everything outside it. The doc sink has had this fallback via
+          the query faces' ``deep_fingerprint`` gate since r10 — this
+          method extends the same coverage to the VECTOR sink (and any
+          family), driven by the deployment's own config.
+
+        Returns ``{family: {"readable", "token_fresh", "deep_fresh"}}``
+        — ``deep_fresh`` is None unless ``deep``. The srp family checks
+        the vector token/corpus; text families the doc ones; bm25 is
+        token-only for the token tier but deep-checks like the rest
+        (its fingerprint basis is the same raw source rows)."""
+        from poormans_kube_etl_spark.operators.exact_index import (
+            read_corpus_fp_index,
+        )
+        from poormans_kube_etl_spark.operators.index_artifact import (
+            corpus_fingerprint,
+        )
+        from poormans_kube_etl_spark.operators.minhash_index import (
+            read_corpus_minhash_index,
+        )
+        from poormans_kube_etl_spark.operators.retrieval_index import (
+            read_corpus_bm25_index,
+        )
+        from poormans_kube_etl_spark.operators.similarity_index import (
+            read_corpus_srp_index,
+        )
+        from poormans_kube_etl_spark.operators.substring import (
+            read_corpus_gram_index,
+        )
+
+        cfg = self.dedup_index
+        readers = {
+            "minhash": lambda: read_corpus_minhash_index(
+                self.spark, cfg.index_name
+            ),
+            "gram": lambda: read_corpus_gram_index(
+                self.spark, f"{cfg.index_name}_gram"
+            ),
+            "exact": lambda: read_corpus_fp_index(
+                self.spark, f"{cfg.index_name}_fp"
+            ),
+            "bm25": lambda: read_corpus_bm25_index(
+                self.spark, f"{cfg.index_name}_bm25"
+            ),
+            "srp": lambda: read_corpus_srp_index(
+                self.spark, f"{cfg.index_name}_srp"
+            ),
+        }
+        doc_settled: list[str] | None = None
+        doc_deep: str | None = None
+        report: dict[str, dict] = {}
+        for family in cfg.families:
+            try:
+                constants = readers[family]().constants
+            except ValueError:
+                report[family] = {
+                    "readable": False,
+                    "token_fresh": False,
+                    "deep_fresh": None,
+                }
+                continue
+            if family == "srp":
+                settled = self._settled_vec_ingest_names()
+                token = self._corpus_token_for(settled)
+                deep_now = (
+                    corpus_fingerprint(
+                        self._committed_vecs_for(settled), cfg.vec_id_col
+                    )
+                    if deep and settled
+                    else None
+                )
+            else:
+                if doc_settled is None:
+                    doc_settled = self._settled_ingest_names()
+                token = self._corpus_token_for(doc_settled)
+                if deep and doc_settled and doc_deep is None:
+                    doc_deep = corpus_fingerprint(
+                        self._committed_docs_for(doc_settled), cfg.id_col
+                    )
+                deep_now = doc_deep if deep else None
+            report[family] = {
+                "readable": True,
+                "token_fresh": constants.get("source_fingerprint") == token,
+                "deep_fresh": (
+                    constants.get("fingerprint") == deep_now
+                    if deep_now is not None
+                    else None
+                ),
+            }
+        return report
+
     def _family_writer(self, family: str, root: str, source_fingerprint: str):
         """The FULL-CORPUS builder for one index family — one callable
         taking the corpus DataFrame and writing the family's artifact

@@ -390,6 +390,79 @@ def test_srp_family_rides_the_ingest_lifecycle(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_deep_check_flags_out_of_band_vector_rewrite(spark, tmp_path):
+    """r13 (VERDICT r12 #5): the corpus-version token is a digest of
+    the settled ingest-NAME set, so an out-of-band in-place rewrite of
+    a committed VECTOR sink (same names, different bytes — nothing in
+    the lifecycle does this, which is exactly why it needs an audit) is
+    invisible to it. The deep tier of ``index_freshness_report`` — the
+    count:max aggregate recompute the doc sink has had via the query
+    faces' deep_fingerprint gate — must cover the vector sink the same
+    way: token still fresh, deep stale."""
+    import dataclasses
+
+    o = _orch(spark, tmp_path, "deepv", "t_dpv_mhidx", families=("minhash", "srp"))
+    o.dedup_index = dataclasses.replace(o.dedup_index, vec_entity="emb")
+    base = [1.0, 0.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.9]
+    try:
+        make_vec_folder(
+            o.landing_dir, "1538055240", [(1, base), (2, [0.2] * 8)]
+        )
+        assert o.run_once() is not None
+        assert o.errored is None
+        rep = o.index_freshness_report(deep=True)
+        assert rep["srp"] == {
+            "readable": True, "token_fresh": True, "deep_fresh": True,
+        }
+        # vector-only deployment: the text family was stamped no-op and
+        # never built — reported unreadable, not crashed
+        assert rep["minhash"]["readable"] is False
+
+        # out-of-band rewrite IN PLACE: same ingest name, same settled
+        # set, one vector silently dropped
+        vec_path = f"{o.output_dir}/graph/nodes/1538055240/emb"
+        df = spark.read.parquet(vec_path)
+        rows = df.collect()
+        spark.createDataFrame(rows[:1], df.schema).write.mode(
+            "overwrite"
+        ).parquet(vec_path)
+
+        rep2 = o.index_freshness_report(deep=True)
+        assert rep2["srp"]["token_fresh"] is True  # the token is blind
+        assert rep2["srp"]["deep_fresh"] is False  # the deep check is not
+    finally:
+        _drop(spark, "t_dpv_mhidx")
+        for suffix in ("_srp_buckets", "_srp_vectors"):
+            spark.sql(f"DROP TABLE IF EXISTS t_dpv_mhidx{suffix}")
+
+
+def test_deep_check_flags_out_of_band_doc_rewrite(spark, tmp_path):
+    """Doc-sink twin of the vector test: the report's deep tier catches
+    an in-place rewrite of a committed DOC sink that the token misses
+    (parity for the text families, same audit surface)."""
+    o = _orch(spark, tmp_path, "deepd", "t_dpd_mhidx", families=("minhash",))
+    try:
+        make_doc_folder(o.landing_dir, "1538055240", DOCS_0)
+        assert o.run_once() is not None
+        rep = o.index_freshness_report(deep=True)
+        assert rep["minhash"] == {
+            "readable": True, "token_fresh": True, "deep_fresh": True,
+        }
+
+        doc_path = f"{o.output_dir}/index/1538055240/doc"
+        df = spark.read.parquet(doc_path)
+        rows = df.collect()
+        spark.createDataFrame(rows[:1], df.schema).write.mode(
+            "overwrite"
+        ).parquet(doc_path)
+
+        rep2 = o.index_freshness_report(deep=True)
+        assert rep2["minhash"]["token_fresh"] is True
+        assert rep2["minhash"]["deep_fresh"] is False
+    finally:
+        _drop(spark, "t_dpd_mhidx")
+
+
 def test_lease_stress_mutual_exclusion(spark, tmp_path):
     """N contenders hammering one lease: the critical section is never
     concurrently occupied, and every contender eventually gets through.
