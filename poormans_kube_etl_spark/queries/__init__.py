@@ -83,24 +83,13 @@ _loaded = False
 # queries whose values/oracles/plans changed — or that are NEW — in
 # the CURRENT round. REWRITE EACH ROUND; everything else is derived.
 _CHANGED_THIS_ROUND = [
-    # new in r12 (never driver-checked): the tokenizer-fidelity
-    # variants of the length/packing faces (VERDICT r11 #6)
-    "train_pack_shards_subword",
-    "train_padding_waste_subword",
-    "train_context_length_histogram_subword",
-    "dedup_cluster_size_histogram",
-    "train_epoch_repeat_plan",
-    # r12: the five persisted-index faces' warm-open path changed again
-    # (memoized source listing — VERDICT r11 #2), so they re-earn rows
-    "dedup_minhash_index_delta_pairs",
-    "dedup_embedding_index_delta_pairs",
-    "dedup_substring_index_delta_spans",
-    "dedup_exact_index_delta",
-    "text_bm25_index_topk",
-    # r12: parameterized (token-fn) — same default values, new plans
-    "train_pack_shards",
-    "train_padding_waste",
-    "train_context_length_histogram",
+    # new in r13 (never driver-checked): the shard-balance audit over
+    # the packing plan and the embedding-space pair-sample histogram
+    "train_shard_balance_report",
+    "sim_pairwise_distance_histogram",
+    # r13 (VERDICT r12 #3): raw-text distinct re-expressed over
+    # sha2(text,256) — plan AND oracle changed in lockstep
+    "dedup_exact_stats",
 ]
 
 

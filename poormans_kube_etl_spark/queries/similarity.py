@@ -590,3 +590,92 @@ def dedup_semantic_apply_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("doc").isNotNull().alias("kept_representative"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    "sim_pairwise_distance_histogram",
+    oracle="""
+    WITH ordered AS (
+      SELECT embedding::DOUBLE[] AS v,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS pos
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT CAST(FLOOR(10 * list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v)))) AS BIGINT) AS band
+      FROM ordered a JOIN ordered b ON b.pos = a.pos + 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sims)
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(COUNT(*) * 1.0 / (SELECT n FROM tot), 4) AS DOUBLE)
+             AS share
+    FROM sims GROUP BY band ORDER BY band
+    """,
+)
+def sim_pairwise_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health histogram (NEW r13): the distribution of
+    cosine similarity over a deterministic linear-size pair sample —
+    each vector paired with its successor in md5-hash order, which is
+    an unbiased random pairing both engines can replay exactly. The
+    audit an embedding pipeline runs after (re)embedding a corpus:
+    anisotropy/collapse shows as mass piling into the 0.8–1.0 bands
+    (every vector similar to every other ⇒ near-dup banding and ANN
+    recall degrade), a healthy space concentrates near the 0.0–0.3
+    bands; a spike at exactly band 10 is duplicated vectors.
+
+    Scale shape: the two-pass global-order rank (no single-partition
+    window), ONE evenly-keyed self-join on consecutive ranks (n-1
+    pairs — linear, never the O(n²) all-pairs), a ≤21-key band agg and
+    a broadcast 1-row total. Norms are computed per side before the
+    join so each vector's norm is priced once. The codegen'd
+    positional dot (operators/similarity._dot_expr) keeps the fold
+    order identical to DuckDB's list_dot_product, so the band floor
+    can't straddle engines."""
+    from poormans_kube_etl_spark.operators.ordering import with_global_order
+    from poormans_kube_etl_spark.operators.similarity import (
+        _dot_expr,
+        _norm_expr,
+        checked_double_vec,
+    )
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", checked_double_vec("embedding", _DIM).alias("v")
+    )
+    ranked = with_global_order(
+        e.withColumn("_h", F.md5(F.col("vec_id").cast("string"))),
+        [F.col("_h"), F.col("vec_id")],
+        rank_col="pos",
+    ).select("pos", "v", _norm_expr("v", _DIM).alias("nrm"))
+    a = ranked.select(
+        F.col("pos").alias("p"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = ranked.select(
+        (F.col("pos") - 1).alias("p"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = a.join(b, "p").select(
+        F.floor(
+            F.lit(10) * _dot_expr("va", "vb", _DIM) / (F.col("na") * F.col("nb"))
+        )
+        .cast("bigint")
+        .alias("band")
+    )
+    hist = sims.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    tot = hist.agg(F.sum("n_pairs").alias("n"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_pairs",
+            F.round(F.col("n_pairs").cast("double") / F.col("n"), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -398,6 +398,65 @@ def train_pack_shards_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_shard_balance_report",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_chars
+      FROM documents
+    ),
+    shards AS (
+      SELECT CAST(FLOOR((cum_chars - n_chars) / 50000.0) AS BIGINT) AS shard_id,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM ordered GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(MIN(total_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(total_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(total_chars) AS BIGINT) AS corpus_chars,
+           CAST(ROUND(CAST(MAX(total_chars) * COUNT(*) AS DOUBLE)
+                      / SUM(total_chars), 4) AS DOUBLE) AS imbalance,
+           CAST(SUM(CASE WHEN total_chars < 45000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS underfull_shards
+    FROM shards
+    """,
+)
+def train_shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit over the packing plan (NEW r13) — the check
+    a distributed training job runs BEFORE launch: per-shard size
+    spread, the imbalance ratio (max shard / mean shard — the straggler
+    multiplier for synchronous data-parallel steps, since every step
+    waits for the fattest shard's loader), and how many shards sit
+    under 90% of the budget (tail shards that waste accelerator
+    occupancy). All-size-balanced ⇒ imbalance ≈ 1.0; a heavy doc
+    landing at a shard boundary shows up here before it shows up as a
+    stalled step.
+
+    Composes the registered packing face verbatim (same hash order,
+    same 50k budget), so this audit can never disagree with the shards
+    that ship. Scale shape: the packer's two-pass prefix sum, a
+    shard-keyed partial agg (shard count ≈ corpus/50k keys), then ONE
+    1-row global aggregate — nothing new materializes. Integer
+    arithmetic end-to-end except the final rounded ratio."""
+    shards = train_pack_shards(spark, sf_dir)
+    return shards.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.min("total_chars").cast("bigint").alias("min_chars"),
+        F.max("total_chars").cast("bigint").alias("max_chars"),
+        F.sum("total_chars").cast("bigint").alias("corpus_chars"),
+        F.round(
+            (F.max("total_chars") * F.count(F.lit(1))).cast("double")
+            / F.sum("total_chars"),
+            4,
+        ).alias("imbalance"),
+        F.sum(F.when(F.col("total_chars") < 45000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("underfull_shards"),
+    )
+
+
+@register(
     "train_domain_mixture_sample",
     oracle="""
     WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
