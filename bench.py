@@ -289,9 +289,15 @@ def _calibration_stage(spark) -> dict:
     from pyspark.sql import functions as F
 
     def build():
+        # summand bounded to [0, 2^20): raw xxhash64 longs overflow the
+        # bigint SUM at 100M rows under ANSI mode — pmod first, the
+        # hash work (the thing being calibrated) is identical
         return (
             spark.range(0, 100_000_000, 1, 32)
-            .select((F.col("id") % 1024).alias("k"), F.xxhash64("id").alias("h"))
+            .select(
+                (F.col("id") % 1024).alias("k"),
+                F.pmod(F.xxhash64("id"), F.lit(1 << 20)).alias("h"),
+            )
             .groupBy("k")
             .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("c"))
         )
