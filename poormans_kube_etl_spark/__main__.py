@@ -77,9 +77,9 @@ def _build_parser() -> argparse.ArgumentParser:
         help="maintenance-window rebuild of flagged index families "
         "(r13: dedup_index compaction='defer' keeps finalize O(delta) "
         "and leaves the full rebuild to this verb). Family parameters "
-        "MUST match the deployment's DedupIndexMaintenance config — a "
-        "rebuild with different banding/bucketing silently re-plans "
-        "the index.",
+        "must match the deployment's DedupIndexMaintenance config; "
+        "drift against the artifact's recorded build constants fails "
+        "loudly unless --allow-param-change re-plans deliberately.",
     )
     cp.add_argument("--landing", required=True, help="dir holding pending/")
     cp.add_argument("--output", required=True, help="dir with dedup_index/")
@@ -100,6 +100,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--force",
         action="store_true",
         help="rebuild every listed family even without a pending flag",
+    )
+    cp.add_argument(
+        "--allow-param-change",
+        action="store_true",
+        help="rebuild even when flags disagree with the artifact's "
+        "recorded build constants (deliberate re-plan)",
     )
 
     sub.add_parser("list", help="list registered queries")
@@ -174,7 +180,9 @@ def main(argv: list[str] | None = None) -> int:
                 compaction="defer",
             ),
         )
-        for fam, rebuilt in orch.compact_dedup_indexes(force=args.force).items():
+        for fam, rebuilt in orch.compact_dedup_indexes(
+            force=args.force, allow_param_change=args.allow_param_change
+        ).items():
             print(f"{fam}: {'rebuilt' if rebuilt else 'no compaction pending'}")
         return 0
 

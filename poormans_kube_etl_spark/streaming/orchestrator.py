@@ -981,6 +981,83 @@ class Orchestrator:
         settled VECTOR ingest set (r12)."""
         return self._corpus_token_for(self._settled_vec_ingest_names())
 
+    def _family_readers(self) -> dict:
+        """family → zero-arg loader for its persisted catalog handle
+        (raises ValueError when absent/foreign — the loaders'
+        deliberate rejection class). Shared by the freshness report and
+        the compaction param guard."""
+        from poormans_kube_etl_spark.operators.exact_index import (
+            read_corpus_fp_index,
+        )
+        from poormans_kube_etl_spark.operators.minhash_index import (
+            read_corpus_minhash_index,
+        )
+        from poormans_kube_etl_spark.operators.retrieval_index import (
+            read_corpus_bm25_index,
+        )
+        from poormans_kube_etl_spark.operators.similarity_index import (
+            read_corpus_srp_index,
+        )
+        from poormans_kube_etl_spark.operators.substring import (
+            read_corpus_gram_index,
+        )
+
+        cfg = self.dedup_index
+        return {
+            "minhash": lambda: read_corpus_minhash_index(
+                self.spark, cfg.index_name
+            ),
+            "gram": lambda: read_corpus_gram_index(
+                self.spark, f"{cfg.index_name}_gram"
+            ),
+            "exact": lambda: read_corpus_fp_index(
+                self.spark, f"{cfg.index_name}_fp"
+            ),
+            "bm25": lambda: read_corpus_bm25_index(
+                self.spark, f"{cfg.index_name}_bm25"
+            ),
+            "srp": lambda: read_corpus_srp_index(
+                self.spark, f"{cfg.index_name}_srp"
+            ),
+        }
+
+    def _param_drift(self, family: str, constants: dict) -> dict[str, tuple]:
+        """Build parameters where this deployment's config disagrees
+        with what the persisted artifact was BUILT with —
+        ``{key: (configured, recorded)}``. Guards the compaction entry
+        point (r13): a rebuild silently re-plans the index with
+        whatever the caller's flags say, so a CLI invocation whose
+        flags drifted from the deployment's maintenance config would
+        change banding/shingling under every consumer's feet."""
+        cfg = self.dedup_index
+        expected: dict[str, object] = {
+            "minhash": {
+                "id_col": cfg.id_col,
+                "text_col": cfg.text_col,
+                "shingle_len": cfg.shingle_len,
+                "num_hashes": cfg.num_hashes,
+                "bands": cfg.bands,
+                "hash_family": cfg.hash_family,
+            },
+            "gram": {
+                "id_col": cfg.id_col,
+                "text_col": cfg.text_col,
+                "k": cfg.gram_k,
+            },
+            "exact": {"id_col": cfg.id_col, "text_col": cfg.text_col},
+            "srp": {
+                "id_col": cfg.vec_id_col,
+                "vec_col": cfg.vec_col,
+                "planned_threshold": cfg.srp_threshold,
+            },
+            "bm25": {"id_col": cfg.id_col, "text_col": cfg.text_col},
+        }.get(family, {})
+        return {
+            k: (v, constants[k])
+            for k, v in expected.items()
+            if k in constants and str(v) != str(constants[k])
+        }
+
     def index_freshness_report(self, deep: bool = False) -> dict[str, dict]:
         """Operator-facing freshness probe for the maintained index
         families (r13, VERDICT r12 #5), mirroring the two-tier
@@ -1007,43 +1084,12 @@ class Orchestrator:
         the vector token/corpus; text families the doc ones; bm25 is
         token-only for the token tier but deep-checks like the rest
         (its fingerprint basis is the same raw source rows)."""
-        from poormans_kube_etl_spark.operators.exact_index import (
-            read_corpus_fp_index,
-        )
         from poormans_kube_etl_spark.operators.index_artifact import (
             corpus_fingerprint,
         )
-        from poormans_kube_etl_spark.operators.minhash_index import (
-            read_corpus_minhash_index,
-        )
-        from poormans_kube_etl_spark.operators.retrieval_index import (
-            read_corpus_bm25_index,
-        )
-        from poormans_kube_etl_spark.operators.similarity_index import (
-            read_corpus_srp_index,
-        )
-        from poormans_kube_etl_spark.operators.substring import (
-            read_corpus_gram_index,
-        )
 
         cfg = self.dedup_index
-        readers = {
-            "minhash": lambda: read_corpus_minhash_index(
-                self.spark, cfg.index_name
-            ),
-            "gram": lambda: read_corpus_gram_index(
-                self.spark, f"{cfg.index_name}_gram"
-            ),
-            "exact": lambda: read_corpus_fp_index(
-                self.spark, f"{cfg.index_name}_fp"
-            ),
-            "bm25": lambda: read_corpus_bm25_index(
-                self.spark, f"{cfg.index_name}_bm25"
-            ),
-            "srp": lambda: read_corpus_srp_index(
-                self.spark, f"{cfg.index_name}_srp"
-            ),
-        }
+        readers = self._family_readers()
         doc_settled: list[str] | None = None
         doc_deep: str | None = None
         report: dict[str, dict] = {}
@@ -1183,7 +1229,9 @@ class Orchestrator:
             if ingest_sources.path_exists(self.spark, self._compaction_flag(f))
         ]
 
-    def compact_dedup_indexes(self, force: bool = False) -> dict[str, bool]:
+    def compact_dedup_indexes(
+        self, force: bool = False, allow_param_change: bool = False
+    ) -> dict[str, bool]:
         """Explicit maintenance-window compaction (r13, VERDICT r12 #7):
         rebuild every family whose ``_needs_compaction`` flag is raised
         (all families when ``force``) from the FULL settled corpus,
@@ -1201,7 +1249,16 @@ class Orchestrator:
         (X7 class) if the lease is lost. Returns
         ``{family: rebuilt?}``; ``bm25`` is skipped — its policy is
         rebuild-on-every-commit, there is no fragment trail to
-        compact."""
+        compact.
+
+        Param guard (r13): when the family's artifact is readable, its
+        recorded build constants are compared against this
+        orchestrator's config BEFORE rebuilding — a compaction is a
+        rebuild, so config drift (a CLI invocation whose flags don't
+        match the deployment's maintenance config) would silently
+        re-plan banding/shingling under every consumer. Mismatch
+        raises ValueError naming the drifted keys; pass
+        ``allow_param_change=True`` to re-plan deliberately."""
         from poormans_kube_etl_spark.streaming.lease import FsLease
 
         cfg = self.dedup_index
@@ -1242,6 +1299,25 @@ class Orchestrator:
                 if not settled:
                     compacted[family] = False
                     continue  # nothing committed: nothing to rebuild
+                if not allow_param_change:
+                    try:
+                        constants = self._family_readers()[family]().constants
+                    except ValueError:
+                        constants = None  # unreadable: rebuild = bootstrap
+                    drift = (
+                        self._param_drift(family, constants)
+                        if constants is not None
+                        else {}
+                    )
+                    if drift:
+                        raise ValueError(
+                            f"compact {family}: config disagrees with the "
+                            f"artifact's build constants "
+                            f"{{{', '.join(f'{k}: configured {c!r} vs built {b!r}' for k, (c, b) in sorted(drift.items()))}}} "
+                            f"— a rebuild would silently re-plan the index; "
+                            f"fix the config or pass allow_param_change=True "
+                            f"to re-plan deliberately"
+                        )
                 self._family_writer(family, root, fp)(corpus)
                 for n in settled:
                     self._write_dedup_index_marker(self._family_marker(n, family))

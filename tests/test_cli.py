@@ -90,3 +90,61 @@ def test_cli_index_status(spark, sf_dir, tmp_path, capsys):
         assert main(["index-status", str(tmp_path / "none")]) == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cli_fp_fps")
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    """The r13 compact verb end-to-end: a deferred-compaction deployment
+    flags a family; the CLI rebuilds it (matching params), reports a
+    no-op second run, and refuses drifted params without
+    --allow-param-change."""
+    import dataclasses
+
+    from tests.test_maintenance_lease import _cfg, _drop, make_doc_folder, DOCS_0, DOCS_1
+    from poormans_kube_etl_spark.streaming.orchestrator import Orchestrator
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(os.path.join(landing, "pending"), exist_ok=True)
+    o = Orchestrator(
+        spark,
+        landing,
+        out_dir,
+        dedup_index=dataclasses.replace(
+            _cfg("t_cli_mhidx", families=("minhash",)),
+            max_fragments=0,
+            compaction="defer",
+        ),
+    )
+    try:
+        make_doc_folder(landing, "1538055240", DOCS_0)
+        assert o.run_once() is not None
+        make_doc_folder(landing, "1538055300", DOCS_1)
+        assert o.run_once() is not None  # budget exceeded -> flag raised
+        assert o.compaction_pending() == ["minhash"]
+
+        args = [
+            "compact", "--landing", landing, "--output", out_dir,
+            "--index-name", "t_cli_mhidx", "--text-col", "body",
+            "--num-hashes", "16", "--bands", "4", "--n-buckets", "2",
+        ]
+        assert main(args) == 0
+        assert "minhash: rebuilt" in capsys.readouterr().out
+        assert o.compaction_pending() == []
+        assert main(args) == 0  # idempotent: nothing pending
+        assert "no compaction pending" in capsys.readouterr().out
+
+        # drifted banding must fail loudly, not silently re-plan
+        import pytest
+
+        o._flag_compaction("minhash")
+        bad = [a if a != "4" else "2" for a in args]
+        with pytest.raises(ValueError, match="bands"):
+            main(bad)
+        assert main(bad + ["--allow-param-change"]) == 0  # deliberate re-plan
+        from poormans_kube_etl_spark.operators.minhash_index import (
+            read_corpus_minhash_index,
+        )
+
+        assert read_corpus_minhash_index(spark, "t_cli_mhidx").constants["bands"] == "2"
+    finally:
+        _drop(spark, "t_cli_mhidx")
