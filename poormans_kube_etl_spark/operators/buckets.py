@@ -34,10 +34,20 @@ def bucket_member_pairs(
     member to the bucket's smallest id — O(n), keeps every member in
     the same downstream connected component; the documented trade is
     losing the direct pair between two non-representative members.
-    The star remainder is projected in its OWN select before the
-    explode so the generator's output rows don't each carry the full
-    bucket array (the measured O(n²)-bytes failure shape at 10k-member
-    buckets; see simhash.py)."""
+    Both regimes are emitted by ONE conditional generator (r13): the
+    previous two-branch form (``where(size<=cap)`` all-pairs UNION
+    ``where(size>cap)`` star) consumed the buckets frame twice, so the
+    ENTIRE upstream pipeline — signature aggregate + banding + bucket
+    aggregation for MinHash, the SRP GEMM for embeddings — executed
+    once per branch. A CASE WHEN inside the explode picks the
+    expansion per row instead: one consumer, one upstream execution,
+    identical pair set (each bucket falls in exactly one regime and
+    codegen evaluates CASE branches lazily, so an oversized bucket
+    never builds its O(n²) all-pairs array). Generator hygiene is
+    preserved: the select carries ONLY the explode, so generated rows
+    are bare (a, b) structs and never copy the bucket array (the
+    measured O(n²)-bytes failure shape at 10k-member buckets; see
+    simhash.py)."""
     pair_structs = F.flatten(
         F.transform(
             member_arr,
@@ -47,17 +57,15 @@ def bucket_member_pairs(
             ),
         )
     )
-    all_pairs = (
-        buckets.where(F.size(member_arr) <= max_bucket)
-        .select(F.explode(pair_structs).alias("p"))
+    star_structs = F.transform(
+        F.slice(member_arr, 2, F.size(member_arr)),
+        lambda b: F.struct(F.element_at(member_arr, 1).alias("a"), b.alias("b")),
+    )
+    expansion = F.when(
+        F.size(member_arr) <= max_bucket, pair_structs
+    ).otherwise(star_structs)
+    return (
+        buckets.select(F.explode(expansion).alias("p"))
         .select("p.a", "p.b")
+        .distinct()
     )
-    star_pairs = (
-        buckets.where(F.size(member_arr) > max_bucket)
-        .select(
-            F.element_at(member_arr, 1).alias("a"),
-            F.slice(member_arr, 2, F.size(member_arr)).alias("rest"),
-        )
-        .select("a", F.explode("rest").alias("b"))
-    )
-    return all_pairs.unionByName(star_pairs).distinct()

@@ -37,7 +37,7 @@ def shingle_docs(docs: DataFrame, id_col: str, text_col: str, shingle_len: int) 
     # per-shingle slice lambda and gets re-evaluated once per shingle
     # (measured 6x slower). Catalyst keeps the boundary because the
     # expression is non-cheap and multiply referenced.
-    docs = spread_small_scan(docs)  # shingling amplifies ~50x per row
+    docs = spread_small_scan(docs, heavy=True)  # shingling amplifies ~50x per row
     toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
     return toked.select(
         id_col, word_shingles(F.col("toks"), shingle_len).alias("shingles")
@@ -56,7 +56,7 @@ def exploded_shingles(
     row (measured ~8x the runtime of this form). word_shingles can
     never yield an empty/null array, so that filter is pure waste.
     """
-    docs = spread_small_scan(docs)  # shingling amplifies ~50x per row
+    docs = spread_small_scan(docs, heavy=True)  # shingling amplifies ~50x per row
     toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
     return toked.select(
         id_col, F.explode(word_shingles(F.col("toks"), shingle_len)).alias("shingle")
@@ -83,7 +83,7 @@ def exploded_shingle_hashes(
     distinctness up to 2^-64 collisions. Short docs (< n tokens)
     degrade to one whole-document shingle, exactly like word_shingles.
     """
-    docs = spread_small_scan(docs)  # shingling amplifies ~50x per row
+    docs = spread_small_scan(docs, heavy=True)  # shingling amplifies ~50x per row
     toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
     th = toked.select(
         id_col,
@@ -207,7 +207,7 @@ def exploded_shingle_h0_md5(
     M = MD5_ROLL_MOD
     pow_a = md5_roll_pows(MD5_ROLL_BASE_A, L)
     pow_b = md5_roll_pows(MD5_ROLL_BASE_B, L)
-    docs = spread_small_scan(docs)  # shingling amplifies ~50x per row
+    docs = spread_small_scan(docs, heavy=True)  # shingling amplifies ~50x per row
     toked = docs.select(id_col, tokens(normalize_text(text_col)).alias("toks"))
     # token hashes materialized in their own projection (the array-
     # reevaluation trap documented on exploded_shingles)
@@ -502,9 +502,16 @@ def minhash_incremental_near_duplicates(
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands}"
         )
+    # the delta's signatures feed banding AND the verify's a-side:
+    # materialize the delta-sized frame once instead of hashing the
+    # delta twice (r13; same rationale as minhash_near_duplicates'
+    # share_signatures). The CORPUS side stays recomputed — its two
+    # consumers would otherwise need a corpus-scale checkpoint, which
+    # is exactly what the persisted index family is for (callers
+    # probing repeatedly should use the indexed face).
     new_signed = signed_for(
         new_docs, id_col, text_col, shingle_len, num_hashes, hash_family
-    )
+    ).localCheckpoint()
     corpus_signed = signed_for(
         corpus_docs, id_col, text_col, shingle_len, num_hashes, hash_family
     )
@@ -582,6 +589,7 @@ def minhash_near_duplicates(
     max_bucket: int = 256,
     return_signatures: bool = False,
     hash_family: str = "xxhash64",
+    share_signatures: bool = True,
 ):
     """End-to-end near-dup pairs: (a, b, jaccard) with jaccard >= threshold.
 
@@ -596,11 +604,15 @@ def minhash_near_duplicates(
 
     ``cache`` persists the signature aggregate, which feeds three
     consumers (banding + both verify-join sides) whose different column
-    prunings defeat exchange reuse. Default OFF: measured at sf0.1 the
-    columnar materialization of the shingle sets costs MORE than the
-    duplicated signature compute (6.8s vs 5.6s) and it breaks codegen
-    pipelining into the consumers. Turn on when the upstream is pricier
-    than the cache write — e.g. shingling multi-KB documents.
+    prunings defeat exchange reuse. Default OFF: measured (r7, on the
+    string-shingle pipeline of that era) the columnar materialization
+    of the shingle sets cost MORE than the duplicated signature compute
+    (6.8s vs 5.6s). Since r13 ``share_signatures`` (default ON) solves
+    the same triple-execution with a localCheckpoint instead — on
+    today's long-typed h0 sets the materialization is cheap and the
+    measured win is -40% at sf0.1 (see the inline comment); ``cache``
+    remains for callers who want a caller-managed persist handle
+    (pair it with ``return_signatures`` to unpersist).
 
     ``return_signatures=True`` returns ``(pairs, signatures)`` so a
     long-lived session can ``signatures.unpersist()`` after consuming
@@ -624,6 +636,24 @@ def minhash_near_duplicates(
         from pyspark import StorageLevel
 
         signed = signed.persist(StorageLevel.MEMORY_AND_DISK)
+    elif share_signatures:
+        # The signature frame feeds THREE consumers — banding and both
+        # exact-Jaccard verify sides — whose differing column prunings
+        # defeat exchange reuse, so without a materialization boundary
+        # the full scan → tokenize → per-shingle hash → signature
+        # aggregate pipeline executes three times: two extra full-corpus
+        # passes AND two extra corpus-wide exchanges at any scale
+        # (guide §2.4 — remove duplicated shuffles). localCheckpoint
+        # materializes it once, eagerly, to executor-local storage;
+        # unlike the ``cache`` path it needs no caller-managed
+        # unpersist (the ContextCleaner reaps it with the DataFrame).
+        # Trade, documented not hidden: checkpointing truncates lineage,
+        # so an executor loss fails the job instead of recomputing —
+        # the same discipline the iterative closure
+        # (operators/graph.connected_components) already accepts, and
+        # the standard one for batch dedup jobs. Measured r13 at sf0.1:
+        # the full md5-family query drops 2.37 s → 1.42 s (-40%).
+        signed = signed.localCheckpoint()
     cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands, max_bucket)
     result = exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)
     if cache:

@@ -200,9 +200,13 @@ def minhash_incremental_near_duplicates_indexed(
     c = index.constants
     shingle_len, num_hashes = int(c["shingle_len"]), int(c["num_hashes"])
     bands = int(c["bands"])
+    # delta signatures feed banding AND the verify's a-side: one
+    # materialization instead of two delta hash passes (r13, same
+    # rationale as minhash_near_duplicates.share_signatures; the frame
+    # is delta-sized, never corpus-sized)
     new_signed = signed_for(
         new_docs, c["id_col"], c["text_col"], shingle_len, num_hashes, c["hash_family"]
-    )
+    ).localCheckpoint()
     new_b = _banded(
         new_signed, c["id_col"], bands, num_hashes // bands
     ).withColumnRenamed("doc", "a")

@@ -71,7 +71,7 @@ def simhash_bits_df(
     # hash in its own projection: 64 aggregate update expressions each
     # reference h — materializing it guarantees one string hash per
     # token instead of relying on CSE inside the aggregate
-    docs = spread_small_scan(docs)  # token explode + 64 bit-sums per row
+    docs = spread_small_scan(docs, heavy=True)  # token explode + 64 bit-sums per row
     ex = docs.select(id_col, F.explode(toks).alias("tok"))
     if token_hash == "xxhash64":
         ex = ex.select(id_col, F.xxhash64("tok").alias("h"))
@@ -417,28 +417,32 @@ def simhash_near_duplicates(
         + _ham.format(a="va.pk", b="vb.pk")
         + f" as hamming)))), p -> p.hamming <= {max_hamming})"
     )
-    all_pairs = (
-        buckets.where(F.size("ds") <= max_bucket)
-        .select(F.explode(cached_expr(matching_sql)).alias("p"))
+    # Star regime for oversized buckets, same struct shape, filtered
+    # inside the array too. element_at(ds, 1) is referenced INSIDE the
+    # per-element lambda (array access only) — the old two-branch form
+    # projected it above a Generate, which copies the full multi-MB
+    # ``ds`` array into every generated row (measured: OOM at 10k
+    # docs); this form's generated rows are bare (a, b, hamming).
+    star_sql = (
+        "filter(transform(slice(ds, 2, size(ds)), m -> "
+        "struct(element_at(ds, 1).doc as a, m.doc as b, "
+        + _ham.format(a="element_at(ds, 1).pk", b="m.pk")
+        + f" as hamming)), p -> p.hamming <= {max_hamming})"
+    )
+    # ONE conditional generator for both regimes (r13): the previous
+    # all-pairs/star branch split consumed ``buckets`` twice, so the
+    # whole fingerprint + bucket-aggregate pipeline executed once per
+    # branch — a full second corpus pass bought nothing. CASE WHEN
+    # picks the expansion per row (codegen evaluates branches lazily,
+    # so an oversized bucket never builds its O(n²) all-pairs array);
+    # each bucket falls in exactly one regime, so the pair set is
+    # identical to the union form.
+    expansion_sql = (
+        f"case when size(ds) <= {max_bucket} then {matching_sql} "
+        f"else {star_sql} end"
+    )
+    return (
+        buckets.select(F.explode(cached_expr(expansion_sql)).alias("p"))
         .select("p.a", "p.b", "p.hamming")
+        .distinct()
     )
-    # The representative and the sliced remainder are materialized in
-    # their OWN projection before the explode: referencing element_at(ds,
-    # 1) above the Generate would carry the full multi-MB ``ds`` array
-    # through every generated row (measured: OOM at 10k docs — each of
-    # 10k output rows copies the 10k-struct array).
-    star_pairs = (
-        buckets.where(F.size("ds") > max_bucket)
-        .select(
-            F.element_at("ds", 1).alias("r"),
-            F.slice("ds", 2, F.size("ds")).alias("rest"),
-        )
-        .select("r", F.explode("rest").alias("m"))
-        .select(
-            F.col("r.doc").alias("a"),
-            F.col("m.doc").alias("b"),
-            cached_expr(_ham.format(a="r.pk", b="m.pk")).alias("hamming"),
-        )
-    )
-    star_pairs = star_pairs.where(F.col("hamming") <= max_hamming)
-    return all_pairs.unionByName(star_pairs).distinct()

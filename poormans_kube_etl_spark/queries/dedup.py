@@ -828,8 +828,19 @@ def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:
     hex digits of md5, mod 7) — NOT xxhash64 — so the DuckDB oracle of
     ``dedup_embedding_lsh_pairs`` reconstructs the twins bit-exactly:
     both engines widen the float component to double, multiply by the
-    same double factor, and round once back to float32."""
-    return emb.unionByName(_planted_twins(emb, n))
+    same double factor, and round once back to float32.
+
+    The augmented frame is localCheckpoint'ed (r13): its consumers —
+    the banding planner's count(), the SRP GEMM map, and BOTH
+    exact-cosine verify sides — each re-evaluated the union (and the
+    twins' md5 perturbation) from the parquet scan up, 3-4 evaluations
+    per query. One materialization serves all of them; measured at
+    sf0.1 the LSH face drops ~0.4 s. This fixture union is the one
+    augmented input the query family defines, so materializing it once
+    is the natural boundary (at scale it trades one write of the
+    corpus-sized frame against two extra full re-reads — neutral on
+    I/O, and it removes the twins recompute)."""
+    return emb.unionByName(_planted_twins(emb, n)).localCheckpoint()
 
 
 def _planted_twins(emb: DataFrame, n: int = 50) -> DataFrame:
@@ -983,8 +994,9 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from poormans_kube_etl_spark.operators.text import rolling_window_hashes, token_hash
 
     apply_runtime_confs(spark)
-    # rolling hashes amplify per row and no operator spreads upstream
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # rolling hashes amplify per row and no operator spreads upstream;
+    # per-token md5 rolls are hash-grade map work: the heavy spread tier
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), heavy=True)
     hashed = docs.select(
         "doc_id", F.transform(tokens(normalize_text("text")), token_hash).alias("hs")
     )

@@ -60,9 +60,10 @@ _K = 8
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
-    # k-gram explode amplifies ~n_tokens x per row: spread single-row-group
-    # scans first (inert for at-scale inputs — sources.spread_small_scan)
-    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # k-gram explode amplifies ~n_tokens x per row AND every gram is a
+    # per-token-hash roll: hash-grade map work, the heavy spread tier
+    # (inert for at-scale inputs — sources.spread_small_scan)
+    return spread_small_scan(load_table(spark, sf_dir, "documents"), heavy=True)
 
 
 # The machinery moved to operators/substring.py when the persisted

@@ -625,7 +625,10 @@ def train_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_runtime_confs(spark)
-    docs = _docs(spark, sf_dir)
+    # per-token md5 hashes + 4-token Karp-Rabin rolls are hash-grade
+    # map work: the heavy spread tier (the shared _docs default floor
+    # is sized for light explode+aggregate faces)
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), heavy=True)
     hashed = docs.select(
         "doc_id",
         tokens(normalize_text("text")).alias("toks"),

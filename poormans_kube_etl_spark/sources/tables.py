@@ -120,13 +120,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _SPREAD_MIN_BYTES = 2 << 20  # below: serial map is cheaper than a barrier
+# Heavy-math callers (per-token md5/rolling hashes, 64-bit-sum simhash
+# aggregates, dense GEMM / N×Q dot scoring) opt into a lower floor:
+# their serial map cost is ~1.5-2 µs/input-byte (measured r13: 594 KB
+# of documents = 1.0-1.3 s single-task through the md5 shingle or
+# simhash pipelines) while the repartition barrier is ~0.1 s flat, so
+# the breakeven sits near 64 KB — floored at 128 KB to keep a safety
+# factor and to stay inert on the sf0.001/0.01 correctness fixtures
+# (65 KB documents), whose plan gates pin map-only shapes. LIGHT
+# pipelines must NOT use this tier: a token-explode+count over the
+# same 594 KB measured 0.36 s serial vs 0.59 s spread (r13) — the
+# barrier loses when per-row work is cheap, which is why the default
+# floor stays at 2 MB.
+_SPREAD_HEAVY_MIN_BYTES = 128 << 10
 _SPREAD_MAX_BYTES = 4 << 30  # above: real lakes split naturally; never
 # shuffle a at-scale corpus just to "spread" it
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+def spread_small_scan(df: DataFrame, heavy: bool = False) -> DataFrame:
     """Repartition a mid-sized NARROW input across the task slots before
     map-amplified work — a no-op for tiny and for at-scale inputs.
+
+    ``heavy=True`` lowers the minimum-size floor to 128 KB for callers
+    whose per-row map work is hash/GEMM-grade (see the constant's
+    comment for the measured breakeven); the default floor stays 2 MB
+    because light explode+aggregate pipelines lose more to the barrier
+    than the parallelism returns.
 
     Why (r5): parquet cannot split below a ROW GROUP, and the shipped
     testdata writes each table as one file with ONE row group — so every
@@ -166,7 +185,8 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
         )
     except Exception:
         return df  # stats unavailable (exotic plan): never fail a query
-    if _SPREAD_MIN_BYTES <= size <= _SPREAD_MAX_BYTES:
+    floor = _SPREAD_HEAVY_MIN_BYTES if heavy else _SPREAD_MIN_BYTES
+    if floor <= size <= _SPREAD_MAX_BYTES:
         return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
 

@@ -1303,14 +1303,16 @@ def test_embedding_lsh_duplicate_ids_emit_no_self_pairs(spark):
 
 
 def test_embedding_lsh_star_generate_projects_array_away(spark):
-    """r7 review plan gate: the hot-bucket star path must consume the
-    bucket array in a Generate whose output is the scalar member only —
-    the prior one-select form kept the full array on EVERY generated
-    row (Project[element_at(vids,1)] above the explode), re-creating
-    the O(n^2)-bytes shape the cap exists to prevent (the measured
-    simhash OOM at 10k-member buckets)."""
+    """r7 review plan gate, re-pinned for the r13 single-generator
+    expansion: the bucket array must be consumed INSIDE the Generate's
+    expression (both the all-pairs and star regimes of the CASE WHEN)
+    and never carried on generated rows — a Project above the explode
+    referencing the array re-creates the O(n^2)-bytes shape the cap
+    exists to prevent (the measured simhash OOM at 10k-member
+    buckets). The r13 merge also pins that there is exactly ONE
+    Generate: the old all-pairs/star branch split executed the whole
+    upstream pipeline (GEMM + bucket aggregate) once per branch."""
     import random
-    import re
 
     from poormans_kube_etl_spark.operators.similarity import (
         embedding_lsh_candidate_pairs,
@@ -1325,11 +1327,14 @@ def test_embedding_lsh_star_generate_projects_array_away(spark):
         emb, bands=2, planes_per_band=1, dim=8, max_bucket=3
     )
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
-    star_gens = [
-        ln for ln in plan.splitlines() if re.search(r"Generate explode\(rest", ln)
-    ]
-    assert star_gens, "star path missing from the plan"
-    assert not any("vids" in ln for ln in star_gens), star_gens
+    lines = plan.splitlines()
+    gens = [i for i, ln in enumerate(lines) if "Generate explode(" in ln]
+    assert len(gens) == 1, f"expected ONE conditional generator, got {len(gens)}"
+    gen_line = lines[gens[0]]
+    assert "CASE WHEN" in gen_line, "conditional two-regime expansion missing"
+    # ancestors of the Generate (printed above it) must not reference
+    # the bucket array: generated rows carry only the bare pair struct
+    assert not any("vids" in ln for ln in lines[: gens[0]]), lines[: gens[0]]
     # and the trade still holds semantically: no self pairs, a < b
     rows = pairs.collect()
     assert all(r.a < r.b for r in rows)
