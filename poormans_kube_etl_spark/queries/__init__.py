@@ -90,6 +90,23 @@ _CHANGED_THIS_ROUND = [
     # r13 (VERDICT r12 #3): raw-text distinct re-expressed over
     # sha2(text,256) — plan AND oracle changed in lockstep
     "dedup_exact_stats",
+    # r13 optimization pass: faces whose PHYSICAL PLANS were
+    # restructured (values identical, locally hash-verified at
+    # sf0.001 AND sf0.01) — conditional single-generator bucket
+    # expansion, checkpointed signature/fixture frames, heavy-tier
+    # scan spreading. They were driver-checked in r12, so
+    # stalest-first alone would leave the restructured plans outside
+    # the window; they re-earn a driver row instead. Kept to the
+    # deepest-changed eight so the stale tail still holds the full
+    # r09 cohort (head 11 + tail 39 ≥ 37).
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_embedding_lsh_pairs",
+    "dedup_minhash_index_delta_pairs",
+    "dedup_embedding_index_delta_pairs",
+    "train_corpus_build_funnel",
+    "sim_topk_bruteforce",
+    "sim_ivf_topk",
 ]
 
 

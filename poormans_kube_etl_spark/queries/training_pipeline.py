@@ -32,12 +32,16 @@ from poormans_kube_etl_spark.sources import load_table, spread_small_scan
 _BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, heavy: bool = False) -> DataFrame:
     apply_runtime_confs(spark)
     # consumers explode tokens/sentences/shingles (high per-row
     # amplification): spread single-row-group scans first (inert for
-    # tiny and at-scale inputs — see sources.spread_small_scan)
-    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # tiny and at-scale inputs — see sources.spread_small_scan).
+    # ``heavy`` opts a face whose map work is hash-grade (per-token
+    # md5, Karp-Rabin rolls) into the lower 128 KB spread floor —
+    # light explode+aggregate faces keep the 2 MB default (spreading
+    # them measured as a net loss, r13).
+    return spread_small_scan(load_table(spark, sf_dir, "documents"), heavy=heavy)
 
 
 def hash_bucket(col, buckets: int = 100):
@@ -628,7 +632,7 @@ def train_cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-token md5 hashes + 4-token Karp-Rabin rolls are hash-grade
     # map work: the heavy spread tier (the shared _docs default floor
     # is sized for light explode+aggregate faces)
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"), heavy=True)
+    docs = _docs(spark, sf_dir, heavy=True)
     hashed = docs.select(
         "doc_id",
         tokens(normalize_text("text")).alias("toks"),

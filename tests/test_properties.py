@@ -578,7 +578,9 @@ def test_cdc_chunks_partition_the_document(spark, text):
     import poormans_kube_etl_spark.queries.training_pipeline as tp
 
     real_docs = tp._docs
-    tp._docs = lambda s, sf: docs  # run the registered builder on the fixture
+    # run the registered builder on the fixture; accept the heavy
+    # spread-tier kwarg the CDC face passes (r13)
+    tp._docs = lambda s, sf, **kw: docs
     try:
         rows = train_cdc_chunk_documents(spark, "unused").collect()
     finally:
