@@ -49,6 +49,33 @@ _PROP_PREFIX = "pke.substring."
 _CONSTANT_KEYS = ("id_col", "text_col", "k", "fingerprint", "format_version")
 
 
+def kgrams_from_tokens(
+    toked: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """``positional_kgrams`` over a PRE-TOKENIZED frame (id, toks) —
+    extracted r13 so a face that needs the token arrays for its own
+    output (the span scrub) can tokenize the corpus ONCE and share the
+    frame with gram generation instead of re-running normalize+split
+    per consumer. Expressions are identical to what
+    ``positional_kgrams`` always produced."""
+    toked = toked.where(F.size("toks") >= k)
+    th = toked.select(
+        id_col,
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
+        F.size("toks").alias("n_toks"),
+    )
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), F.col("n_toks") - k),
+        lambda s: F.struct(
+            s.cast("int").alias("s"),
+            F.xxhash64(*[F.get("th", s + j) for j in range(k)]).alias("g"),
+        ),
+    )
+    return th.select(id_col, F.explode(gram_structs).alias("c")).select(
+        id_col, "c.s", "c.g"
+    )
+
+
 def positional_kgrams(
     docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -65,24 +92,12 @@ def positional_kgrams(
     ride the generator. Docs shorter than k tokens contribute nothing:
     a duplicated run below the minimum is below the detection threshold
     by definition (no degrade-to-whole-doc fallback, unlike shingles).
-    """
-    toked = docs.select(
-        id_col, tokens(normalize_text(text_col)).alias("toks")
-    ).where(F.size("toks") >= k)
-    th = toked.select(
+    Tokenization happens here; ``kgrams_from_tokens`` is the shared
+    tail for callers that already hold (id, toks)."""
+    return kgrams_from_tokens(
+        docs.select(id_col, tokens(normalize_text(text_col)).alias("toks")),
+        k,
         id_col,
-        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
-        F.size("toks").alias("n_toks"),
-    )
-    gram_structs = F.transform(
-        F.sequence(F.lit(0), F.col("n_toks") - k),
-        lambda s: F.struct(
-            s.cast("int").alias("s"),
-            F.xxhash64(*[F.get("th", s + j) for j in range(k)]).alias("g"),
-        ),
-    )
-    return th.select(id_col, F.explode(gram_structs).alias("c")).select(
-        id_col, "c.s", "c.g"
     )
 
 
@@ -129,6 +144,21 @@ def duplicate_spans(
     3. merge_islands (one id-keyed exchange).
     """
     grams = positional_kgrams(docs, k, id_col, text_col)
+    return _spans_from_grams(grams, k, id_col)
+
+
+def duplicate_spans_from_tokens(
+    toked: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """``duplicate_spans`` over a PRE-TOKENIZED (id, toks) frame — for
+    callers (the span scrub) that also need the token arrays for their
+    own output and therefore materialize tokenization once instead of
+    letting each gram consumer re-run normalize+split (r13). Same
+    expressions, same output."""
+    return _spans_from_grams(kgrams_from_tokens(toked, k, id_col), k, id_col)
+
+
+def _spans_from_grams(grams: DataFrame, k: int, id_col: str) -> DataFrame:
     dup = (
         grams.groupBy("g")
         .agg(F.min(id_col).alias("min_doc"), F.max(id_col).alias("max_doc"))

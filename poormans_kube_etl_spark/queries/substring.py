@@ -205,8 +205,22 @@ def train_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty string on both engines (DuckDB's array_to_string of an empty
     list is NULL, Spark's array_join is '' — the oracle COALESCEs).
     """
+    from poormans_kube_etl_spark.operators.substring import (
+        duplicate_spans_from_tokens,
+    )
+
     docs = _docs(spark, sf_dir)
-    spans = duplicate_spans(docs)
+    # tokenize ONCE (r13): the spans pipeline evaluates the gram
+    # subtree twice (dup-gram set + hits join) and this face needs the
+    # token arrays a third time for clean_text — the tokenized frame is
+    # materialized and shared by all three consumers (same doc-scale
+    # materialization class as the minhash signature checkpoint; the
+    # gram EXPLODE stays unmaterialized). Measured at sf0.1: 1.9 → 1.5 s,
+    # values byte-identical.
+    toked = docs.select(
+        "doc_id", tokens(normalize_text("text")).alias("toks")
+    ).localCheckpoint()
+    spans = duplicate_spans_from_tokens(toked, _K)
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(
@@ -217,7 +231,6 @@ def train_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_spans"),
         F.sum("span_len").cast("int").alias("n_removed_tokens"),
     )
-    toked = docs.select("doc_id", tokens(normalize_text("text")).alias("toks"))
     joined = toked.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "toks",
