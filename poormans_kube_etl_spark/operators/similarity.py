@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from poormans_kube_etl_spark.operators.buckets import bucket_member_pairs
 from poormans_kube_etl_spark.sources import spread_small_scan
+from poormans_kube_etl_spark.sources.tables import GEMM_TASK_BYTES
 
 
 def to_double_vec(col: Column | str) -> Column:
@@ -259,7 +260,9 @@ def brute_force_topk(
     dim = resolve_dim(embeddings, vec_col, dim)
     # N-row scan fans out to N*Q scored pairs: spread a single-row-group
     # scan across task slots before the amplification (no-op at scale)
-    corpus = spread_small_scan(embeddings, heavy=True).select(
+    corpus = spread_small_scan(
+        embeddings, heavy=True, task_bytes=GEMM_TASK_BYTES
+    ).select(
         F.col(id_col).alias("nn_id"), checked_double_vec(vec_col, dim).alias("nn_vec")
     ).withColumn("_nn", _norm_expr("nn_vec", dim))
     qs = queries.select(
@@ -435,7 +438,9 @@ def random_hyperplane_buckets(
             pdf["bucket"] = (bits * msb_first).sum(axis=1).astype(np.int64)
             yield pdf
 
-    return spread_small_scan(embeddings.select(id_col, vec_col), heavy=True).mapInPandas(
+    return spread_small_scan(
+        embeddings.select(id_col, vec_col), heavy=True, task_bytes=GEMM_TASK_BYTES
+    ).mapInPandas(
         bucketize,
         schema=f"{id_col} {schema[id_col]}, {vec_col} {schema[vec_col]}, bucket bigint",
     )
@@ -600,7 +605,9 @@ def srp_band_signatures(
 
     # the GEMM is the whole map side here — single-row-group inputs
     # would run it one-task (measured 3.4 s serial at sf1)
-    return spread_small_scan(embeddings.select(id_col, vec_col), heavy=True).mapInPandas(
+    return spread_small_scan(
+        embeddings.select(id_col, vec_col), heavy=True, task_bytes=GEMM_TASK_BYTES
+    ).mapInPandas(
         band_sigs, schema=f"vid {id_type}, band_id int, bucket bigint"
     )
 
@@ -915,8 +922,9 @@ def ivf_topk(
     pass a persisted/cached frame to amortize. Default None recomputes
     live (value-identical either way)."""
     dim = resolve_dim(embeddings, vec_col, dim)
-    embeddings = spread_small_scan(embeddings, heavy=True)  # feeds the centroid
-    # aggregate AND the probed-cell rerank scoring
+    embeddings = spread_small_scan(
+        embeddings, heavy=True, task_bytes=GEMM_TASK_BYTES
+    )  # feeds the centroid aggregate AND the probed-cell rerank scoring
     cents = (
         centroids
         if centroids is not None

@@ -136,16 +136,61 @@ _SPREAD_HEAVY_MIN_BYTES = 128 << 10
 _SPREAD_MAX_BYTES = 4 << 30  # above: real lakes split naturally; never
 # shuffle a at-scale corpus just to "spread" it
 
+# Per-task byte targets for the width cap (r14, VERDICT r13 #2): a flat
+# defaultParallelism width turned a 594 KB frame into 32 ~19 KB
+# micro-tasks whose scheduling overhead exceeded the compute — the r13
+# c8 scaling run showed those faces running FASTER at 8 cores. Width now
+# scales with input bytes, targeting ~70-100 ms of map compute per task:
+# - hash-roll callers (~1.5-2 µs/B measured r13) → 40 KB/task; measured
+#   r14 over the md5 signature stage at sf0.1/32 cores: width 16 = 0.67 s,
+#   width 32 = 0.80 s, width 9 = 0.72 s (serial = 1.67 s) — 12-16 is the
+#   plateau and the formula lands there (594 KB // 40 KB = 14).
+# - GEMM / N×Q scoring callers (heavier per input byte: dense dot
+#   products per candidate pair) → 24 KB/task; measured r14 on
+#   sim_topk_bruteforce: width 32 = 1.06 s vs width 16 = 1.29 s — the
+#   scoring keeps winning to full width, so its task target is smaller
+#   (799 KB // 24 KB = 33 → capped at defaultParallelism).
+# - light tier keeps 64 KB/task, which at its 2 MB floor reproduces the
+#   old full-width behaviour exactly (2 MB // 64 KB = 32).
+_SPREAD_TASK_BYTES = 64 << 10
+_SPREAD_HEAVY_TASK_BYTES = 40 << 10
+GEMM_TASK_BYTES = 24 << 10
 
-def spread_small_scan(df: DataFrame, heavy: bool = False) -> DataFrame:
+
+def _leaf_input_file_count(df: DataFrame) -> int | None:
+    """Number of input files under the plan's file-scan leaves, or None
+    when any leaf is not a file scan (RDD scans after localCheckpoint,
+    range plans, in-memory relations). Plan-analysis only — the
+    InMemoryFileIndex was materialized when the table was first read,
+    so this is a py4j tree walk (~1.5 ms warm, ~15 ms on first touch;
+    measured r14), not a filesystem listing and not a physical plan.
+    A union's leaves each count their own scan, which matches how scan
+    partitions add across union branches."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        return sum(
+            len(leaves.apply(i).relation().location().inputFiles())
+            for i in range(leaves.size())
+        )
+    except Exception:
+        return None
+
+
+def spread_small_scan(
+    df: DataFrame, heavy: bool = False, task_bytes: int | None = None
+) -> DataFrame:
     """Repartition a mid-sized NARROW input across the task slots before
-    map-amplified work — a no-op for tiny and for at-scale inputs.
+    map-amplified work — a no-op for tiny, for at-scale, and for
+    already-multi-file inputs.
 
     ``heavy=True`` lowers the minimum-size floor to 128 KB for callers
     whose per-row map work is hash/GEMM-grade (see the constant's
     comment for the measured breakeven); the default floor stays 2 MB
     because light explode+aggregate pipelines lose more to the barrier
-    than the parallelism returns.
+    than the parallelism returns. ``task_bytes`` overrides the per-task
+    byte target for callers whose per-byte map cost is off the heavy
+    tier's hash-roll calibration (the GEMM sites pass
+    ``GEMM_TASK_BYTES`` — see the constants' measured rationale).
 
     Why (r5): parquet cannot split below a ROW GROUP, and the shipped
     testdata writes each table as one file with ONE row group — so every
@@ -160,24 +205,32 @@ def spread_small_scan(df: DataFrame, heavy: bool = False) -> DataFrame:
     only — an ``rdd.getNumPartitions`` probe physical-plans the whole
     query and measured 0.86 s per fresh build, costlier than what it
     saved at small SF):
-    - below ``_SPREAD_MIN_BYTES``: pass through — on sub-2 MB inputs
-      the exchange barrier costs more than the serial map (measured:
-      the unconditional form regressed the sf0.1 bench ~15%).
+    - below the floor: pass through — on tiny inputs the exchange
+      barrier costs more than the serial map (measured: the
+      unconditional form regressed the sf0.1 bench ~15%).
     - above ``_SPREAD_MAX_BYTES``: pass through — an input that large
       has hundreds of natural splits on any sane layout, and
       repartitioning a full corpus before a map stage is a
       catastrophic extra shuffle. At 100 TB this function is inert.
-    - in between: round-robin repartition to ``defaultParallelism``
-      (retry-deterministic; Spark sorts locally first). Results are
-      partitioning-invariant for every caller — min/sum/set
-      aggregates, per-row map output, two-stage top-k (pinned by
-      test_results_invariant_to_shuffle_partitioning).
+    - in between: width = ``min(defaultParallelism, size // task_bytes)``
+      (r14 — was a flat defaultParallelism; see the task-byte constants
+      for the measured plateau), UNLESS the plan's file-scan leaves
+      already hold that many input files (r14, VERDICT r13 #1): a
+      multi-file layout — the sf1/sf10 replica sets write 32 files per
+      table — splits naturally at scan time, and repartitioning it again
+      was a pure extra exchange. The file probe is a ~1.5 ms plan walk;
+      non-file leaves (checkpointed RDDs) return None and keep the
+      spread, since an RDD's partitioning is whatever its parent had.
+      Round-robin repartition is retry-deterministic (Spark sorts
+      locally first); results are partitioning-invariant for every
+      caller — min/sum/set aggregates, per-row map output, two-stage
+      top-k (pinned by test_results_invariant_to_shuffle_partitioning).
 
-    Known trade: a mid-band input that ALREADY has enough splits pays
-    one redundant ≤4 GB shuffle. Detecting that would need a partition
-    or file probe, and both are orders pricier than the stat read
-    (``rdd``: 0.86 s, ``inputFiles`` on a union: 1.05 s, measured) —
-    the redundant shuffle is bounded and cheap; the probes are not.
+    Known trade: file COUNT approximates natural split count (exact for
+    the uniform replica layouts; openCostInBytes packing merges only
+    sub-4 MB files, and one file per split is the floor). A mid-band
+    input with fewer files than the target width still pays the
+    repartition even if its files are large enough to byte-split.
     """
     try:
         size = int(
@@ -186,9 +239,21 @@ def spread_small_scan(df: DataFrame, heavy: bool = False) -> DataFrame:
     except Exception:
         return df  # stats unavailable (exotic plan): never fail a query
     floor = _SPREAD_HEAVY_MIN_BYTES if heavy else _SPREAD_MIN_BYTES
-    if floor <= size <= _SPREAD_MAX_BYTES:
-        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return df
+    if not (floor <= size <= _SPREAD_MAX_BYTES):
+        return df
+    per_task = task_bytes or (
+        _SPREAD_HEAVY_TASK_BYTES if heavy else _SPREAD_TASK_BYTES
+    )
+    width = min(
+        df.sparkSession.sparkContext.defaultParallelism,
+        max(1, size // per_task),
+    )
+    if width <= 1:
+        return df
+    n_files = _leaf_input_file_count(df)
+    if n_files is not None and n_files >= width:
+        return df  # scan already splits at least `width` ways naturally
+    return df.repartition(width)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

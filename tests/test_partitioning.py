@@ -277,6 +277,68 @@ def test_spread_small_scan_thresholds(spark):
     )
 
 
+def test_spread_width_scales_with_input_bytes(spark):
+    """r14 (VERDICT r13 #2): the heavy tier repartitions to
+    ``size // task_bytes`` capped at defaultParallelism — a 594 KB frame
+    must NOT become 32 ~19 KB micro-tasks (the r13 c8 run showed those
+    faces running faster at 8 cores than 32)."""
+    from poormans_kube_etl_spark.sources import load_table, spread_small_scan
+    from poormans_kube_etl_spark.sources.tables import (
+        _SPREAD_HEAVY_TASK_BYTES,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    spread = spread_small_scan(docs, heavy=True)
+    assert spread is not docs
+    got = spread.rdd.getNumPartitions()
+    # the width follows the documented formula (size is the OPTIMIZER
+    # estimate, so derive the expectation the same way)
+    size = int(
+        str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    assert got == min(
+        spark.sparkContext.defaultParallelism,
+        max(1, size // _SPREAD_HEAVY_TASK_BYTES),
+    )
+    assert got > 1
+    # a frame well under (task_bytes * parallelism) gets FEWER tasks
+    # than the slot count — the micro-task cap this change exists for
+    sub = docs.sparkSession.range(0, 30_000)
+    # 240 KB stats (8 B/row): above the 128 KB heavy floor, below
+    # 8 slots' worth at 40 KB/task
+    sub_spread = spread_small_scan(sub, heavy=True)
+    assert sub_spread is not sub
+    assert (
+        sub_spread.rdd.getNumPartitions()
+        < spark.sparkContext.defaultParallelism
+    )
+
+
+def test_spread_skips_naturally_split_scans(spark, tmp_path):
+    """r14 (VERDICT r13 #1): a multi-file layout (the sf1/sf10 replica
+    sets write 32 files per table) already splits at scan time — the
+    spread must NOT add a redundant round-robin exchange on top."""
+    from poormans_kube_etl_spark.sources import spread_small_scan
+
+    p = str(tmp_path / "multi.parquet")
+    # ~4 MB over 32 files: above the heavy floor AND the light floor,
+    # with as many natural splits as any spread width could ask for
+    spark.range(0, 500_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).repartition(32).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert spread_small_scan(df, heavy=True) is df
+    assert spread_small_scan(df) is df
+    # single-file single-row-group inputs (the driver testdata layout)
+    # still spread: one file can never split below a row group
+    p1 = str(tmp_path / "single.parquet")
+    spark.range(0, 500_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(p1)
+    df1 = spark.read.parquet(p1)
+    assert spread_small_scan(df1, heavy=True) is not df1
+
+
 def test_salted_join_rejects_existing_salt_column(spark):
     """r8 review: a pre-existing '_salt' column was silently overwritten
     by the salting projection, equating user data with replication
