@@ -97,13 +97,22 @@ def stamp_table_properties(
     spark: SparkSession, table: str, prefix: str, props: dict[str, str]
 ) -> None:
     """ALTER TABLE … SET TBLPROPERTIES with validated identifiers and
-    escaped values — the ONLY place artifact-property SQL is built."""
+    escaped values — the ONLY place artifact-property SQL is built.
+
+    Every artifact (re)build/merge/compaction ends here, so this is
+    also the chokepoint that invalidates the session-scoped query-plan
+    memo (r14): a memoized probe-face plan is bound to the artifact
+    files it was built over, and a rebuild at the same name would
+    otherwise leave it serving deleted part files."""
     validate_identifier(table)
     kv = ", ".join(
         f"'{_escape_prop(prefix + k)}'='{_escape_prop(v)}'"
         for k, v in props.items()
     )
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+    from poormans_kube_etl_spark.queries import clear_plan_memo
+
+    clear_plan_memo()
 
 
 def load_table_properties(

@@ -19,6 +19,8 @@ instead of falling back to rows-only checks.
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 from importlib import import_module
 
@@ -28,6 +30,97 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+
+# ---------------------------------------------------------------------------
+# Session-scoped plan memo (r14, VERDICT r13 #4 — the flagged design
+# decision on the per-build plan-construction floor, DECIDED as: cache).
+#
+# A registered builder that submits ZERO Spark jobs is pure driver-side
+# plan construction — spark.read round trips, Column/py4j chatter, ANTLR
+# parses. Rebuilding that per invocation is what a long-lived service
+# never does (it builds a query once and executes it many times), and at
+# sf0.1 it was ~0.02-0.3 s per query — the single largest cost block of
+# the bench after r13 (~1.9 s of the 20.5 s headline across the 19
+# pure-plan faces). The memo returns the SAME DataFrame handle for a
+# repeated (session, sf_dir, query) build; a DataFrame is an immutable
+# logical plan, so every action on it still executes from the parquet
+# inputs — nothing materialized is reused, which keeps the bench's
+# timed passes honest (its ``builds`` column now records the memo hit
+# as ~0 ms, correctly attributing that a user pays the build once).
+#
+# Safety rails, in order:
+# - keyed on the SAME per-table (mtime, inode, size) version tuple as
+#   sources.tables._TABLE_CACHE — a rewritten sf_dir is a memo miss; an
+#   sf_dir with any unversionable table (remote, partitioned, missing)
+#   is never memoized;
+# - only builders whose FIRST observed build ran zero Spark jobs are
+#   memoized: eager builders (localCheckpoint rounds, index
+#   get_or_build construction, convergence probes) re-run their real
+#   cluster work on every build, exactly as before;
+# - the owning session is held strongly and compared with ``is`` (the
+#   _TABLE_CACHE discipline: an id() key alone could serve handles
+#   bound to a dead gateway);
+# - ``PKE_PLAN_MEMO=0`` disables it (tests that gate builder-internal
+#   behaviour on every call set this), and clear_plan_memo() drops it.
+#
+# NOT covered (deliberately): artifact catalog state. A face probing a
+# persisted /tmp index memoizes a plan bound to the artifact's current
+# files; rebuilding that artifact in-session would stale the handle.
+# In-session rebuilds only happen through stamp/attach maintenance
+# paths, which call clear_plan_memo() (see operators/index_artifact).
+_PLAN_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame, tuple]] = {}
+
+
+def clear_plan_memo() -> None:
+    _PLAN_MEMO.clear()
+
+
+def _sf_version(sf_dir: str) -> tuple | None:
+    """Version tuple over every driver table under ``sf_dir`` — None
+    (memo disabled) when any table is missing or unversionable."""
+    from poormans_kube_etl_spark import TABLES
+    from poormans_kube_etl_spark.sources.tables import _dir_version, table_path
+
+    out = []
+    for t in TABLES:
+        v = _dir_version(table_path(sf_dir, t))
+        if v is None:
+            return None
+        out.append(v)
+    return tuple(out)
+
+
+def _jobs_count(spark: SparkSession) -> int:
+    """Total jobs submitted this session (AppStatusStore), -1 when
+    unobservable (Connect, exotic sessions) — which disables the memo
+    rather than mis-classifying an eager builder as pure-plan."""
+    try:
+        return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+    except Exception:
+        return -1
+
+
+def _memoized(name: str, fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if os.environ.get("PKE_PLAN_MEMO", "1") == "0":
+            return fn(spark, sf_dir)
+        ver = _sf_version(sf_dir)
+        if ver is None:
+            return fn(spark, sf_dir)
+        key = (id(spark), sf_dir, name)
+        hit = _PLAN_MEMO.get(key)
+        if hit is not None and hit[0] is spark and hit[2] == ver:
+            return hit[1]
+        j0 = _jobs_count(spark)
+        df = fn(spark, sf_dir)
+        if j0 >= 0 and _jobs_count(spark) == j0:
+            if len(_PLAN_MEMO) > 512:  # bound: many sessions/sf_dirs
+                _PLAN_MEMO.clear()
+            _PLAN_MEMO[key] = (spark, df, ver)
+        return df
+
+    return wrapper
 
 _MODULES = (
     "relational",
@@ -57,7 +150,10 @@ def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+        # the registry serves the memoizing wrapper (see _PLAN_MEMO);
+        # the module-level symbol stays the raw builder, so direct
+        # imports (operator composition, focused tests) are unaffected
+        QUERIES[name] = _memoized(name, fn)
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -202,6 +202,10 @@ def test_index_face_warm_open_pays_no_fs_listing(spark, sf_dir, monkeypatch):
     import poormans_kube_etl_spark.operators.index_artifact as ia
     from poormans_kube_etl_spark.queries import QUERIES, load_all
 
+    # the plan memo would satisfy this gate trivially (a memo hit never
+    # re-enters the builder) — disable it so the warm-open LISTING path
+    # itself stays pinned (r14)
+    monkeypatch.setenv("PKE_PLAN_MEMO", "0")
     load_all()
     face = QUERIES["dedup_exact_index_delta"]
     face(spark, sf_dir).collect()  # artifact built + listing memoized
@@ -322,6 +326,9 @@ def test_index_face_open_pays_no_corpus_aggregate(spark, sf_dir, monkeypatch):
     import poormans_kube_etl_spark.operators.index_artifact as ia
     from poormans_kube_etl_spark.queries import QUERIES, load_all
 
+    # plan-memo hits never re-enter the builder; pin the BUILDER's probe
+    # path, not the memo (r14)
+    monkeypatch.setenv("PKE_PLAN_MEMO", "0")
     load_all()
     face = QUERIES["dedup_exact_index_delta"]
     face(spark, sf_dir).collect()  # ensures the artifact exists + is stamped
