@@ -61,12 +61,30 @@ def connected_components(
     if not pairs_unique:
         edges = edges.distinct()
     edges = edges.localCheckpoint()
-    # seed = round-1 neighbor propagation (see docstring)
-    labels = (
+    # seed = round-1 neighbor propagation, PLUS round-1's pointer jump
+    # folded in before the checkpoint (r14, VERDICT r13 #6): the jump's
+    # self-join rides the seed's single materialization job instead of
+    # costing a whole extra loop round (2 joins + checkpoint + count).
+    # For the near-dup-typical shallow clusters (diameter ≤ 3) the seed
+    # then already holds the fixpoint and the loop's first round is the
+    # converged confirmation — one round saved per closure.
+    seed = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("m"))
         .select(
             F.col("src").alias("node"), F.least("src", "m").alias("component")
+        )
+    )
+    parents = seed.select(
+        F.col("node").alias("component"), F.col("component").alias("parent")
+    )
+    labels = (
+        seed.join(parents, "component", "left")
+        .select(
+            "node",
+            F.least("component", F.coalesce("parent", "component")).alias(
+                "component"
+            ),
         )
         .localCheckpoint()
     )

@@ -491,27 +491,37 @@ def minhash_incremental_near_duplicates(
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
     max_bucket: int = 256,
+    share_signatures: bool = False,
 ) -> DataFrame:
     """New-batch-vs-corpus near-dup pairs: (a=new id, b=corpus id,
     jaccard >= threshold). See ``lsh_incremental_candidate_pairs`` for
     the scale rationale and the hot-band guard. Both sides must use the
     SAME hash family and banding, or buckets never collide — callers
     persisting corpus signatures must record those constants with the
-    table."""
+    table.
+
+    ``share_signatures`` (r14, ADVICE r13): the delta's signatures feed
+    banding AND the verify's a-side; True materializes the delta-sized
+    frame once with an EAGER localCheckpoint instead of hashing the
+    delta twice. Default False — the build stays fully lazy/composable
+    (Connect-safe, recompute-based fault tolerance), and measured at
+    sf0.1 the two delta evaluations pipeline inside one job for less
+    than the checkpoint's eager barrier costs (r14: the indexed face
+    dropped ~0.25 s going lazy). Opt in for deltas big enough that a
+    second hashing pass dominates the materialization write. The CORPUS
+    side always stays recomputed — its two consumers would otherwise
+    need a corpus-scale checkpoint, which is exactly what the persisted
+    index family is for (callers probing repeatedly should use the
+    indexed face)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands}"
         )
-    # the delta's signatures feed banding AND the verify's a-side:
-    # materialize the delta-sized frame once instead of hashing the
-    # delta twice (r13; same rationale as minhash_near_duplicates'
-    # share_signatures). The CORPUS side stays recomputed — its two
-    # consumers would otherwise need a corpus-scale checkpoint, which
-    # is exactly what the persisted index family is for (callers
-    # probing repeatedly should use the indexed face).
     new_signed = signed_for(
         new_docs, id_col, text_col, shingle_len, num_hashes, hash_family
-    ).localCheckpoint()
+    )
+    if share_signatures:
+        new_signed = new_signed.localCheckpoint()
     corpus_signed = signed_for(
         corpus_docs, id_col, text_col, shingle_len, num_hashes, hash_family
     )

@@ -188,6 +188,7 @@ def minhash_incremental_near_duplicates_indexed(
     new_docs: DataFrame,
     index: CorpusMinhashIndex,
     threshold: float = 0.5,
+    share_signatures: bool = False,
 ) -> DataFrame:
     """New-batch-vs-corpus near-dup pairs (a=new id, b=corpus id,
     jaccard >= threshold) against a PERSISTED index: the delta pays its
@@ -196,17 +197,23 @@ def minhash_incremental_near_duplicates_indexed(
     plan gate ``test_indexed_incremental_reuses_persisted_bands`` pins
     exactly that). Same semantics as
     ``minhash_incremental_near_duplicates`` with the corpus side read
-    from the artifact; banding constants come FROM the artifact."""
+    from the artifact; banding constants come FROM the artifact.
+
+    ``share_signatures`` (r14, ADVICE r13: was an unconditional eager
+    localCheckpoint with no opt-out): True materializes the delta
+    signatures once for their two consumers (banding + verify a-side);
+    default False keeps the build lazy — composable, Connect-safe,
+    recomputable on executor loss, and measured faster at sf0.1 (the
+    eager barrier cost more than the duplicated delta-sized hashing).
+    Opt in for deltas where a second hashing pass dominates."""
     c = index.constants
     shingle_len, num_hashes = int(c["shingle_len"]), int(c["num_hashes"])
     bands = int(c["bands"])
-    # delta signatures feed banding AND the verify's a-side: one
-    # materialization instead of two delta hash passes (r13, same
-    # rationale as minhash_near_duplicates.share_signatures; the frame
-    # is delta-sized, never corpus-sized)
     new_signed = signed_for(
         new_docs, c["id_col"], c["text_col"], shingle_len, num_hashes, c["hash_family"]
-    ).localCheckpoint()
+    )
+    if share_signatures:
+        new_signed = new_signed.localCheckpoint()
     new_b = _banded(
         new_signed, c["id_col"], bands, num_hashes // bands
     ).withColumnRenamed("doc", "a")
