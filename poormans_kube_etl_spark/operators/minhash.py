@@ -603,6 +603,14 @@ def minhash_near_duplicates(
 ):
     """End-to-end near-dup pairs: (a, b, jaccard) with jaccard >= threshold.
 
+    NOTE — EAGER BY DEFAULT since r13 (called out per ADVICE r13):
+    ``share_signatures=True`` runs a Spark job at DataFrame-BUILD time
+    (a localCheckpoint of the signature aggregate; measured -40% end to
+    end at sf0.1 — see below). Callers needing a fully lazy build —
+    plan inspection, composition with later pushdown-expecting filters,
+    Spark Connect, recompute-based fault tolerance — pass
+    ``share_signatures=False``.
+
     ``hash_family`` picks the fingerprint arithmetic:
 
     - ``"xxhash64"`` (default): Spark's native hashes — the fastest JVM

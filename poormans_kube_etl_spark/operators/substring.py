@@ -125,7 +125,11 @@ def merge_islands(hits: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def duplicate_spans(
-    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    share_dup_set: bool = False,
 ) -> DataFrame:
     """Maximal merged per-document spans covered by CROSS-document
     duplicated k-grams: (id, span_start, span_len, n_dup_grams).
@@ -142,29 +146,47 @@ def duplicate_spans(
        g — AQE broadcasts the dup set while it fits and skew-splits hot
        grams past it.
     3. merge_islands (one id-keyed exchange).
-    """
+
+    ``share_dup_set`` (r14, VERDICT r13 #5): True materializes the
+    DISTINCT dup-gram set with an eager localCheckpoint — a SMALL frame
+    (grams seen in ≥2 docs), never the corpus-scale positional stream —
+    so the final plan evaluates the Karp-Rabin gram subtree once (the
+    hits side) instead of twice, and the hits join's build side has an
+    exact size instead of a corpus-scale explode estimate. Measured at
+    sf0.1 on the scrub face: 1.42 → 1.23 s (min-of-5). Default False:
+    the lazy build composes and stays memoizable, and for the plain
+    spans face the checkpoint measured as a wash."""
     grams = positional_kgrams(docs, k, id_col, text_col)
-    return _spans_from_grams(grams, k, id_col)
+    return _spans_from_grams(grams, k, id_col, share_dup_set)
 
 
 def duplicate_spans_from_tokens(
-    toked: DataFrame, k: int, id_col: str = "doc_id"
+    toked: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    share_dup_set: bool = False,
 ) -> DataFrame:
     """``duplicate_spans`` over a PRE-TOKENIZED (id, toks) frame — for
     callers (the span scrub) that also need the token arrays for their
     own output and therefore materialize tokenization once instead of
     letting each gram consumer re-run normalize+split (r13). Same
-    expressions, same output."""
-    return _spans_from_grams(kgrams_from_tokens(toked, k, id_col), k, id_col)
+    expressions, same output. ``share_dup_set``: see duplicate_spans."""
+    return _spans_from_grams(
+        kgrams_from_tokens(toked, k, id_col), k, id_col, share_dup_set
+    )
 
 
-def _spans_from_grams(grams: DataFrame, k: int, id_col: str) -> DataFrame:
+def _spans_from_grams(
+    grams: DataFrame, k: int, id_col: str, share_dup_set: bool = False
+) -> DataFrame:
     dup = (
         grams.groupBy("g")
         .agg(F.min(id_col).alias("min_doc"), F.max(id_col).alias("max_doc"))
         .where(F.col("min_doc") != F.col("max_doc"))
         .select("g")
     )
+    if share_dup_set:
+        dup = dup.localCheckpoint()
     hits = grams.join(dup, "g").select(id_col, "s", (F.col("s") + k).alias("e"))
     return merge_islands(hits, id_col)
 

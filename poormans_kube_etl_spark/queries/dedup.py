@@ -757,8 +757,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The xxhash64 default remains for throughput-first callers."""
     apply_runtime_confs(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # blocking planned from the session count-statistic cache (r14):
+    # plan_blocking(docs.count(), 3) re-ran a corpus count job on every
+    # build — the face's entire eager-build cost. Same (m, t) plan,
+    # identical pair set; the count invalidates with the table files.
+    from poormans_kube_etl_spark.operators.simhash import plan_blocking
+    from poormans_kube_etl_spark.sources.tables import cached_table_count
+
+    blocking = plan_blocking(cached_table_count(spark, sf_dir, "documents"), 3)
     return simhash_near_duplicates(
-        docs, "doc_id", "text", max_hamming=3, token_hash="md5"
+        docs, "doc_id", "text", max_hamming=3, token_hash="md5", blocking=blocking
     ).orderBy("a", "b")
 
 
@@ -941,11 +949,26 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a missed planted pair, a spurious background emission, or a wrong
     verify cosine each breaks row count or value hash. Completeness
     against arbitrary corpora stays pinned by the recall test."""
-    from poormans_kube_etl_spark.operators.similarity import embedding_near_pairs_lsh
+    from poormans_kube_etl_spark.operators.similarity import (
+        embedding_near_pairs_lsh,
+        srp_banding,
+    )
+    from poormans_kube_etl_spark.sources.tables import cached_table_count
 
     apply_runtime_confs(spark)
     emb = _with_planted_near_dups(load_table(spark, sf_dir, "embeddings"))
-    return embedding_near_pairs_lsh(emb, threshold=0.9, dim=64).orderBy("a", "b")
+    # banding planned from the session count-statistic cache (r14): the
+    # auto path re-counted the augmented corpus on every build. The
+    # augmented count is corpus + one twin per vec_id < 50 row — the
+    # same number aug.count() returns — so the planned (planes, bands)
+    # pair and the emitted pair set are identical.
+    n = cached_table_count(spark, sf_dir, "embeddings") + cached_table_count(
+        spark, sf_dir, "embeddings", "vec_id < 50"
+    )
+    ppb, bands = srp_banding(0.9, n_vectors=n, max_planes=1024)
+    return embedding_near_pairs_lsh(
+        emb, threshold=0.9, bands=bands, planes_per_band=ppb, dim=64
+    ).orderBy("a", "b")
 
 
 @register(

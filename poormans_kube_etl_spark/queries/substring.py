@@ -220,7 +220,12 @@ def train_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select(
         "doc_id", tokens(normalize_text("text")).alias("toks")
     ).localCheckpoint()
-    spans = duplicate_spans_from_tokens(toked, _K)
+    # share_dup_set (r14, VERDICT r13 #5): the distinct dup-gram SET is
+    # small (grams in ≥2 docs) — materializing it makes the final plan
+    # evaluate the Karp-Rabin gram subtree once instead of twice.
+    # Measured 1.42 → 1.23 s at sf0.1 (min-of-5); this face is already
+    # eager (the toked checkpoint above), so no memo eligibility is lost.
+    spans = duplicate_spans_from_tokens(toked, _K, share_dup_set=True)
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(

@@ -256,6 +256,41 @@ def spread_small_scan(
     return df.repartition(width)
 
 
+# (session id, sf_dir, table, predicate) -> (session, count, version).
+# A PLANNING STATISTIC cache (r14): LSH banding and simhash blocking are
+# planned from a corpus row count — a deterministic scalar that every
+# query build re-ran as its own Spark job (the simhash face's whole
+# eager-build cost; ~0.1 s/build). Same class as the session-scoped IVF
+# centroid cache (r10): a plan-time input derived deterministically
+# from the table, never a query result; the same version token as
+# _TABLE_CACHE invalidates it when the files change, and unversionable
+# paths are never cached.
+_COUNT_CACHE: dict[tuple[int, str, str, str], tuple[SparkSession, int, tuple]] = {}
+
+
+def cached_table_count(
+    spark: SparkSession, sf_dir: str, name: str, where: str | None = None
+) -> int:
+    """Session-scoped row count of a driver table (optionally under a
+    SQL predicate), keyed on the table's file version — for PLANNING
+    inputs (banding/blocking geometry), not for results."""
+    version = _dir_version(table_path(sf_dir, name))
+    key = (id(spark), sf_dir, name, where or "")
+    if version is not None:
+        cached = _COUNT_CACHE.get(key)
+        if cached is not None and cached[0] is spark and cached[2] == version:
+            return cached[1]
+    df = load_table(spark, sf_dir, name)
+    if where:
+        df = df.where(where)
+    n = df.count()
+    if version is not None:
+        if len(_COUNT_CACHE) > 256:
+            _COUNT_CACHE.clear()
+        _COUNT_CACHE[key] = (spark, n, version)
+    return n
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql() can use them."""
     for name in TABLES:

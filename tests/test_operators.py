@@ -1340,6 +1340,29 @@ def test_embedding_lsh_star_generate_projects_array_away(spark):
     assert all(r.a < r.b for r in rows)
 
 
+def test_oversized_bucket_star_expansion_stays_lazy(spark):
+    """ADVICE r13: the hot-bucket memory guard rests on CaseWhen
+    evaluating its branches LAZILY — an oversized bucket must never
+    build its O(n²) all-pairs array. Pin it with a genuinely oversized
+    bucket: 20k members would flatten to ~2·10^8 pair structs (multiple
+    GB in ONE array value) if an engine change hoisted the all-pairs
+    branch out of the CASE WHEN; the star regime emits n-1 rows in
+    milliseconds. A regression fails loudly (OOM/timeout) instead of
+    silently — exactly the failure mode the guard exists to prevent."""
+    from poormans_kube_etl_spark.operators.buckets import bucket_member_pairs
+
+    n = 20_000
+    df = spark.range(1).select(
+        F.sequence(F.lit(0).cast("long"), F.lit(n - 1).cast("long")).alias(
+            "members"
+        )
+    )
+    out = bucket_member_pairs(df, "members", max_bucket=256)
+    assert out.count() == n - 1  # star: every member linked to min id
+    rows = out.limit(5).collect()
+    assert all(r.a == 0 and r.b > 0 for r in rows)
+
+
 def test_plane_count_guards_reject_int64_overflow(spark):
     """r7 review: numpy's 1<<64 wraps to 0, so planes past 64 silently
     stopped contributing to the bucket bit-pack — vectors differing
