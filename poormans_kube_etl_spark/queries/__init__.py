@@ -179,30 +179,26 @@ _loaded = False
 # queries whose values/oracles/plans changed — or that are NEW — in
 # the CURRENT round. REWRITE EACH ROUND; everything else is derived.
 _CHANGED_THIS_ROUND = [
-    # new in r13 (never driver-checked): the shard-balance audit over
-    # the packing plan and the embedding-space pair-sample histogram
-    "train_shard_balance_report",
-    "sim_pairwise_distance_histogram",
-    # r13 (VERDICT r12 #3): raw-text distinct re-expressed over
-    # sha2(text,256) — plan AND oracle changed in lockstep
-    "dedup_exact_stats",
-    # r13 optimization pass: faces whose PHYSICAL PLANS were
+    # r14 optimization pass: faces whose PHYSICAL PLANS were
     # restructured (values identical, locally hash-verified at
-    # sf0.001 AND sf0.01) — conditional single-generator bucket
-    # expansion, checkpointed signature/fixture frames, heavy-tier
-    # scan spreading. They were driver-checked in r12, so
-    # stalest-first alone would leave the restructured plans outside
-    # the window; they re-earn a driver row instead. Kept to the
-    # deepest-changed eight so the stale tail still holds the full
-    # r09 cohort (head 11 + tail 39 ≥ 37).
-    "dedup_minhash_lsh_pairs",
+    # sf0.001 AND sf0.01) — size-capped spread width (RoundRobin 32→N),
+    # lazy delta signatures (checkpoint scan → inlined delta pipeline),
+    # materialized dup-gram set, seed-folded closure, count-planned
+    # blocking/banding. They re-earn a driver row; kept to the
+    # deepest-changed twelve so the stale tail still keeps a ≥37
+    # cohort (head 12 + tail 38).
+    "dedup_minhash_index_delta_pairs",
+    "dedup_minhash_incremental_pairs",
+    "train_scrub_duplicate_spans",
+    "dedup_substring_spans",
     "dedup_simhash_pairs",
     "dedup_embedding_lsh_pairs",
-    "dedup_minhash_index_delta_pairs",
-    "dedup_embedding_index_delta_pairs",
+    "dedup_minhash_lsh_pairs",
     "train_corpus_build_funnel",
+    "dedup_minhash_clusters",
+    "train_cdc_chunk_documents",
     "sim_topk_bruteforce",
-    "sim_ivf_topk",
+    "dedup_winnowing_pairs",
 ]
 
 

@@ -123,8 +123,15 @@ def test_constants_come_from_artifact_not_caller(spark, corpus_index):
 
     sig = inspect.signature(minhash_incremental_near_duplicates_indexed)
     # max_bucket moved INTO the artifact in r9 (buckets pre-aggregated
-    # at write time) — no caller knob can disagree with it either
-    assert set(sig.parameters) == {"new_docs", "index", "threshold"}
+    # at write time) — no caller knob can disagree with it either.
+    # share_signatures (r14) is an EXECUTION knob (lazy vs eager delta
+    # materialization, identical pair set), not a banding constant.
+    assert set(sig.parameters) == {
+        "new_docs",
+        "index",
+        "threshold",
+        "share_signatures",
+    }
     assert isinstance(corpus_index, CorpusMinhashIndex)
 
 
