@@ -188,7 +188,7 @@ def minhash_incremental_near_duplicates_indexed(
     new_docs: DataFrame,
     index: CorpusMinhashIndex,
     threshold: float = 0.5,
-    share_signatures: bool = False,
+    share_signatures: bool | None = None,
 ) -> DataFrame:
     """New-batch-vs-corpus near-dup pairs (a=new id, b=corpus id,
     jaccard >= threshold) against a PERSISTED index: the delta pays its
@@ -202,17 +202,20 @@ def minhash_incremental_near_duplicates_indexed(
     ``share_signatures`` (r14, ADVICE r13: was an unconditional eager
     localCheckpoint with no opt-out): True materializes the delta
     signatures once for their two consumers (banding + verify a-side);
-    default False keeps the build lazy — composable, Connect-safe,
-    recomputable on executor loss, and measured faster at sf0.1 (the
-    eager barrier cost more than the duplicated delta-sized hashing).
-    Opt in for deltas where a second hashing pass dominates."""
+    False keeps the build lazy — composable, Connect-safe, recomputable
+    on executor loss. Default None auto-gates on the delta input's
+    size estimate (minhash._delta_share_auto — measured crossover
+    ~2 MB: at sf0.1 lazy wins 1.03 → 0.69 s, at sf1 eager wins
+    1.68 → 1.09 s)."""
     c = index.constants
     shingle_len, num_hashes = int(c["shingle_len"]), int(c["num_hashes"])
     bands = int(c["bands"])
     new_signed = signed_for(
         new_docs, c["id_col"], c["text_col"], shingle_len, num_hashes, c["hash_family"]
     )
-    if share_signatures:
+    from poormans_kube_etl_spark.operators.minhash import _delta_share_auto
+
+    if _delta_share_auto(new_docs, share_signatures):
         new_signed = new_signed.localCheckpoint()
     new_b = _banded(
         new_signed, c["id_col"], bands, num_hashes // bands

@@ -233,3 +233,23 @@ def test_srp_index_rejects_below_planned_threshold(spark, srp_index):
         embedding_incremental_near_pairs_indexed(delta, srp_index, threshold=0.5)
     # at or above the planned threshold is fine
     embedding_incremental_near_pairs_indexed(delta, srp_index, threshold=0.95)
+
+
+def test_delta_share_auto_gates_on_input_size(spark):
+    """r14 (VERDICT r13 #3): the incremental faces' delta-signature
+    materialization is auto-gated on the delta INPUT's optimizer size
+    estimate — tiny deltas stay lazy (the eager barrier costs more than
+    hashing the delta twice), big deltas checkpoint (the second hashing
+    pass dominates). Explicit True/False always wins."""
+    from poormans_kube_etl_spark.operators.minhash import (
+        _DELTA_SHARE_MIN_BYTES,
+        _delta_share_auto,
+    )
+
+    small = spark.range(0, 1_000)  # ~8 KB estimate
+    big = spark.range(0, 1_000_000)  # ~8 MB estimate
+    assert _DELTA_SHARE_MIN_BYTES == 2 << 20
+    assert _delta_share_auto(small, None) is False
+    assert _delta_share_auto(big, None) is True
+    assert _delta_share_auto(big, False) is False
+    assert _delta_share_auto(small, True) is True
