@@ -55,9 +55,21 @@ def connected_components(
     convergence is read from a ``chg`` flag computed INSIDE the
     checkpointed round frame — no separate old-vs-new join per round.
     """
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+    # Bidirect via ONE explode, not a self-union (r14): the union form
+    # evaluated the whole upstream pair pipeline once per branch inside
+    # the edges checkpoint job — for the near-dup faces that is the LSH
+    # candidate+verify subtree twice (verified in the physical plan: 6
+    # scans / 4 exchanges collapse to 3 / 2; exchange reuse did NOT
+    # dedupe the branches). Same row multiset, half the upstream work
+    # at any scale (guide §2.4); interleaved A/B at sf0.1 ~10% faster.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     if not pairs_unique:
         edges = edges.distinct()
     edges = edges.localCheckpoint()
