@@ -199,6 +199,13 @@ _CHANGED_THIS_ROUND = [
     "train_cdc_chunk_documents",
     "sim_topk_bruteforce",
     "dedup_winnowing_pairs",
+    # r14 (late session): the closure's edge list is now bidirected via
+    # one explode instead of a self-union — the rewrite lives inside the
+    # closure's eager checkpoint job (final plans unchanged), but every
+    # consumer face re-earns a driver row. funnel/minhash_clusters are
+    # already heads above; these are the other two closure consumers.
+    "dedup_minhash_apply_keepers",
+    "dedup_semantic_apply_keepers",
 ]
 
 
