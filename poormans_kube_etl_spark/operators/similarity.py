@@ -220,11 +220,25 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     (zero-norm vector: the scoring sites nullif the norm product, since
     under ANSI 0/0 would kill the job at scale) is dropped for the same
     reason. Exact top-k means top-k of the well-defined similarities.
+
+    ``_pid`` is assigned BEFORE the NaN/NULL filter (r14): filtered
+    after, the filter's ``isnotnull(sim) AND NOT isnan(sim)`` is pushed
+    into the scoring join's condition, where each conjunct re-inlines
+    the full dim-wide pair-dot expression — the N·Q hot loop evaluated
+    THREE times per candidate row (twice in the condition, once in the
+    projection; verified in the r14 before-plans of both top-k faces).
+    A projection carrying the non-deterministic spark_partition_id()
+    blocks predicate pushdown (Catalyst never pushes a filter below a
+    non-deterministic projection), so ``sim`` materializes exactly once
+    and the filter reads the attribute. Row-identical: the filter drops
+    the same rows and moves none between partitions, so stage-1 groups
+    are unchanged (guide §4.4 — the same duplication mode as UDF
+    filter-pushdown, fixed with the same non-determinism barrier).
     """
     w1 = Window.partitionBy("query_id", "_pid").orderBy(F.col("sim").desc(), F.col("nn_id"))
     part = (
-        scored.where(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
-        .withColumn("_pid", F.spark_partition_id())
+        scored.withColumn("_pid", F.spark_partition_id())
+        .where(F.col("sim").isNotNull() & ~F.isnan(F.col("sim")))
         .withColumn("_r1", F.row_number().over(w1))
         .where(F.col("_r1") <= k)
         .select("query_id", "nn_id", "sim")

@@ -209,6 +209,36 @@ def test_topk_is_two_stage(q, spark, sf_dir):
     assert _topk_per_query(scored, k).count() == k * n_queries
 
 
+def test_topk_scores_each_candidate_pair_once(q):
+    # r14: the NaN/NULL sanity filter in _topk_per_query used to be
+    # pushed into the scoring join's condition, where isnotnull(sim)
+    # and NOT isnan(sim) each re-inlined the full dim-wide pair-dot
+    # chain — the N·Q hot loop evaluated THREE times per candidate row
+    # (twice in the condition, once in the projection). The _pid
+    # projection (non-deterministic spark_partition_id) now blocks that
+    # pushdown, so the join condition must carry no dot chain and the
+    # dot must appear exactly once per top-k plan (in the projection).
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    for name in ("sim_topk_bruteforce", "sim_ivf_topk"):
+        plan = formatted_plan(q(name))
+        # q_vec[j] * nn_vec[j] terms, any expr id (ivf's probe-selection
+        # dot is q_vec · centroid and deliberately not matched)
+        pair_dot = "* nn_vec"
+        for line in plan.splitlines():
+            if "Join condition" in line:
+                assert pair_dot not in line, (
+                    f"{name}: pair-dot re-inlined into a join condition "
+                    "— the NaN filter pushdown barrier regressed"
+                )
+        # one evaluation per candidate row: dim terms appear in exactly
+        # one projection (norms are per-side SQRT sites, not pair dots)
+        n_sites = sum(
+            1 for line in plan.splitlines() if "(q_vec" in line and pair_dot in line
+        )
+        assert n_sites == 1, f"{name}: {n_sites} pair-dot sites"
+
+
 def test_embedding_lsh_bucket_exchange_is_id_only(q):
     # VERDICT r02 #2: each vector used to ride `bands`× through the
     # (band, bucket) exchange carrying its full array<double>. The
