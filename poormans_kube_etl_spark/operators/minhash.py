@@ -566,15 +566,22 @@ def minhash_incremental_near_duplicates(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    from poormans_kube_etl_spark.operators.exprcache import where_materialized
+
+    # where_materialized (r14): a plain where() pushes the threshold
+    # into the b-side join condition, re-inlining array_intersect into
+    # a single no-CSE condition expression — the set intersection ran
+    # twice per candidate row (numerator + union) before the surviving
+    # rows paid the projection again. Blocked, it runs once per row.
+    return where_materialized(
         cands.join(sa, "a")
         .join(sb, "b")
         .select(
             "a",
             "b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        ),
+        F.col("jaccard") >= threshold,
     )
 
 
@@ -679,6 +686,8 @@ def minhash_near_duplicates(
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands}"
         )
+    from poormans_kube_etl_spark.operators.exprcache import where_materialized
+
     signed = signed_for(docs, id_col, text_col, shingle_len, num_hashes, hash_family)
     if cache:
         from pyspark import StorageLevel
@@ -703,7 +712,12 @@ def minhash_near_duplicates(
         # the full md5-family query drops 2.37 s → 1.42 s (-40%).
         signed = signed.localCheckpoint()
     cands = lsh_candidate_pairs(signed, id_col, bands, num_hashes // bands, max_bucket)
-    result = exact_jaccard(cands, signed, id_col).where(F.col("jaccard") >= threshold)
+    # threshold via where_materialized (r14): a plain where() re-inlines
+    # the Jaccard chain (array_intersect twice) into the verify join's
+    # no-CSE condition — one evaluation per candidate row instead
+    result = where_materialized(
+        exact_jaccard(cands, signed, id_col), F.col("jaccard") >= threshold
+    )
     if cache:
         result._persisted_signatures = signed  # back-compat; see docstring
     if return_signatures:

@@ -227,13 +227,18 @@ def minhash_incremental_near_duplicates_indexed(
     sb = index.shingles.select(F.col("doc").alias("b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    from poormans_kube_etl_spark.operators.exprcache import where_materialized
+
+    # where_materialized (r14): keeps the Jaccard chain out of the
+    # verify join's no-CSE condition — see minhash.exact_jaccard's
+    # caller for the duplication mode
+    return where_materialized(
         cands.join(sa, "a")
         .join(sb, "b")
         .select(
             "a",
             "b",
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        ),
+        F.col("jaccard") >= threshold,
     )

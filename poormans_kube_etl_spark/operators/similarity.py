@@ -767,11 +767,14 @@ def embedding_near_pairs_lsh(
     sim = _dot_expr("_va", "_vb", dim, "int" if quantized else None) / F.nullif(
         F.col("_na") * F.col("_nb"), F.lit(0.0)
     )  # zero-norm -> NULL -> fails the >= threshold filter, no ANSI 0/0
-    return (
-        cands.join(va, "a")
-        .join(vb, "b")
-        .select("a", "b", sim.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+    from poormans_kube_etl_spark.operators.exprcache import where_materialized
+
+    # where_materialized (r14): a plain where() pushes the threshold
+    # into the verify join's condition, re-inlining the dim-wide pair
+    # dot there — surviving pairs paid it twice (condition + projection)
+    return where_materialized(
+        cands.join(va, "a").join(vb, "b").select("a", "b", sim.alias("cos_sim")),
+        F.col("cos_sim") >= threshold,
     )
 
 
@@ -797,11 +800,12 @@ def _verify_cross_pairs(
     sim = _dot_expr("_va", "_vb", dim) / F.nullif(
         F.col("_na") * F.col("_nb"), F.lit(0.0)
     )  # zero-norm -> NULL -> fails the >= threshold filter, no ANSI 0/0
-    return (
-        cands.join(va, "a")
-        .join(vb, "b")
-        .select("a", "b", sim.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
+    from poormans_kube_etl_spark.operators.exprcache import where_materialized
+
+    # same pushdown barrier as embedding_near_pairs_lsh's verify (r14)
+    return where_materialized(
+        cands.join(va, "a").join(vb, "b").select("a", "b", sim.alias("cos_sim")),
+        F.col("cos_sim") >= threshold,
     )
 
 

@@ -206,6 +206,23 @@ _CHANGED_THIS_ROUND = [
     # already heads above; these are the other two closure consumers.
     "dedup_minhash_apply_keepers",
     "dedup_semantic_apply_keepers",
+    # r14 (third session): expression-duplication fixes — _pid assigned
+    # before the top-k NaN filter (the scoring join's condition no
+    # longer re-inlines the pair dot), and where_materialized on every
+    # verify threshold (Jaccard/cosine chains evaluate once per
+    # candidate row in a CSE'd projection instead of re-running inside
+    # the join condition). Values identical — locally hash-verified at
+    # sf0.001 AND sf0.01 plus a full 177-query sweep — but the plans
+    # changed, so each face re-earns a driver row. Faces above already
+    # heading the window (minhash/embedding LSH + delta, funnel,
+    # clusters, keepers, brute-force) cover the rest of this change.
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "dedup_embedding_near_pairs",
+    "dedup_embedding_index_delta_pairs",
+    "dedup_semantic_kmeans_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_lsh_recall_report",
 ]
 
 

@@ -264,8 +264,12 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .distinct()
     )
+    from poormans_kube_etl_spark.operators.exprcache import where_materialized
+
+    # where_materialized (r14): keeps the Jaccard chain out of the
+    # verify join's no-CSE condition (see minhash_near_duplicates)
     jac = exact_jaccard(pairs, shingled, "doc_id")
-    return jac.where(F.col("jaccard") >= 0.2).orderBy("a", "b")
+    return where_materialized(jac, F.col("jaccard") >= 0.2).orderBy("a", "b")
 
 
 def _minhash_md5_pair_ctes(
@@ -816,11 +820,17 @@ def dedup_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NaN element would compare GREATER than the threshold in Spark SQL,
     # emitting bogus pairs against every other vector
     sim = _dot_expr("_va", "_vb", 64) / F.nullif(F.col("_nn"), F.lit(0.0))
-    return (
-        joined.select("a", "b", sim.alias("cos_sim"))
-        .where(F.col("cos_sim").isNotNull() & ~F.isnan("cos_sim") & (F.col("cos_sim") >= 0.4))
-        .orderBy("a", "b")
-    )
+    from poormans_kube_etl_spark.operators.exprcache import where_materialized
+
+    # where_materialized (r14): pushed into the theta-join condition,
+    # each of the three conjuncts re-inlined the 64-term pair dot — the
+    # N²/2 all-pairs condition evaluated it three times per pair
+    return where_materialized(
+        joined.select("a", "b", sim.alias("cos_sim")),
+        F.col("cos_sim").isNotNull()
+        & ~F.isnan("cos_sim")
+        & (F.col("cos_sim") >= 0.4),
+    ).orderBy("a", "b")
 
 
 def _with_planted_near_dups(emb: DataFrame, n: int = 50) -> DataFrame:

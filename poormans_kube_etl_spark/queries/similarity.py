@@ -494,15 +494,16 @@ def dedup_semantic_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nullif + NaN drop: the sibling scoring-site policy (a zero-norm
     # vector dies as ANSI 0/0; NaN compares greater than the threshold)
     sim = _dot_expr("_va", "_vb", _DIM) / F.nullif(F.col("_nn"), F.lit(0.0))
-    return (
-        joined.select("a", "b", "cluster", sim.alias("cos_sim"))
-        .where(
-            F.col("cos_sim").isNotNull()
-            & ~F.isnan("cos_sim")
-            & (F.col("cos_sim") >= 0.9)
-        )
-        .orderBy("a", "b")
-    )
+    from poormans_kube_etl_spark.operators.exprcache import where_materialized
+
+    # where_materialized (r14): pushed into the in-cluster pair join's
+    # condition, each conjunct re-inlined the pair dot (3× per pair)
+    return where_materialized(
+        joined.select("a", "b", "cluster", sim.alias("cos_sim")),
+        F.col("cos_sim").isNotNull()
+        & ~F.isnan("cos_sim")
+        & (F.col("cos_sim") >= 0.9),
+    ).orderBy("a", "b")
 
 
 @register(

@@ -239,6 +239,33 @@ def test_topk_scores_each_candidate_pair_once(q):
         assert n_sites == 1, f"{name}: {n_sites} pair-dot sites"
 
 
+def test_verify_joins_keep_expensive_exprs_out_of_conditions(q):
+    # r14 (where_materialized): a verify threshold pushed into the join
+    # condition re-inlines its defining chain into ONE generated
+    # expression with no subexpression elimination — array_intersect ran
+    # twice per candidate (numerator + union), the all-pairs embedding
+    # face ran its 64-term dot three times per pair (isnotnull + isnan +
+    # threshold). The barrier keeps the chain in a CSE'd projection; the
+    # condition may carry only cheap predicates.
+    from poormans_kube_etl_spark.plans.inspect import formatted_plan
+
+    for name, pat in (
+        ("dedup_minhash_lsh_pairs", "array_intersect"),
+        ("dedup_minhash_index_delta_pairs", "array_intersect"),
+        ("dedup_embedding_lsh_pairs", "* _vb"),
+        ("dedup_embedding_near_pairs", "* _vb"),
+        ("dedup_semantic_kmeans_pairs", "* _vb"),
+    ):
+        plan = formatted_plan(q(name))
+        for line in plan.splitlines():
+            if "Join condition" in line:
+                assert pat not in line, (
+                    f"{name}: expensive verify chain re-inlined into a "
+                    "join condition — the where_materialized barrier "
+                    "regressed"
+                )
+
+
 def test_embedding_lsh_bucket_exchange_is_id_only(q):
     # VERDICT r02 #2: each vector used to ride `bands`× through the
     # (band, bucket) exchange carrying its full array<double>. The
