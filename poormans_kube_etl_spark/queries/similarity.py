@@ -472,6 +472,14 @@ def dedup_semantic_kmeans_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r9 top-k broadcast bound
     _guard_cell_pair_budget(emb.count(), k=8)
     _, assigned = kmeans_fit(emb, k=8, max_iter=3)
+    # The (id, cluster) ⨝ raw-vectors re-join looks redundant (the
+    # assignment frame internally carries v) but measured FASTEST of
+    # three r14 variants (interleaved min-of-7 at sf0.1: this 10.2 s;
+    # lazy v-carried 14.8 s; assignment localCheckpoint 11.9 s): the
+    # equi-join boundary makes ``cluster`` an attribute on the pair
+    # join's inputs, so the interpreted argmin fold runs once per row
+    # before the vec_id exchange instead of re-inlining into the cell
+    # join's inferred isnotnull filters and cluster-keyed exchanges.
     vecs = emb.select("vec_id", checked_double_vec("embedding", _DIM).alias("v"))
     cell = (
         assigned.join(vecs, "vec_id")
